@@ -1,0 +1,136 @@
+"""Pure-jnp reference implementation of the protoquant numerics contract.
+
+This module is the *behavioral contract* of the whole framework: every Pallas
+kernel in ``protoquant_tpu.ops`` must match these functions bit-exactly on the
+integer path and to float tolerance on the epilogue.
+
+Scheme (reference: facebookexperimental/protoquant — source unavailable in this
+environment; contract reconstructed in SURVEY.md §1.2 and pinned against the
+``torch._int_mm`` CPU oracle in tests/test_numerics.py):
+
+  * Weight: per-output-channel symmetric INT8, static.
+      s_w[n]  = max_k |W[k, n]| / 127
+      Wq[k,n] = clamp(round(W[k,n] / s_w[n]), -127, 127)   (int8, zero-point 0)
+  * Activation: per-token (per-row) symmetric INT8, dynamic.
+      s_x[m]  = max_k |x[m, k]| / 127
+      xq[m,k] = clamp(round(x[m,k] / s_x[m]), -127, 127)
+  * GEMM + fused epilogue:
+      acc[m,n] = sum_k xq[m,k] * Wq[k,n]          (int32 accumulation)
+      y[m,n]   = acc[m,n] * s_x[m] * s_w[n] + b[n]
+
+Rounding is round-half-to-even (numpy/jnp.round semantics — matches
+torch.round, verified by the oracle test). Clamp range is symmetric
+[-127, 127]. Zero rows are guarded with a tiny epsilon so scales never hit 0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# int8 symmetric range: [-127, 127] so that negation is closed and the scheme
+# has no zero-points anywhere.
+QMAX = 127
+# Scale floor: guards all-zero rows/channels (amax == 0) from producing
+# inf/NaN in x / s. Any value quantizes to 0 under this scale, which is the
+# correct result for an all-zero row.
+SCALE_EPS = 1e-12
+
+
+def compute_scale(x: jnp.ndarray, axis, qmax: int = QMAX) -> jnp.ndarray:
+    """absmax / qmax along ``axis`` (reduced away), floored at SCALE_EPS."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=False)
+    return jnp.maximum(amax / qmax, SCALE_EPS)
+
+
+def quantize(x: jnp.ndarray, scale: jnp.ndarray, axis, qmax: int = QMAX) -> jnp.ndarray:
+    """Symmetric int8 quantization of ``x`` with precomputed ``scale``.
+
+    ``scale`` has the shape of ``x`` reduced over ``axis``; it is re-expanded
+    here for broadcasting.
+    """
+    s = jnp.expand_dims(scale, axis)
+    q = jnp.round(x.astype(jnp.float32) / s)
+    return jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+
+
+def quantize_rowwise(x: jnp.ndarray, qmax: int = QMAX):
+    """Dynamic per-row (per-token) quantization: returns (xq int8, s_x f32).
+
+    Rows are the leading dims; reduction is over the last (feature) axis.
+    s_x has shape x.shape[:-1].
+    """
+    scale = compute_scale(x, axis=-1, qmax=qmax)
+    return quantize(x, scale, axis=-1, qmax=qmax), scale
+
+
+def quantize_channelwise(w: jnp.ndarray, axis: int = 0, qmax: int = QMAX):
+    """Static per-channel weight quantization: returns (wq int8, s_w f32).
+
+    For a [K, N] weight with per-output-channel scales, ``axis=0`` (reduce K),
+    giving s_w of shape [N].
+    """
+    scale = compute_scale(w, axis=axis, qmax=qmax)
+    return quantize(w, scale, axis=axis, qmax=qmax), scale
+
+
+def dequantize(q: jnp.ndarray, scale: jnp.ndarray, axis) -> jnp.ndarray:
+    """int8 + scale -> f32."""
+    return q.astype(jnp.float32) * jnp.expand_dims(scale, axis)
+
+
+def int_matmul(xq: jnp.ndarray, wq: jnp.ndarray) -> jnp.ndarray:
+    """Exact int8 x int8 -> int32 matmul (reference; bit-exact vs _int_mm).
+
+    Computed via int32 upcast so it is exact on every backend (XLA:TPU's
+    native integer dot lowering is unusable — see SURVEY.md §0.3; the product
+    path uses the Pallas kernel in ops/qmatmul.py instead).
+    """
+    return jnp.matmul(xq.astype(jnp.int32), wq.astype(jnp.int32))
+
+
+def qmatmul_ref(
+    xq: jnp.ndarray,
+    wq: jnp.ndarray,
+    s_x: jnp.ndarray,
+    s_w: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Integer GEMM + fused fp32 epilogue (the `fused_dq_addmm` contract).
+
+    y[m, n] = (sum_k xq[m,k] wq[k,n]) * s_x[m] * s_w[n] + b[n]
+    """
+    acc = int_matmul(xq, wq).astype(jnp.float32)
+    y = acc * s_x[..., :, None] * s_w[None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def dynamic_qlinear_ref(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    s_w: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Full dynamic-activation path: rowquant(x) -> int GEMM -> epilogue."""
+    out_dtype = out_dtype or x.dtype
+    xq, s_x = quantize_rowwise(x)
+    return qmatmul_ref(xq, wq, s_x, s_w, bias, out_dtype=out_dtype)
+
+
+def weight_only_linear_ref(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    s_w: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Weight-only path: dequantize W to x.dtype, matmul in float."""
+    out_dtype = out_dtype or x.dtype
+    w = dequantize(wq, s_w, axis=0).astype(x.dtype)
+    y = jnp.matmul(x, w)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(out_dtype)

@@ -1,0 +1,110 @@
+"""QTensor: the quantized-tensor container (reference L2, `protoquant.QTensor`).
+
+A registered JAX pytree holding an int8 payload plus fp32 scales and static
+layout metadata. Unlike the reference's torch Tensor subclass (reconstructed
+in SURVEY.md §2.1 R3 — source unavailable), a TPU-native QTensor is a plain
+immutable pytree: it flows through jit/pjit/shard_map, shards over meshes
+(int8 payload sharded like its fp parent; tiny fp32 scale vectors replicated
+or sharded with their channel axis), and checkpoints via orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "scale"],
+    meta_fields=["axis", "orig_dtype_name"],
+)
+@dataclasses.dataclass(frozen=True)
+class QTensor:
+    """int8 payload + per-axis fp32 scales.
+
+    Attributes:
+      data: int8 array, same shape as the original tensor.
+      scale: f32 array, shape = data.shape with ``axis`` removed.
+      axis: the axis of ``data`` that ``scale`` was reduced over (i.e. the
+        quantization-group axis). For a [K, N] weight with per-output-channel
+        scales this is 0. Normalized to be non-negative.
+      orig_dtype_name: dtype name of the tensor before quantization, so
+        dequantize can restore it.
+    """
+
+    data: jnp.ndarray
+    scale: jnp.ndarray
+    axis: int
+    orig_dtype_name: str = "float32"
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def quantize(cls, x: jnp.ndarray, axis: int = 0) -> "QTensor":
+        """Symmetric per-channel int8 quantization along ``axis``."""
+        axis = axis % x.ndim
+        q, s = numerics.quantize_channelwise(x, axis=axis)
+        return cls(data=q, scale=s, axis=axis, orig_dtype_name=jnp.dtype(x.dtype).name)
+
+    @classmethod
+    def quantize_rowwise(cls, x: jnp.ndarray) -> "QTensor":
+        """Dynamic per-row (last-axis-reduced) quantization."""
+        q, s = numerics.quantize_rowwise(x)
+        return cls(
+            data=q, scale=s, axis=x.ndim - 1, orig_dtype_name=jnp.dtype(x.dtype).name
+        )
+
+    # -- views -------------------------------------------------------------
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return self.data.ndim
+
+    @property
+    def orig_dtype(self):
+        return jnp.dtype(self.orig_dtype_name)
+
+    def dequantize(self) -> jnp.ndarray:
+        return numerics.dequantize(self.data, self.scale, self.axis).astype(
+            self.orig_dtype
+        )
+
+    def transpose(self) -> "QTensor":
+        """2D transpose; scale axis follows its channel."""
+        if self.data.ndim != 2:
+            raise ValueError("QTensor.transpose supports 2D tensors only")
+        return QTensor(
+            data=self.data.T,
+            scale=self.scale,
+            axis=1 - self.axis,
+            orig_dtype_name=self.orig_dtype_name,
+        )
+
+    def nbytes(self) -> int:
+        return self.data.size + self.scale.size * 4
+
+    def __repr__(self):  # pragma: no cover
+        return (
+            f"QTensor(shape={tuple(self.shape)}, axis={self.axis}, "
+            f"orig_dtype={self.orig_dtype_name})"
+        )
+
+
+def quantize(x: jnp.ndarray, axis: int = 0) -> QTensor:
+    """Module-level convenience mirroring the reference's `quantize()` entry."""
+    return QTensor.quantize(x, axis=axis)
+
+
+def is_qtensor(x: Any) -> bool:
+    return isinstance(x, QTensor)
