@@ -1,0 +1,307 @@
+"""Continuous-batching serving engine (component A3; SURVEY.md §3.4).
+
+The reference stops at a single linear layer; the driver mandates a full
+serving path (BASELINE.json north_star). Host-side Python owns request
+bookkeeping (queue, slots, stop conditions); the device owns everything else
+— one jitted program per prefill bucket and ONE jitted decode step for the
+whole batch per tick (host->TPU dispatch happens once per step, not per op,
+unlike the reference's per-op CUDA launches, SURVEY.md §3.2 vs §3.4).
+
+Slots: the KV cache is allocated once at [max_batch, max_seq]; requests are
+admitted into free slots (prefill writes that slot's rows), decode advances
+every active slot in lock-step, finished slots are recycled. Inactive slots
+run the same program with advance=0, so their lengths freeze and their cache
+rows stay masked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import LlamaModel, init_cache
+from ..utils.config import EngineConfig
+from .sampling import sample
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: list
+    max_new_tokens: int
+    out: list = dataclasses.field(default_factory=list)
+    slot: int = -1
+    done: bool = False
+
+
+def _bucket(n: int, chunk: int, lo: int = 16) -> int:
+    """Pad prefill length to a small set of buckets to bound compile count."""
+    b = lo
+    while b < n:
+        b *= 2
+    return min(b, max(chunk, lo))
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _prefill_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
+    """Prefill one request into cache slot ``slot``.
+
+    tokens: [1, Tpad] (right-padded); true_len scalar; slot scalar.
+    Returns (last_logits [V], caches).
+    """
+    sub = []
+    for c in caches:
+        sliced = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), c
+        )
+        sub.append(dataclasses.replace(sliced, lengths=jnp.zeros((1,), jnp.int32)))
+
+    Tpad = tokens.shape[1]
+    positions = jnp.arange(Tpad)[None, :]
+    logits, sub = model.apply(
+        params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
+    )
+
+    new_caches = []
+    for big, small in zip(caches, sub):
+        new_caches.append(
+            jax.tree_util.tree_map(
+                lambda b, s: jax.lax.dynamic_update_slice_in_dim(b, s, slot, 0),
+                big,
+                small,
+            )
+        )
+    return logits[0, true_len - 1], new_caches
+
+
+@partial(jax.jit, static_argnames=("model", "temperature", "top_k"), donate_argnums=(2,))
+def _decode_step(
+    model: LlamaModel,
+    params,
+    caches,
+    last_tokens,  # [B] int32
+    active,  # [B] bool
+    key,
+    temperature: float,
+    top_k: int,
+):
+    max_pos = model.cfg.max_position_embeddings - 1
+    positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
+    advance = active.astype(jnp.int32)
+    logits, caches = model.apply(
+        params, last_tokens[:, None], positions, caches, advance=advance
+    )
+    next_tokens = sample(logits[:, -1], key, temperature, top_k)
+    return next_tokens, caches
+
+
+class Engine:
+    """Continuous-batching inference engine over a quantized LlamaModel."""
+
+    def __init__(
+        self,
+        model: LlamaModel,
+        params,
+        config: EngineConfig | None = None,
+        kv_dtype=jnp.int8,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = config or EngineConfig()
+        self.kv_dtype = kv_dtype
+        B = self.cfg.max_batch_size
+        self.caches = init_cache(
+            model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype
+        )
+        self.last_tokens = jnp.zeros((B,), jnp.int32)
+        self.active = [False] * B
+        self.slot_req: list[Optional[Request]] = [None] * B
+        self.waiting: deque[Request] = deque()
+        self.finished: list[Request] = []
+        self._next_rid = 0
+        self._key = jax.random.PRNGKey(self.cfg.seed)
+        self.eos_id: Optional[int] = None
+        # Observability counters (SURVEY.md §5.5).
+        self.stats = {
+            "steps": 0,
+            "tokens_generated": 0,
+            "prefills": 0,
+            "step_times": deque(maxlen=256),
+        }
+
+    # -- request API -------------------------------------------------------
+
+    def add_request(self, prompt_tokens, max_new_tokens: int | None = None) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(
+            rid=rid,
+            prompt=[int(t) for t in prompt_tokens],
+            max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+        )
+        self.waiting.append(req)
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self.waiting) or any(self.active)
+
+    # -- engine loop -------------------------------------------------------
+
+    def _admit(self):
+        for slot in range(self.cfg.max_batch_size):
+            if self.active[slot] or not self.waiting:
+                continue
+            req = self.waiting.popleft()
+            req.slot = slot
+            t0 = time.perf_counter()
+            # Chunked prefill: long prompts stream through in prefill_chunk
+            # pieces so a single huge prompt can't stall the decode tick
+            # unboundedly (SURVEY.md §5.7).
+            chunk = self.cfg.prefill_chunk
+            prompt = req.prompt
+            last_logits = None
+            for off in range(0, len(prompt), chunk):
+                piece = prompt[off : off + chunk]
+                tpad = _bucket(len(piece), chunk)
+                tokens = jnp.asarray(
+                    [piece + [0] * (tpad - len(piece))], jnp.int32
+                )
+                if off == 0:
+                    last_logits, self.caches = _prefill_slot(
+                        self.model,
+                        self.params,
+                        self.caches,
+                        tokens,
+                        jnp.asarray(len(piece), jnp.int32),
+                        jnp.asarray(slot, jnp.int32),
+                    )
+                else:
+                    last_logits, self.caches = _extend_slot(
+                        self.model,
+                        self.params,
+                        self.caches,
+                        tokens,
+                        jnp.asarray(len(piece), jnp.int32),
+                        jnp.asarray(slot, jnp.int32),
+                    )
+            self._key, sub = jax.random.split(self._key)
+            first_tok = int(
+                sample(
+                    last_logits[None, :],
+                    sub,
+                    self.cfg.temperature,
+                    self.cfg.top_k,
+                )[0]
+            )
+            req.out.append(first_tok)
+            self.last_tokens = self.last_tokens.at[slot].set(first_tok)
+            self.active[slot] = True
+            self.slot_req[slot] = req
+            self.stats["prefills"] += 1
+            self._maybe_finish(slot)
+            self.stats["step_times"].append(time.perf_counter() - t0)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        tok = req.out[-1] if req.out else None
+        total_len = len(req.prompt) + len(req.out)
+        if (
+            len(req.out) >= req.max_new_tokens
+            or (self.eos_id is not None and tok == self.eos_id)
+            or total_len >= self.cfg.max_seq_len
+        ):
+            req.done = True
+            self.finished.append(req)
+            self.active[slot] = False
+            self.slot_req[slot] = None
+            # Free the slot: reset its cache length for the next tenant.
+            self.caches = [c.reset_slot(jnp.asarray(slot)) for c in self.caches]
+
+    def step(self):
+        """One engine tick: admit new requests, then one batched decode."""
+        t0 = time.perf_counter()
+        self._admit()
+        if not any(self.active):
+            return
+        active = jnp.asarray(self.active)
+        self._key, sub = jax.random.split(self._key)
+        next_tokens, self.caches = _decode_step(
+            self.model,
+            self.params,
+            self.caches,
+            self.last_tokens,
+            active,
+            sub,
+            self.cfg.temperature,
+            self.cfg.top_k,
+        )
+        self.last_tokens = next_tokens
+        toks = jax.device_get(next_tokens)
+        for slot in range(self.cfg.max_batch_size):
+            if not self.active[slot]:
+                continue
+            self.slot_req[slot].out.append(int(toks[slot]))
+            self.stats["tokens_generated"] += 1
+            self._maybe_finish(slot)
+        self.stats["steps"] += 1
+        self.stats["step_times"].append(time.perf_counter() - t0)
+
+    def run(self):
+        """Drain all queued requests; returns {rid: generated token list}."""
+        while self.has_work():
+            self.step()
+        out = {r.rid: r.out for r in self.finished}
+        return out
+
+    # -- observability -----------------------------------------------------
+
+    def metrics(self) -> dict:
+        times = list(self.stats["step_times"])
+        times.sort()
+        pct = lambda p: times[int(p * (len(times) - 1))] if times else 0.0
+        occupancy = sum(self.active) / max(1, self.cfg.max_batch_size)
+        return {
+            "steps": self.stats["steps"],
+            "tokens_generated": self.stats["tokens_generated"],
+            "prefills": self.stats["prefills"],
+            "batch_occupancy": occupancy,
+            "queue_depth": len(self.waiting),
+            "step_p50_ms": 1e3 * pct(0.5),
+            "step_p99_ms": 1e3 * pct(0.99),
+        }
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
+    """Continue prefilling a slot that already holds context (chunk 2+)."""
+    sub = [
+        jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), c
+        )
+        for c in caches
+    ]
+    Tpad = tokens.shape[1]
+    start = sub[0].lengths[0]
+    positions = start + jnp.arange(Tpad)[None, :]
+    max_pos = model.cfg.max_position_embeddings - 1
+    positions = jnp.minimum(positions, max_pos)
+    logits, sub = model.apply(
+        params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
+    )
+    new_caches = [
+        jax.tree_util.tree_map(
+            lambda b, s: jax.lax.dynamic_update_slice_in_dim(b, s, slot, 0),
+            big,
+            small,
+        )
+        for big, small in zip(caches, sub)
+    ]
+    return logits[0, true_len - 1], new_caches

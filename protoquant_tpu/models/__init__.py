@@ -1,0 +1,15 @@
+from .generate import greedy_generate, perplexity, score_tokens
+from .hf_import import import_hf_llama
+from .kv_cache import BF16KVCache, Int8KVCache
+from .llama import LlamaModel, init_cache
+
+__all__ = [
+    "LlamaModel",
+    "BF16KVCache",
+    "Int8KVCache",
+    "init_cache",
+    "greedy_generate",
+    "perplexity",
+    "score_tokens",
+    "import_hf_llama",
+]

@@ -1,0 +1,73 @@
+"""HF-layout Llama weight import from *local* tensors (component A5).
+
+No network / no cached weights exist in this environment (SURVEY.md §0.3), so
+this maps an in-memory HF-style state dict (name -> array, torch Linear
+layout [out, in]) onto our flax params tree. Works with
+``transformers.LlamaForCausalLM.state_dict()`` converted to numpy, or with
+safetensors files loaded locally.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import ModelConfig
+
+_PROJS_ATTN = ("q_proj", "k_proj", "v_proj", "o_proj")
+_PROJS_MLP = ("gate_proj", "up_proj", "down_proj")
+
+
+def _kernel(sd: Mapping[str, np.ndarray], name: str) -> jnp.ndarray:
+    # torch nn.Linear weight is [out, in]; our kernel is [in, out].
+    return jnp.asarray(np.asarray(sd[name]).astype(np.float32).T)
+
+
+def import_hf_llama(
+    sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
+) -> dict:
+    """HF Llama state dict -> fp flax params for models.llama.LlamaModel.
+
+    Feed the result through ``nn.quantize_params`` to obtain the quantized
+    tree (the reference's qlinear_from_linear step, SURVEY.md §3.5).
+    """
+    p: dict = {}
+    p["embed_tokens"] = {
+        "embedding": jnp.asarray(
+            np.asarray(sd["model.embed_tokens.weight"], dtype=np.float32)
+        )
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        layer: dict = {
+            "input_layernorm": {
+                "weight": jnp.asarray(
+                    np.asarray(sd[f"{pre}.input_layernorm.weight"], np.float32)
+                )
+            },
+            "post_attention_layernorm": {
+                "weight": jnp.asarray(
+                    np.asarray(sd[f"{pre}.post_attention_layernorm.weight"], np.float32)
+                )
+            },
+            "self_attn": {
+                proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
+                for proj in _PROJS_ATTN
+            },
+            "mlp": {
+                proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}
+                for proj in _PROJS_MLP
+            },
+        }
+        p[f"layers_{i}"] = layer
+    p["norm"] = {
+        "weight": jnp.asarray(np.asarray(sd["model.norm.weight"], np.float32))
+    }
+    if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
+        lm = sd["model.embed_tokens.weight"]
+    else:
+        lm = sd["lm_head.weight"]
+    p["lm_head"] = {"kernel": jnp.asarray(np.asarray(lm, np.float32).T)}
+    return {"params": p}

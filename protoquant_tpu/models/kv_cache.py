@@ -1,0 +1,158 @@
+"""KV-cache containers (components A1: INT8 KV-cache with per-token/head
+scales; plus the bf16 baseline layout).
+
+Both are registered pytrees with *per-slot* lengths [B] so the same cache
+serves single-request generation and the continuous-batching engine (slots
+advance independently). Cache classes own their update + attention logic so
+the model tier is cache-layout-agnostic:
+
+    out, new_cache = cache.update_and_attend(q, k, v)
+
+* ``BF16KVCache``: dense [B, S, KV, Dh] bf16 — the baseline the int8 cache is
+  benchmarked against.
+* ``Int8KVCache``: [B, KV, S, Dh] int8 payload + [B, KV, S] f32 per-token/
+  per-head symmetric scales (head-major so the Pallas flash-decode kernel
+  reads one contiguous (S, Dh) row per (batch, kv-head) program). Attention
+  dequantizes in-kernel (ops/attention.py) — the int8 cache is never
+  materialized as fp in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.numerics import QMAX, SCALE_EPS
+from ..ops.attention import int8_kv_attention
+
+
+def _write_positions(lengths: jnp.ndarray, t: int):
+    """Scatter indices: batch [B,1] and per-token slot positions [B,T]."""
+    b_idx = jnp.arange(lengths.shape[0])[:, None]
+    s_idx = lengths[:, None] + jnp.arange(t)[None, :]
+    return b_idx, s_idx
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "lengths"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class BF16KVCache:
+    """k/v: [B, S, KV, Dh]; lengths: [B] int32 (valid tokens per slot)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    lengths: jnp.ndarray
+
+    @classmethod
+    def init(cls, batch, max_seq, kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (batch, max_seq, kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def max_seq(self):
+        return self.k.shape[1]
+
+    def update_and_attend(self, q, k, v, advance=None):
+        """q: [B,T,H,Dh]; k/v: [B,T,KV,Dh] (post-RoPE). Returns (out, cache).
+
+        ``advance`` [B] overrides how far each slot's length moves (defaults
+        to T); the engine uses it for padded prefill and inactive slots.
+        """
+        B, T = k.shape[:2]
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+        b_idx, s_idx = _write_positions(self.lengths, T)
+        k_all = self.k.at[b_idx, s_idx].set(k.astype(self.k.dtype))
+        v_all = self.v.at[b_idx, s_idx].set(v.astype(self.v.dtype))
+        new = BF16KVCache(k=k_all, v=v_all, lengths=self.lengths + adv)
+
+        q_pos = self.lengths[:, None] + jnp.arange(T)[None, :]
+        key_pos = jnp.broadcast_to(jnp.arange(self.max_seq)[None, :], (B, self.max_seq))
+        from .llama import mha_attention  # local import to avoid cycle
+
+        out = mha_attention(q, k_all, v_all, q_pos, key_pos)
+        return out, new
+
+    def reset_slot(self, slot: jnp.ndarray):
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Per-token/per-head symmetric int8: x [B, T, KV, Dh] ->
+    (q int8 same shape, scale f32 [B, T, KV])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / QMAX, SCALE_EPS)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -QMAX, QMAX).astype(jnp.int8)
+    return q, scale
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "ks", "vq", "vs", "lengths"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Int8KVCache:
+    """kq/vq: [B, KV, S, Dh] int8; ks/vs: [B, KV, S] f32; lengths: [B]."""
+
+    kq: jnp.ndarray
+    ks: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+    lengths: jnp.ndarray
+
+    @classmethod
+    def init(cls, batch, max_seq, kv_heads, head_dim):
+        return cls(
+            kq=jnp.zeros((batch, kv_heads, max_seq, head_dim), jnp.int8),
+            ks=jnp.full((batch, kv_heads, max_seq), SCALE_EPS, jnp.float32),
+            vq=jnp.zeros((batch, kv_heads, max_seq, head_dim), jnp.int8),
+            vs=jnp.full((batch, kv_heads, max_seq), SCALE_EPS, jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def max_seq(self):
+        return self.kq.shape[2]
+
+    def update(self, k, v, advance=None):
+        """Quantize and append k/v [B, T, KV, Dh] at each slot's length.
+
+        ``advance`` [B] overrides the per-slot length increment (default T):
+        padded prefill advances only by the true prompt length, so pad
+        entries sit beyond ``lengths`` and are masked, then overwritten
+        one-by-one as real tokens arrive.
+        """
+        B, T = k.shape[:2]
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+        k8, ks_new = quantize_kv(k)
+        v8, vs_new = quantize_kv(v)
+        b_idx, s_idx = _write_positions(self.lengths, T)
+        # Cache layout is head-major: advanced indices (b, s) land in front,
+        # so the scattered block is [B, T, KV, Dh] — matching k8 directly.
+        kq = self.kq.at[b_idx, :, s_idx].set(k8)
+        vq = self.vq.at[b_idx, :, s_idx].set(v8)
+        ks = self.ks.at[b_idx, :, s_idx].set(ks_new)
+        vs = self.vs.at[b_idx, :, s_idx].set(vs_new)
+        return Int8KVCache(kq=kq, ks=ks, vq=vq, vs=vs, lengths=self.lengths + adv)
+
+    def update_and_attend(self, q, k, v, advance=None):
+        new = self.update(k, v, advance)
+        out = int8_kv_attention(
+            q, new.kq, new.ks, new.vq, new.vs, self.lengths
+        )
+        return out, new
+
+    def reset_slot(self, slot: jnp.ndarray):
+        """Zero one slot's length (the payload is masked by length anyway)."""
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))

@@ -1,0 +1,268 @@
+"""Llama-family decoder, TPU-native, with all projections through QLinear.
+
+The reference never defines a model — its users swap linears inside their own
+torch models (SURVEY.md §1.3). Here the model tier is first-class (component
+A5): RMSNorm + RoPE + GQA attention + SwiGLU MLP, every projection a
+``QLinear`` in mode "dynamic" / "weight_only" / "fp", bf16 activations,
+functional KV cache threaded through the call (pure dataflow — jit/pjit
+shard it like any other pytree).
+
+ModelConfig.tiny() is acceptance config 2 (2-layer d=512 toy transformer);
+llama2_7b / llama2_70b match the HF architecture configs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.qlinear import QLinear
+from ..utils.config import ModelConfig
+from .kv_cache import BF16KVCache, Int8KVCache
+
+
+def init_cache(
+    cfg: ModelConfig, batch: int, max_seq: int, kv_dtype=jnp.bfloat16, tp: int = 1
+) -> list:
+    """Per-layer KV caches. kv_dtype in {jnp.bfloat16, jnp.float32, jnp.int8};
+    int8 selects the quantized cache (component A1). Under tensor parallelism
+    each shard holds kv_heads/tp heads (pass tp when building *local* caches
+    inside shard_map; global caches sharded by pjit use tp=1 shapes)."""
+    kv_heads = cfg.num_key_value_heads // tp
+    if kv_dtype == jnp.int8:
+        make = lambda: Int8KVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
+    else:
+        make = lambda: BF16KVCache.init(
+            batch, max_seq, kv_heads, cfg.head_dim, kv_dtype
+        )
+    return [make() for _ in range(cfg.num_hidden_layers)]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        return (y * w).astype(self.dtype)
+
+
+def rope_tables(head_dim: int, max_len: int, theta: float):
+    """cos/sin tables [max_len, head_dim//2], f32."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos, sin):
+    """x: [B, T, H, D]; positions: [B, T] absolute positions."""
+    c = cos[positions][:, :, None, :]  # [B, T, 1, D/2]
+    s = sin[positions][:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: ModelConfig
+    mode: str
+    dtype: Any = jnp.bfloat16
+    tp: int = 1  # tensor-parallel degree: heads are sharded tp-ways
+    tp_axis: Any = None  # mesh axis name (inside shard_map) for collectives
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D]
+        positions: jnp.ndarray,  # [B, T]
+        cache,  # BF16KVCache | Int8KVCache | None
+        advance=None,  # [B] per-slot length increment override (engine)
+    ):
+        cfg = self.cfg
+        B, T, _ = x.shape
+        # Column-parallel Q/K/V: each shard owns H/tp query heads and KV/tp
+        # kv heads (Megatron-style head sharding; SURVEY.md §2.2).
+        H = cfg.num_attention_heads // self.tp
+        KV = cfg.num_key_value_heads // self.tp
+        Dh = cfg.head_dim
+        lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
+
+        q = lin(H * Dh, name="q_proj")(x).reshape(B, T, H, Dh)
+        k = lin(KV * Dh, name="k_proj")(x).reshape(B, T, KV, Dh)
+        v = lin(KV * Dh, name="v_proj")(x).reshape(B, T, KV, Dh)
+
+        cos, sin = rope_tables(Dh, cfg.max_position_embeddings, cfg.rope_theta)
+        q = apply_rope(q, positions, cos, sin)
+        k = apply_rope(k, positions, cos, sin)
+
+        if cache is not None:
+            # Cache classes own update + masking + (for int8) the Pallas
+            # in-kernel-dequant attention.
+            out, new_cache = cache.update_and_attend(q, k, v, advance)
+        else:
+            new_cache = None
+            out = mha_attention(q, k, v, positions, positions)
+
+        out = out.reshape(B, T, H * Dh)
+        # Row-parallel output projection: partial products all-reduced.
+        o = QLinear(
+            cfg.hidden_size,
+            mode=self.mode,
+            use_bias=False,
+            dtype=self.dtype,
+            psum_axis=self.tp_axis,
+            name="o_proj",
+        )(out)
+        return o, new_cache
+
+
+def mha_attention(q, k, v, q_positions, k_positions):
+    """Grouped-query attention with absolute-position causal masking.
+
+    q: [B, T, H, Dh]; k/v: [B, S, KV, Dh]; q_positions [B, T];
+    k_positions [B or 1, S]. Slots with k_pos > q_pos are masked, which also
+    hides unwritten cache slots (their k_pos exceeds every live query).
+    """
+    B, T, H, Dh = q.shape
+    KV = k.shape[2]
+    group = H // KV
+    qf = q.reshape(B, T, KV, group, Dh).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) / jnp.sqrt(Dh)
+    mask = k_positions[:, None, None, None, :] <= q_positions[:, None, None, :, None]
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, vf)
+    return out.reshape(B, T, H, Dh).astype(q.dtype)
+
+
+class MLP(nn.Module):
+    cfg: ModelConfig
+    mode: str
+    dtype: Any = jnp.bfloat16
+    tp: int = 1
+    tp_axis: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
+        inter = self.cfg.intermediate_size // self.tp  # column-parallel
+        gate = lin(inter, name="gate_proj")(x)
+        up = lin(inter, name="up_proj")(x)
+        h = jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up
+        # Row-parallel down projection + all-reduce.
+        return QLinear(
+            self.cfg.hidden_size,
+            mode=self.mode,
+            use_bias=False,
+            dtype=self.dtype,
+            psum_axis=self.tp_axis,
+            name="down_proj",
+        )(h)
+
+
+class DecoderLayer(nn.Module):
+    cfg: ModelConfig
+    mode: str
+    dtype: Any = jnp.bfloat16
+    tp: int = 1
+    tp_axis: Any = None
+
+    @nn.compact
+    def __call__(self, x, positions, cache, advance=None):
+        h, new_cache = Attention(
+            self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, name="self_attn"
+        )(
+            RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
+            positions,
+            cache,
+            advance,
+        )
+        x = x + h
+        h = MLP(self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, name="mlp")(
+            RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
+        )
+        return x + h, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder-only LM. Call modes:
+
+    * scoring/prefill without cache: ``model.apply(p, tokens)`` -> logits
+    * incremental: ``model.apply(p, tokens, positions, caches)`` ->
+      (logits, new_caches)
+    """
+
+    cfg: ModelConfig
+    mode: str = "dynamic"
+    dtype: Any = jnp.bfloat16
+    # Tensor parallelism (used when the model runs inside shard_map over a
+    # mesh axis named ``tp_axis``; every Linear weight is a local shard).
+    tp: int = 1
+    tp_axis: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,  # [B, T] int32
+        positions: Optional[jnp.ndarray] = None,  # [B, T]
+        caches: Optional[list] = None,
+        advance: Optional[jnp.ndarray] = None,  # [B] engine override
+    ):
+        cfg = self.cfg
+        B, T = tokens.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+
+        x = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="embed_tokens",
+        )(tokens)
+
+        new_caches = []
+        for i in range(cfg.num_hidden_layers):
+            cache_i = caches[i] if caches is not None else None
+            x, nc = DecoderLayer(
+                cfg, self.mode, self.dtype, self.tp, self.tp_axis, name=f"layers_{i}"
+            )(x, positions, cache_i, advance)
+            new_caches.append(nc)
+
+        x = RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
+        # Vocab-column-parallel LM head; logits all-gathered so sampling sees
+        # the full vocabulary on every shard.
+        logits = QLinear(
+            cfg.vocab_size // self.tp,
+            mode=self.mode,
+            use_bias=False,
+            dtype=self.dtype,
+            name="lm_head",
+        )(x)
+        if self.tp_axis is not None:
+            logits = jax.lax.all_gather(
+                logits, self.tp_axis, axis=logits.ndim - 1, tiled=True
+            )
+        logits = logits.astype(jnp.float32)
+        if caches is None:
+            return logits
+        return logits, new_caches

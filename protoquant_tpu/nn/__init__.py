@@ -1,0 +1,16 @@
+from .convert import dequantize_params, quantize_params, quantized_bytes
+from .qlinear import QLinear
+
+# The reference's conversion entry point is `qlinear_from_linear`; ours is the
+# params-tree transform (model defs already use QLinear).
+qlinear_from_params = quantize_params
+quantize_model = quantize_params
+
+__all__ = [
+    "QLinear",
+    "quantize_params",
+    "quantize_model",
+    "qlinear_from_params",
+    "dequantize_params",
+    "quantized_bytes",
+]

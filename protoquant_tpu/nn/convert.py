@@ -1,0 +1,86 @@
+"""Model conversion: the `qlinear_from_linear` analogue (reference R4).
+
+The reference walks a torch module tree and swaps eligible ``nn.Linear``
+instances in place (SURVEY.md §3.1). In JAX, model structure and weights are
+separate: the module tree is built with ``QLinear(mode=...)`` and conversion
+is a *params-pytree transform* — every ``{"kernel": W}`` subtree belonging to
+a linear becomes ``{"qkernel": QTensor.quantize(W, axis=0)}``. One jitted,
+shardable program; each host quantizes only its own weight shards under pjit
+(SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+
+from ..core.qtensor import QTensor
+from ..utils.config import QuantConfig
+
+
+def _is_linear_params(subtree: Any) -> bool:
+    return (
+        isinstance(subtree, Mapping)
+        and "kernel" in subtree
+        and isinstance(subtree["kernel"], jnp.ndarray)
+        and subtree["kernel"].ndim == 2
+    )
+
+
+def _skip(path: str, cfg: QuantConfig) -> bool:
+    return any(path.endswith(pat) or pat in path for pat in cfg.skip_patterns)
+
+
+def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""):
+    """fp params tree -> quantized params tree for the same model run with
+    ``mode="dynamic"`` / ``"weight_only"``.
+
+    Any dict subtree of the form {"kernel": [K,N], ...} (flax Dense / QLinear
+    mode="fp" layout) is converted to {"qkernel": QTensor, ...} with
+    per-output-channel scales, unless its path matches cfg.skip_patterns.
+    """
+    cfg = cfg or QuantConfig()
+    if cfg.mode == "fp":
+        return params
+    if _is_linear_params(params) and not _skip(_path, cfg):
+        out = dict(params)
+        w = out.pop("kernel")
+        out["qkernel"] = QTensor.quantize(w, axis=0)
+        return out
+    if isinstance(params, Mapping):
+        return {
+            k: quantize_params(v, cfg, f"{_path}/{k}" if _path else k)
+            for k, v in params.items()
+        }
+    return params
+
+
+def dequantize_params(params: Any) -> Any:
+    """Inverse structural transform (lossy): QTensor -> fp kernel."""
+    if isinstance(params, Mapping):
+        if "qkernel" in params and isinstance(params["qkernel"], QTensor):
+            out = dict(params)
+            qt = out.pop("qkernel")
+            out["kernel"] = qt.dequantize()
+            return out
+        return {k: dequantize_params(v) for k, v in params.items()}
+    return params
+
+
+def quantized_bytes(params: Any) -> int:
+    """Total parameter bytes after quantization (observability helper)."""
+    total = 0
+
+    def visit(x):
+        nonlocal total
+        if isinstance(x, QTensor):
+            total += x.nbytes()
+        elif isinstance(x, jnp.ndarray):
+            total += x.size * x.dtype.itemsize
+        elif isinstance(x, Mapping):
+            for v in x.values():
+                visit(v)
+
+    visit(params)
+    return total

@@ -1,0 +1,110 @@
+"""QLinear: drop-in quantized linear (reference L3, `protoquant.QLinear`).
+
+The reference wraps a CUDA fused path behind an ``nn.Linear`` subclass
+(SURVEY.md §2.1 R2, §3.2); the TPU-native analogue is a flax module whose
+quantized kernel is a QTensor *pytree-valued parameter* — it flows through
+jit/pjit, shards over meshes, and checkpoints like any other param.
+
+Modes (SURVEY.md §1.2):
+  * "dynamic":     rowquant(x) -> int8x int8 MXU matmul -> fused fp32 epilogue
+  * "weight_only": int8 weight dequantized in-kernel -> bf16 MXU matmul
+  * "fp":          plain dense (the un-quantized baseline / pre-conversion)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..core.qtensor import QTensor
+
+Initializer = Callable[..., Any]
+
+
+def _qtensor_init(kernel_init: Initializer, shape, param_dtype):
+    """Draw an fp kernel and quantize it — standalone init path (tests/toy
+    models); real checkpoints arrive via nn.convert.quantize_params."""
+
+    def init(key):
+        w = kernel_init(key, shape, param_dtype)
+        return QTensor.quantize(w, axis=0)
+
+    return init
+
+
+class QLinear(nn.Module):
+    """Quantized (or fp) linear layer: y = x @ W + b.
+
+    Weight layout is [K, N] = [in_features, features] with per-output-channel
+    (axis N) scales, exactly the reference's per-channel scheme.
+    """
+
+    features: int
+    mode: str = "dynamic"  # "dynamic" | "weight_only" | "fp"
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    bias_init: Initializer = nn.initializers.zeros_init()
+    # Tensor parallelism: for a row-parallel layer (kernel sharded on K) run
+    # inside shard_map, partial sums are all-reduced over this mesh axis
+    # (SURVEY.md §2.2 TP). None => no collective.
+    psum_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        x = x.astype(self.dtype)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+
+        # Bias rides the kernels' fused fp32 epilogue except in the
+        # row-parallel case, where it must wait for the all-reduce (otherwise
+        # every shard would add it).
+        fused_bias = bias if self.psum_axis is None else None
+
+        if self.mode == "fp":
+            kernel = self.param(
+                "kernel",
+                self.kernel_init,
+                (in_features, self.features),
+                self.param_dtype,
+            )
+            y = jnp.matmul(x, kernel.astype(self.dtype))
+            if fused_bias is not None:
+                y = y + fused_bias.astype(self.dtype)
+        elif self.mode == "dynamic":
+            qkernel: QTensor = self.param(
+                "qkernel",
+                _qtensor_init(
+                    self.kernel_init, (in_features, self.features), self.param_dtype
+                ),
+            )
+            y = ops.dynamic_qlinear(
+                x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+            )
+        elif self.mode == "weight_only":
+            qkernel = self.param(
+                "qkernel",
+                _qtensor_init(
+                    self.kernel_init, (in_features, self.features), self.param_dtype
+                ),
+            )
+            y = ops.weight_only_matmul(
+                x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+            )
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+        if self.psum_axis is not None:
+            y = jax.lax.psum(y, self.psum_axis)
+            if bias is not None:
+                y = (y + bias.astype(jnp.float32)).astype(self.dtype)
+        return y

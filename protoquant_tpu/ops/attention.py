@@ -1,0 +1,150 @@
+"""Pallas kernel: attention over an INT8 KV-cache with in-kernel dequant.
+
+Component A2 (SURVEY.md §2.3; pattern space: INT-FlashAttention, PAPERS.md).
+The decode bottleneck is HBM bandwidth on the KV-cache read; storing K/V as
+int8 with per-token-per-head scales halves the bytes, and this kernel
+dequantizes in VMEM so no fp copy of the cache ever exists in HBM.
+
+Numerics: the per-token scale factorizes out of both dots exactly —
+  score[t, s] = ks[s] * (q[t] . kq[s])        (scale applied after the MXU dot)
+  out[t]      = sum_s (p[t, s] * vs[s]) * vq[s]  (scale folded into the prob)
+so int8 dequant costs no extra matmul precision.
+
+Grid: (batch, kv_head). Each program computes all `group` query heads of one
+(b, kv) pair over the full cache row with online masking by cache length.
+Supports T >= 1 queries (chunked prefill uses T = chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._common import default_interpret
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, group, t_q):
+    """One (b, kv_head) pair.
+
+    q_ref:  (1, 1, TG, Dh)   TG = t_q * group query rows
+    k_ref:  (1, 1, S, Dh)    int8
+    ks_ref: (1, 1, 1, S)     f32 key scales
+    v_ref:  (1, 1, S, Dh)    int8
+    vs_ref: (1, 1, 1, S)     f32 value scales
+    len_ref: (1, 1) SMEM     pre-update cache length of this batch row
+    """
+    q = q_ref[0, 0].astype(jnp.float32)  # (TG, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)  # (S, Dh)
+    ks = ks_ref[0, 0]  # (1, S)
+    dh = q.shape[-1]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TG, S)
+    scores = scores * ks * (1.0 / (dh**0.5))
+
+    # Causal/length mask: query row r belongs to step t = r // group at
+    # absolute position len + t; key slot s is valid iff s <= len + t.
+    s_cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // group
+    valid = s_cols <= (len_ref[0, 0] + t_rows)
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0, 0].astype(jnp.float32)  # (S, Dh)
+    vs = vs_ref[0, 0]  # (1, S)
+    out = jax.lax.dot_general(
+        p * vs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "t_q", "interpret", "out_dtype"))
+def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
+    B, KV, TG, Dh = q.shape
+    S = kq.shape[2]
+    ks4 = ks.reshape(B, KV, 1, S)
+    vs4 = vs.reshape(B, KV, 1, S)
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+
+    kernel = functools.partial(_attn_kernel, group=group, t_q=t_q)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, KV),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TG, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TG, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KV, TG, Dh), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths2, q, kq, ks4, vq, vs4)
+
+
+def int8_kv_attention(
+    q: jnp.ndarray,  # [B, T, H, Dh] (post-RoPE)
+    kq: jnp.ndarray,  # [B, KV, S, Dh] int8 cache (already updated with this step)
+    ks: jnp.ndarray,  # [B, KV, S] f32
+    vq: jnp.ndarray,  # [B, KV, S, Dh] int8
+    vs: jnp.ndarray,  # [B, KV, S] f32
+    lengths: jnp.ndarray,  # [B] int32 — cache length BEFORE this step's tokens
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Returns [B, T, H, Dh] attention output in q.dtype."""
+    if interpret is None:
+        interpret = default_interpret()
+    B, T, H, Dh = q.shape
+    KV = kq.shape[1]
+    group = H // KV
+    # [B, T, KV, group, Dh] -> [B, KV, T*group, Dh] with row = t*group + g
+    qh = q.reshape(B, T, KV, group, Dh).transpose(0, 2, 1, 3, 4).reshape(B, KV, T * group, Dh)
+    out = _attend(
+        qh,
+        kq,
+        ks,
+        vq,
+        vs,
+        lengths,
+        group=group,
+        t_q=T,
+        interpret=interpret,
+        out_dtype=q.dtype,
+    )
+    return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(B, T, H, Dh)
+
+
+def int8_kv_attention_ref(q, kq, ks, vq, vs, lengths):
+    """Pure-jnp reference (test oracle) for int8_kv_attention."""
+    B, T, H, Dh = q.shape
+    KV = kq.shape[1]
+    group = H // KV
+    qf = q.reshape(B, T, KV, group, Dh).astype(jnp.float32)
+    kf = kq.astype(jnp.float32) * ks[..., None]  # [B, KV, S, Dh]
+    vf = vq.astype(jnp.float32) * vs[..., None]
+    scores = jnp.einsum("btkgd,bksd->bkgts", qf, kf) / jnp.sqrt(Dh)
+    s_pos = jnp.arange(kq.shape[2])
+    t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    mask = s_pos[None, None, None, None, :] <= t_pos[:, None, None, :, None]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, vf)
+    return out.reshape(B, T, H, Dh).astype(q.dtype)

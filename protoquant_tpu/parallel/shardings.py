@@ -1,0 +1,94 @@
+"""Partition specs for quantized params and KV caches (SURVEY.md §2.2, §5.8).
+
+Megatron-style TP over the ``model`` axis:
+  * column-parallel (q/k/v/gate/up/lm_head): int8 payload sharded on its
+    output-channel axis, per-channel scale vector sharded identically (it IS
+    the output-channel axis — "scales shard with their channel");
+  * row-parallel (o_proj/down_proj): payload sharded on the contraction axis,
+    per-output-channel scales replicated (tiny: N x 4 bytes);
+  * norms/embedding: replicated; KV caches: kv-head axis over ``model``,
+    batch over ``data``.
+
+These specs serve double duty: as shard_map in_specs/out_specs (the product
+path — Pallas kernels run per shard with explicit psum), and as
+NamedSharding for device_put when laying out params.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.kv_cache import BF16KVCache, Int8KVCache
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head")
+ROW_PARALLEL = ("o_proj", "down_proj")
+
+
+def _path_names(path) -> list[str]:
+    names = []
+    for e in path:
+        if hasattr(e, "key"):
+            names.append(str(e.key))
+        elif hasattr(e, "name"):
+            names.append(str(e.name))
+        else:
+            names.append(str(e))
+    return names
+
+
+def _param_spec(path, leaf) -> P:
+    names = _path_names(path)
+    joined = "/".join(names)
+    is_scale = names and names[-1] == "scale"
+    if any(f"/{p}/" in f"/{joined}/" for p in COLUMN_PARALLEL):
+        if is_scale:
+            return P(MODEL_AXIS)  # per-output-channel scale shards with N
+        return P(None, MODEL_AXIS)  # kernel/qkernel.data [K, N] split N
+    if any(f"/{p}/" in f"/{joined}/" for p in ROW_PARALLEL):
+        if is_scale:
+            return P()  # output-channel scales replicate for row-parallel
+        return P(MODEL_AXIS, None)  # [K, N] split K
+    return P()  # embeddings, norms, biases: replicated
+
+
+def params_pspecs(params) -> Any:
+    """Tree of PartitionSpec matching ``params`` (QTensor leaves included —
+    they are pytrees, so tree_map_with_path reaches .data/.scale)."""
+    return jax.tree_util.tree_map_with_path(_param_spec, params)
+
+
+def cache_pspecs(caches) -> Any:
+    """Per-layer KV cache specs: batch over data, kv-heads over model."""
+
+    def one(c):
+        if isinstance(c, Int8KVCache):
+            return Int8KVCache(
+                kq=P(DATA_AXIS, MODEL_AXIS, None, None),
+                ks=P(DATA_AXIS, MODEL_AXIS, None),
+                vq=P(DATA_AXIS, MODEL_AXIS, None, None),
+                vs=P(DATA_AXIS, MODEL_AXIS, None),
+                lengths=P(DATA_AXIS),
+            )
+        if isinstance(c, BF16KVCache):
+            return BF16KVCache(
+                k=P(DATA_AXIS, None, MODEL_AXIS, None),
+                v=P(DATA_AXIS, None, MODEL_AXIS, None),
+                lengths=P(DATA_AXIS),
+            )
+        raise TypeError(type(c))
+
+    return [one(c) for c in caches]
+
+
+def shard_params(params, mesh):
+    """device_put params according to the TP layout."""
+    specs = params_pspecs(params)
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(params, shardings)

@@ -1,0 +1,88 @@
+"""Tensor-parallel model execution via shard_map (component A4).
+
+The Pallas kernel tier is opaque to GSPMD auto-partitioning, so the product
+path for multi-chip is explicit SPMD: the whole decode/prefill step runs
+inside one shard_map over the (data, model) mesh; every device executes its
+local Pallas qmatmuls on its weight shard and the collectives (psum after
+row-parallel layers, all_gather of vocab-sharded logits) are placed by the
+model itself (QLinear.psum_axis / LlamaModel.tp_axis). XLA's latency-hiding
+scheduler overlaps those collectives with the surrounding int8 matmuls
+(SURVEY.md §5.8; `async_collectives` flags in utils/profiling.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.6 moved shard_map to jax.*
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..models.llama import LlamaModel, init_cache
+from ..utils.config import ModelConfig
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .shardings import cache_pspecs, params_pspecs
+
+
+def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None) -> LlamaModel:
+    """The TP-aware model for a mesh: head/feature dims divided by tp."""
+    import jax.numpy as jnp
+
+    tp = mesh.shape[MODEL_AXIS]
+    return LlamaModel(
+        cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS
+    )
+
+
+def build_tp_step(model: LlamaModel, mesh, params_tree, caches_tree):
+    """Returns jitted fn(params, tokens, positions, caches, advance) ->
+    (logits, caches), running SPMD over the mesh.
+
+    params_tree/caches_tree are *global* pytrees (only their structure and
+    specs are used here); pass the same trees (device_put via
+    shardings.shard_params) at call time.
+    """
+    pspecs = params_pspecs(params_tree)
+    cspecs = cache_pspecs(caches_tree)
+    tok_spec = P(DATA_AXIS, None)
+
+    @partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, tok_spec, tok_spec, cspecs, P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None, None), cspecs),
+        check_vma=False,
+    )
+    def fwd(params, tokens, positions, caches, advance):
+        return model.apply(params, tokens, positions, caches, advance=advance)
+
+    return jax.jit(fwd, donate_argnums=(3,))
+
+
+def build_tp_score(model: LlamaModel, mesh, params_tree):
+    """Cache-free scoring/prefill-style forward: fn(params, tokens) -> logits."""
+    pspecs = params_pspecs(params_tree)
+
+    @partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    def fwd(params, tokens):
+        return model.apply(params, tokens)
+
+    return jax.jit(fwd)
+
+
+def make_tp_caches(
+    cfg: ModelConfig, mesh, batch: int, max_seq: int, kv_dtype
+) -> Any:
+    """Global-shape caches for a TP step (shard_map splits kv-head axis)."""
+    return init_cache(cfg, batch, max_seq, kv_dtype=kv_dtype, tp=1)

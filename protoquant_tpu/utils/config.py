@@ -1,0 +1,110 @@
+"""Typed dataclass configs (SURVEY.md §5.6).
+
+The reference had no config system (plain kwargs); serving-scale needs one.
+Composable, JSON-serializable, no external config framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """How to quantize a model."""
+
+    mode: str = "dynamic"  # "dynamic" | "weight_only" | "fp"
+    kv_bits: int = 8  # 8 (int8 KV cache) or 16 (bf16 KV cache)
+    clamp: int = 127
+    # Layers (by dot-path suffix) to keep in full precision.
+    skip_patterns: tuple = ()
+
+    def __post_init__(self):
+        if self.mode not in ("dynamic", "weight_only", "fp"):
+            raise ValueError(f"unknown quant mode {self.mode!r}")
+        if self.kv_bits not in (8, 16):
+            raise ValueError("kv_bits must be 8 or 16")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Llama-family decoder architecture config (HF naming)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32  # < heads => GQA
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def llama2_7b(cls) -> "ModelConfig":
+        return cls()
+
+    @classmethod
+    def llama2_70b(cls) -> "ModelConfig":
+        return cls(
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_hidden_layers=80,
+            num_attention_heads=64,
+            num_key_value_heads=8,
+        )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "ModelConfig":
+        """2-layer d=512 toy config (acceptance config 2, BASELINE.json:8)."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=512,
+            intermediate_size=1024,
+            num_hidden_layers=2,
+            num_attention_heads=8,
+            num_key_value_heads=8,
+            max_position_embeddings=512,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout (SURVEY.md §2.2)."""
+
+    dp: int = 1
+    tp: int = 1
+    axis_names: tuple = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Continuous-batching serving engine config."""
+
+    max_batch_size: int = 8
+    max_seq_len: int = 2048
+    page_size: int = 64  # tokens per KV page
+    prefill_chunk: int = 512
+    max_new_tokens: int = 256
+    temperature: float = 0.0  # 0 => greedy
+    top_k: int = 0
+    seed: int = 0
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def from_json(cls, s: str):
+    d = json.loads(s)
+    for key in ("axis_names", "skip_patterns"):
+        if key in d and isinstance(d[key], list):
+            d[key] = tuple(d[key])
+    return cls(**d)

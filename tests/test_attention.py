@@ -1,0 +1,90 @@
+"""M4: int8 KV-cache + in-kernel-dequant attention."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.models.kv_cache import BF16KVCache, Int8KVCache, quantize_kv
+from protoquant_tpu.ops.attention import int8_kv_attention, int8_kv_attention_ref
+
+
+def rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray((rng.standard_normal(shape) * scale).astype(np.float32))
+
+
+def test_quantize_kv_roundtrip():
+    x = rand((2, 5, 4, 64), seed=1, scale=2.0)
+    q, s = quantize_kv(x)
+    assert q.shape == x.shape and s.shape == (2, 5, 4)
+    x_hat = q.astype(jnp.float32) * s[..., None]
+    err = np.abs(np.asarray(x_hat - x))
+    bound = np.asarray(s)[..., None] / 2 + 1e-8
+    assert np.all(err <= bound)
+
+
+@pytest.mark.parametrize("t_q", [1, 4])
+def test_int8_attention_kernel_matches_ref(t_q):
+    B, KV, G, S, Dh = 2, 2, 4, 128, 64
+    H = KV * G
+    rng = np.random.default_rng(2)
+    q = rand((B, t_q, H, Dh), seed=3, scale=0.5)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, KV, S, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, KV, S, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, S)).astype(np.float32))
+    lengths = jnp.asarray([37, 80], jnp.int32)
+
+    out = int8_kv_attention(q, kq, ks, vq, vs, lengths)
+    ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_int8_cache_update_and_attend_vs_bf16_cache():
+    """Int8 cache attention ~= fp cache attention on the same stream."""
+    B, KV, G, S, Dh, T = 2, 2, 2, 64, 32, 6
+    H = KV * G
+    c8 = Int8KVCache.init(B, S, KV, Dh)
+    c16 = BF16KVCache.init(B, S, KV, Dh, jnp.float32)
+
+    outs8, outs16 = [], []
+    for step in range(3):
+        q = rand((B, T, H, Dh), seed=10 + step, scale=0.5)
+        k = rand((B, T, KV, Dh), seed=20 + step, scale=0.5)
+        v = rand((B, T, KV, Dh), seed=30 + step, scale=0.5)
+        o8, c8 = c8.update_and_attend(q, k, v)
+        o16, c16 = c16.update_and_attend(q, k, v)
+        outs8.append(np.asarray(o8))
+        outs16.append(np.asarray(o16))
+
+    np.testing.assert_array_equal(np.asarray(c8.lengths), [3 * T, 3 * T])
+    for a, b in zip(outs8, outs16):
+        cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.995, cos
+
+
+def test_int8_cache_per_slot_lengths():
+    """Slots advance independently (continuous-batching invariant)."""
+    B, KV, S, Dh, H = 3, 1, 32, 32, 2
+    cache = Int8KVCache.init(B, S, KV, Dh)
+    # Write 4 tokens to all slots, then reset slot 1.
+    k = rand((B, 4, KV, Dh), seed=40)
+    v = rand((B, 4, KV, Dh), seed=41)
+    cache = cache.update(k, v)
+    cache = cache.reset_slot(jnp.asarray(1))
+    np.testing.assert_array_equal(np.asarray(cache.lengths), [4, 0, 4])
+
+    # One more decode token on every slot; slot 1 writes at position 0.
+    q = rand((B, 1, H, Dh), seed=42)
+    k1 = rand((B, 1, KV, Dh), seed=43)
+    v1 = rand((B, 1, KV, Dh), seed=44)
+    out, cache = cache.update_and_attend(q, k1, v1)
+    np.testing.assert_array_equal(np.asarray(cache.lengths), [5, 1, 5])
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # Slot 1's attention over its single token == plain value readout.
+    v1_deq = np.asarray(cache.vq[1, :, 0].astype(jnp.float32) * cache.vs[1, :, 0, None])
+    got = np.asarray(out)[1, 0]  # [H, Dh]; group=2 -> both heads read kv 0
+    np.testing.assert_allclose(got[0], v1_deq[0], rtol=1e-3, atol=1e-3)

@@ -1,0 +1,160 @@
+"""M5: continuous-batching engine.
+
+Key invariant (SURVEY.md §4.2 item 5): batched continuous decoding produces
+exactly the same tokens as one-request-at-a-time generation with the same
+params (greedy), including across slot reuse and interleaved admission.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.engine import Engine, EngineConfig
+from protoquant_tpu.models import LlamaModel, greedy_generate
+from protoquant_tpu.utils.config import ModelConfig
+
+CFG = ModelConfig(
+    vocab_size=64,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    return model, params
+
+
+def _engine(model, params, **over):
+    cfg = EngineConfig(
+        max_batch_size=over.pop("max_batch_size", 4),
+        max_seq_len=64,
+        prefill_chunk=16,
+        max_new_tokens=over.pop("max_new_tokens", 8),
+        temperature=0.0,
+    )
+    return Engine(model, params, cfg, kv_dtype=over.pop("kv_dtype", jnp.int8))
+
+
+def _prompts(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [list(map(int, rng.integers(1, CFG.vocab_size, rng.integers(3, 12)))) for _ in range(n)]
+
+
+def test_engine_single_request_matches_generate(model_and_params):
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    rid = eng.add_request(prompt, max_new_tokens=8)
+    out = eng.run()[rid]
+
+    ref = greedy_generate(
+        model,
+        params,
+        jnp.asarray([prompt], jnp.int32),
+        max_new_tokens=8,
+        max_seq=64,
+        kv_dtype=jnp.float32,
+    )
+    assert out == list(np.asarray(ref)[0]), (out, np.asarray(ref)[0])
+
+
+def test_engine_batched_equals_sequential(model_and_params):
+    """The continuous-batching determinism gate."""
+    model, params = model_and_params
+    prompts = _prompts(6, seed=1)
+
+    # Sequential reference: each prompt alone.
+    seq_outs = []
+    for p in prompts:
+        ref = greedy_generate(
+            model, params, jnp.asarray([p], jnp.int32), 8, 64, kv_dtype=jnp.float32
+        )
+        seq_outs.append(list(np.asarray(ref)[0]))
+
+    # Batched: 6 requests through 4 slots (forces slot reuse).
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    rids = [eng.add_request(p, 8) for p in prompts]
+    outs = eng.run()
+    for rid, ref in zip(rids, seq_outs):
+        assert outs[rid] == ref, f"request {rid}: {outs[rid]} != {ref}"
+
+
+def test_engine_int8_kv_close_to_fp_kv(model_and_params):
+    """Int8 KV cache: same greedy stream for at least the first tokens."""
+    model, params = model_and_params
+    prompts = _prompts(3, seed=2)
+    out8 = {}
+    out16 = {}
+    for kv_dtype, sink in ((jnp.int8, out8), (jnp.float32, out16)):
+        eng = _engine(model, params, kv_dtype=kv_dtype)
+        rids = [eng.add_request(p, 6) for p in prompts]
+        res = eng.run()
+        for i, rid in enumerate(rids):
+            sink[i] = res[rid]
+    agree = np.mean(
+        [a == b for i in out8 for a, b in zip(out8[i], out16[i])]
+    )
+    assert agree > 0.6, (agree, out8, out16)
+
+
+def test_engine_interleaved_admission(model_and_params):
+    """Requests added mid-flight produce the same outputs (continuous
+    batching must not disturb already-running slots)."""
+    model, params = model_and_params
+    p1, p2 = _prompts(2, seed=3)
+
+    ref1 = list(
+        np.asarray(
+            greedy_generate(model, params, jnp.asarray([p1], jnp.int32), 8, 64, kv_dtype=jnp.float32)
+        )[0]
+    )
+    ref2 = list(
+        np.asarray(
+            greedy_generate(model, params, jnp.asarray([p2], jnp.int32), 8, 64, kv_dtype=jnp.float32)
+        )[0]
+    )
+
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    r1 = eng.add_request(p1, 8)
+    eng.step()
+    eng.step()
+    r2 = eng.add_request(p2, 8)  # admitted while r1 decodes
+    outs = eng.run()
+    assert outs[r1] == ref1
+    assert outs[r2] == ref2
+
+
+def test_engine_metrics(model_and_params):
+    model, params = model_and_params
+    eng = _engine(model, params)
+    eng.add_request([1, 2, 3], 4)
+    eng.run()
+    m = eng.metrics()
+    assert m["tokens_generated"] >= 3  # prefill emits the first token
+    assert m["prefills"] == 1
+    assert m["queue_depth"] == 0
+
+
+def test_engine_long_prompt_chunked_prefill(model_and_params):
+    """Prompt longer than prefill_chunk exercises _extend_slot."""
+    model, params = model_and_params
+    rng = np.random.default_rng(4)
+    prompt = list(map(int, rng.integers(1, CFG.vocab_size, 37)))  # > chunk=16
+    ref = list(
+        np.asarray(
+            greedy_generate(model, params, jnp.asarray([prompt], jnp.int32), 6, 64, kv_dtype=jnp.float32)
+        )[0]
+    )
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    rid = eng.add_request(prompt, 6)
+    outs = eng.run()
+    assert outs[rid] == ref

@@ -1,0 +1,148 @@
+"""M6: tensor-parallel execution on a simulated 8-device CPU mesh.
+
+Numerics on the virtual mesh are identical to a real pod slice; only
+performance differs (SURVEY.md §4.2 item 4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.models import LlamaModel, init_cache
+from protoquant_tpu.nn import quantize_params
+from protoquant_tpu.parallel import (
+    build_tp_score,
+    build_tp_step,
+    make_mesh,
+    make_tp_caches,
+    shard_params,
+    tp_model,
+)
+from protoquant_tpu.utils.config import MeshConfig, ModelConfig
+
+CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=8,
+    num_key_value_heads=4,
+    max_position_embeddings=64,
+)
+
+needs_8dev = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def fp_setup():
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    return model, params
+
+
+@needs_8dev
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4), (4, 2)])
+def test_tp_score_matches_single_device_fp(fp_setup, dp, tp):
+    """fp mode is mathematically identical under TP (psum == full sum)."""
+    single_model, params = fp_setup
+    tokens = jnp.asarray(
+        np.random.default_rng(1).integers(0, CFG.vocab_size, (dp * 2, 10)), jnp.int32
+    )
+    ref = np.asarray(single_model.apply(params, tokens))
+
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp), jax.devices()[: dp * tp])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, params)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@needs_8dev
+def test_tp_weight_only_matches_single_device(fp_setup):
+    single_model, fp_params = fp_setup
+    qparams = quantize_params(fp_params)
+    tokens = jnp.asarray(
+        np.random.default_rng(2).integers(0, CFG.vocab_size, (2, 8)), jnp.int32
+    )
+    ref = np.asarray(
+        LlamaModel(CFG, mode="weight_only", dtype=jnp.float32).apply(qparams, tokens)
+    )
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_tp = tp_model(CFG, "weight_only", mesh, dtype=jnp.float32)
+    sparams = shard_params(qparams, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, qparams)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+@needs_8dev
+def test_tp_dynamic_int8_close_to_single_device(fp_setup):
+    """Dynamic mode: per-shard activation scales differ from single-device
+    full-row scales (standard row-wise TP quantization), so compare by
+    cosine/top-1 rather than exact match."""
+    single_model, fp_params = fp_setup
+    qparams = quantize_params(fp_params)
+    tokens = jnp.asarray(
+        np.random.default_rng(3).integers(0, CFG.vocab_size, (2, 8)), jnp.int32
+    )
+    ref = np.asarray(
+        LlamaModel(CFG, mode="dynamic", dtype=jnp.float32).apply(qparams, tokens)
+    )
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_tp = tp_model(CFG, "dynamic", mesh, dtype=jnp.float32)
+    sparams = shard_params(qparams, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, qparams)(sparams, tokens))
+    cos = np.sum(ref * got) / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-12)
+    assert cos > 0.995, cos
+    agree = np.mean(np.argmax(ref, -1) == np.argmax(got, -1))
+    assert agree > 0.85, agree
+
+
+@needs_8dev
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_tp_decode_step_with_cache(fp_setup, kv_dtype):
+    """Full prefill+decode under shard_map with sharded KV cache."""
+    single_model, fp_params = fp_setup
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), jax.devices()[:8])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    B, T = 2, 6
+    caches = make_tp_caches(CFG, mesh, B, 32, kv_dtype)
+    step = build_tp_step(model_tp, mesh, fp_params, caches)
+
+    sparams = shard_params(fp_params, mesh)
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, CFG.vocab_size, (B, T)), jnp.int32
+    )
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    advance = jnp.full((B,), T, jnp.int32)
+    with mesh:
+        logits, caches = step(sparams, tokens, positions, caches, advance)
+        np.testing.assert_array_equal(np.asarray(caches[0].lengths), [T, T])
+
+        # one decode token
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        pos2 = caches[0].lengths[:, None]
+        logits2, caches = step(sparams, nxt, pos2, caches, jnp.ones((B,), jnp.int32))
+    assert logits2.shape == (B, 1, CFG.vocab_size)
+    np.testing.assert_array_equal(np.asarray(caches[0].lengths), [T + 1, T + 1])
+
+    # Reference: same stream on a single device.
+    if kv_dtype == jnp.float32:
+        ref_caches = init_cache(CFG, B, 32, kv_dtype=jnp.float32)
+        ref_logits, ref_caches = single_model.apply(
+            fp_params, tokens, positions, ref_caches
+        )
+        ref2, _ = single_model.apply(
+            fp_params, nxt, ref_caches[0].lengths[:, None], ref_caches
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits2), np.asarray(ref2), rtol=5e-4, atol=5e-4
+        )
