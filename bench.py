@@ -36,7 +36,17 @@ def build(cfg, mode, kv_dtype, batch, ctx):
     tokens = jnp.ones((1, 8), jnp.int32)
     with jax.default_device(jax.devices("cpu")[0]):
         fp_params = fp_model.init(jax.random.PRNGKey(0), tokens)
-        params = quantize_params(fp_params) if mode != "fp" else fp_params
+        if mode != "fp":
+            params = quantize_params(fp_params)
+        else:
+            # Honest bf16 baseline: weights stored (and streamed from HBM)
+            # in bf16, not f32.
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.ndim >= 2
+                else a,
+                fp_params,
+            )
     params = jax.device_put(params, jax.devices()[0])
     model = LlamaModel(cfg, mode=mode, dtype=jnp.bfloat16)
 

@@ -1,0 +1,110 @@
+"""CLI (SURVEY.md §5.6): thin argparse mapping onto the dataclass configs.
+
+  python -m protoquant_tpu.cli convert  --weights w.npz --config cfg.json --out ckpt/
+  python -m protoquant_tpu.cli generate --ckpt ckpt/ --prompt-tokens 1,2,3 --max-new 32
+  python -m protoquant_tpu.cli bench    (delegates to bench.py at repo root)
+
+Weight sources are local files only (no network in scope): .npz / .safetensors
+with HF Llama names, converted via models.hf_import.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_state_dict(path: str):
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    raise ValueError(f"unsupported weight file {path!r} (use .npz/.safetensors)")
+
+
+def cmd_convert(args):
+    from .models.hf_import import import_hf_llama
+    from .nn import quantize_params
+    from .utils.checkpoint import save_checkpoint
+    from .utils.config import ModelConfig, QuantConfig, to_json
+
+    with open(args.config) as f:
+        cfg = ModelConfig(**json.load(f))
+    qcfg = QuantConfig(mode=args.mode)
+    sd = _load_state_dict(args.weights)
+    params = import_hf_llama(sd, cfg)
+    qparams = quantize_params(params, qcfg)
+    save_checkpoint(
+        args.out,
+        qparams,
+        json.dumps(
+            {"model": dataclasses.asdict(cfg), "quant": dataclasses.asdict(qcfg)}
+        ),
+    )
+    print(f"wrote quantized checkpoint to {args.out}")
+
+
+def cmd_generate(args):
+    from .engine import Engine, EngineConfig
+    from .models import LlamaModel
+    from .nn import quantize_params
+    from .utils.checkpoint import load_config, restore_checkpoint
+    from .utils.config import ModelConfig
+
+    meta = load_config(args.ckpt)
+    cfg = ModelConfig(**meta["model"])
+    mode = meta["quant"]["mode"]
+    model = LlamaModel(cfg, mode=mode)
+    fp_model = LlamaModel(cfg, mode="fp")
+    example = quantize_params(
+        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    )
+    params = restore_checkpoint(args.ckpt, example)
+
+    ecfg = EngineConfig(
+        max_batch_size=args.batch,
+        max_seq_len=args.max_seq,
+        max_new_tokens=args.max_new,
+        temperature=args.temperature,
+    )
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
+    prompt = [int(t) for t in args.prompt_tokens.split(",")]
+    rid = eng.add_request(prompt, args.max_new)
+    out = eng.run()[rid]
+    print(json.dumps({"request": rid, "tokens": out, "metrics": eng.metrics()}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("protoquant_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="fp weights -> quantized checkpoint")
+    c.add_argument("--weights", required=True)
+    c.add_argument("--config", required=True, help="ModelConfig json")
+    c.add_argument("--mode", default="dynamic", choices=["dynamic", "weight_only"])
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    g = sub.add_parser("generate", help="decode from a quantized checkpoint")
+    g.add_argument("--ckpt", required=True)
+    g.add_argument("--prompt-tokens", required=True, help="comma-separated ids")
+    g.add_argument("--max-new", type=int, default=32)
+    g.add_argument("--max-seq", type=int, default=2048)
+    g.add_argument("--batch", type=int, default=1)
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--int8-kv", action="store_true", default=True)
+    g.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

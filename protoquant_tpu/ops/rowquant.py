@@ -63,6 +63,9 @@ def rowquant(x: jnp.ndarray, *, block_m: int = 256, interpret: bool | None = Non
     batch_shape = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
-    bm = pick_block(x2.shape[0], block_m, 8)
+    sub = {jnp.dtype(jnp.bfloat16): 16, jnp.dtype(jnp.float32): 8}.get(
+        jnp.dtype(x.dtype), 8
+    )
+    bm = pick_block(x2.shape[0], block_m, sub)
     xq, sx = _rowquant_2d(x2, block_m=bm, interpret=interpret)
     return xq.reshape(*batch_shape, k), sx.reshape(batch_shape)
