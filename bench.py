@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(cfg, mode, kv_dtype, batch, ctx):
-    from protoquant_tpu.models import LlamaModel, init_cache
+def build(cfg, mode, batch, ctx):
+    from protoquant_tpu.models import LlamaModel
     from protoquant_tpu.nn import quantize_params
 
     fp_model = LlamaModel(cfg, mode="fp", dtype=jnp.bfloat16)
@@ -49,36 +49,44 @@ def build(cfg, mode, kv_dtype, batch, ctx):
             )
     params = jax.device_put(params, jax.devices()[0])
     model = LlamaModel(cfg, mode=mode, dtype=jnp.bfloat16)
+    return model, params
 
-    caches = init_cache(cfg, batch, ctx, kv_dtype=kv_dtype)
-    # Pre-age every slot to ctx-64 so decode reads a realistic cache window.
+
+def bench_decode(model, params, kv_dtype, batch, ctx, steps):
+    """Tokens/s for `steps` decode iterations, whole loop on-device.
+
+    Caches are built (and pre-aged to a realistic fill) *inside* the jit and
+    the step loop is a lax.scan, so one host dispatch covers the full run —
+    nothing but the generated tokens crosses the host boundary.
+    """
     import dataclasses
-
-    caches = [
-        dataclasses.replace(c, lengths=jnp.full((batch,), ctx - 64, jnp.int32))
-        for c in caches
-    ]
-    return model, params, caches
-
-
-def bench_decode(model, params, caches, batch, steps):
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("m",), donate_argnums=(2,))
-    def step(m, params, caches, tok):
-        positions = caches[0].lengths[:, None]
-        logits, caches = m.apply(params, tok, positions, caches)
-        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
-        return nxt, caches
+    from protoquant_tpu.models import init_cache
+
+    @partial(jax.jit, static_argnames=("m", "n_steps"))
+    def run(m, params, tok0, n_steps):
+        caches = init_cache(m.cfg, batch, ctx, kv_dtype=kv_dtype)
+        caches = [
+            dataclasses.replace(c, lengths=jnp.full((batch,), ctx - 64, jnp.int32))
+            for c in caches
+        ]
+
+        def body(carry, _):
+            tok, caches = carry
+            positions = caches[0].lengths[:, None]
+            logits, caches = m.apply(params, tok, positions, caches)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (nxt, caches), nxt[:, 0]
+
+        (_, _), toks = jax.lax.scan(body, (tok0, caches), None, length=n_steps)
+        return toks
 
     tok = jnp.ones((batch, 1), jnp.int32)
-    # Warmup / compile.
-    tok, caches = step(model, params, caches, tok)
-    tok.block_until_ready()
+    run(model, params, tok, steps).block_until_ready()  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(steps):
-        tok, caches = step(model, params, caches, tok)
-    tok.block_until_ready()
+    out = run(model, params, tok, steps)
+    out.block_until_ready()
     dt = time.perf_counter() - t0
     return batch * steps / dt  # tokens/s
 
@@ -102,13 +110,13 @@ def main():
         max_position_embeddings=ctx,
     )
 
-    model_q, params_q, caches_q = build(cfg, mode, jnp.int8, batch, ctx)
-    tps_q = bench_decode(model_q, params_q, caches_q, batch, steps)
-    del params_q, caches_q
+    model_q, params_q = build(cfg, mode, batch, ctx)
+    tps_q = bench_decode(model_q, params_q, jnp.int8, batch, ctx, steps)
+    del params_q
 
-    model_fp, params_fp, caches_fp = build(cfg, "fp", jnp.bfloat16, batch, ctx)
-    tps_fp = bench_decode(model_fp, params_fp, caches_fp, batch, steps)
-    del params_fp, caches_fp
+    model_fp, params_fp = build(cfg, "fp", batch, ctx)
+    tps_fp = bench_decode(model_fp, params_fp, jnp.bfloat16, batch, ctx, steps)
+    del params_fp
 
     speedup = tps_q / tps_fp
     print(

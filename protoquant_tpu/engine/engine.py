@@ -38,6 +38,7 @@ class Request:
     out: list = dataclasses.field(default_factory=list)
     slot: int = -1
     done: bool = False
+    pages: list = dataclasses.field(default_factory=list)  # paged layout
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -55,12 +56,10 @@ def _prefill_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
     tokens: [1, Tpad] (right-padded); true_len scalar; slot scalar.
     Returns (last_logits [V], caches).
     """
-    sub = []
-    for c in caches:
-        sliced = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), c
-        )
-        sub.append(dataclasses.replace(sliced, lengths=jnp.zeros((1,), jnp.int32)))
+    sub = [
+        dataclasses.replace(c.slot_view(slot), lengths=jnp.zeros((1,), jnp.int32))
+        for c in caches
+    ]
 
     Tpad = tokens.shape[1]
     positions = jnp.arange(Tpad)[None, :]
@@ -68,15 +67,7 @@ def _prefill_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
         params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
     )
 
-    new_caches = []
-    for big, small in zip(caches, sub):
-        new_caches.append(
-            jax.tree_util.tree_map(
-                lambda b, s: jax.lax.dynamic_update_slice_in_dim(b, s, slot, 0),
-                big,
-                small,
-            )
-        )
+    new_caches = [big.merge_slot(small, slot) for big, small in zip(caches, sub)]
     return logits[0, true_len - 1], new_caches
 
 
@@ -110,15 +101,43 @@ class Engine:
         params,
         config: EngineConfig | None = None,
         kv_dtype=jnp.int8,
+        kv_layout: str = "dense",  # "dense" | "paged"
     ):
         self.model = model
         self.params = params
         self.cfg = config or EngineConfig()
         self.kv_dtype = kv_dtype
+        self.kv_layout = kv_layout
         B = self.cfg.max_batch_size
-        self.caches = init_cache(
-            model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype
-        )
+        if kv_layout == "paged":
+            # Paged INT8 layout: one pool sized for the full budget, requests
+            # reserve only the pages they can use; the page free list is the
+            # native C++ allocator (protoquant_tpu.native).
+            from ..native import PageAllocator
+            from .paged_kv import PagedInt8KVCache
+
+            ps = self.cfg.page_size
+            if self.cfg.max_seq_len % ps:
+                raise ValueError("max_seq_len must be a multiple of page_size")
+            num_pages = B * self.cfg.max_seq_len // ps
+            mcfg = model.cfg
+            self.caches = [
+                PagedInt8KVCache.init(
+                    B,
+                    num_pages,
+                    self.cfg.max_seq_len // ps,
+                    ps,
+                    mcfg.num_key_value_heads // model.tp,
+                    mcfg.head_dim,
+                )
+                for _ in range(mcfg.num_hidden_layers)
+            ]
+            self.allocator = PageAllocator(num_pages)
+        else:
+            self.caches = init_cache(
+                model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype
+            )
+            self.allocator = None
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
@@ -157,7 +176,20 @@ class Engine:
         for slot in range(self.cfg.max_batch_size):
             if self.active[slot] or not self.waiting:
                 continue
-            req = self.waiting.popleft()
+            req = self.waiting[0]
+            if self.allocator is not None:
+                # Reserve exactly the pages this request can touch.
+                ps = self.cfg.page_size
+                budget = min(
+                    len(req.prompt) + req.max_new_tokens, self.cfg.max_seq_len
+                )
+                need = -(-budget // ps)
+                pages = self.allocator.alloc(need)
+                if pages is None:
+                    break  # pool exhausted; retry after something finishes
+                req.pages = pages
+                self.caches = [c.map_slot(slot, pages) for c in self.caches]
+            self.waiting.popleft()
             req.slot = slot
             t0 = time.perf_counter()
             # Chunked prefill: long prompts stream through in prefill_chunk
@@ -224,6 +256,9 @@ class Engine:
             self.slot_req[slot] = None
             # Free the slot: reset its cache length for the next tenant.
             self.caches = [c.reset_slot(jnp.asarray(slot)) for c in self.caches]
+            if self.allocator is not None and req.pages:
+                self.allocator.free(req.pages)
+                req.pages = []
 
     def step(self):
         """One engine tick: admit new requests, then one batched decode."""
@@ -268,7 +303,7 @@ class Engine:
         times.sort()
         pct = lambda p: times[int(p * (len(times) - 1))] if times else 0.0
         occupancy = sum(self.active) / max(1, self.cfg.max_batch_size)
-        return {
+        out = {
             "steps": self.stats["steps"],
             "tokens_generated": self.stats["tokens_generated"],
             "prefills": self.stats["prefills"],
@@ -277,17 +312,16 @@ class Engine:
             "step_p50_ms": 1e3 * pct(0.5),
             "step_p99_ms": 1e3 * pct(0.99),
         }
+        if self.allocator is not None:
+            out["kv_pages_free"] = self.allocator.num_free
+            out["kv_pages_total"] = self.allocator.num_pages
+        return out
 
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
 def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
     """Continue prefilling a slot that already holds context (chunk 2+)."""
-    sub = [
-        jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), c
-        )
-        for c in caches
-    ]
+    sub = [c.slot_view(slot) for c in caches]
     Tpad = tokens.shape[1]
     start = sub[0].lengths[0]
     positions = start + jnp.arange(Tpad)[None, :]
@@ -296,12 +330,5 @@ def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
     logits, sub = model.apply(
         params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
     )
-    new_caches = [
-        jax.tree_util.tree_map(
-            lambda b, s: jax.lax.dynamic_update_slice_in_dim(b, s, slot, 0),
-            big,
-            small,
-        )
-        for big, small in zip(caches, sub)
-    ]
+    new_caches = [big.merge_slot(small, slot) for big, small in zip(caches, sub)]
     return logits[0, true_len - 1], new_caches

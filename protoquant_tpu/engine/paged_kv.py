@@ -1,0 +1,166 @@
+"""Paged INT8 KV-cache (component A1's paged layout).
+
+Device side: per-layer int8 page pools + per-token/head scales, addressed
+through a [B, max_pages_per_seq] page table. The table and lengths are
+duplicated into each layer's cache object (a few KB) so the paged cache
+keeps the same ``update_and_attend(q, k, v, advance)`` interface the model
+dispatches through — the model tier stays cache-layout-agnostic.
+
+Host side: pages are allocated/freed by the native C++ free-list allocator
+(protoquant_tpu.native.PageAllocator) on request admission/retirement, so a
+request only reserves ceil((prompt+max_new)/page_size) pages instead of a
+full max_seq slot row.
+
+Attention currently gathers the pages into a contiguous window and reuses
+the int8 flash kernel (ops/attention.py); a scalar-prefetch Pallas variant
+that walks the page table in-kernel is the planned next step (noted in
+docs/ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.kv_cache import quantize_kv
+from ..ops.attention import int8_kv_attention, int8_kv_attention_xla
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "ks", "vq", "vs", "page_table", "lengths"],
+    meta_fields=["page_size"],
+)
+@dataclasses.dataclass(frozen=True)
+class PagedInt8KVCache:
+    """kq/vq: [num_pages, page_size, KV, Dh] int8;
+    ks/vs: [num_pages, page_size, KV] f32;
+    page_table: [B, max_pages] int32 (-1 = unmapped);
+    lengths: [B] int32; page_size: static."""
+
+    kq: jnp.ndarray
+    ks: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+    page_table: jnp.ndarray
+    lengths: jnp.ndarray
+    page_size: int
+
+    @classmethod
+    def init(cls, batch, num_pages, max_pages_per_seq, page_size, kv_heads, head_dim):
+        return cls(
+            kq=jnp.zeros((num_pages, page_size, kv_heads, head_dim), jnp.int8),
+            ks=jnp.full((num_pages, page_size, kv_heads), 1e-12, jnp.float32),
+            vq=jnp.zeros((num_pages, page_size, kv_heads, head_dim), jnp.int8),
+            vs=jnp.full((num_pages, page_size, kv_heads), 1e-12, jnp.float32),
+            page_table=jnp.full((batch, max_pages_per_seq), -1, jnp.int32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+            page_size=page_size,
+        )
+
+    @property
+    def window(self) -> int:
+        """Max addressable tokens per sequence."""
+        return self.page_table.shape[1] * self.page_size
+
+    # -- device-side ops ---------------------------------------------------
+
+    def update(self, k, v, advance=None):
+        """Quantize + scatter k/v [B, T, KV, Dh] into the mapped pages."""
+        B, T = k.shape[:2]
+        ps = self.page_size
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+
+        pos = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
+        page = jnp.take_along_axis(self.page_table, pos // ps, axis=1)  # [B, T]
+        page = jnp.maximum(page, 0)  # unmapped -> page 0; masked by lengths
+        flat = page * ps + pos % ps  # [B, T] row into flattened pools
+
+        k8, ks_new = quantize_kv(k)
+        v8, vs_new = quantize_kv(v)
+
+        def scat(pool, val):
+            shape = pool.shape
+            flat_pool = pool.reshape(shape[0] * shape[1], *shape[2:])
+            flat_pool = flat_pool.at[flat].set(val)
+            return flat_pool.reshape(shape)
+
+        return dataclasses.replace(
+            self,
+            kq=scat(self.kq, k8),
+            ks=scat(self.ks, ks_new),
+            vq=scat(self.vq, v8),
+            vs=scat(self.vs, vs_new),
+            lengths=self.lengths + adv,
+        )
+
+    def _gather_window(self):
+        """Materialize each slot's pages as a contiguous [B, KV, S, Dh] view."""
+        B, P = self.page_table.shape
+        ps = self.page_size
+        page = jnp.maximum(self.page_table, 0)  # [B, P]
+        rows = (page[:, :, None] * ps + jnp.arange(ps)[None, None, :]).reshape(B, P * ps)
+
+        def gather(pool):
+            shape = pool.shape
+            flat = pool.reshape(shape[0] * shape[1], *shape[2:])
+            return flat[rows]  # [B, S, ...]
+
+        k = gather(self.kq).transpose(0, 2, 1, 3)  # [B, KV, S, Dh]
+        v = gather(self.vq).transpose(0, 2, 1, 3)
+        ks = gather(self.ks).transpose(0, 2, 1)  # [B, KV, S]
+        vs = gather(self.vs).transpose(0, 2, 1)
+        return k, ks, v, vs
+
+    def update_and_attend(self, q, k, v, advance=None):
+        from ..models import kv_cache as _kvmod
+
+        new = self.update(k, v, advance)
+        kq, ks, vq, vs = new._gather_window()
+        attend = (
+            int8_kv_attention
+            if _kvmod.ATTENTION_BACKEND == "pallas"
+            else int8_kv_attention_xla
+        )
+        out = attend(q, kq, ks, vq, vs, self.lengths)
+        return out, new
+
+    # -- host-side table management ---------------------------------------
+
+    def map_slot(self, slot: int, pages: list[int]):
+        """Assign a page chain to a slot and zero its length."""
+        row = jnp.full((self.page_table.shape[1],), -1, jnp.int32)
+        row = row.at[: len(pages)].set(jnp.asarray(pages, jnp.int32))
+        return dataclasses.replace(
+            self,
+            page_table=self.page_table.at[slot].set(row),
+            lengths=self.lengths.at[slot].set(0),
+        )
+
+    def reset_slot(self, slot):
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+
+    # Slot views: the pools are batch-agnostic — only the table and lengths
+    # are per-slot, so a B=1 view shares the pools (and a merge takes the
+    # small view's *updated* pools wholesale).
+
+    def slot_view(self, slot):
+        return dataclasses.replace(
+            self,
+            page_table=jax.lax.dynamic_slice_in_dim(self.page_table, slot, 1, 0),
+            lengths=jax.lax.dynamic_slice_in_dim(self.lengths, slot, 1, 0),
+        )
+
+    def merge_slot(self, small, slot):
+        return dataclasses.replace(
+            small,
+            page_table=jax.lax.dynamic_update_slice_in_dim(
+                self.page_table, small.page_table, slot, 0
+            ),
+            lengths=jax.lax.dynamic_update_slice_in_dim(
+                self.lengths, small.lengths, slot, 0
+            ),
+        )

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.numerics import QMAX, SCALE_EPS
-from ..ops.attention import int8_kv_attention
+from ..ops.attention import int8_kv_attention, int8_kv_attention_xla
 
 
 def _write_positions(lengths: jnp.ndarray, t: int):
@@ -36,13 +36,30 @@ def _write_positions(lengths: jnp.ndarray, t: int):
     return b_idx, s_idx
 
 
+class _DenseSlotViews:
+    """Slot slicing for caches whose every array is batch-major (the engine
+    prefills one slot at a time against the full batched cache)."""
+
+    def slot_view(self, slot):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), self
+        )
+
+    def merge_slot(self, small, slot):
+        return jax.tree_util.tree_map(
+            lambda b, s: jax.lax.dynamic_update_slice_in_dim(b, s, slot, 0),
+            self,
+            small,
+        )
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["k", "v", "lengths"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
-class BF16KVCache:
+class BF16KVCache(_DenseSlotViews):
     """k/v: [B, S, KV, Dh]; lengths: [B] int32 (valid tokens per slot)."""
 
     k: jnp.ndarray
@@ -86,6 +103,9 @@ class BF16KVCache:
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
 
 
+ATTENTION_BACKEND = "xla"  # "xla" | "pallas" (see Int8KVCache.update_and_attend)
+
+
 def quantize_kv(x: jnp.ndarray):
     """Per-token/per-head symmetric int8: x [B, T, KV, Dh] ->
     (q int8 same shape, scale f32 [B, T, KV])."""
@@ -102,7 +122,7 @@ def quantize_kv(x: jnp.ndarray):
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
-class Int8KVCache:
+class Int8KVCache(_DenseSlotViews):
     """kq/vq: [B, KV, S, Dh] int8; ks/vs: [B, KV, S] f32; lengths: [B]."""
 
     kq: jnp.ndarray
@@ -146,11 +166,15 @@ class Int8KVCache:
         vs = self.vs.at[b_idx, :, s_idx].set(vs_new)
         return Int8KVCache(kq=kq, ks=ks, vq=vq, vs=vs, lengths=self.lengths + adv)
 
+    # Attention backend: "xla" (fused-einsum, fastest at decode shapes) or
+    # "pallas" (the explicit kernel). Module-level so jitted model code picks
+    # it up at trace time.
     def update_and_attend(self, q, k, v, advance=None):
         new = self.update(k, v, advance)
-        out = int8_kv_attention(
-            q, new.kq, new.ks, new.vq, new.vs, self.lengths
+        attend = (
+            int8_kv_attention if ATTENTION_BACKEND == "pallas" else int8_kv_attention_xla
         )
+        out = attend(q, new.kq, new.ks, new.vq, new.vs, self.lengths)
         return out, new
 
     def reset_slot(self, slot: jnp.ndarray):

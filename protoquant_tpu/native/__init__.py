@@ -1,0 +1,111 @@
+"""Native (C++) host-runtime components, bound via ctypes.
+
+Built on first import with g++ (cached next to the source); falls back to a
+pure-Python free-list with identical semantics if no toolchain is available,
+so the package never hard-fails — but the native path is the product path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "pq_alloc.cpp")
+_SO = os.path.join(_DIR, "_pq_alloc.so")
+_build_lock = threading.Lock()
+
+
+def _build() -> str | None:
+    with _build_lock:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                check=True,
+                capture_output=True,
+            )
+            return _SO
+        except Exception:
+            return None
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.pq_alloc_create.restype = ctypes.c_void_p
+    lib.pq_alloc_create.argtypes = [ctypes.c_int32]
+    lib.pq_alloc_destroy.argtypes = [ctypes.c_void_p]
+    lib.pq_alloc_pages.restype = ctypes.c_int32
+    lib.pq_alloc_pages.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.pq_free_pages.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.pq_num_free.restype = ctypes.c_int32
+    lib.pq_num_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class PageAllocator:
+    """O(1) KV page allocator; native C++ when available."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.pq_alloc_create(num_pages)
+            self.native = self._h is not None
+        else:
+            self.native = False
+        if not self.native:
+            self._free = list(range(num_pages - 1, -1, -1))
+
+    def alloc(self, n: int) -> list[int] | None:
+        """All-or-nothing: returns n page ids or None."""
+        if self.native:
+            out = (ctypes.c_int32 * n)()
+            got = self._lib.pq_alloc_pages(self._h, n, out)
+            return list(out) if got == n else None
+        if len(self._free) < n:
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages) -> None:
+        if not pages:
+            return
+        if self.native:
+            arr = (ctypes.c_int32 * len(pages))(*pages)
+            self._lib.pq_free_pages(self._h, arr, len(pages))
+        else:
+            self._free.extend(pages)
+
+    @property
+    def num_free(self) -> int:
+        if self.native:
+            return int(self._lib.pq_num_free(self._h))
+        return len(self._free)
+
+    def __del__(self):  # pragma: no cover
+        if getattr(self, "native", False) and self._lib is not None:
+            try:
+                self._lib.pq_alloc_destroy(self._h)
+            except Exception:
+                pass

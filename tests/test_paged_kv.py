@@ -1,0 +1,155 @@
+"""Paged INT8 KV cache + native page allocator + paged engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.engine import Engine, EngineConfig
+from protoquant_tpu.engine.paged_kv import PagedInt8KVCache
+from protoquant_tpu.models import LlamaModel, greedy_generate
+from protoquant_tpu.models.kv_cache import Int8KVCache
+from protoquant_tpu.native import PageAllocator
+from protoquant_tpu.utils.config import ModelConfig
+
+
+def rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray((rng.standard_normal(shape) * scale).astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Native allocator
+# ---------------------------------------------------------------------------
+
+
+def test_page_allocator_basic():
+    a = PageAllocator(8)
+    assert a.num_free == 8
+    p = a.alloc(5)
+    assert len(p) == 5 and len(set(p)) == 5 and a.num_free == 3
+    assert a.alloc(4) is None  # all-or-nothing
+    assert a.num_free == 3
+    a.free(p)
+    assert a.num_free == 8
+
+
+def test_page_allocator_double_free_guarded():
+    a = PageAllocator(4)
+    p = a.alloc(2)
+    a.free(p)
+    a.free(p)  # must not corrupt the free list
+    assert a.num_free == 4
+    q = a.alloc(4)
+    assert sorted(q) == list(range(4))
+
+
+# ---------------------------------------------------------------------------
+# Paged cache vs dense cache (same stream => ~same attention output)
+# ---------------------------------------------------------------------------
+
+
+def test_paged_matches_dense_int8_cache():
+    B, KV, Dh, H, ps = 2, 2, 32, 4, 8
+    max_pages = 4  # window = 32 tokens
+    dense = Int8KVCache.init(B, max_pages * ps, KV, Dh)
+    paged = PagedInt8KVCache.init(
+        B, num_pages=B * max_pages, max_pages_per_seq=max_pages,
+        page_size=ps, kv_heads=KV, head_dim=Dh,
+    )
+    # Map page chains: slot 0 -> [3,1,7,2], slot 1 -> [0,4,5,6] (scrambled on
+    # purpose: correctness must not depend on contiguity).
+    paged = paged.map_slot(0, [3, 1, 7, 2])
+    paged = paged.map_slot(1, [0, 4, 5, 6])
+
+    for step, t in enumerate([5, 1, 9, 1]):
+        q = rand((B, t, H, Dh), seed=step, scale=0.5)
+        k = rand((B, t, KV, Dh), seed=10 + step, scale=0.5)
+        v = rand((B, t, KV, Dh), seed=20 + step, scale=0.5)
+        o_d, dense = dense.update_and_attend(q, k, v)
+        o_p, paged = paged.update_and_attend(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(o_d), np.asarray(o_p), rtol=2e-4, atol=2e-4
+        )
+    np.testing.assert_array_equal(np.asarray(paged.lengths), np.asarray(dense.lengths))
+
+
+def test_paged_slot_views():
+    B, KV, Dh, ps = 3, 1, 32, 8
+    paged = PagedInt8KVCache.init(B, 12, 4, ps, KV, Dh)
+    paged = paged.map_slot(1, [2, 3])
+    view = paged.slot_view(jnp.asarray(1))
+    assert view.page_table.shape == (1, 4)
+    assert view.kq.shape == paged.kq.shape  # pools shared
+    np.testing.assert_array_equal(np.asarray(view.page_table[0, :2]), [2, 3])
+
+    # Mutate through the view, merge back.
+    k = rand((1, 4, KV, Dh), seed=1)
+    v = rand((1, 4, KV, Dh), seed=2)
+    view2 = view.update(k, v)
+    merged = paged.merge_slot(view2, jnp.asarray(1))
+    assert int(merged.lengths[1]) == 4 and int(merged.lengths[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Paged engine end-to-end
+# ---------------------------------------------------------------------------
+
+CFG = ModelConfig(
+    vocab_size=64,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    return model, params
+
+
+def test_paged_engine_matches_generate(model_and_params):
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=4, max_seq_len=64, page_size=16, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0,
+    )
+    eng = Engine(model, params, cfg, kv_layout="paged")
+    assert eng.allocator is not None and eng.allocator.native
+
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11]]
+    rids = [eng.add_request(p, 6) for p in prompts]
+    outs = eng.run()
+
+    for rid, p in zip(rids, prompts):
+        # int8 KV introduces small noise vs the fp reference; require the
+        # stream to start identically (first tokens dominated by prompt).
+        ref = list(
+            np.asarray(
+                greedy_generate(model, params, jnp.asarray([p], jnp.int32), 6, 64,
+                                kv_dtype=jnp.int8)
+            )[0]
+        )
+        assert outs[rid] == ref, (outs[rid], ref)
+    # All pages returned after drain.
+    assert eng.allocator.num_free == eng.allocator.num_pages
+
+
+def test_paged_engine_pool_exhaustion_queues(model_and_params):
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, page_size=16, prefill_chunk=16,
+        max_new_tokens=4, temperature=0.0,
+    )
+    eng = Engine(model, params, cfg, kv_layout="paged")
+    # Pool = 4*32/16 = 8 pages; each request needs 2 -> 5th request waits.
+    rids = [eng.add_request([1, 2, 3], 4) for _ in range(6)]
+    outs = eng.run()
+    assert set(rids) == set(outs.keys())
+    assert all(len(o) == 4 for o in outs.values())
