@@ -103,9 +103,17 @@ class Attention(nn.Module):
         Dh = cfg.head_dim
         lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
 
-        q = lin(H * Dh, name="q_proj")(x).reshape(B, T, H, Dh)
-        k = lin(KV * Dh, name="k_proj")(x).reshape(B, T, KV, Dh)
-        v = lin(KV * Dh, name="v_proj")(x).reshape(B, T, KV, Dh)
+        # Shared dynamic rowquant: q/k/v read the same normed activation, so
+        # quantize it once and feed all three int8 matmuls.
+        preq = None
+        if self.mode == "dynamic":
+            from .. import ops
+
+            preq = ops.rowquant(x.astype(self.dtype))
+
+        q = lin(H * Dh, name="q_proj")(x, preq).reshape(B, T, H, Dh)
+        k = lin(KV * Dh, name="k_proj")(x, preq).reshape(B, T, KV, Dh)
+        v = lin(KV * Dh, name="v_proj")(x, preq).reshape(B, T, KV, Dh)
 
         cos, sin = rope_tables(Dh, cfg.max_position_embeddings, cfg.rope_theta)
         q = apply_rope(q, positions, cos, sin)
@@ -165,8 +173,13 @@ class MLP(nn.Module):
     def __call__(self, x):
         lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
-        gate = lin(inter, name="gate_proj")(x)
-        up = lin(inter, name="up_proj")(x)
+        preq = None
+        if self.mode == "dynamic":
+            from .. import ops
+
+            preq = ops.rowquant(x.astype(self.dtype))
+        gate = lin(inter, name="gate_proj")(x, preq)
+        up = lin(inter, name="up_proj")(x, preq)
         h = jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up
         # Row-parallel down projection + all-reduce.
         return QLinear(

@@ -56,7 +56,11 @@ class QLinear(nn.Module):
     psum_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, prequantized=None) -> jnp.ndarray:
+        """``prequantized``: optional (xq int8, s_x) from a shared rowquant
+        pass — sibling projections reading the same activation (q/k/v,
+        gate/up) quantize it once in the parent block (the reference's
+        'fuse rowquant into the producer' move, SURVEY.md §8.3.3)."""
         in_features = x.shape[-1]
         x = x.astype(self.dtype)
         bias = (
@@ -87,9 +91,16 @@ class QLinear(nn.Module):
                     self.kernel_init, (in_features, self.features), self.param_dtype
                 ),
             )
-            y = ops.dynamic_qlinear(
-                x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
-            )
+            if prequantized is not None:
+                xq, s_x = prequantized
+                y = ops.qmatmul(
+                    xq, qkernel.data, s_x, qkernel.scale, fused_bias,
+                    out_dtype=self.dtype,
+                )
+            else:
+                y = ops.dynamic_qlinear(
+                    x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+                )
         elif self.mode == "weight_only":
             qkernel = self.param(
                 "qkernel",
