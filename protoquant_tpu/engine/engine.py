@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..models.llama import LlamaModel, init_cache
 from ..utils.config import EngineConfig
+from .health import StepWatchdog, check_finite
 from .sampling import sample
 
 
@@ -102,6 +103,8 @@ class Engine:
         config: EngineConfig | None = None,
         kv_dtype=jnp.int8,
         kv_layout: str = "dense",  # "dense" | "paged"
+        debug_checks: bool = False,  # NaN/Inf detection per step (syncs)
+        step_budget_s: float = 300.0,  # watchdog threshold
     ):
         self.model = model
         self.params = params
@@ -146,6 +149,8 @@ class Engine:
         self._next_rid = 0
         self._key = jax.random.PRNGKey(self.cfg.seed)
         self.eos_id: Optional[int] = None
+        self.debug_checks = debug_checks
+        self.watchdog = StepWatchdog(step_budget_s)
         # Observability counters (SURVEY.md §5.5).
         self.stats = {
             "steps": 0,
@@ -279,6 +284,10 @@ class Engine:
             self.cfg.top_k,
         )
         self.last_tokens = next_tokens
+        if self.debug_checks:
+            check_finite("decode next_tokens", next_tokens)
+            check_finite("kv lengths", self.caches[0].lengths)
+            check_finite("kv values", _cache_probe(self.caches[0]))
         toks = jax.device_get(next_tokens)
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
@@ -287,7 +296,9 @@ class Engine:
             self.stats["tokens_generated"] += 1
             self._maybe_finish(slot)
         self.stats["steps"] += 1
-        self.stats["step_times"].append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.stats["step_times"].append(dt)
+        self.watchdog.observe(dt)
 
     def run(self):
         """Drain all queued requests; returns {rid: generated token list}."""
@@ -316,6 +327,13 @@ class Engine:
             out["kv_pages_free"] = self.allocator.num_free
             out["kv_pages_total"] = self.allocator.num_pages
         return out
+
+
+def _cache_probe(cache):
+    """Small finite-ness probe of a cache (debug mode)."""
+    if hasattr(cache, "vs"):
+        return cache.vs.ravel()[:1024]
+    return cache.v.ravel()[:1024]
 
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
