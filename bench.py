@@ -82,13 +82,17 @@ def bench_decode(model, params, kv_dtype, batch, ctx, steps):
         (_, _), toks = jax.lax.scan(body, (tok0, caches), None, length=n_steps)
         return toks
 
-    tok = jnp.ones((batch, 1), jnp.int32)
-    run(model, params, tok, steps).block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    out = run(model, params, tok, steps)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch * steps / dt  # tokens/s
+    run(model, params, jnp.ones((batch, 1), jnp.int32), steps).block_until_ready()
+    # Timed calls use distinct real inputs: the TPU tunnel in this
+    # environment can memoize identical-argument executions, which corrupts
+    # repeat-call timing. Best-of-3 with varied tokens defeats that.
+    best = float("inf")
+    for i in range(3):
+        tok = jnp.full((batch, 1), 2 + i, jnp.int32)
+        t0 = time.perf_counter()
+        run(model, params, tok, steps).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best  # tokens/s
 
 
 def main():

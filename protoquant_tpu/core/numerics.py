@@ -120,6 +120,76 @@ def dynamic_qlinear_ref(
     return qmatmul_ref(xq, wq, s_x, s_w, bias, out_dtype=out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# INT4 (group-wise, weight-only) — an extension beyond the reference's int8
+# scheme: symmetric 4-bit weights with per-(K-group, out-channel) scales.
+# ---------------------------------------------------------------------------
+
+QMAX4 = 7
+
+
+def quantize_groupwise_int4(w: jnp.ndarray, group: int = 128):
+    """[K, N] -> (q int8 in [-7, 7], scales f32 [K/group, N]).
+
+    K must divide by ``group``. Symmetric, zero-point-free like the int8
+    scheme; scales are per contraction-group per output channel.
+    """
+    k, n = w.shape
+    if k % group:
+        raise ValueError(f"K={k} not divisible by group={group}")
+    wg = w.astype(jnp.float32).reshape(k // group, group, n)
+    amax = jnp.max(jnp.abs(wg), axis=1)  # [G, N]
+    scale = jnp.maximum(amax / QMAX4, SCALE_EPS)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -QMAX4, QMAX4)
+    return q.reshape(k, n).astype(jnp.int8), scale
+
+
+def pack_int4(q: jnp.ndarray, group: int | None = None) -> jnp.ndarray:
+    """Pack int4 values ([-7,7] stored as int8) two-per-byte along K.
+
+    Packing is *group-local*: within each K-group of size ``group`` (default:
+    all of K), packed row r holds k=r in the low nibble and k=r+group/2 in
+    the high nibble. Groups stay contiguous, so a kernel reading one group's
+    packed block [r*g/2, (r+1)*g/2) unpacks it with a concat — no sublane
+    interleave, and the block's single scale row applies to all of it.
+    """
+    k, n = q.shape
+    g = group or k
+    if k % g or g % 2:
+        raise ValueError(f"K={k} must divide into even groups of {g}")
+    qg = q.reshape(k // g, g, n)
+    low = qg[:, : g // 2].astype(jnp.uint8) & 0xF
+    high = (qg[:, g // 2 :].astype(jnp.uint8) & 0xF) << 4
+    return (low | high).astype(jnp.int8).reshape(k // 2, n)
+
+
+def unpack_int4(packed: jnp.ndarray, group: int | None = None) -> jnp.ndarray:
+    """Inverse of pack_int4: [K/2, N] int8 -> [K, N] int8 in [-8, 7]."""
+    k2, n = packed.shape
+    g = group or 2 * k2
+    u = packed.astype(jnp.uint8).reshape(2 * k2 // g, g // 2, n)
+    low = (u & 0xF).astype(jnp.int8)
+    low = jnp.where(low >= 8, low - 16, low)
+    high = (u >> 4).astype(jnp.int8)
+    high = jnp.where(high >= 8, high - 16, high)
+    return jnp.concatenate([low, high], axis=1).reshape(2 * k2, n)
+
+
+def weight_only_int4_linear_ref(x, packed, scales, group, bias=None, out_dtype=None):
+    """Reference int4 weight-only linear (dequant then fp matmul)."""
+    out_dtype = out_dtype or x.dtype
+    q = unpack_int4(packed, group)  # [K, N]
+    k, n = q.shape
+    w = (
+        q.astype(jnp.float32).reshape(k // group, group, n)
+        * scales[:, None, :]
+    ).reshape(k, n)
+    y = jnp.matmul(x.astype(jnp.float32), w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def weight_only_linear_ref(
     x: jnp.ndarray,
     wq: jnp.ndarray,

@@ -101,6 +101,54 @@ class QTensor:
         )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "scale"],
+    meta_fields=["group", "orig_k", "orig_dtype_name"],
+)
+@dataclasses.dataclass(frozen=True)
+class QTensor4:
+    """INT4 group-wise weight container (extension beyond the reference).
+
+    data: int8 [K/2, N] — two 4-bit values per byte packed along K
+      (byte i = k=i low nibble, k=i+K/2 high nibble).
+    scale: f32 [K/group, N]; group: static contraction-group size.
+    """
+
+    data: jnp.ndarray
+    scale: jnp.ndarray
+    group: int
+    orig_k: int
+    orig_dtype_name: str = "float32"
+
+    @classmethod
+    def quantize(cls, w: jnp.ndarray, group: int = 128) -> "QTensor4":
+        q, s = numerics.quantize_groupwise_int4(w, group=group)
+        return cls(
+            data=numerics.pack_int4(q, group),
+            scale=s,
+            group=group,
+            orig_k=w.shape[0],
+            orig_dtype_name=jnp.dtype(w.dtype).name,
+        )
+
+    @property
+    def shape(self):
+        return (self.orig_k, self.data.shape[1])
+
+    def dequantize(self) -> jnp.ndarray:
+        q = numerics.unpack_int4(self.data, self.group)
+        k, n = q.shape
+        w = (
+            q.astype(jnp.float32).reshape(k // self.group, self.group, n)
+            * self.scale[:, None, :]
+        ).reshape(k, n)
+        return w.astype(jnp.dtype(self.orig_dtype_name))
+
+    def nbytes(self) -> int:
+        return self.data.size + self.scale.size * 4
+
+
 def quantize(x: jnp.ndarray, axis: int = 0) -> QTensor:
     """Module-level convenience mirroring the reference's `quantize()` entry."""
     return QTensor.quantize(x, axis=axis)

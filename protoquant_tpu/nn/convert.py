@@ -46,7 +46,14 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
     if _is_linear_params(params) and not _skip(_path, cfg):
         out = dict(params)
         w = out.pop("kernel")
-        out["qkernel"] = QTensor.quantize(w, axis=0)
+        if cfg.mode == "weight_only_int4":
+            from ..core.qtensor import QTensor4
+            from .qlinear import pick_int4_group
+
+            group = pick_int4_group(w.shape[0], cfg.int4_group)
+            out["qkernel"] = QTensor4.quantize(w, group=group)
+        else:
+            out["qkernel"] = QTensor.quantize(w, axis=0)
         return out
     if isinstance(params, Mapping):
         return {
@@ -59,7 +66,7 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
 def dequantize_params(params: Any) -> Any:
     """Inverse structural transform (lossy): QTensor -> fp kernel."""
     if isinstance(params, Mapping):
-        if "qkernel" in params and isinstance(params["qkernel"], QTensor):
+        if "qkernel" in params and hasattr(params["qkernel"], "dequantize"):
             out = dict(params)
             qt = out.pop("qkernel")
             out["kernel"] = qt.dequantize()

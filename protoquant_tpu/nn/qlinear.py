@@ -25,6 +25,28 @@ from ..core.qtensor import QTensor
 Initializer = Callable[..., Any]
 
 
+def pick_int4_group(k: int, want: int = 128) -> int:
+    """Largest even group <= want that divides K (small models / odd K)."""
+    import math
+
+    g = math.gcd(k, want)
+    if g % 2:
+        g = math.gcd(k, 2 * want)
+        if g % 2:
+            raise ValueError(f"in_features={k} cannot form an even int4 group")
+    return g
+
+
+def _qtensor4_init(kernel_init: Initializer, shape, param_dtype, group: int = 128):
+    from ..core.qtensor import QTensor4
+
+    def init(key):
+        w = kernel_init(key, shape, param_dtype)
+        return QTensor4.quantize(w, group=pick_int4_group(shape[0], group))
+
+    return init
+
+
 def _qtensor_init(kernel_init: Initializer, shape, param_dtype):
     """Draw an fp kernel and quantize it — standalone init path (tests/toy
     models); real checkpoints arrive via nn.convert.quantize_params."""
@@ -110,6 +132,21 @@ class QLinear(nn.Module):
             )
             y = ops.weight_only_matmul(
                 x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+            )
+        elif self.mode == "weight_only_int4":
+            qkernel = self.param(
+                "qkernel",
+                _qtensor4_init(
+                    self.kernel_init, (in_features, self.features), self.param_dtype
+                ),
+            )
+            y = ops.weight_only_int4_matmul(
+                x,
+                qkernel.data,
+                qkernel.scale,
+                group=qkernel.group,
+                bias=fused_bias,
+                out_dtype=self.dtype,
             )
         else:
             raise ValueError(f"unknown mode {self.mode!r}")

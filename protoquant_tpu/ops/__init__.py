@@ -5,6 +5,7 @@ MXU/VPU programs on TPU and run in interpret mode on CPU (test path)."""
 from .dequant import dequant
 from .qmatmul import dynamic_qlinear, qmatmul
 from .rowquant import rowquant
+from .wo4_matmul import weight_only_int4_matmul
 from .wo_matmul import weight_only_matmul
 
 __all__ = [
@@ -12,5 +13,6 @@ __all__ = [
     "qmatmul",
     "dynamic_qlinear",
     "weight_only_matmul",
+    "weight_only_int4_matmul",
     "dequant",
 ]

@@ -1,0 +1,143 @@
+"""Pallas kernel: INT4 group-wise weight-only matmul.
+
+Extension beyond the reference's int8 scheme: weights stream from HBM as
+packed nibbles (quarter the bytes of bf16), get unpacked and dequantized in
+VMEM with per-(K-group, out-channel) scales, and feed the bf16 MXU. The
+K-block size equals the quantization group so each grid step touches exactly
+one scale row.
+
+Packing layout (core.numerics.pack_int4): within each K-group block of the
+*packed* operand, byte row r holds k=r (low nibble) and k=r+g/2 (high
+nibble) of that group — unpack is a concat, no sublane interleave.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._common import cdiv, default_interpret, pad_dim, pick_block
+
+_DIMS = (((1,), (0,)), ((), ()))
+
+
+def _unpack_block(p):
+    """(g/2, bn) packed int8 -> (g, bn) int8 in [-8, 7]."""
+    u = p.astype(jnp.uint8)
+    low = (u & 0xF).astype(jnp.int8)
+    low = jnp.where(low >= 8, low - 16, low)
+    high = (u >> 4).astype(jnp.int8)
+    high = jnp.where(high >= 8, high - 16, high)
+    return jnp.concatenate([low, high], axis=0)
+
+
+def _wo4_kernel(x_ref, wp_ref, sc_ref, bias_ref, out_ref, acc_ref):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_block(wp_ref[:]).astype(jnp.float32) * sc_ref[:]  # (g, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:].astype(jnp.float32), w, _DIMS, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        y = acc_ref[:]
+        if bias_ref is not None:
+            y = y + bias_ref[:]
+        out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _bias_free(x_ref, wp_ref, sc_ref, out_ref, acc_ref):
+    _wo4_kernel(x_ref, wp_ref, sc_ref, None, out_ref, acc_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "out_dtype", "block_m", "block_n", "interpret")
+)
+def _wo4_2d(x, packed, scales, bias, *, group, out_dtype, block_m, block_n, interpret):
+    m, k = x.shape
+    n = packed.shape[1]
+    g = group
+    mp, np_ = cdiv(m, block_m) * block_m, cdiv(n, block_n) * block_n
+    x = pad_dim(x, 0, mp)
+    packed = pad_dim(packed, 1, np_)
+    scales = pad_dim(scales, 1, np_, value=1.0)
+    has_bias = bias is not None
+    if has_bias:
+        bias = pad_dim(bias.reshape(1, n).astype(jnp.float32), 1, np_)
+
+    grid = (mp // block_m, np_ // block_n, k // g)
+    in_specs = [
+        pl.BlockSpec((block_m, g), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x, packed, scales]
+    kernel = _bias_free
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+        kernel = _wo4_kernel
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n]
+
+
+def weight_only_int4_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,  # [K/2, N] int8 (pack_int4 layout, per K-group)
+    scales: jnp.ndarray,  # [K/group, N] f32
+    group: int = 128,
+    bias: jnp.ndarray | None = None,
+    out_dtype=None,
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """y = x @ dequant_int4(packed, scales) + bias, unpack+dequant in VMEM.
+
+    NOTE the packed operand here must be packed *per K-group* (the QTensor4
+    layout stores groups contiguously: group r occupies packed rows
+    [r*g/2, (r+1)*g/2), holding that group's k = 0..g/2 low / g/2..g high).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    out_dtype = out_dtype or x.dtype
+    batch_shape = x.shape[:-1]
+    k = x.shape[-1]
+    if k % group:
+        raise ValueError(f"K={k} not divisible by group={group}")
+    x2 = x.reshape(-1, k)
+    sub = {jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(x.dtype), 8)
+    bm = pick_block(x2.shape[0], block_m, sub)
+    bn = pick_block(packed.shape[1], block_n, 128)
+    out = _wo4_2d(
+        x2, packed, scales, bias,
+        group=group, out_dtype=out_dtype, block_m=bm, block_n=bn,
+        interpret=interpret,
+    )
+    return out.reshape(*batch_shape, out.shape[-1])

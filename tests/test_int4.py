@@ -1,0 +1,107 @@
+"""INT4 group-wise weight-only mode (capability extension beyond the
+reference's int8 scheme)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.core import QTensor4, numerics
+from protoquant_tpu.nn import QLinear, dequantize_params, quantize_params
+from protoquant_tpu.ops import weight_only_int4_matmul
+from protoquant_tpu.utils.config import QuantConfig
+
+
+def rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray((rng.standard_normal(shape) * scale).astype(np.float32))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-7, 8, (256, 96), dtype=np.int8))
+    for group in (None, 128, 64):
+        packed = numerics.pack_int4(q, group)
+        assert packed.shape == (128, 96)
+        back = numerics.unpack_int4(packed, group)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+
+
+def test_groupwise_quantize_error_bound():
+    w = rand((256, 64), seed=1, scale=2.0)
+    q, s = numerics.quantize_groupwise_int4(w, group=128)
+    assert q.shape == w.shape and s.shape == (2, 64)
+    w_hat = (
+        np.asarray(q, np.float32).reshape(2, 128, 64) * np.asarray(s)[:, None, :]
+    ).reshape(256, 64)
+    bound = np.repeat(np.asarray(s), 128, axis=0) / 2 + 1e-8
+    assert np.all(np.abs(w_hat - np.asarray(w)) <= bound)
+
+
+def test_qtensor4_roundtrip_and_bytes():
+    w = rand((256, 128), seed=2, scale=0.1)
+    qt = QTensor4.quantize(w, group=128)
+    assert qt.shape == (256, 128)
+    assert qt.nbytes() < w.size * 4 / 7  # ~8x smaller than f32
+    w_hat = np.asarray(qt.dequantize())
+    cos = np.sum(w_hat * np.asarray(w)) / (
+        np.linalg.norm(w_hat) * np.linalg.norm(np.asarray(w)) + 1e-12
+    )
+    # 4-bit symmetric (qmax=7) on gaussian weights: SNR ~ 65 -> cos ~ 0.992
+    assert cos > 0.985
+
+
+@pytest.mark.parametrize("m,k,n,group", [(16, 256, 128, 128), (5, 128, 96, 64)])
+def test_wo4_kernel_matches_reference(m, k, n, group):
+    x = rand((m, k), seed=3, scale=0.5)
+    w = rand((k, n), seed=4, scale=0.05)
+    b = rand((n,), seed=5)
+    q, s = numerics.quantize_groupwise_int4(w, group=group)
+    packed = numerics.pack_int4(q, group)
+    y = weight_only_int4_matmul(x, packed, s, group=group, bias=b)
+    y_ref = numerics.weight_only_int4_linear_ref(x, packed, s, group, bias=b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-3, atol=2e-3)
+
+
+def test_qlinear_int4_mode():
+    x = rand((8, 256), seed=6, scale=0.5)
+    fp = QLinear(features=64, mode="fp", dtype=jnp.float32)
+    fp_params = fp.init(jax.random.PRNGKey(0), x)
+    y_fp = np.asarray(fp.apply(fp_params, x))
+
+    qparams = quantize_params(fp_params, QuantConfig(mode="weight_only_int4"))
+    assert isinstance(qparams["params"]["qkernel"], QTensor4)
+    q = QLinear(features=64, mode="weight_only_int4", dtype=jnp.float32)
+    y_q = np.asarray(q.apply(qparams, x))
+    cos = np.sum(y_fp * y_q) / (np.linalg.norm(y_fp) * np.linalg.norm(y_q) + 1e-12)
+    assert cos > 0.995, cos
+
+    back = dequantize_params(qparams)
+    assert back["params"]["kernel"].shape == (256, 64)
+
+
+def test_int4_model_end_to_end():
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    fp_model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(7).integers(0, 64, (1, 12)), jnp.int32
+    )
+    fp_params = fp_model.init(jax.random.PRNGKey(1), tokens)
+    logits_fp = np.asarray(fp_model.apply(fp_params, tokens))
+
+    q_model = LlamaModel(cfg, mode="weight_only_int4", dtype=jnp.float32)
+    qparams = quantize_params(fp_params, QuantConfig(mode="weight_only_int4"))
+    logits_q = np.asarray(q_model.apply(qparams, tokens))
+    cos = np.sum(logits_fp * logits_q) / (
+        np.linalg.norm(logits_fp) * np.linalg.norm(logits_q) + 1e-12
+    )
+    # int4 error compounds over 2 layers + lm_head; ~0.94 is expected
+    assert cos > 0.9, cos
