@@ -104,6 +104,15 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "32"))
     mode = os.environ.get("BENCH_MODE", "dynamic")
 
+    # Backend selection (see ops.LINEAR_BACKEND / kv_cache.ATTENTION_BACKEND).
+    import protoquant_tpu.ops as _ops
+    from protoquant_tpu.models import kv_cache as _kv
+
+    _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", _ops.LINEAR_BACKEND)
+    _kv.ATTENTION_BACKEND = os.environ.get(
+        "BENCH_ATTENTION_BACKEND", _kv.ATTENTION_BACKEND
+    )
+
     cfg = ModelConfig(
         vocab_size=32000,
         hidden_size=4096,
@@ -134,6 +143,8 @@ def main():
                     "tokens_per_s_int8": round(tps_q, 2),
                     "tokens_per_s_bf16": round(tps_fp, 2),
                     "mode": mode,
+                    "linear_backend": _ops.LINEAR_BACKEND,
+                    "attention_backend": _kv.ATTENTION_BACKEND,
                     "layers": layers,
                     "batch": batch,
                     "ctx": ctx,

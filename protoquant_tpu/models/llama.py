@@ -108,8 +108,12 @@ class Attention(nn.Module):
         preq = None
         if self.mode == "dynamic":
             from .. import ops
+            from ..core import numerics
 
-            preq = ops.rowquant(x.astype(self.dtype))
+            if ops.LINEAR_BACKEND == "xla":
+                preq = numerics.quantize_rowwise(x.astype(self.dtype))
+            else:
+                preq = ops.rowquant(x.astype(self.dtype))
 
         q = lin(H * Dh, name="q_proj")(x, preq).reshape(B, T, H, Dh)
         k = lin(KV * Dh, name="k_proj")(x, preq).reshape(B, T, KV, Dh)
@@ -176,8 +180,12 @@ class MLP(nn.Module):
         preq = None
         if self.mode == "dynamic":
             from .. import ops
+            from ..core import numerics
 
-            preq = ops.rowquant(x.astype(self.dtype))
+            if ops.LINEAR_BACKEND == "xla":
+                preq = numerics.quantize_rowwise(x.astype(self.dtype))
+            else:
+                preq = ops.rowquant(x.astype(self.dtype))
         gate = lin(inter, name="gate_proj")(x, preq)
         up = lin(inter, name="up_proj")(x, preq)
         h = jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up

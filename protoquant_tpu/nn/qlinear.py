@@ -113,7 +113,12 @@ class QLinear(nn.Module):
                     self.kernel_init, (in_features, self.features), self.param_dtype
                 ),
             )
-            if prequantized is not None:
+            if ops.LINEAR_BACKEND == "xla":
+                y = ops.dynamic_qlinear_xla(
+                    x, qkernel.data, qkernel.scale, fused_bias,
+                    out_dtype=self.dtype, prequantized=prequantized,
+                )
+            elif prequantized is not None:
                 xq, s_x = prequantized
                 y = ops.qmatmul(
                     xq, qkernel.data, s_x, qkernel.scale, fused_bias,
@@ -130,9 +135,14 @@ class QLinear(nn.Module):
                     self.kernel_init, (in_features, self.features), self.param_dtype
                 ),
             )
-            y = ops.weight_only_matmul(
-                x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
-            )
+            if ops.LINEAR_BACKEND == "xla":
+                y = ops.weight_only_matmul_xla(
+                    x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+                )
+            else:
+                y = ops.weight_only_matmul(
+                    x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+                )
         elif self.mode == "weight_only_int4":
             qkernel = self.param(
                 "qkernel",
@@ -140,7 +150,12 @@ class QLinear(nn.Module):
                     self.kernel_init, (in_features, self.features), self.param_dtype
                 ),
             )
-            y = ops.weight_only_int4_matmul(
+            wo4 = (
+                ops.weight_only_int4_matmul_xla
+                if ops.LINEAR_BACKEND == "xla"
+                else ops.weight_only_int4_matmul
+            )
+            y = wo4(
                 x,
                 qkernel.data,
                 qkernel.scale,
