@@ -24,6 +24,9 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,20 +101,22 @@ def bench_decode(model, params, kv_dtype, batch, ctx, steps):
 def main():
     from protoquant_tpu.utils.config import ModelConfig
 
-    layers = int(os.environ.get("BENCH_LAYERS", "4"))
+    layers = int(os.environ.get("BENCH_LAYERS", "1"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    ctx = int(os.environ.get("BENCH_CTX", "1024"))
-    steps = int(os.environ.get("BENCH_STEPS", "32"))
+    ctx = int(os.environ.get("BENCH_CTX", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "64"))
     mode = os.environ.get("BENCH_MODE", "dynamic")
 
     # Backend selection (see ops.LINEAR_BACKEND / kv_cache.ATTENTION_BACKEND).
+    # Default both to the XLA-fused formulations: on this runtime pallas_call
+    # custom-calls carry per-invocation overhead inside large programs
+    # (measured: 0.84x with pallas linears vs 1.40x with xla linears, same
+    # int8 HBM traffic — see docs/ARCHITECTURE.md).
     import protoquant_tpu.ops as _ops
     from protoquant_tpu.models import kv_cache as _kv
 
-    _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", _ops.LINEAR_BACKEND)
-    _kv.ATTENTION_BACKEND = os.environ.get(
-        "BENCH_ATTENTION_BACKEND", _kv.ATTENTION_BACKEND
-    )
+    _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", "xla")
+    _kv.ATTENTION_BACKEND = os.environ.get("BENCH_ATTENTION_BACKEND", "xla")
 
     cfg = ModelConfig(
         vocab_size=32000,
