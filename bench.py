@@ -35,10 +35,15 @@ def build(cfg, mode, batch, ctx):
     from protoquant_tpu.models import LlamaModel
     from protoquant_tpu.nn import quantize_params
 
+    from protoquant_tpu.nn import fuse_projections
+
     fp_model = LlamaModel(cfg, mode="fp", dtype=jnp.bfloat16)
     tokens = jnp.ones((1, 8), jnp.int32)
     with jax.default_device(jax.devices("cpu")[0]):
         fp_params = fp_model.init(jax.random.PRNGKey(0), tokens)
+        # Fused QKV / gate-up for BOTH sides (fair: the baseline benefits
+        # from fusion exactly as much as the quantized model).
+        fp_params = fuse_projections(fp_params)
         if mode != "fp":
             params = quantize_params(fp_params)
         else:
@@ -51,7 +56,7 @@ def build(cfg, mode, batch, ctx):
                 fp_params,
             )
     params = jax.device_put(params, jax.devices()[0])
-    model = LlamaModel(cfg, mode=mode, dtype=jnp.bfloat16)
+    model = LlamaModel(cfg, mode=mode, dtype=jnp.bfloat16, fused=True)
     return model, params
 
 

@@ -40,6 +40,8 @@ class Request:
     slot: int = -1
     done: bool = False
     pages: list = dataclasses.field(default_factory=list)  # paged layout
+    eos_id: "int | None" = None  # per-request stop token
+    on_token: "object" = None  # optional callback(rid, token) for streaming
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -161,13 +163,23 @@ class Engine:
 
     # -- request API -------------------------------------------------------
 
-    def add_request(self, prompt_tokens, max_new_tokens: int | None = None) -> int:
+    def add_request(
+        self,
+        prompt_tokens,
+        max_new_tokens: int | None = None,
+        eos_id: int | None = None,
+        on_token=None,
+    ) -> int:
+        """Queue a request. ``eos_id`` stops decode on that token (falls back
+        to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens."""
         rid = self._next_rid
         self._next_rid += 1
         req = Request(
             rid=rid,
             prompt=[int(t) for t in prompt_tokens],
             max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+            eos_id=eos_id,
+            on_token=on_token,
         )
         self.waiting.append(req)
         return rid
@@ -237,6 +249,8 @@ class Engine:
                 )[0]
             )
             req.out.append(first_tok)
+            if req.on_token is not None:
+                req.on_token(req.rid, first_tok)
             self.last_tokens = self.last_tokens.at[slot].set(first_tok)
             self.active[slot] = True
             self.slot_req[slot] = req
@@ -250,9 +264,10 @@ class Engine:
             return
         tok = req.out[-1] if req.out else None
         total_len = len(req.prompt) + len(req.out)
+        eos = req.eos_id if req.eos_id is not None else self.eos_id
         if (
             len(req.out) >= req.max_new_tokens
-            or (self.eos_id is not None and tok == self.eos_id)
+            or (eos is not None and tok == eos)
             or total_len >= self.cfg.max_seq_len
         ):
             req.done = True
@@ -292,7 +307,10 @@ class Engine:
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
                 continue
-            self.slot_req[slot].out.append(int(toks[slot]))
+            req = self.slot_req[slot]
+            req.out.append(int(toks[slot]))
+            if req.on_token is not None:
+                req.on_token(req.rid, int(toks[slot]))
             self.stats["tokens_generated"] += 1
             self._maybe_finish(slot)
         self.stats["steps"] += 1
@@ -308,6 +326,18 @@ class Engine:
         return out
 
     # -- observability -----------------------------------------------------
+
+    def profile_window(self, n_steps: int = 8, logdir: str = "/tmp/protoquant_trace"):
+        """Capture a jax.profiler trace of the next n engine steps
+        (SURVEY.md §5.1). Returns the trace directory."""
+        from ..utils.profiling import trace
+
+        with trace(logdir):
+            for _ in range(n_steps):
+                if not self.has_work():
+                    break
+                self.step()
+        return logdir
 
     def metrics(self) -> dict:
         times = list(self.stats["step_times"])

@@ -85,6 +85,7 @@ class Attention(nn.Module):
     dtype: Any = jnp.bfloat16
     tp: int = 1  # tensor-parallel degree: heads are sharded tp-ways
     tp_axis: Any = None  # mesh axis name (inside shard_map) for collectives
+    fused: bool = False  # single fused QKV / gate-up matmuls (tp=1 only)
 
     @nn.compact
     def __call__(
@@ -115,9 +116,19 @@ class Attention(nn.Module):
             else:
                 preq = ops.rowquant(x.astype(self.dtype))
 
-        q = lin(H * Dh, name="q_proj")(x, preq).reshape(B, T, H, Dh)
-        k = lin(KV * Dh, name="k_proj")(x, preq).reshape(B, T, KV, Dh)
-        v = lin(KV * Dh, name="v_proj")(x, preq).reshape(B, T, KV, Dh)
+        if self.fused:
+            # One fused QKV matmul: exact — per-output-channel scales just
+            # concatenate along N (params pre-fused by nn.fuse_projections).
+            assert self.tp == 1, "fused QKV requires tp=1"
+            qkv = lin((H + 2 * KV) * Dh, name="qkv_proj")(x, preq)
+            q, k, v = jnp.split(qkv, [H * Dh, (H + KV) * Dh], axis=-1)
+            q = q.reshape(B, T, H, Dh)
+            k = k.reshape(B, T, KV, Dh)
+            v = v.reshape(B, T, KV, Dh)
+        else:
+            q = lin(H * Dh, name="q_proj")(x, preq).reshape(B, T, H, Dh)
+            k = lin(KV * Dh, name="k_proj")(x, preq).reshape(B, T, KV, Dh)
+            v = lin(KV * Dh, name="v_proj")(x, preq).reshape(B, T, KV, Dh)
 
         cos, sin = rope_tables(Dh, cfg.max_position_embeddings, cfg.rope_theta)
         q = apply_rope(q, positions, cos, sin)
@@ -172,6 +183,7 @@ class MLP(nn.Module):
     dtype: Any = jnp.bfloat16
     tp: int = 1
     tp_axis: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -186,8 +198,13 @@ class MLP(nn.Module):
                 preq = numerics.quantize_rowwise(x.astype(self.dtype))
             else:
                 preq = ops.rowquant(x.astype(self.dtype))
-        gate = lin(inter, name="gate_proj")(x, preq)
-        up = lin(inter, name="up_proj")(x, preq)
+        if self.fused:
+            assert self.tp == 1, "fused gate/up requires tp=1"
+            gu = lin(2 * inter, name="gate_up_proj")(x, preq)
+            gate, up = jnp.split(gu, [inter], axis=-1)
+        else:
+            gate = lin(inter, name="gate_proj")(x, preq)
+            up = lin(inter, name="up_proj")(x, preq)
         h = jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up
         # Row-parallel down projection + all-reduce.
         return QLinear(
@@ -206,11 +223,13 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     tp: int = 1
     tp_axis: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None):
         h, new_cache = Attention(
-            self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, name="self_attn"
+            self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
+            name="self_attn"
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             positions,
@@ -218,7 +237,10 @@ class DecoderLayer(nn.Module):
             advance,
         )
         x = x + h
-        h = MLP(self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, name="mlp")(
+        h = MLP(
+            self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
+            name="mlp",
+        )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
         )
         return x + h, new_cache
@@ -239,6 +261,9 @@ class LlamaModel(nn.Module):
     # mesh axis named ``tp_axis``; every Linear weight is a local shard).
     tp: int = 1
     tp_axis: Any = None
+    # Fused QKV / gate-up projections (single-chip decode optimization;
+    # params pre-fused via nn.fuse_projections). Mutually exclusive with tp>1.
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -265,7 +290,8 @@ class LlamaModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             cache_i = caches[i] if caches is not None else None
             x, nc = DecoderLayer(
-                cfg, self.mode, self.dtype, self.tp, self.tp_axis, name=f"layers_{i}"
+                cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
+                name=f"layers_{i}",
             )(x, positions, cache_i, advance)
             new_caches.append(nc)
 

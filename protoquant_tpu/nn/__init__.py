@@ -1,4 +1,5 @@
 from .convert import dequantize_params, quantize_params, quantized_bytes
+from .fuse import fuse_projections
 from .qlinear import QLinear
 
 # The reference's conversion entry point is `qlinear_from_linear`; ours is the
@@ -13,4 +14,5 @@ __all__ = [
     "qlinear_from_params",
     "dequantize_params",
     "quantized_bytes",
+    "fuse_projections",
 ]

@@ -142,20 +142,39 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths):
     default product path; the Pallas kernel above remains for long-S shapes
     and as the fusion-controlled variant.
 
-    Also serves as the test oracle for the kernel."""
+    Also serves as the test oracle for the kernel.
+
+    Scales are factorized out of the per-element products (the same exact
+    rank-1 factorization the kernel uses): the int8 operands hit the dots as
+    bare bf16 casts (exact for int8 values) and the [S]-shaped scales touch
+    the scores/probs once — 128x fewer multiplies than dequantizing the
+    cache elementwise."""
     B, T, H, Dh = q.shape
     KV = kq.shape[1]
     group = H // KV
-    qf = q.reshape(B, T, KV, group, Dh).astype(jnp.float32)
-    kf = kq.astype(jnp.float32) * ks[..., None]  # [B, KV, S, Dh]
-    vf = vq.astype(jnp.float32) * vs[..., None]
-    scores = jnp.einsum("btkgd,bksd->bkgts", qf, kf) / jnp.sqrt(Dh)
+    # bf16 lanes are exact for int8 values; XLA:CPU's dot thunk can't run
+    # bf16 x bf16 batched dots, so fall back to f32 lanes off-TPU.
+    lane = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    qh = (q.astype(jnp.float32) * (Dh**-0.5)).reshape(B, T, KV, group, Dh)
+    scores = jnp.einsum(
+        "btkgd,bksd->bkgts",
+        qh.astype(lane),
+        kq.astype(lane),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * ks[:, :, None, None, :]
     s_pos = jnp.arange(kq.shape[2])
     t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
     mask = s_pos[None, None, None, None, :] <= t_pos[:, None, None, :, None]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgts,bksd->btkgd", probs, vf)
+    pv = (probs * vs[:, :, None, None, :]).astype(lane)
+    out = jnp.einsum(
+        "bkgts,bksd->btkgd",
+        pv,
+        vq.astype(lane),
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(B, T, H, Dh).astype(q.dtype)
 
 

@@ -158,3 +158,21 @@ def test_engine_long_prompt_chunked_prefill(model_and_params):
     rid = eng.add_request(prompt, 6)
     outs = eng.run()
     assert outs[rid] == ref
+
+
+def test_engine_eos_and_streaming(model_and_params):
+    """Per-request eos stops decode; on_token streams every emitted token."""
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32, max_new_tokens=16)
+    streamed = []
+    rid = eng.add_request([1, 2, 3], 16, on_token=lambda r, t: streamed.append((r, t)))
+    out = eng.run()[rid]
+    assert [t for r, t in streamed] == out and all(r == rid for r, t in streamed)
+
+    # eos: pick the first emitted token as eos of a fresh identical request;
+    # generation must stop right after it appears.
+    eos = out[0]
+    eng2 = _engine(model, params, kv_dtype=jnp.float32, max_new_tokens=16)
+    rid2 = eng2.add_request([1, 2, 3], 16, eos_id=eos)
+    out2 = eng2.run()[rid2]
+    assert out2[-1] == eos and len(out2) <= len(out)

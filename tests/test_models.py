@@ -156,3 +156,26 @@ def test_hf_import_roundtrip():
     a, b = np.asarray(logits), np.asarray(qlogits)
     cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.99
+
+
+def test_fused_projections_exact_match(tiny_fp):
+    """Fused QKV / gate-up model == unfused model, bit-for-bit per mode
+    (concat along N is exact for per-output-channel quantization)."""
+    from protoquant_tpu.nn import fuse_projections, quantize_params
+
+    fp_model, fp_params = tiny_fp
+    tokens = jnp.asarray(
+        np.random.default_rng(9).integers(0, TINY.vocab_size, (2, 10)), jnp.int32
+    )
+    fused_fp = fuse_projections(fp_params)
+
+    for mode in ("fp", "dynamic", "weight_only"):
+        base_model = LlamaModel(TINY, mode=mode, dtype=jnp.float32)
+        fused_model = LlamaModel(TINY, mode=mode, dtype=jnp.float32, fused=True)
+        if mode == "fp":
+            pa, pb = fp_params, fused_fp
+        else:
+            pa, pb = quantize_params(fp_params), quantize_params(fused_fp)
+        la = np.asarray(base_model.apply(pa, tokens))
+        lb = np.asarray(fused_model.apply(pb, tokens))
+        np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-5), mode
