@@ -1,0 +1,67 @@
+"""CLI end-to-end: convert (local HF weights -> quantized ckpt) -> generate."""
+
+import json
+
+import numpy as np
+import pytest
+
+from protoquant_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def weights_and_config(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    D, I, V, L = 64, 128, 64, 2
+    kvh, H = 2, 4
+    kv = kvh * (D // H)
+    sd = {
+        "model.embed_tokens.weight": rng.standard_normal((V, D)).astype(np.float32),
+        "model.norm.weight": np.ones(D, np.float32),
+        "lm_head.weight": rng.standard_normal((V, D)).astype(np.float32),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        sd[f"{p}.self_attn.q_proj.weight"] = 0.05 * rng.standard_normal((D, D)).astype(np.float32)
+        sd[f"{p}.self_attn.k_proj.weight"] = 0.05 * rng.standard_normal((kv, D)).astype(np.float32)
+        sd[f"{p}.self_attn.v_proj.weight"] = 0.05 * rng.standard_normal((kv, D)).astype(np.float32)
+        sd[f"{p}.self_attn.o_proj.weight"] = 0.05 * rng.standard_normal((D, D)).astype(np.float32)
+        sd[f"{p}.mlp.gate_proj.weight"] = 0.05 * rng.standard_normal((I, D)).astype(np.float32)
+        sd[f"{p}.mlp.up_proj.weight"] = 0.05 * rng.standard_normal((I, D)).astype(np.float32)
+        sd[f"{p}.mlp.down_proj.weight"] = 0.05 * rng.standard_normal((D, I)).astype(np.float32)
+    wpath = tmp / "weights.npz"
+    np.savez(wpath, **sd)
+    cpath = tmp / "config.json"
+    cpath.write_text(
+        json.dumps(
+            {
+                "vocab_size": V, "hidden_size": D, "intermediate_size": I,
+                "num_hidden_layers": L, "num_attention_heads": H,
+                "num_key_value_heads": kvh, "max_position_embeddings": 128,
+            }
+        )
+    )
+    return tmp, str(wpath), str(cpath)
+
+
+def test_cli_convert_then_generate(weights_and_config, capsys):
+    tmp, wpath, cpath = weights_and_config
+    out = str(tmp / "ckpt")
+    main(["convert", "--weights", wpath, "--config", cpath, "--mode", "dynamic",
+          "--out", out])
+    capsys.readouterr()
+
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "8", "--max-seq", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 8
+    assert all(0 <= t < 64 for t in rec["tokens"])
+    assert rec["metrics"]["prefills"] == 1
+
+
+def test_cli_bad_weights_extension(weights_and_config):
+    tmp, wpath, cpath = weights_and_config
+    with pytest.raises(ValueError, match="unsupported weight file"):
+        main(["convert", "--weights", "w.pt", "--config", cpath, "--out", str(tmp / "x")])
