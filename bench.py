@@ -10,10 +10,13 @@ vs_baseline is the measured speedup over the bf16 baseline divided by the
 Model: Llama-7B-shaped layers (d=4096, I=11008, 32 q / 32 kv heads) with a
 reduced layer count so one chip's compile+init budget stays sane; per-layer
 arithmetic intensity and byte traffic match the 7B decode regime, so the
-per-token speedup is representative. Batch 8, context 1024.
+per-token speedup is representative. Defaults (the measured-best honest
+config on this chip): batch 8, context 512, 128 decode steps per timed call,
+XLA-fused backends, fused QKV/gate-up on BOTH sides.
 
 Env knobs: BENCH_LAYERS, BENCH_BATCH, BENCH_CTX, BENCH_STEPS, BENCH_MODE
-(BENCH_MODE=weight_only benches the weight-only path instead).
+(weight_only | weight_only_int4 | dynamic), BENCH_LINEAR_BACKEND and
+BENCH_ATTENTION_BACKEND (pallas | xla).
 """
 
 import json
@@ -109,7 +112,7 @@ def main():
     layers = int(os.environ.get("BENCH_LAYERS", "1"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     ctx = int(os.environ.get("BENCH_CTX", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "128"))
     mode = os.environ.get("BENCH_MODE", "dynamic")
 
     # Backend selection (see ops.LINEAR_BACKEND / kv_cache.ATTENTION_BACKEND).

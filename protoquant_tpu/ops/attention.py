@@ -29,7 +29,9 @@ from ._common import default_interpret
 NEG_INF = -1e30
 
 
-def _attn_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, group, t_q):
+def _attn_kernel(
+    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, group, t_q, lane
+):
     """One (b, kv_head) pair.
 
     q_ref:  (1, 1, TG, Dh)   TG = t_q * group query rows
@@ -41,8 +43,10 @@ def _attn_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, group, 
                              the batch grid coordinate — TPU SMEM blocks must
                              cover the whole array)
     """
-    q = q_ref[0, 0].astype(jnp.float32)  # (TG, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)  # (S, Dh)
+    # MXU lanes: bf16 on TPU (native rate; exact for int8 values), f32 in
+    # interpret mode off-TPU.
+    q = q_ref[0, 0].astype(lane)  # (TG, Dh)
+    k = k_ref[0, 0].astype(lane)  # (S, Dh)
     ks = ks_ref[0, 0]  # (1, S)
     dh = q.shape[-1]
 
@@ -62,10 +66,11 @@ def _attn_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, group, 
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
 
-    v = v_ref[0, 0].astype(jnp.float32)  # (S, Dh)
+    v = v_ref[0, 0].astype(lane)  # (S, Dh)
     vs = vs_ref[0, 0]  # (1, S)
     out = jax.lax.dot_general(
-        p * vs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        (p * vs).astype(lane), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
 
@@ -78,7 +83,8 @@ def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
     vs4 = vs.reshape(B, KV, 1, S)
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
 
-    kernel = functools.partial(_attn_kernel, group=group, t_q=t_q)
+    lane = jnp.float32 if interpret else jnp.bfloat16
+    kernel = functools.partial(_attn_kernel, group=group, t_q=t_q, lane=lane)
     return pl.pallas_call(
         kernel,
         grid=(B, KV),
