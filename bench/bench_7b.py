@@ -1,0 +1,172 @@
+"""True-7B-scale decode on one chip: the north-star metric
+(tokens/sec/chip at 7B INT8 dynamic vs bf16, BASELINE.json:2).
+
+Builds the quantized 7B parameter tree directly (random int8 payloads +
+scales — numerically equivalent workload, no 27GB fp materialization), runs
+the full 32-layer fused decode under lax.scan on device. The bf16 baseline
+at 7B needs ~13.5GB weights + caches and may not fit alongside; if it OOMs
+that is itself the memory headline (int8 serves 7B where bf16 cannot) and
+the ratio is extrapolated from the per-layer benches.
+
+Usage: python bench/bench_7b.py [--layers 32] [--batch 8] [--ctx 512]
+       [--steps 64] [--bf16-too]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--bf16-too", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import protoquant_tpu.ops as ops
+    from protoquant_tpu.core.qtensor import QTensor
+    from protoquant_tpu.models import LlamaModel, init_cache, kv_cache as kvmod
+    from protoquant_tpu.utils.config import ModelConfig
+
+    ops.LINEAR_BACKEND = "xla"
+    kvmod.ATTENTION_BACKEND = "xla"
+
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=args.layers, num_attention_heads=32,
+        num_key_value_heads=32, max_position_embeddings=args.ctx,
+    )
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+
+    def qt(k, n):
+        data = jax.device_put(
+            jnp.asarray(rng.integers(-127, 128, (k, n), dtype=np.int8)), dev
+        )
+        scale = jax.device_put(
+            jnp.asarray(rng.uniform(1e-4, 4e-4, (n,)).astype(np.float32)), dev
+        )
+        return {"qkernel": QTensor(data=data, scale=scale, axis=0)}
+
+    def bf(k, n):
+        return {
+            "kernel": jax.device_put(
+                jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02
+                            ).astype(jnp.bfloat16), dev)
+        }
+
+    def build(quant: bool):
+        mk = qt if quant else bf
+        p = {
+            "embed_tokens": {
+                "embedding": jax.device_put(
+                    jnp.asarray(
+                        rng.standard_normal((V, D)).astype(np.float32) * 0.02
+                    ).astype(jnp.bfloat16 if not quant else jnp.float32),
+                    dev,
+                )
+            },
+            "norm": {"weight": jnp.ones((D,), jnp.float32)},
+            "lm_head": mk(D, V),
+        }
+        for i in range(cfg.num_hidden_layers):
+            p[f"layers_{i}"] = {
+                "input_layernorm": {"weight": jnp.ones((D,), jnp.float32)},
+                "post_attention_layernorm": {"weight": jnp.ones((D,), jnp.float32)},
+                "self_attn": {
+                    "qkv_proj": mk(D, (H + 2 * KV) * Dh),
+                    "o_proj": mk(H * Dh, D),
+                },
+                "mlp": {"gate_up_proj": mk(D, 2 * I), "down_proj": mk(I, D)},
+            }
+        return {"params": p}
+
+    def bench(mode, params, kv_dtype):
+        import dataclasses
+        from functools import partial
+
+        model = LlamaModel(cfg, mode=mode, dtype=jnp.bfloat16, fused=True)
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def run(params, tok0, n_steps):
+            caches = init_cache(cfg, args.batch, args.ctx, kv_dtype=kv_dtype)
+            caches = [
+                dataclasses.replace(
+                    c, lengths=jnp.full((args.batch,), args.ctx - 64, jnp.int32)
+                )
+                for c in caches
+            ]
+
+            def body(carry, _):
+                tok, cs = carry
+                logits, cs = model.apply(params, tok, cs[0].lengths[:, None], cs)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+                return (nxt, cs), nxt[:, 0]
+
+            (_, _), toks = jax.lax.scan(body, (tok0, caches), None, length=n_steps)
+            return toks
+
+        run(params, jnp.ones((args.batch, 1), jnp.int32), args.steps).block_until_ready()
+        best = float("inf")
+        for i in range(3):
+            tok = jnp.full((args.batch, 1), 2 + i, jnp.int32)
+            t0 = time.perf_counter()
+            run(params, tok, args.steps).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return args.batch * args.steps / best
+
+    print(json.dumps({"status": "building int8 params"}), flush=True)
+    qparams = build(quant=True)
+    tps = bench("dynamic", qparams, jnp.int8)
+    out = {
+        "metric": "tokens_per_s_per_chip_7b_int8",
+        "value": round(tps, 2),
+        "unit": "tok/s",
+        "detail": {
+            "layers": args.layers, "batch": args.batch, "ctx": args.ctx,
+            "per_token_ms": round(1e3 * args.batch / tps, 3),
+            "device": str(dev),
+        },
+    }
+    print(json.dumps(out), flush=True)
+    del qparams
+
+    if args.bf16_too:
+        try:
+            bparams = build(quant=False)
+            tps_bf = bench("fp", bparams, jnp.bfloat16)
+            print(json.dumps({
+                "metric": "tokens_per_s_per_chip_7b_bf16",
+                "value": round(tps_bf, 2),
+                "speedup_int8": round(tps / tps_bf, 4),
+            }), flush=True)
+        except Exception as e:  # OOM expected at full depth
+            print(json.dumps({
+                "metric": "tokens_per_s_per_chip_7b_bf16",
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
