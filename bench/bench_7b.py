@@ -139,6 +139,12 @@ def main():
     print(json.dumps({"status": "building int8 params"}), flush=True)
     qparams = build(quant=True)
     tps = bench("dynamic", qparams, jnp.int8)
+    # Physical-plausibility guard: implied HBM GB/s from weight streaming
+    # alone. On this environment's TPU tunnel, large programs have returned
+    # impossible numbers (the remote executor does not faithfully execute
+    # them); flag anything above the v5e roofline as unreliable.
+    weight_bytes = args.layers * (4096 * (4096 * 4 + 11008 * 3)) + 4096 * 32000
+    implied_gbs = weight_bytes * (tps / args.batch) / 1e9
     out = {
         "metric": "tokens_per_s_per_chip_7b_int8",
         "value": round(tps, 2),
@@ -146,6 +152,8 @@ def main():
         "detail": {
             "layers": args.layers, "batch": args.batch, "ctx": args.ctx,
             "per_token_ms": round(1e3 * args.batch / tps, 3),
+            "implied_weight_gbs": round(implied_gbs, 1),
+            "credible_on_real_hw": implied_gbs <= 900,
             "device": str(dev),
         },
     }
