@@ -48,7 +48,9 @@ def build(cfg, mode, batch, ctx):
         # from fusion exactly as much as the quantized model).
         fp_params = fuse_projections(fp_params)
         if mode != "fp":
-            params = quantize_params(fp_params)
+            from protoquant_tpu.utils.config import QuantConfig
+
+            params = quantize_params(fp_params, QuantConfig(mode=mode))
         else:
             # Honest bf16 baseline: weights stored (and streamed from HBM)
             # in bf16, not f32.

@@ -1,6 +1,7 @@
 from .generate import greedy_generate, perplexity, score_tokens
 from .hf_import import import_hf_llama
 from .kv_cache import BF16KVCache, Int8KVCache
+from .speculative import speculative_generate
 from .llama import LlamaModel, init_cache
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "perplexity",
     "score_tokens",
     "import_hf_llama",
+    "speculative_generate",
 ]

@@ -42,7 +42,10 @@ def _wo4_kernel(x_ref, wp_ref, sc_ref, bias_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _unpack_block(wp_ref[:]).astype(jnp.float32) * sc_ref[:]  # (g, bn)
+    # sc_ref carries ALL group rows (TPU blocks must tile the array); pick
+    # this k-step's group dynamically.
+    sc = sc_ref[pl.ds(kk, 1), :]  # (1, bn)
+    w = _unpack_block(wp_ref[:]).astype(jnp.float32) * sc  # (g, bn)
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:].astype(jnp.float32), w, _DIMS, preferred_element_type=jnp.float32
     )
@@ -75,10 +78,13 @@ def _wo4_2d(x, packed, scales, bias, *, group, out_dtype, block_m, block_n, inte
         bias = pad_dim(bias.reshape(1, n).astype(jnp.float32), 1, np_)
 
     grid = (mp // block_m, np_ // block_n, k // g)
+    n_groups = k // g
     in_specs = [
         pl.BlockSpec((block_m, g), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
         pl.BlockSpec((g // 2, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_groups, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM
+        ),
     ]
     args = [x, packed, scales]
     kernel = _bias_free
