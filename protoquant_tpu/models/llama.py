@@ -86,6 +86,7 @@ class Attention(nn.Module):
     tp: int = 1  # tensor-parallel degree: heads are sharded tp-ways
     tp_axis: Any = None  # mesh axis name (inside shard_map) for collectives
     fused: bool = False  # single fused QKV / gate-up matmuls (tp=1 only)
+    sp: bool = False  # sequence parallelism: x arrives token-sharded
 
     @nn.compact
     def __call__(
@@ -96,6 +97,11 @@ class Attention(nn.Module):
         advance=None,  # [B] per-slot length increment override (engine)
     ):
         cfg = self.cfg
+        if self.sp:
+            # SP: x is token-sharded [B, T/tp, D]; gather the full sequence
+            # for the projections/attention (int8 gathers land in a later
+            # optimization — see ROADMAP).
+            x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         B, T, _ = x.shape
         # Column-parallel Q/K/V: each shard owns H/tp query heads and KV/tp
         # kv heads (Megatron-style head sharding; SURVEY.md §2.2).
@@ -143,13 +149,15 @@ class Attention(nn.Module):
             out = mha_attention(q, k, v, positions, positions)
 
         out = out.reshape(B, T, H * Dh)
-        # Row-parallel output projection: partial products all-reduced.
+        # Row-parallel output projection: all-reduce, or reduce-scatter back
+        # to the token-sharded layout under SP.
         o = QLinear(
             cfg.hidden_size,
             mode=self.mode,
             use_bias=False,
             dtype=self.dtype,
             psum_axis=self.tp_axis,
+            scatter_tokens=self.sp,
             name="o_proj",
         )(out)
         return o, new_cache
@@ -184,9 +192,12 @@ class MLP(nn.Module):
     tp: int = 1
     tp_axis: Any = None
     fused: bool = False
+    sp: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.sp:
+            x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
         preq = None
@@ -206,13 +217,14 @@ class MLP(nn.Module):
             gate = lin(inter, name="gate_proj")(x, preq)
             up = lin(inter, name="up_proj")(x, preq)
         h = jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up
-        # Row-parallel down projection + all-reduce.
+        # Row-parallel down projection: all-reduce (or reduce-scatter under SP).
         return QLinear(
             self.cfg.hidden_size,
             mode=self.mode,
             use_bias=False,
             dtype=self.dtype,
             psum_axis=self.tp_axis,
+            scatter_tokens=self.sp,
             name="down_proj",
         )(h)
 
@@ -224,12 +236,13 @@ class DecoderLayer(nn.Module):
     tp: int = 1
     tp_axis: Any = None
     fused: bool = False
+    sp: bool = False
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None):
         h, new_cache = Attention(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            name="self_attn"
+            self.sp, name="self_attn"
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             positions,
@@ -239,7 +252,7 @@ class DecoderLayer(nn.Module):
         x = x + h
         h = MLP(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            name="mlp",
+            self.sp, name="mlp",
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
         )
@@ -264,6 +277,9 @@ class LlamaModel(nn.Module):
     # Fused QKV / gate-up projections (single-chip decode optimization;
     # params pre-fused via nn.fuse_projections). Mutually exclusive with tp>1.
     fused: bool = False
+    # Sequence parallelism for the norm/elementwise regions between TP blocks
+    # (prefill/scoring; requires tp_axis and T divisible by tp).
+    sp: bool = False
 
     @nn.compact
     def __call__(
@@ -286,16 +302,27 @@ class LlamaModel(nn.Module):
             name="embed_tokens",
         )(tokens)
 
+        if self.sp:
+            # Enter the token-sharded region: each shard keeps its T/tp slice.
+            r = jax.lax.axis_index(self.tp_axis)
+            t_local = T // self.tp
+            x = jax.lax.dynamic_slice_in_dim(x, r * t_local, t_local, axis=1)
+
         new_caches = []
         for i in range(cfg.num_hidden_layers):
             cache_i = caches[i] if caches is not None else None
             x, nc = DecoderLayer(
                 cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-                name=f"layers_{i}",
+                self.sp, name=f"layers_{i}",
             )(x, positions, cache_i, advance)
             new_caches.append(nc)
 
         x = RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
+        if self.sp:
+            # The SP region ends here: the column-parallel lm_head needs the
+            # full sequence on every shard (it is vocab-sharded over the same
+            # axis the tokens were sharded over).
+            x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         # Vocab-column-parallel LM head; logits all-gathered so sampling sees
         # the full vocabulary on every shard.
         logits = QLinear(

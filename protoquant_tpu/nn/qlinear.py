@@ -76,6 +76,10 @@ class QLinear(nn.Module):
     # inside shard_map, partial sums are all-reduced over this mesh axis
     # (SURVEY.md §2.2 TP). None => no collective.
     psum_axis: str | None = None
+    # Sequence parallelism: replace the all-reduce with a reduce-scatter over
+    # the token axis (axis 1 of [B, T, N]) so the output returns to the
+    # token-sharded layout of the surrounding norm region (SURVEY.md §2.2 SP).
+    scatter_tokens: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, prequantized=None) -> jnp.ndarray:
@@ -167,7 +171,12 @@ class QLinear(nn.Module):
             raise ValueError(f"unknown mode {self.mode!r}")
 
         if self.psum_axis is not None:
-            y = jax.lax.psum(y, self.psum_axis)
+            if self.scatter_tokens:
+                y = jax.lax.psum_scatter(
+                    y, self.psum_axis, scatter_dimension=1, tiled=True
+                )
+            else:
+                y = jax.lax.psum(y, self.psum_axis)
             if bias is not None:
                 y = (y + bias.astype(jnp.float32)).astype(self.dtype)
         return y

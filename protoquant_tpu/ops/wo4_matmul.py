@@ -26,12 +26,14 @@ _DIMS = (((1,), (0,)), ((), ()))
 
 
 def _unpack_block(p):
-    """(g/2, bn) packed int8 -> (g, bn) int8 in [-8, 7]."""
-    u = p.astype(jnp.uint8)
-    low = (u & 0xF).astype(jnp.int8)
-    low = jnp.where(low >= 8, low - 16, low)
-    high = (u >> 4).astype(jnp.int8)
-    high = jnp.where(high >= 8, high - 16, high)
+    """(g/2, bn) packed int8 -> (g, bn) int8 in [-8, 7].
+
+    Sign extension via arithmetic shifts only — Mosaic's VPU has no int8
+    vector compare, so no jnp.where here: low = (p << 4) >> 4 (wrapping
+    shift-left then sign-extending shift-right), high = p >> 4.
+    """
+    low = (p << 4) >> 4
+    high = p >> 4
     return jnp.concatenate([low, high], axis=0)
 
 

@@ -29,13 +29,16 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 from .shardings import cache_pspecs, params_pspecs
 
 
-def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None) -> LlamaModel:
-    """The TP-aware model for a mesh: head/feature dims divided by tp."""
+def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False) -> LlamaModel:
+    """The TP-aware model for a mesh: head/feature dims divided by tp.
+    ``sp`` additionally token-shards the norm/elementwise regions between TP
+    blocks (sequence parallelism; prefill/scoring path)."""
     import jax.numpy as jnp
 
     tp = mesh.shape[MODEL_AXIS]
     return LlamaModel(
-        cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS
+        cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS,
+        sp=sp,
     )
 
 

@@ -146,3 +146,21 @@ def test_tp_decode_step_with_cache(fp_setup, kv_dtype):
         np.testing.assert_allclose(
             np.asarray(logits2), np.asarray(ref2), rtol=5e-4, atol=5e-4
         )
+
+
+@needs_8dev
+def test_sequence_parallel_score_matches_single_device(fp_setup):
+    """SP (token-sharded norm regions + reduce-scatter/all-gather around the
+    TP blocks) == plain TP == single device, fp mode."""
+    single_model, params = fp_setup
+    tokens = jnp.asarray(
+        np.random.default_rng(7).integers(0, CFG.vocab_size, (2, 16)), jnp.int32
+    )
+    ref = np.asarray(single_model.apply(params, tokens))
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_sp = tp_model(CFG, "fp", mesh, dtype=jnp.float32, sp=True)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_sp, mesh, params)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
