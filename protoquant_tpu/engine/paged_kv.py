@@ -11,10 +11,11 @@ Host side: pages are allocated/freed by the native C++ free-list allocator
 request only reserves ceil((prompt+max_new)/page_size) pages instead of a
 full max_seq slot row.
 
-Attention currently gathers the pages into a contiguous window and reuses
-the int8 flash kernel (ops/attention.py); a scalar-prefetch Pallas variant
-that walks the page table in-kernel is the planned next step (noted in
-docs/ROADMAP.md).
+Attention: decode steps (T=1) can run the scalar-prefetch Pallas kernel
+(ops/paged_attention.py) that walks the page table in-kernel — no gathered
+window ever materializes (enable via models.kv_cache.ATTENTION_BACKEND =
+"pallas"); the default/XLA path and chunked prefill gather the mapped pages
+into a contiguous window and reuse the int8 attention backends.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 
 from ..models.kv_cache import quantize_kv
 from ..ops.attention import int8_kv_attention, int8_kv_attention_xla
+from ..ops.paged_attention import paged_int8_attention
 
 
 @partial(
@@ -36,8 +38,9 @@ from ..ops.attention import int8_kv_attention, int8_kv_attention_xla
 )
 @dataclasses.dataclass(frozen=True)
 class PagedInt8KVCache:
-    """kq/vq: [num_pages, page_size, KV, Dh] int8;
-    ks/vs: [num_pages, page_size, KV] f32;
+    """kq/vq: [num_pages, KV, page_size, Dh] int8 (head-major pages so the
+    paged kernel reads one contiguous (ps, Dh) tile per (page, head));
+    ks/vs: [num_pages, KV, 1, page_size] f32;
     page_table: [B, max_pages] int32 (-1 = unmapped);
     lengths: [B] int32; page_size: static."""
 
@@ -52,10 +55,10 @@ class PagedInt8KVCache:
     @classmethod
     def init(cls, batch, num_pages, max_pages_per_seq, page_size, kv_heads, head_dim):
         return cls(
-            kq=jnp.zeros((num_pages, page_size, kv_heads, head_dim), jnp.int8),
-            ks=jnp.full((num_pages, page_size, kv_heads), 1e-12, jnp.float32),
-            vq=jnp.zeros((num_pages, page_size, kv_heads, head_dim), jnp.int8),
-            vs=jnp.full((num_pages, page_size, kv_heads), 1e-12, jnp.float32),
+            kq=jnp.zeros((num_pages, kv_heads, page_size, head_dim), jnp.int8),
+            ks=jnp.full((num_pages, kv_heads, 1, page_size), 1e-12, jnp.float32),
+            vq=jnp.zeros((num_pages, kv_heads, page_size, head_dim), jnp.int8),
+            vs=jnp.full((num_pages, kv_heads, 1, page_size), 1e-12, jnp.float32),
             page_table=jnp.full((batch, max_pages_per_seq), -1, jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
             page_size=page_size,
@@ -77,55 +80,49 @@ class PagedInt8KVCache:
         pos = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
         page = jnp.take_along_axis(self.page_table, pos // ps, axis=1)  # [B, T]
         page = jnp.maximum(page, 0)  # unmapped -> page 0; masked by lengths
-        flat = page * ps + pos % ps  # [B, T] row into flattened pools
+        off = pos % ps  # [B, T]
 
-        k8, ks_new = quantize_kv(k)
+        k8, ks_new = quantize_kv(k)  # k8 [B,T,KV,Dh], ks_new [B,T,KV]
         v8, vs_new = quantize_kv(v)
 
-        def scat(pool, val):
-            shape = pool.shape
-            flat_pool = pool.reshape(shape[0] * shape[1], *shape[2:])
-            flat_pool = flat_pool.at[flat].set(val)
-            return flat_pool.reshape(shape)
-
+        # Advanced indices (page, off) land in front: target block [B,T,KV,*].
+        kq = self.kq.at[page, :, off].set(k8)
+        vq = self.vq.at[page, :, off].set(v8)
+        ks = self.ks.at[page, :, 0, off].set(ks_new)
+        vs = self.vs.at[page, :, 0, off].set(vs_new)
         return dataclasses.replace(
-            self,
-            kq=scat(self.kq, k8),
-            ks=scat(self.ks, ks_new),
-            vq=scat(self.vq, v8),
-            vs=scat(self.vs, vs_new),
-            lengths=self.lengths + adv,
+            self, kq=kq, ks=ks, vq=vq, vs=vs, lengths=self.lengths + adv
         )
 
     def _gather_window(self):
-        """Materialize each slot's pages as a contiguous [B, KV, S, Dh] view."""
+        """Materialize each slot's pages as a contiguous [B, KV, S, Dh] view
+        (prefill / XLA-backend path)."""
         B, P = self.page_table.shape
         ps = self.page_size
         page = jnp.maximum(self.page_table, 0)  # [B, P]
-        rows = (page[:, :, None] * ps + jnp.arange(ps)[None, None, :]).reshape(B, P * ps)
 
-        def gather(pool):
-            shape = pool.shape
-            flat = pool.reshape(shape[0] * shape[1], *shape[2:])
-            return flat[rows]  # [B, S, ...]
-
-        k = gather(self.kq).transpose(0, 2, 1, 3)  # [B, KV, S, Dh]
-        v = gather(self.vq).transpose(0, 2, 1, 3)
-        ks = gather(self.ks).transpose(0, 2, 1)  # [B, KV, S]
-        vs = gather(self.vs).transpose(0, 2, 1)
+        k = self.kq[page]  # [B, P, KV, ps, Dh]
+        v = self.vq[page]
+        KV = k.shape[2]
+        k = k.transpose(0, 2, 1, 3, 4).reshape(B, KV, P * ps, -1)
+        v = v.transpose(0, 2, 1, 3, 4).reshape(B, KV, P * ps, -1)
+        ks = self.ks[page][:, :, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, P * ps)
+        vs = self.vs[page][:, :, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, P * ps)
         return k, ks, v, vs
 
     def update_and_attend(self, q, k, v, advance=None):
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)
+        if q.shape[1] == 1 and _kvmod.ATTENTION_BACKEND == "pallas":
+            # Decode: the scalar-prefetch kernel walks the page table —
+            # no gathered window.
+            out = paged_int8_attention(
+                q, new.kq, new.ks, new.vq, new.vs, new.page_table, self.lengths
+            )
+            return out, new
         kq, ks, vq, vs = new._gather_window()
-        attend = (
-            int8_kv_attention
-            if _kvmod.ATTENTION_BACKEND == "pallas"
-            else int8_kv_attention_xla
-        )
-        out = attend(q, kq, ks, vq, vs, self.lengths)
+        out = int8_kv_attention_xla(q, kq, ks, vq, vs, self.lengths)
         return out, new
 
     # -- host-side table management ---------------------------------------

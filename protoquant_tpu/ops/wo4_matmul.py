@@ -26,14 +26,15 @@ _DIMS = (((1,), (0,)), ((), ()))
 
 
 def _unpack_block(p):
-    """(g/2, bn) packed int8 -> (g, bn) int8 in [-8, 7].
+    """(g/2, bn) packed int8 -> (g, bn) int32 in [-8, 7].
 
-    Sign extension via arithmetic shifts only — Mosaic's VPU has no int8
-    vector compare, so no jnp.where here: low = (p << 4) >> 4 (wrapping
-    shift-left then sign-extending shift-right), high = p >> 4.
+    Mosaic's VPU legalizes neither int8 compares nor int8 shifts, so the
+    nibble extraction runs in i32 lanes: sign-extend the byte into i32, then
+    arithmetic-shift the wanted nibble into place.
     """
-    low = (p << 4) >> 4
-    high = p >> 4
+    u = p.astype(jnp.int32)
+    low = (u << 28) >> 28
+    high = (u << 24) >> 28
     return jnp.concatenate([low, high], axis=0)
 
 

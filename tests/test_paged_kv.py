@@ -153,3 +153,64 @@ def test_paged_engine_pool_exhaustion_queues(model_and_params):
     outs = eng.run()
     assert set(rids) == set(outs.keys())
     assert all(len(o) == 4 for o in outs.values())
+
+
+def test_paged_kernel_matches_gather_path():
+    """The scalar-prefetch paged kernel (decode) == the gather+einsum path,
+    including scrambled page chains and differing slot lengths."""
+    from protoquant_tpu.models import kv_cache as kvmod
+    from protoquant_tpu.ops.paged_attention import paged_int8_attention
+
+    B, KV, Dh, H, ps = 2, 2, 32, 4, 8
+    max_pages = 4
+    paged = PagedInt8KVCache.init(B, 2 * B * max_pages, max_pages, ps, KV, Dh)
+    paged = paged.map_slot(0, [5, 1, 7, 2])
+    paged = paged.map_slot(1, [0, 4, 6, 3])
+
+    # Fill with a prefill chunk of different lengths per slot, then decode.
+    k = rand((B, 7, KV, Dh), seed=1, scale=0.5)
+    v = rand((B, 7, KV, Dh), seed=2, scale=0.5)
+    paged = paged.update(k, v, advance=jnp.asarray([7, 5], jnp.int32))
+
+    q = rand((B, 1, H, Dh), seed=3, scale=0.5)
+    k1 = rand((B, 1, KV, Dh), seed=4, scale=0.5)
+    v1 = rand((B, 1, KV, Dh), seed=5, scale=0.5)
+
+    new = paged.update(k1, v1)
+    kq, ks, vq, vs = new._gather_window()
+    from protoquant_tpu.ops.attention import int8_kv_attention_xla
+
+    ref = int8_kv_attention_xla(q, kq, ks, vq, vs, paged.lengths)
+    got = paged_int8_attention(
+        q, new.kq, new.ks, new.vq, new.vs, new.page_table, paged.lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_paged_engine_with_pallas_kernel(model_and_params):
+    """Engine end-to-end with the paged kernel backend enabled."""
+    from protoquant_tpu.models import kv_cache as kvmod
+
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=3, max_seq_len=64, page_size=16, prefill_chunk=16,
+        max_new_tokens=6, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3]]
+
+    eng_ref = Engine(model, params, cfg, kv_layout="paged")
+    rids = [eng_ref.add_request(p, 6) for p in prompts]
+    ref_outs = eng_ref.run()
+
+    prev = kvmod.ATTENTION_BACKEND
+    try:
+        kvmod.ATTENTION_BACKEND = "pallas"
+        eng = Engine(model, params, cfg, kv_layout="paged")
+        rids2 = [eng.add_request(p, 6) for p in prompts]
+        outs = eng.run()
+    finally:
+        kvmod.ATTENTION_BACKEND = prev
+    for ra, rb in zip(rids, rids2):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
