@@ -11,7 +11,7 @@ Model: Llama-7B-shaped layers (d=4096, I=11008, 32 q / 32 kv heads) with a
 reduced layer count so one chip's compile+init budget stays sane; per-layer
 arithmetic intensity and byte traffic match the 7B decode regime, so the
 per-token speedup is representative. Defaults (the measured-best honest
-config on this chip): batch 8, context 512, 128 decode steps per timed call,
+config on this chip): batch 8, context 512, 256 decode steps per timed call,
 XLA-fused backends, fused QKV/gate-up on BOTH sides.
 
 Env knobs: BENCH_LAYERS, BENCH_BATCH, BENCH_CTX, BENCH_STEPS, BENCH_MODE
@@ -80,8 +80,11 @@ def bench_decode(model, params, kv_dtype, batch, ctx, steps):
     @partial(jax.jit, static_argnames=("m", "n_steps"))
     def run(m, params, tok0, n_steps):
         caches = init_cache(m.cfg, batch, ctx, kv_dtype=kv_dtype)
+        # Pre-age so the run ends exactly at a full window (no slot overflow:
+        # every decode step writes a real cache position).
+        age = max(0, ctx - n_steps - 1)
         caches = [
-            dataclasses.replace(c, lengths=jnp.full((batch,), ctx - 64, jnp.int32))
+            dataclasses.replace(c, lengths=jnp.full((batch,), age, jnp.int32))
             for c in caches
         ]
 
@@ -114,7 +117,7 @@ def main():
     layers = int(os.environ.get("BENCH_LAYERS", "1"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     ctx = int(os.environ.get("BENCH_CTX", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "256"))
     mode = os.environ.get("BENCH_MODE", "dynamic")
 
     # Backend selection (see ops.LINEAR_BACKEND / kv_cache.ATTENTION_BACKEND).
