@@ -87,6 +87,8 @@ class Attention(nn.Module):
     tp_axis: Any = None  # mesh axis name (inside shard_map) for collectives
     fused: bool = False  # single fused QKV / gate-up matmuls (tp=1 only)
     sp: bool = False  # sequence parallelism: x arrives token-sharded
+    cp: int = 1  # context parallelism (ring attention over a seq-sharded axis)
+    cp_axis: Any = None
 
     @nn.compact
     def __call__(
@@ -144,6 +146,14 @@ class Attention(nn.Module):
             # Cache classes own update + masking + (for int8) the Pallas
             # in-kernel-dequant attention.
             out, new_cache = cache.update_and_attend(q, k, v, advance)
+        elif self.cp_axis is not None:
+            # Context parallelism: tokens (and their q/k/v) are seq-sharded;
+            # KV blocks rotate around the ring while each shard accumulates
+            # online-softmax partials (parallel/context.py).
+            from ..parallel.context import ring_attention
+
+            new_cache = None
+            out = ring_attention(q, k, v, positions, self.cp_axis, self.cp)
         else:
             new_cache = None
             out = mha_attention(q, k, v, positions, positions)
@@ -237,12 +247,14 @@ class DecoderLayer(nn.Module):
     tp_axis: Any = None
     fused: bool = False
     sp: bool = False
+    cp: int = 1
+    cp_axis: Any = None
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None):
         h, new_cache = Attention(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            self.sp, name="self_attn"
+            self.sp, self.cp, self.cp_axis, name="self_attn"
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             positions,
@@ -280,6 +292,10 @@ class LlamaModel(nn.Module):
     # Sequence parallelism for the norm/elementwise regions between TP blocks
     # (prefill/scoring; requires tp_axis and T divisible by tp).
     sp: bool = False
+    # Context parallelism: ring attention over a sequence-sharded mesh axis
+    # (cache-free scoring/prefill path; tokens arrive seq-sharded).
+    cp: int = 1
+    cp_axis: Any = None
 
     @nn.compact
     def __call__(
@@ -313,7 +329,7 @@ class LlamaModel(nn.Module):
             cache_i = caches[i] if caches is not None else None
             x, nc = DecoderLayer(
                 cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-                self.sp, name=f"layers_{i}",
+                self.sp, self.cp, self.cp_axis, name=f"layers_{i}",
             )(x, positions, cache_i, advance)
             new_caches.append(nc)
 

@@ -1,6 +1,6 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, init_multihost, make_mesh
 from .shardings import cache_pspecs, params_pspecs, shard_params
-from .tp import build_tp_score, build_tp_step, make_tp_caches, tp_model
+from .tp import build_cp_score, build_tp_score, build_tp_step, make_tp_caches, tp_model
 
 __all__ = [
     "make_mesh",
@@ -13,5 +13,6 @@ __all__ = [
     "tp_model",
     "build_tp_step",
     "build_tp_score",
+    "build_cp_score",
     "make_tp_caches",
 ]

@@ -89,3 +89,34 @@ def make_tp_caches(
 ) -> Any:
     """Global-shape caches for a TP step (shard_map splits kv-head axis)."""
     return init_cache(cfg, batch, max_seq, kv_dtype=kv_dtype, tp=1)
+
+
+def build_cp_score(cfg: ModelConfig, mode: str, mesh, seq_axis: str = "seq",
+                   dtype=None):
+    """Context-parallel cache-free scoring: tokens seq-sharded over
+    ``seq_axis``, weights replicated, ring attention inside each layer
+    (models use cp/cp_axis). Returns jitted fn(params, tokens) -> logits
+    with tokens/logits seq-sharded global arrays.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    cp = mesh.shape[seq_axis]
+    model = LlamaModel(
+        cfg, mode=mode, dtype=dtype or jnp.bfloat16, cp=cp, cp_axis=seq_axis
+    )
+
+    @partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, seq_axis)),
+        out_specs=P(None, seq_axis),
+        check_vma=False,
+    )
+    def fwd(params, tokens_shard):
+        B, T_l = tokens_shard.shape
+        r = jax.lax.axis_index(seq_axis)
+        positions = r * T_l + jnp.broadcast_to(jnp.arange(T_l)[None], (B, T_l))
+        return model.apply(params, tokens_shard, positions)
+
+    return jax.jit(fwd)

@@ -124,3 +124,31 @@ def test_ulysses_attention_matches_full_causal():
 
     got = np.asarray(uly(q, k, v, positions))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@needs_8dev
+def test_model_level_cp_score_matches_single_device():
+    """Ring attention integrated in the model tier: seq-sharded scoring ==
+    single device (fp exact)."""
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.parallel import build_cp_score
+    from protoquant_tpu.parallel.mesh import Mesh as _unused  # noqa
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    single = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = single.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    tokens = jnp.asarray(
+        np.random.default_rng(11).integers(0, 128, (2, 32)), jnp.int32
+    )
+    ref = np.asarray(single.apply(params, tokens))
+
+    mesh = Mesh(np.asarray(jax.devices()[:CP]), ("seq",))
+    fwd = build_cp_score(cfg, "fp", mesh, "seq", dtype=jnp.float32)
+    with mesh:
+        got = np.asarray(fwd(params, tokens))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
