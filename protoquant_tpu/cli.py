@@ -2,7 +2,7 @@
 
   python -m protoquant_tpu.cli convert  --weights w.npz --config cfg.json --out ckpt/
   python -m protoquant_tpu.cli generate --ckpt ckpt/ --prompt-tokens 1,2,3 --max-new 32
-  python -m protoquant_tpu.cli bench    (delegates to bench.py at repo root)
+  python -m protoquant_tpu.cli serve    --ckpt ckpt/ --port 8199
 
 Weight sources are local files only (no network in scope): .npz / .safetensors
 with HF Llama names, converted via models.hf_import.
@@ -81,6 +81,48 @@ def cmd_generate(args):
     print(json.dumps({"request": rid, "tokens": out, "metrics": eng.metrics()}))
 
 
+def _load_engine(args):
+    from .engine import Engine, EngineConfig
+    from .models import LlamaModel
+    from .nn import quantize_params
+    from .utils.checkpoint import load_config, restore_checkpoint
+    from .utils.config import ModelConfig
+
+    meta = load_config(args.ckpt)
+    cfg = ModelConfig(**meta["model"])
+    mode = meta["quant"]["mode"]
+    model = LlamaModel(cfg, mode=mode)
+    fp_model = LlamaModel(cfg, mode="fp")
+    example = quantize_params(
+        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    )
+    params = restore_checkpoint(args.ckpt, example)
+    ecfg = EngineConfig(
+        max_batch_size=args.batch,
+        max_seq_len=args.max_seq,
+        temperature=args.temperature,
+    )
+    return Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
+
+
+def cmd_serve(args):
+    from .engine.server import EngineServer
+    from .utils.logging import get_logger
+
+    eng = _load_engine(args)
+    srv = EngineServer(eng, host=args.host, port=args.port).start()
+    log = get_logger()
+    log.info(f"serving on http://{args.host}:{srv.port} (POST /generate)")
+    import time
+
+    try:
+        while True:
+            time.sleep(10)
+            log.info("metrics: %s", eng.metrics())
+    except KeyboardInterrupt:
+        srv.stop()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("protoquant_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,6 +143,16 @@ def main(argv=None):
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--int8-kv", action="store_true", default=True)
     g.set_defaults(fn=cmd_generate)
+
+    sv = sub.add_parser("serve", help="HTTP serving frontend")
+    sv.add_argument("--ckpt", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8199)
+    sv.add_argument("--batch", type=int, default=8)
+    sv.add_argument("--max-seq", type=int, default=2048)
+    sv.add_argument("--temperature", type=float, default=0.0)
+    sv.add_argument("--int8-kv", action="store_true", default=True)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -176,3 +176,74 @@ def test_engine_eos_and_streaming(model_and_params):
     rid2 = eng2.add_request([1, 2, 3], 16, eos_id=eos)
     out2 = eng2.run()[rid2]
     assert out2[-1] == eos and len(out2) <= len(out)
+
+
+def test_http_server_end_to_end(model_and_params):
+    """HTTP frontend: concurrent /generate requests batch through the engine
+    and match direct engine outputs."""
+    import json
+    import threading
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    srv = EngineServer(eng, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert json.load(r)["ok"]
+
+        prompts = [[3, 17, 5, 9], [1, 2, 3], [9, 9, 1]]
+        results = {}
+
+        def call(i, p):
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"tokens": p, "max_new_tokens": 6}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.load(r)["tokens"]
+
+        threads = [threading.Thread(target=call, args=(i, p)) for i, p in enumerate(prompts)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+
+        for i, p in enumerate(prompts):
+            ref_eng = _engine(model, params, kv_dtype=jnp.float32)
+            rid = ref_eng.add_request(p, 6)
+            ref = ref_eng.run()[rid]
+            assert results[i] == ref, (i, results[i], ref)
+
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+            m = json.load(r)
+        assert m["tokens_generated"] >= 15
+    finally:
+        srv.stop()
+
+
+def test_http_server_bad_request(model_and_params):
+    import json
+    import urllib.error
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    srv = EngineServer(_engine(model, params, kv_dtype=jnp.float32), port=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=json.dumps({"max_new_tokens": 4}).encode(),  # no tokens
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
