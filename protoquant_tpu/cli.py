@@ -56,15 +56,16 @@ def cmd_generate(args):
     from .models import LlamaModel
     from .nn import quantize_params
     from .utils.checkpoint import load_config, restore_checkpoint
-    from .utils.config import ModelConfig
+    from .utils.config import ModelConfig, QuantConfig
 
     meta = load_config(args.ckpt)
     cfg = ModelConfig(**meta["model"])
-    mode = meta["quant"]["mode"]
-    model = LlamaModel(cfg, mode=mode)
+    qcfg = QuantConfig(**meta["quant"])
+    model = LlamaModel(cfg, mode=qcfg.mode)
     fp_model = LlamaModel(cfg, mode="fp")
     example = quantize_params(
-        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
+        qcfg,
     )
     params = restore_checkpoint(args.ckpt, example)
 
@@ -86,15 +87,16 @@ def _load_engine(args):
     from .models import LlamaModel
     from .nn import quantize_params
     from .utils.checkpoint import load_config, restore_checkpoint
-    from .utils.config import ModelConfig
+    from .utils.config import ModelConfig, QuantConfig
 
     meta = load_config(args.ckpt)
     cfg = ModelConfig(**meta["model"])
-    mode = meta["quant"]["mode"]
-    model = LlamaModel(cfg, mode=mode)
+    qcfg = QuantConfig(**meta["quant"])
+    model = LlamaModel(cfg, mode=qcfg.mode)
     fp_model = LlamaModel(cfg, mode="fp")
     example = quantize_params(
-        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
+        qcfg,
     )
     params = restore_checkpoint(args.ckpt, example)
     ecfg = EngineConfig(
@@ -130,7 +132,7 @@ def main(argv=None):
     c = sub.add_parser("convert", help="fp weights -> quantized checkpoint")
     c.add_argument("--weights", required=True)
     c.add_argument("--config", required=True, help="ModelConfig json")
-    c.add_argument("--mode", default="dynamic", choices=["dynamic", "weight_only"])
+    c.add_argument("--mode", default="dynamic", choices=["dynamic", "weight_only", "weight_only_int4"])
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
 
