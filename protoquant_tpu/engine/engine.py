@@ -124,7 +124,9 @@ class Engine:
             ps = self.cfg.page_size
             if self.cfg.max_seq_len % ps:
                 raise ValueError("max_seq_len must be a multiple of page_size")
-            num_pages = B * self.cfg.max_seq_len // ps
+            # +1: the pool's last page is the reserved trash page (writes
+            # through unmapped table entries land there; see paged_kv.py).
+            num_pages = B * self.cfg.max_seq_len // ps + 1
             mcfg = model.cfg
             self.caches = [
                 PagedInt8KVCache.init(
@@ -137,7 +139,7 @@ class Engine:
                 )
                 for _ in range(mcfg.num_hidden_layers)
             ]
-            self.allocator = PageAllocator(num_pages)
+            self.allocator = PageAllocator(num_pages - 1)  # trash page excluded
         else:
             self.caches = init_cache(
                 model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype

@@ -54,6 +54,9 @@ class PagedInt8KVCache:
 
     @classmethod
     def init(cls, batch, num_pages, max_pages_per_seq, page_size, kv_heads, head_dim):
+        """``num_pages`` INCLUDES one reserved trash page (the last index):
+        writes through unmapped page-table entries land there, so an idle
+        slot with a cleared table can never scribble into a live page."""
         return cls(
             kq=jnp.zeros((num_pages, kv_heads, page_size, head_dim), jnp.int8),
             ks=jnp.full((num_pages, kv_heads, 1, page_size), 1e-12, jnp.float32),
@@ -78,8 +81,13 @@ class PagedInt8KVCache:
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
 
         pos = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
-        page = jnp.take_along_axis(self.page_table, pos // ps, axis=1)  # [B, T]
-        page = jnp.maximum(page, 0)  # unmapped -> page 0; masked by lengths
+        page = jnp.take_along_axis(
+            self.page_table, jnp.minimum(pos // ps, self.page_table.shape[1] - 1), axis=1
+        )  # [B, T]
+        # Unmapped entries (-1: idle slots, retired requests) write to the
+        # reserved trash page — never into a page another request may own.
+        trash = self.kq.shape[0] - 1
+        page = jnp.where(page < 0, trash, page)
         off = pos % ps  # [B, T]
 
         k8, ks_new = quantize_kv(k)  # k8 [B,T,KV,Dh], ks_new [B,T,KV]
@@ -138,7 +146,14 @@ class PagedInt8KVCache:
         )
 
     def reset_slot(self, slot):
-        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+        """Retire a slot: zero its length AND unmap its page chain (the pages
+        are about to be freed and reallocated — a stale table entry would let
+        this idle slot's decode writes corrupt the next tenant)."""
+        return dataclasses.replace(
+            self,
+            lengths=self.lengths.at[slot].set(0),
+            page_table=self.page_table.at[slot].set(-1),
+        )
 
     # Slot views: the pools are batch-agnostic — only the table and lengths
     # are per-slot, so a B=1 view shares the pools (and a merge takes the

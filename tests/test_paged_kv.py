@@ -214,3 +214,39 @@ def test_paged_engine_with_pallas_kernel(model_and_params):
         kvmod.ATTENTION_BACKEND = prev
     for ra, rb in zip(rids, rids2):
         assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+
+def test_paged_no_stale_page_corruption(model_and_params):
+    """A finished request's slot must not scribble into pages reallocated to
+    a later request: retire A, admit B (reusing A's pages) while other slots
+    keep decoding; B's output must match a fresh engine."""
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=2, max_seq_len=32, page_size=16, prefill_chunk=16,
+        max_new_tokens=12, temperature=0.0,
+    )
+    long_prompt = [7, 8, 9, 10, 11]
+    short_prompt = [1, 2, 3]
+    late_prompt = [4, 5, 6, 7]
+
+    eng = Engine(model, params, cfg, kv_layout="paged")
+    r_long = eng.add_request(long_prompt, 12)   # keeps decoding throughout
+    r_short = eng.add_request(short_prompt, 2)  # finishes fast, frees pages
+    while not eng.slot_req[0] or not any(
+        r.rid == r_short and r.done for r in eng.finished
+    ):
+        eng.step()
+        if not eng.has_work():
+            break
+    # B is admitted into the freed slot/pages while r_long's (and the
+    # retired slot's) decode steps continue.
+    r_late = eng.add_request(late_prompt, 8)
+    outs = eng.run()
+
+    ref_eng = Engine(model, params, cfg, kv_layout="paged")
+    rr = ref_eng.add_request(late_prompt, 8)
+    ref = ref_eng.run()[rr]
+    assert outs[r_late] == ref, (outs[r_late], ref)
+
+    # And the reserved trash page really is outside the allocator's pool.
+    assert eng.allocator.num_pages == len(eng.caches[0].kq) - 1
