@@ -247,3 +247,10 @@ def test_http_server_bad_request(model_and_params):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_engine_rejects_oversized_prompt(model_and_params):
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="max_seq_len"):
+        eng.add_request(list(range(200)), 4)  # max_seq_len is 64
