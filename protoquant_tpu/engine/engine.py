@@ -175,16 +175,20 @@ class Engine:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens."""
         prompt = [int(t) for t in prompt_tokens]
-        if len(prompt) >= self.cfg.max_seq_len:
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) > self.cfg.max_seq_len:
             raise ValueError(
-                f"prompt length {len(prompt)} >= max_seq_len {self.cfg.max_seq_len}"
+                f"prompt length {len(prompt)} > max_seq_len {self.cfg.max_seq_len}"
             )
         rid = self._next_rid
         self._next_rid += 1
         req = Request(
             rid=rid,
             prompt=prompt,
-            max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+            max_new_tokens=(
+                self.cfg.max_new_tokens if max_new_tokens is None else max_new_tokens
+            ),
             eos_id=eos_id,
             on_token=on_token,
         )

@@ -60,7 +60,10 @@ class EngineServer:
                     eos_id = req.get("eos_id")
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
-                rid = outer.submit(tokens, max_new, eos_id)
+                try:
+                    rid = outer.submit(tokens, max_new, eos_id)
+                except ValueError as e:  # engine-side validation (length etc.)
+                    return self._json(400, {"error": str(e)})
                 out = outer.wait(rid, timeout=float(req.get("timeout_s", 300)))
                 if out is None:
                     return self._json(504, {"request": rid, "error": "timeout"})

@@ -254,3 +254,43 @@ def test_engine_rejects_oversized_prompt(model_and_params):
     eng = _engine(model, params, kv_dtype=jnp.float32)
     with pytest.raises(ValueError, match="max_seq_len"):
         eng.add_request(list(range(200)), 4)  # max_seq_len is 64
+
+
+def test_engine_edge_request_validation(model_and_params):
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="empty"):
+        eng.add_request([], 4)
+    # Exactly max_seq_len is allowed (full-context prefill, finishes at once).
+    rid = eng.add_request(list(range(1, 65)), 4)
+    outs = eng.run()
+    assert len(outs[rid]) >= 1
+    # max_new_tokens=0 means literally zero generated tokens... the prefill
+    # emits the first sampled token, which _maybe_finish retires immediately.
+    eng2 = _engine(model, params, kv_dtype=jnp.float32)
+    rid2 = eng2.add_request([1, 2, 3], 0)
+    outs2 = eng2.run()
+    assert len(outs2[rid2]) <= 1
+
+
+def test_http_server_oversized_prompt_returns_400(model_and_params):
+    import json
+    import urllib.error
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    srv = EngineServer(_engine(model, params, kv_dtype=jnp.float32), port=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=json.dumps({"tokens": list(range(200)), "max_new_tokens": 2}).encode(),
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
