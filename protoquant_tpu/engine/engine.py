@@ -52,28 +52,6 @@ def _bucket(n: int, chunk: int, lo: int = 16) -> int:
     return min(b, max(chunk, lo))
 
 
-@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
-def _prefill_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
-    """Prefill one request into cache slot ``slot``.
-
-    tokens: [1, Tpad] (right-padded); true_len scalar; slot scalar.
-    Returns (last_logits [V], caches).
-    """
-    sub = [
-        dataclasses.replace(c.slot_view(slot), lengths=jnp.zeros((1,), jnp.int32))
-        for c in caches
-    ]
-
-    Tpad = tokens.shape[1]
-    positions = jnp.arange(Tpad)[None, :]
-    logits, sub = model.apply(
-        params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
-    )
-
-    new_caches = [big.merge_slot(small, slot) for big, small in zip(caches, sub)]
-    return logits[0, true_len - 1], new_caches
-
-
 @partial(jax.jit, static_argnames=("model", "temperature", "top_k"), donate_argnums=(2,))
 def _decode_step(
     model: LlamaModel,
@@ -161,6 +139,7 @@ class Engine:
             "tokens_generated": 0,
             "prefills": 0,
             "step_times": deque(maxlen=256),
+            "prefill_times": deque(maxlen=256),
         }
 
     # -- request API -------------------------------------------------------
@@ -232,42 +211,36 @@ class Engine:
                 tokens = jnp.asarray(
                     [piece + [0] * (tpad - len(piece))], jnp.int32
                 )
-                if off == 0:
-                    last_logits, self.caches = _prefill_slot(
-                        self.model,
-                        self.params,
-                        self.caches,
-                        tokens,
-                        jnp.asarray(len(piece), jnp.int32),
-                        jnp.asarray(slot, jnp.int32),
-                    )
-                else:
-                    last_logits, self.caches = _extend_slot(
-                        self.model,
-                        self.params,
-                        self.caches,
-                        tokens,
-                        jnp.asarray(len(piece), jnp.int32),
-                        jnp.asarray(slot, jnp.int32),
-                    )
-            self._key, sub = jax.random.split(self._key)
-            first_tok = int(
-                sample(
-                    last_logits[None, :],
-                    sub,
-                    self.cfg.temperature,
-                    self.cfg.top_k,
-                )[0]
-            )
-            req.out.append(first_tok)
-            if req.on_token is not None:
-                req.on_token(req.rid, first_tok)
-            self.last_tokens = self.last_tokens.at[slot].set(first_tok)
+                # Admitted slots always have lengths==0 (init/reset_slot),
+                # so the first chunk is just an extend from position 0 — one
+                # jitted program per bucket, not two.
+                last_logits, self.caches = _extend_slot(
+                    self.model,
+                    self.params,
+                    self.caches,
+                    tokens,
+                    jnp.asarray(len(piece), jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                )
+            if req.max_new_tokens > 0:
+                self._key, sub = jax.random.split(self._key)
+                first_tok = int(
+                    sample(
+                        last_logits[None, :],
+                        sub,
+                        self.cfg.temperature,
+                        self.cfg.top_k,
+                    )[0]
+                )
+                req.out.append(first_tok)
+                if req.on_token is not None:
+                    req.on_token(req.rid, first_tok)
+                self.last_tokens = self.last_tokens.at[slot].set(first_tok)
             self.active[slot] = True
             self.slot_req[slot] = req
             self.stats["prefills"] += 1
             self._maybe_finish(slot)
-            self.stats["step_times"].append(time.perf_counter() - t0)
+            self.stats["prefill_times"].append(time.perf_counter() - t0)
 
     def _maybe_finish(self, slot: int):
         req = self.slot_req[slot]

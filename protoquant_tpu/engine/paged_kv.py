@@ -81,13 +81,16 @@ class PagedInt8KVCache:
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
 
         pos = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
+        page_idx = pos // ps
+        width = self.page_table.shape[1]
         page = jnp.take_along_axis(
-            self.page_table, jnp.minimum(pos // ps, self.page_table.shape[1] - 1), axis=1
+            self.page_table, jnp.minimum(page_idx, width - 1), axis=1
         )  # [B, T]
-        # Unmapped entries (-1: idle slots, retired requests) write to the
-        # reserved trash page — never into a page another request may own.
+        # Writes through unmapped entries (-1: idle/retired slots) AND writes
+        # beyond the table window (prefill pad tokens past max_seq) go to the
+        # reserved trash page — never into a live page.
         trash = self.kq.shape[0] - 1
-        page = jnp.where(page < 0, trash, page)
+        page = jnp.where((page < 0) | (page_idx >= width), trash, page)
         off = pos % ps  # [B, T]
 
         k8, ks_new = quantize_kv(k)  # k8 [B,T,KV,Dh], ks_new [B,T,KV]

@@ -4,9 +4,9 @@ Stdlib-only (no FastAPI in scope): a ThreadingHTTPServer accepts JSON
 requests and a single engine thread drives Engine.step() — requests enqueue
 from any number of client connections and batch together on the device.
 
-  POST /generate   {"tokens": [1,2,3], "max_new_tokens": 32,
-                    "eos_id": null, "temperature": 0.0}
+  POST /generate   {"tokens": [1,2,3], "max_new_tokens": 32, "eos_id": null}
       -> {"request": rid, "tokens": [...]}
+  (sampling temperature/top_k are engine-level EngineConfig settings)
   GET  /metrics    -> Engine.metrics() + health
   GET  /health     -> {"ok": true}
 """
@@ -58,7 +58,7 @@ class EngineServer:
                     tokens = [int(t) for t in req["tokens"]]
                     max_new = int(req.get("max_new_tokens", 32))
                     eos_id = req.get("eos_id")
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 try:
                     rid = outer.submit(tokens, max_new, eos_id)
@@ -88,7 +88,9 @@ class EngineServer:
         ev = self._events[rid]
         if not ev.wait(timeout):
             return None
-        return self._results.pop(rid)
+        with self._lock:
+            self._events.pop(rid, None)
+            return self._results.pop(rid)
 
     def _engine_loop(self):
         import time
@@ -98,8 +100,11 @@ class EngineServer:
                 has_work = self.engine.has_work()
                 if has_work:
                     self.engine.step()
-                    for req in list(self.engine.finished):
-                        if req.rid in self._events and req.rid not in self._results:
+                    # Drain finished requests (once each) so neither the
+                    # engine's finished list nor our maps grow unboundedly.
+                    while self.engine.finished:
+                        req = self.engine.finished.pop(0)
+                        if req.rid in self._events:
                             self._results[req.rid] = req.out
                             self._events[req.rid].set()
             if not has_work:

@@ -265,12 +265,11 @@ def test_engine_edge_request_validation(model_and_params):
     rid = eng.add_request(list(range(1, 65)), 4)
     outs = eng.run()
     assert len(outs[rid]) >= 1
-    # max_new_tokens=0 means literally zero generated tokens... the prefill
-    # emits the first sampled token, which _maybe_finish retires immediately.
+    # max_new_tokens=0 means literally zero generated tokens.
     eng2 = _engine(model, params, kv_dtype=jnp.float32)
     rid2 = eng2.add_request([1, 2, 3], 0)
     outs2 = eng2.run()
-    assert len(outs2[rid2]) <= 1
+    assert outs2[rid2] == []
 
 
 def test_http_server_oversized_prompt_returns_400(model_and_params):

@@ -250,3 +250,28 @@ def test_paged_no_stale_page_corruption(model_and_params):
 
     # And the reserved trash page really is outside the allocator's pool.
     assert eng.allocator.num_pages == len(eng.caches[0].kq) - 1
+
+
+def test_paged_prefill_pad_overflow_goes_to_trash(model_and_params):
+    """Prefill pad tokens past the window (bucket > max_seq remainder) must
+    not clamp into the slot's own last live page."""
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=2, max_seq_len=48, page_size=16, prefill_chunk=64,
+        max_new_tokens=4, temperature=0.0,
+    )
+    # prompt 44 + 4 new = 48 == max_seq; single chunk bucket = 64 > 48, so
+    # pad positions 44..63 overflow the 48-token window.
+    rng = np.random.default_rng(12)
+    prompt = list(map(int, rng.integers(1, 64, 44)))
+    eng = Engine(model, params, cfg, kv_layout="paged")
+    rid = eng.add_request(prompt, 4)
+    out = eng.run()[rid]
+
+    ref = list(
+        np.asarray(
+            greedy_generate(model, params, jnp.asarray([prompt], jnp.int32), 4, 48,
+                            kv_dtype=jnp.int8)
+        )[0]
+    )
+    assert out == ref, (out, ref)
