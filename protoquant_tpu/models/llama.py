@@ -89,6 +89,7 @@ class Attention(nn.Module):
     sp: bool = False  # sequence parallelism: x arrives token-sharded
     cp: int = 1  # context parallelism (ring attention over a seq-sharded axis)
     cp_axis: Any = None
+    int4_group: int = 128
 
     @nn.compact
     def __call__(
@@ -110,7 +111,10 @@ class Attention(nn.Module):
         H = cfg.num_attention_heads // self.tp
         KV = cfg.num_key_value_heads // self.tp
         Dh = cfg.head_dim
-        lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
+        lin = partial(
+            QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
+            int4_group=self.int4_group,
+        )
 
         # Shared dynamic rowquant: q/k/v read the same normed activation, so
         # quantize it once and feed all three int8 matmuls.
@@ -168,6 +172,7 @@ class Attention(nn.Module):
             dtype=self.dtype,
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
+            int4_group=self.int4_group,
             name="o_proj",
         )(out)
         return o, new_cache
@@ -203,12 +208,16 @@ class MLP(nn.Module):
     tp_axis: Any = None
     fused: bool = False
     sp: bool = False
+    int4_group: int = 128
 
     @nn.compact
     def __call__(self, x):
         if self.sp:
             x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
-        lin = partial(QLinear, mode=self.mode, use_bias=False, dtype=self.dtype)
+        lin = partial(
+            QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
+            int4_group=self.int4_group,
+        )
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
         preq = None
         if self.mode == "dynamic":
@@ -235,6 +244,7 @@ class MLP(nn.Module):
             dtype=self.dtype,
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
+            int4_group=self.int4_group,
             name="down_proj",
         )(h)
 
@@ -249,12 +259,13 @@ class DecoderLayer(nn.Module):
     sp: bool = False
     cp: int = 1
     cp_axis: Any = None
+    int4_group: int = 128
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None):
         h, new_cache = Attention(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            self.sp, self.cp, self.cp_axis, name="self_attn"
+            self.sp, self.cp, self.cp_axis, self.int4_group, name="self_attn"
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             positions,
@@ -264,7 +275,7 @@ class DecoderLayer(nn.Module):
         x = x + h
         h = MLP(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            self.sp, name="mlp",
+            self.sp, self.int4_group, name="mlp",
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
         )
@@ -296,6 +307,8 @@ class LlamaModel(nn.Module):
     # (cache-free scoring/prefill path; tokens arrive seq-sharded).
     cp: int = 1
     cp_axis: Any = None
+    # int4 quantization-group size (match QuantConfig.int4_group at convert).
+    int4_group: int = 128
 
     @nn.compact
     def __call__(
@@ -329,7 +342,8 @@ class LlamaModel(nn.Module):
             cache_i = caches[i] if caches is not None else None
             x, nc = DecoderLayer(
                 cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-                self.sp, self.cp, self.cp_axis, name=f"layers_{i}",
+                self.sp, self.cp, self.cp_axis, self.int4_group,
+                name=f"layers_{i}",
             )(x, positions, cache_i, advance)
             new_caches.append(nc)
 
@@ -346,6 +360,7 @@ class LlamaModel(nn.Module):
             mode=self.mode,
             use_bias=False,
             dtype=self.dtype,
+            int4_group=self.int4_group,
             name="lm_head",
         )(x)
         if self.tp_axis is not None:

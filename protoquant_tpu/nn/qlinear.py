@@ -80,6 +80,9 @@ class QLinear(nn.Module):
     # the token axis (axis 1 of [B, T, N]) so the output returns to the
     # token-sharded layout of the surrounding norm region (SURVEY.md §2.2 SP).
     scatter_tokens: bool = False
+    # Quantization-group size for mode="weight_only_int4" (must match the
+    # QuantConfig used at conversion; under TP it must divide K/tp).
+    int4_group: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, prequantized=None) -> jnp.ndarray:
@@ -151,7 +154,10 @@ class QLinear(nn.Module):
             qkernel = self.param(
                 "qkernel",
                 _qtensor4_init(
-                    self.kernel_init, (in_features, self.features), self.param_dtype
+                    self.kernel_init,
+                    (in_features, self.features),
+                    self.param_dtype,
+                    self.int4_group,
                 ),
             )
             wo4 = (

@@ -34,31 +34,21 @@ def _ring_perm(tp: int):
 
 
 def collective_matmul_reduce_scatter(
-    x: jnp.ndarray,
-    chunk_matmul: Callable[[int], jnp.ndarray],
-    axis: str,
-    tp: int,
+    chunk_matmul: Callable, axis: str, tp: int
 ):
     """Generic ring reduce-scatter matmul.
 
     chunk_matmul(c) must return the local partial product for output chunk c
-    (shape [..., N/tp]). Returns this device's fully-reduced chunk
+    (shape [..., N/tp]); c is a traced chunk index (dynamic_slice handles it
+    with static sizes). Returns this device's fully-reduced chunk
     (== psum(full_local_product)[..., my_chunk]).
     """
     d = jax.lax.axis_index(axis)
-    e0 = (d - 1) % tp
-    acc = _select_chunk_matmul(chunk_matmul, e0, tp)
+    acc = chunk_matmul((d - 1) % tp)
     for s in range(1, tp):
         acc = jax.lax.ppermute(acc, axis, _ring_perm(tp))
-        e = (d - 1 - s) % tp
-        acc = acc + _select_chunk_matmul(chunk_matmul, e, tp)
+        acc = acc + chunk_matmul((d - 1 - s) % tp)
     return acc
-
-
-def _select_chunk_matmul(chunk_matmul, e, tp):
-    """Chunk index e is traced (depends on axis_index); dispatch via switch
-    so every branch is a statically-shaped chunk matmul."""
-    return jax.lax.switch(e, [lambda c=c: chunk_matmul(c) for c in range(tp)])
 
 
 def qmatmul_reduce_scatter(
@@ -88,7 +78,7 @@ def qmatmul_reduce_scatter(
             xq, wq_c, s_x, sw_c, out_dtype=jnp.float32, interpret=interpret
         )
 
-    out = collective_matmul_reduce_scatter(x, chunk, axis, tp)
+    out = collective_matmul_reduce_scatter(chunk, axis, tp)
     return out.astype(out_dtype)
 
 

@@ -43,6 +43,22 @@ def _partials(q, k, v, mask):
     return o_hat, m, l
 
 
+def _partials_scaled(q, k, v, ks, vs, mask):
+    """_partials with per-key scales factorized out of the dots.
+
+    k/v are bare int8 casts; ks/vs [B, KV, S] multiply scores/probs once.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("btkgd,bksd->bkgts", q, k) / jnp.sqrt(dh)
+    scores = scores * ks[:, :, None, None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o_hat = jnp.einsum("bkgts,bksd->bkgtd", p * vs[:, :, None, None, :], v)
+    return o_hat, m, l
+
+
 def _merge_two(a, b):
     """Merge two (o_hat, m, l) partial triples."""
     o1, m1, l1 = a
@@ -74,16 +90,19 @@ def cp_int8_attend_decode(q, kq, ks, vq, vs, global_lengths, axis):
     s_local = kq.shape[2]
     r = jax.lax.axis_index(axis)
 
+    # Rank-1 scale factorization (same exact form as int8_kv_attention_xla):
+    # the int8 payload hits the dots as a bare cast; the [S]-scales touch the
+    # scores/probs once — no elementwise f32 dequant copy of the shard.
     qf = q.reshape(B, T, KV, G, Dh).astype(jnp.float32)
-    kf = kq.astype(jnp.float32) * ks[..., None]
-    vf = vq.astype(jnp.float32) * vs[..., None]
+    kf = kq.astype(jnp.float32)
+    vf = vq.astype(jnp.float32)
 
     # Global key positions of this shard's slots.
     s_pos = r * s_local + jnp.arange(s_local)
     t_pos = global_lengths[:, None] + jnp.arange(T)[None, :]
     mask = s_pos[None, None, None, None, :] <= t_pos[:, None, None, :, None]
 
-    o_hat, m, l = _partials(qf, kf, vf, mask)
+    o_hat, m, l = _partials_scaled(qf, kf, vf, ks, vs, mask)
 
     # Log-sum-exp merge across shards (a fully-masked shard contributes
     # m=NEG_INF, exp(m-mg)=0 — harmless).

@@ -44,15 +44,25 @@ def _param_spec(path, leaf) -> P:
     names = _path_names(path)
     joined = "/".join(names)
     is_scale = names and names[-1] == "scale"
+    is_bias = names and names[-1] == "bias"
+    ndim = getattr(leaf, "ndim", None)
     if any(f"/{p}/" in f"/{joined}/" for p in COLUMN_PARALLEL):
         if is_scale:
+            if ndim == 2:  # int4 group-wise scale [K/group, N]: shard N
+                return P(None, MODEL_AXIS)
             return P(MODEL_AXIS)  # per-output-channel scale shards with N
+        if is_bias:
+            return P(MODEL_AXIS)  # bias follows the sharded output features
         return P(None, MODEL_AXIS)  # kernel/qkernel.data [K, N] split N
     if any(f"/{p}/" in f"/{joined}/" for p in ROW_PARALLEL):
         if is_scale:
+            if ndim == 2:  # int4 scale [K/group, N]: group rows shard with K
+                return P(MODEL_AXIS, None)
             return P()  # output-channel scales replicate for row-parallel
+        if is_bias:
+            return P()  # added after the all-reduce on the full output
         return P(MODEL_AXIS, None)  # [K, N] split K
-    return P()  # embeddings, norms, biases: replicated
+    return P()  # embeddings, norms: replicated
 
 
 def params_pspecs(params) -> Any:

@@ -29,7 +29,8 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 from .shardings import cache_pspecs, params_pspecs
 
 
-def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False) -> LlamaModel:
+def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False,
+             int4_group: int = 128) -> LlamaModel:
     """The TP-aware model for a mesh: head/feature dims divided by tp.
     ``sp`` additionally token-shards the norm/elementwise regions between TP
     blocks (sequence parallelism; prefill/scoring path)."""
@@ -38,7 +39,7 @@ def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False) ->
     tp = mesh.shape[MODEL_AXIS]
     return LlamaModel(
         cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS,
-        sp=sp,
+        sp=sp, int4_group=int4_group,
     )
 
 

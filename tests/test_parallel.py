@@ -164,3 +164,28 @@ def test_sequence_parallel_score_matches_single_device(fp_setup):
     with mesh:
         got = np.asarray(build_tp_score(model_sp, mesh, params)(sparams, tokens))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+@needs_8dev
+def test_tp_int4_weight_only_matches_single_device(fp_setup):
+    """int4 + TP: group-wise 2D scales shard correctly in both parallel
+    orientations (column: N; row: group rows with K)."""
+    from protoquant_tpu.utils.config import QuantConfig
+
+    single_model, fp_params = fp_setup
+    qparams = quantize_params(fp_params, QuantConfig(mode="weight_only_int4", int4_group=16))
+    tokens = jnp.asarray(
+        np.random.default_rng(13).integers(0, CFG.vocab_size, (2, 8)), jnp.int32
+    )
+    ref = np.asarray(
+        LlamaModel(CFG, mode="weight_only_int4", dtype=jnp.float32, int4_group=16).apply(
+            qparams, tokens
+        )
+    )
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+    model_tp = tp_model(CFG, "weight_only_int4", mesh, dtype=jnp.float32, int4_group=16)
+    sparams = shard_params(qparams, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, qparams)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
