@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from .llama import LlamaModel, init_cache
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
 def _prefill(model: LlamaModel, params, tokens, caches):
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
@@ -23,7 +23,7 @@ def _prefill(model: LlamaModel, params, tokens, caches):
     return logits[:, -1], caches
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
 def _decode_step(model: LlamaModel, params, token, caches):
     """token: [B, 1]; one incremental step."""
     positions = caches[0].lengths[:, None]
@@ -41,6 +41,8 @@ def greedy_generate(
 ):
     """Greedy decode; returns [B, max_new_tokens] generated ids."""
     B, T = prompt.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32)
     max_seq = max_seq or (T + max_new_tokens)
     caches = init_cache(model.cfg, B, max_seq, kv_dtype=kv_dtype)
     last_logits, caches = _prefill(model, params, prompt, caches)

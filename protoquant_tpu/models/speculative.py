@@ -25,7 +25,7 @@ import numpy as np
 from .llama import LlamaModel, init_cache
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
 def _prefill(model, params, tokens, caches):
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
@@ -33,14 +33,14 @@ def _prefill(model, params, tokens, caches):
     return logits[:, -1], caches
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
 def _decode_one(model, params, token, caches):
     positions = caches[0].lengths[:, None]
     logits, caches = model.apply(params, token, positions, caches)
     return logits[:, -1], caches
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(3,))
 def _score_window(model, params, window, caches):
     """Score a [1, T] window against the cache WITHOUT advancing lengths.
 

@@ -30,7 +30,9 @@ def _build() -> str | None:
             )
             return _SO
         except Exception:
-            return None
+            # No toolchain (or build failure): a previously-built library is
+            # still valid — prefer it over the Python fallback.
+            return _SO if os.path.exists(_SO) else None
 
 
 _lib = None

@@ -81,7 +81,9 @@ def quantized_bytes(params: Any) -> int:
 
     def visit(x):
         nonlocal total
-        if isinstance(x, QTensor):
+        if hasattr(x, "nbytes") and callable(getattr(x, "nbytes")) and not isinstance(
+            x, jnp.ndarray
+        ):  # QTensor / QTensor4
             total += x.nbytes()
         elif isinstance(x, jnp.ndarray):
             total += x.size * x.dtype.itemsize

@@ -18,6 +18,14 @@ import jax.numpy as jnp
 
 
 def _fuse_kernels(subtrees: list, name: str) -> dict:
+    for t in subtrees:
+        extra = set(t.keys()) - {"kernel"}
+        if extra:
+            raise ValueError(
+                f"fuse_projections({name}): cannot fuse layers with extra "
+                f"params {sorted(extra)} (e.g. biases) — fused QLinears are "
+                "bias-free"
+            )
     kernels = [t["kernel"] for t in subtrees]
     return {"kernel": jnp.concatenate(kernels, axis=1)}
 

@@ -27,10 +27,15 @@ OVERLAP_XLA_FLAGS = (
 
 
 def enable_overlap_flags():
-    """Append collective-overlap flags to XLA_FLAGS (call before jax use)."""
+    """Append collective-overlap flags to XLA_FLAGS (call before jax use).
+
+    Existing flags win: a flag is only appended if its exact name is not
+    already present (name comparison, not substring — flag names prefix each
+    other)."""
     flags = os.environ.get("XLA_FLAGS", "")
+    existing = {f.split("=")[0] for f in flags.split() if f}
     for f in OVERLAP_XLA_FLAGS.split():
-        if f.split("=")[0] not in flags:
+        if f.split("=")[0] not in existing:
             flags = f"{flags} {f}".strip()
     os.environ["XLA_FLAGS"] = flags
 
