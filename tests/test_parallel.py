@@ -189,3 +189,35 @@ def test_tp_int4_weight_only_matches_single_device(fp_setup):
     with mesh:
         got = np.asarray(build_tp_score(model_tp, mesh, qparams)(sparams, tokens))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+@needs_8dev
+@pytest.mark.parametrize("mode", ["fp", "weight_only"])
+def test_pipeline_parallel_score_matches_single_device(mode):
+    """GPipe-style 2-stage pipeline (stacked-layer stages, microbatch ring)
+    == single device."""
+    from jax.sharding import Mesh
+    from protoquant_tpu.parallel.pipeline import build_pp_score, stack_layer_params
+    from protoquant_tpu.utils.config import QuantConfig
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    single = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = single.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    if mode != "fp":
+        params = quantize_params(params, QuantConfig(mode=mode))
+        single = LlamaModel(cfg, mode=mode, dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 128, (4, 16)), jnp.int32
+    )
+    ref = np.asarray(single.apply(params, tokens))
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    sp = stack_layer_params(params, 4)
+    fwd = build_pp_score(cfg, mode, mesh, sp, dtype=jnp.float32)
+    with mesh:
+        got = np.asarray(fwd(sp, tokens))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
