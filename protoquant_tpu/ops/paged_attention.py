@@ -93,33 +93,32 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "page_size", "interpret", "out_dtype")
+    jax.jit, static_argnames=("page_size", "interpret", "out_dtype")
 )
 def _paged_attend(
-    q, kq, ks4, vq, vs4, page_table, lengths, *, group, page_size, interpret, out_dtype
+    q, kq, ks4, vq, vs4, page_table, lengths, *, page_size, interpret, out_dtype
 ):
     B, KV, G, Dh = q.shape
     maxP = page_table.shape[1]
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
-    pt = jnp.maximum(page_table, 0).astype(jnp.int32)  # clamp unmapped -> 0
+    # Raw table (−1 markers intact) goes to the kernel for the mapped check;
+    # the index maps clamp only for the DMA address, and reuse the previous
+    # page index beyond the window so Pallas elides the dead fetches.
+    pt = page_table.astype(jnp.int32)
+
+    def page_index(b, h, j, pt, ln):
+        j_eff = jnp.minimum(j, jnp.maximum(ln[b, 0], 0) // page_size)
+        return (jnp.maximum(pt[b, j_eff], 0), h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, KV, maxP),
         in_specs=[
             pl.BlockSpec((1, 1, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, page_size, Dh), lambda b, h, j, pt, ln: (pt[b, j], h, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, page_size), lambda b, h, j, pt, ln: (pt[b, j], h, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, page_size, Dh), lambda b, h, j, pt, ln: (pt[b, j], h, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, page_size), lambda b, h, j, pt, ln: (pt[b, j], h, 0, 0)
-            ),
+            pl.BlockSpec((1, 1, page_size, Dh), page_index),
+            pl.BlockSpec((1, 1, 1, page_size), page_index),
+            pl.BlockSpec((1, 1, page_size, Dh), page_index),
+            pl.BlockSpec((1, 1, 1, page_size), page_index),
         ],
         out_specs=pl.BlockSpec((1, 1, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
         scratch_shapes=[
@@ -166,6 +165,6 @@ def paged_int8_attention(
     qh = q.reshape(B, KV, G, Dh)
     out = _paged_attend(
         qh, kq, ks, vq, vs, page_table, lengths,
-        group=G, page_size=ps, interpret=interpret, out_dtype=q.dtype,
+        page_size=ps, interpret=interpret, out_dtype=q.dtype,
     )
     return out.reshape(B, 1, H, Dh)

@@ -90,6 +90,8 @@ def build_pp_score(
     )
     def fwd(params, tokens):
         B, T = tokens.shape
+        if B % M:
+            raise ValueError(f"batch {B} must divide into {M} microbatches")
         mbB = B // M
         r = jax.lax.axis_index(pipe_axis)
         rest = params["rest"]
@@ -109,39 +111,41 @@ def build_pp_score(
             {"params": rest["embed_tokens"]}, tokens.reshape(M, mbB, T)
         )  # [M, mbB, T, D]
 
-        out_buf = jnp.zeros((M, mbB, T, cfg.vocab_size), jnp.float32)
+        # Collect HIDDEN states during the ring (D-wide, not V-wide) and run
+        # norm+lm_head once per microbatch after the scan — the head matmul
+        # runs M times total instead of (M+P-1) times per stage, and the
+        # final broadcast moves D-wide activations instead of logits.
+        h_buf = jnp.zeros((M, mbB, T, cfg.hidden_size), dtype)
         buf = jnp.zeros((mbB, T, cfg.hidden_size), dtype)
         perm = [(i, (i + 1) % P_size) for i in range(P_size)]
 
         def step(carry, t):
-            buf, out_buf = carry
+            buf, h_buf = carry
             m_in = t - r  # microbatch index entering this stage at step t
             fresh = embeds[jnp.clip(m_in, 0, M - 1)]
             x_in = jnp.where(r == 0, fresh.astype(dtype), buf)
             y = run_stage(x_in)
 
-            # The last stage finishes microbatch m_in: norm + lm_head.
-            h = norm_mod.apply({"params": rest["norm"]}, y)
-            logits = head_mod.apply({"params": rest["lm_head"]}, h).astype(jnp.float32)
             valid = (m_in >= 0) & (m_in < M) & (r == P_size - 1)
-            out_buf = jnp.where(
-                valid,
-                jax.lax.dynamic_update_index_in_dim(
-                    out_buf, logits, jnp.clip(m_in, 0, M - 1), 0
-                ),
-                out_buf,
-            )
+            slot = jnp.clip(m_in, 0, M - 1)
+            # Mask the written slice, not the whole buffer.
+            cur = jax.lax.dynamic_index_in_dim(h_buf, slot, 0, keepdims=False)
+            write = jnp.where(valid, y, cur)
+            h_buf = jax.lax.dynamic_update_index_in_dim(h_buf, write, slot, 0)
 
             buf = jax.lax.ppermute(y, pipe_axis, perm)
-            return (buf, out_buf), None
+            return (buf, h_buf), None
 
-        (buf, out_buf), _ = jax.lax.scan(
-            step, (buf, out_buf), jnp.arange(M + P_size - 1)
+        (buf, h_buf), _ = jax.lax.scan(
+            step, (buf, h_buf), jnp.arange(M + P_size - 1)
         )
 
-        # Only the last stage holds real logits; broadcast with one psum.
-        mask = (r == P_size - 1).astype(jnp.float32)
-        out = jax.lax.psum(out_buf * mask, pipe_axis)
-        return out.reshape(B, T, cfg.vocab_size)
+        # Broadcast the last stage's hidden states with one psum, then every
+        # stage computes the (replicated) head locally.
+        mask = (r == P_size - 1).astype(dtype)
+        h_all = jax.lax.psum(h_buf * mask, pipe_axis)
+        h = norm_mod.apply({"params": rest["norm"]}, h_all)
+        logits = head_mod.apply({"params": rest["lm_head"]}, h).astype(jnp.float32)
+        return logits.reshape(B, T, cfg.vocab_size)
 
     return jax.jit(fwd)
