@@ -60,8 +60,8 @@ def _decode_step(
     last_tokens,  # [B] int32
     active,  # [B] bool
     key,
-    temperature: float,
-    top_k: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
 ):
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
@@ -85,12 +85,27 @@ class Engine:
         kv_layout: str = "dense",  # "dense" | "paged"
         debug_checks: bool = False,  # NaN/Inf detection per step (syncs)
         step_budget_s: float = 300.0,  # watchdog threshold
+        mesh=None,  # optional (data=1, model=tp) mesh: TP serving (model must
+        #            be built via parallel.tp_model; params sharded)
     ):
         self.model = model
         self.params = params
         self.cfg = config or EngineConfig()
         self.kv_dtype = kv_dtype
         self.kv_layout = kv_layout
+        self.mesh = mesh
+        if mesh is not None:
+            if kv_layout == "paged":
+                raise NotImplementedError("paged layout + mesh: use dense KV")
+            from ..parallel.mesh import DATA_AXIS
+
+            if mesh.shape[DATA_AXIS] != 1:
+                raise NotImplementedError("TP engine serves one replica (dp=1)")
+            self._tp_fns = _build_tp_engine_fns(model, mesh)
+            self._tp_fns["state"]["temperature"] = (config or EngineConfig()).temperature
+            self._tp_fns["state"]["top_k"] = (config or EngineConfig()).top_k
+        else:
+            self._tp_fns = None
         B = self.cfg.max_batch_size
         if kv_layout == "paged":
             # Paged INT8 layout: one pool sized for the full budget, requests
@@ -120,8 +135,19 @@ class Engine:
             self.allocator = PageAllocator(num_pages - 1)  # trash page excluded
         else:
             self.caches = init_cache(
-                model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype
+                model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype,
             )
+            if mesh is not None:
+                from ..parallel.shardings import cache_pspecs
+
+                from jax.sharding import NamedSharding
+
+                specs = cache_pspecs(self.caches)
+                self.caches = jax.tree_util.tree_map(
+                    lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+                    self.caches,
+                    specs,
+                )
             self.allocator = None
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
@@ -214,8 +240,11 @@ class Engine:
                 # Admitted slots always have lengths==0 (init/reset_slot),
                 # so the first chunk is just an extend from position 0 — one
                 # jitted program per bucket, not two.
-                last_logits, self.caches = _extend_slot(
-                    self.model,
+                extend = (
+                    self._tp_fns["extend"] if self._tp_fns is not None
+                    else partial(_extend_slot, self.model)
+                )
+                last_logits, self.caches = extend(
                     self.params,
                     self.caches,
                     tokens,
@@ -272,15 +301,17 @@ class Engine:
             return
         active = jnp.asarray(self.active)
         self._key, sub = jax.random.split(self._key)
-        next_tokens, self.caches = _decode_step(
-            self.model,
-            self.params,
-            self.caches,
-            self.last_tokens,
-            active,
-            sub,
-            self.cfg.temperature,
-            self.cfg.top_k,
+        decode = (
+            self._tp_fns["decode"] if self._tp_fns is not None
+            else partial(
+                _decode_step,
+                self.model,
+                temperature=self.cfg.temperature,
+                top_k=self.cfg.top_k,
+            )
+        )
+        next_tokens, self.caches = decode(
+            self.params, self.caches, self.last_tokens, active, sub,
         )
         self.last_tokens = next_tokens
         if self.debug_checks:
@@ -353,6 +384,94 @@ def _cache_probe(cache):
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
 def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
     """Continue prefilling a slot that already holds context (chunk 2+)."""
+    sub = [c.slot_view(slot) for c in caches]
+    Tpad = tokens.shape[1]
+    start = sub[0].lengths[0]
+    positions = start + jnp.arange(Tpad)[None, :]
+    max_pos = model.cfg.max_position_embeddings - 1
+    positions = jnp.minimum(positions, max_pos)
+    logits, sub = model.apply(
+        params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
+    )
+    new_caches = [big.merge_slot(small, slot) for big, small in zip(caches, sub)]
+    return logits[0, true_len - 1], new_caches
+
+
+def _build_tp_engine_fns(model: LlamaModel, mesh):
+    """shard_map-wrapped prefill-extend and decode steps for a TP engine
+    (one replica: data axis size 1, model axis = tp)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    from ..parallel.shardings import cache_pspecs, params_pspecs
+
+    fns = {}
+    state = {}
+
+    def _specs(params, caches):
+        key = "built"
+        if key not in state:
+            state[key] = (params_pspecs(params), cache_pspecs(caches))
+        return state[key]
+
+    def extend(params, caches, tokens, true_len, slot):
+        pspecs, cspecs = _specs(params, caches)
+
+        if "extend" not in state:
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, P(), P(), P()),
+                out_specs=(P(), cspecs),
+                check_vma=False,
+            )
+            def _extend(params, caches, tokens, true_len, slot):
+                return _extend_slot_body(model, params, caches, tokens, true_len, slot)
+
+            state["extend"] = jax.jit(_extend, donate_argnums=(1,))
+        return state["extend"](params, caches, tokens, true_len, slot)
+
+    def decode(params, caches, last_tokens, active, key):
+        pspecs, cspecs = _specs(params, caches)
+        if "decode" not in state:
+            temperature = state.get("temperature", 0.0)
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, P(), P(), P()),
+                out_specs=(P(), cspecs),
+                check_vma=False,
+            )
+            def _decode(params, caches, last_tokens, active, key):
+                max_pos = model.cfg.max_position_embeddings - 1
+                positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
+                advance = active.astype(jnp.int32)
+                logits, caches = model.apply(
+                    params, last_tokens[:, None], positions, caches, advance=advance
+                )
+                next_tokens = sample(
+                    logits[:, -1], key, state.get("temperature", 0.0),
+                    state.get("top_k", 0),
+                )
+                return next_tokens, caches
+
+            state["decode"] = jax.jit(_decode, donate_argnums=(1,))
+        return state["decode"](params, caches, last_tokens, active, key)
+
+    fns["extend"] = extend
+    fns["decode"] = decode
+    fns["state"] = state
+    return fns
+
+
+def _extend_slot_body(model, params, caches, tokens, true_len, slot):
+    """The un-jitted body of _extend_slot (shared with the TP wrapper)."""
     sub = [c.slot_view(slot) for c in caches]
     Tpad = tokens.shape[1]
     start = sub[0].lengths[0]

@@ -221,3 +221,31 @@ def test_pipeline_parallel_score_matches_single_device(mode):
     with mesh:
         got = np.asarray(fwd(sp, tokens))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+@needs_8dev
+def test_tp_engine_matches_single_device_engine(fp_setup):
+    """Continuous-batching engine on a (1, tp=4) mesh == plain engine
+    (fp mode exact; sharded weights + sharded int8... here fp32 KV)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+        max_new_tokens=6, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11]]
+
+    ref_eng = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    ref_rids = [ref_eng.add_request(p, 6) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh)
+        rids = [eng.add_request(p, 6) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
