@@ -42,6 +42,9 @@ class Request:
     pages: list = dataclasses.field(default_factory=list)  # paged layout
     eos_id: "int | None" = None  # per-request stop token
     on_token: "object" = None  # optional callback(rid, token) for streaming
+    prefill_off: int = 0  # tokens of the prompt already prefetched into KV
+    last_logits: "object" = None  # final-position logits of the last chunk
+    t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -52,7 +55,11 @@ def _bucket(n: int, chunk: int, lo: int = 16) -> int:
     return min(b, max(chunk, lo))
 
 
-@partial(jax.jit, static_argnames=("model", "temperature", "top_k"), donate_argnums=(2,))
+@partial(
+    jax.jit,
+    static_argnames=("model", "temperature", "top_k", "top_p"),
+    donate_argnums=(2,),
+)
 def _decode_step(
     model: LlamaModel,
     params,
@@ -62,6 +69,7 @@ def _decode_step(
     key,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
 ):
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
@@ -69,7 +77,7 @@ def _decode_step(
     logits, caches = model.apply(
         params, last_tokens[:, None], positions, caches, advance=advance
     )
-    next_tokens = sample(logits[:, -1], key, temperature, top_k)
+    next_tokens = sample(logits[:, -1], key, temperature, top_k, top_p)
     return next_tokens, caches
 
 
@@ -102,8 +110,6 @@ class Engine:
             if mesh.shape[DATA_AXIS] != 1:
                 raise NotImplementedError("TP engine serves one replica (dp=1)")
             self._tp_fns = _build_tp_engine_fns(model, mesh)
-            self._tp_fns["state"]["temperature"] = (config or EngineConfig()).temperature
-            self._tp_fns["state"]["top_k"] = (config or EngineConfig()).top_k
         else:
             self._tp_fns = None
         B = self.cfg.max_batch_size
@@ -153,6 +159,7 @@ class Engine:
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
         self.waiting: deque[Request] = deque()
+        self.prefilling: deque[Request] = deque()
         self.finished: list[Request] = []
         self._next_rid = 0
         self._key = jax.random.PRNGKey(self.cfg.seed)
@@ -201,13 +208,18 @@ class Engine:
         return rid
 
     def has_work(self) -> bool:
-        return bool(self.waiting) or any(self.active)
+        return bool(self.waiting) or bool(self.prefilling) or any(self.active)
 
     # -- engine loop -------------------------------------------------------
 
-    def _admit(self):
+    def _assign_slots(self):
+        """Move waiting requests into free slots (and reserve their KV pages).
+
+        Slot occupancy is ``slot_req[slot] is not None`` — a slot is held from
+        assignment through retirement, including the ticks it spends
+        mid-prefill (``active`` only flips once the prompt is fully in KV)."""
         for slot in range(self.cfg.max_batch_size):
-            if self.active[slot] or not self.waiting:
+            if self.slot_req[slot] is not None or not self.waiting:
                 continue
             req = self.waiting[0]
             if self.allocator is not None:
@@ -224,52 +236,64 @@ class Engine:
                 self.caches = [c.map_slot(slot, pages) for c in self.caches]
             self.waiting.popleft()
             req.slot = slot
-            t0 = time.perf_counter()
-            # Chunked prefill: long prompts stream through in prefill_chunk
-            # pieces so a single huge prompt can't stall the decode tick
-            # unboundedly (SURVEY.md §5.7).
-            chunk = self.cfg.prefill_chunk
-            prompt = req.prompt
-            last_logits = None
-            for off in range(0, len(prompt), chunk):
-                piece = prompt[off : off + chunk]
-                tpad = _bucket(len(piece), chunk)
-                tokens = jnp.asarray(
-                    [piece + [0] * (tpad - len(piece))], jnp.int32
-                )
-                # Admitted slots always have lengths==0 (init/reset_slot),
-                # so the first chunk is just an extend from position 0 — one
-                # jitted program per bucket, not two.
-                extend = (
-                    self._tp_fns["extend"] if self._tp_fns is not None
-                    else partial(_extend_slot, self.model)
-                )
-                last_logits, self.caches = extend(
-                    self.params,
-                    self.caches,
-                    tokens,
-                    jnp.asarray(len(piece), jnp.int32),
-                    jnp.asarray(slot, jnp.int32),
-                )
-            if req.max_new_tokens > 0:
-                self._key, sub = jax.random.split(self._key)
-                first_tok = int(
-                    sample(
-                        last_logits[None, :],
-                        sub,
-                        self.cfg.temperature,
-                        self.cfg.top_k,
-                    )[0]
-                )
-                req.out.append(first_tok)
-                if req.on_token is not None:
-                    req.on_token(req.rid, first_tok)
-                self.last_tokens = self.last_tokens.at[slot].set(first_tok)
-            self.active[slot] = True
+            req.t_admit = time.perf_counter()
             self.slot_req[slot] = req
-            self.stats["prefills"] += 1
-            self._maybe_finish(slot)
-            self.stats["prefill_times"].append(time.perf_counter() - t0)
+            self.prefilling.append(req)
+
+    def _prefill_tick(self):
+        """Run ONE prefill chunk of the oldest mid-prefill request.
+
+        This is the interleaving contract (SURVEY.md §5.7): a long prompt
+        streams through in prefill_chunk pieces across consecutive ticks,
+        so slots that are already decoding emit a token between every pair of
+        chunks — their inter-token gap is bounded by one chunk, not by the
+        whole prompt."""
+        req = self.prefilling[0]
+        slot = req.slot
+        chunk = self.cfg.prefill_chunk
+        piece = req.prompt[req.prefill_off : req.prefill_off + chunk]
+        tpad = _bucket(len(piece), chunk)
+        tokens = jnp.asarray([piece + [0] * (tpad - len(piece))], jnp.int32)
+        # Assigned slots start at lengths==0 (init/reset_slot), so the first
+        # chunk is just an extend from position 0 — one jitted program per
+        # bucket, not two.
+        extend = (
+            self._tp_fns["extend"] if self._tp_fns is not None
+            else partial(_extend_slot, self.model)
+        )
+        req.last_logits, self.caches = extend(
+            self.params,
+            self.caches,
+            tokens,
+            jnp.asarray(len(piece), jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+        )
+        req.prefill_off += len(piece)
+        if req.prefill_off < len(req.prompt):
+            return  # more chunks next tick; decoding slots proceed meanwhile
+
+        # Prompt fully in KV: emit the first token and activate the slot.
+        self.prefilling.popleft()
+        if req.max_new_tokens > 0:
+            self._key, sub = jax.random.split(self._key)
+            first_tok = int(
+                sample(
+                    req.last_logits[None, :],
+                    sub,
+                    self.cfg.temperature,
+                    self.cfg.top_k,
+                    self.cfg.top_p,
+                )[0]
+            )
+            req.out.append(first_tok)
+            if req.on_token is not None:
+                req.on_token(req.rid, first_tok)
+            self.last_tokens = self.last_tokens.at[req.slot].set(first_tok)
+        req.last_logits = None
+        self.active[req.slot] = True
+        self.stats["prefills"] += 1
+        self._maybe_finish(req.slot)
+        self.stats["prefill_times"].append(time.perf_counter() - req.t_admit)
 
     def _maybe_finish(self, slot: int):
         req = self.slot_req[slot]
@@ -294,24 +318,31 @@ class Engine:
                 req.pages = []
 
     def step(self):
-        """One engine tick: admit new requests, then one batched decode."""
+        """One engine tick: assign slots, run at most ONE prefill chunk, then
+        one batched decode for every active slot. Prefill work and decode
+        interleave tick-by-tick, so admitting a long prompt never stalls the
+        running requests for more than one chunk."""
         t0 = time.perf_counter()
-        self._admit()
+        self._assign_slots()
+        if self.prefilling:
+            self._prefill_tick()
         if not any(self.active):
             return
         active = jnp.asarray(self.active)
         self._key, sub = jax.random.split(self._key)
         decode = (
             self._tp_fns["decode"] if self._tp_fns is not None
-            else partial(
-                _decode_step,
-                self.model,
-                temperature=self.cfg.temperature,
-                top_k=self.cfg.top_k,
-            )
+            else partial(_decode_step, self.model)
         )
         next_tokens, self.caches = decode(
-            self.params, self.caches, self.last_tokens, active, sub,
+            self.params,
+            self.caches,
+            self.last_tokens,
+            active,
+            sub,
+            temperature=self.cfg.temperature,
+            top_k=self.cfg.top_k,
+            top_p=self.cfg.top_p,
         )
         self.last_tokens = next_tokens
         if self.debug_checks:
@@ -365,6 +396,7 @@ class Engine:
             "prefills": self.stats["prefills"],
             "batch_occupancy": occupancy,
             "queue_depth": len(self.waiting),
+            "prefilling": len(self.prefilling),
             "step_p50_ms": 1e3 * pct(0.5),
             "step_p99_ms": 1e3 * pct(0.99),
         }
@@ -436,10 +468,16 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             state["extend"] = jax.jit(_extend, donate_argnums=(1,))
         return state["extend"](params, caches, tokens, true_len, slot)
 
-    def decode(params, caches, last_tokens, active, key):
+    def decode(
+        params, caches, last_tokens, active, key,
+        temperature=0.0, top_k=0, top_p=1.0,
+    ):
         pspecs, cspecs = _specs(params, caches)
-        if "decode" not in state:
-            temperature = state.get("temperature", 0.0)
+        # One compiled program per sampling config, resolved per call — a
+        # changed EngineConfig.temperature takes effect on the next step
+        # instead of being baked in at first trace.
+        cache_key = ("decode", float(temperature), int(top_k), float(top_p))
+        if cache_key not in state:
 
             @partial(
                 _shard_map,
@@ -456,13 +494,12 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     params, last_tokens[:, None], positions, caches, advance=advance
                 )
                 next_tokens = sample(
-                    logits[:, -1], key, state.get("temperature", 0.0),
-                    state.get("top_k", 0),
+                    logits[:, -1], key, temperature, top_k, top_p
                 )
                 return next_tokens, caches
 
-            state["decode"] = jax.jit(_decode, donate_argnums=(1,))
-        return state["decode"](params, caches, last_tokens, active, key)
+            state[cache_key] = jax.jit(_decode, donate_argnums=(1,))
+        return state[cache_key](params, caches, last_tokens, active, key)
 
     fns["extend"] = extend
     fns["decode"] = decode

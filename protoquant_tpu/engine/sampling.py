@@ -1,4 +1,5 @@
-"""On-device sampling for the decode loop (greedy / temperature / top-k)."""
+"""On-device sampling for the decode loop (greedy / temperature / top-k /
+top-p nucleus)."""
 
 from __future__ import annotations
 
@@ -8,12 +9,13 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("temperature", "top_k"))
+@partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"))
 def sample(
     logits: jnp.ndarray,  # [B, V] f32
     key: jax.Array,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jnp.ndarray:
     """Returns next-token ids [B] int32. temperature == 0 -> greedy."""
     if temperature == 0.0:
@@ -22,4 +24,17 @@ def sample(
     if top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p < 1.0:
+        # Nucleus: keep the smallest prefix of the sorted distribution whose
+        # mass reaches top_p. The exclusive cumsum keeps every token whose
+        # preceding mass is < top_p, so the top token always survives.
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs
+        keep = cum < top_p
+        # Smallest kept logit per row is the cutoff back in original order.
+        cutoff = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff, -1e30, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -96,6 +96,7 @@ class EngineConfig:
     max_new_tokens: int = 256
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0
+    top_p: float = 1.0  # nucleus sampling threshold (1.0 => disabled)
     seed: int = 0
 
 

@@ -160,6 +160,77 @@ def test_engine_long_prompt_chunked_prefill(model_and_params):
     assert outs[rid] == ref
 
 
+def test_engine_prefill_interleaves_with_decode(model_and_params):
+    """A long prompt admitted mid-stream must NOT stall running requests:
+    at most one prefill chunk runs per tick, so an already-decoding slot
+    emits exactly one token on every tick of the newcomer's prefill
+    (VERDICT round-1 item 4; SURVEY.md §5.7)."""
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32, max_new_tokens=16)
+    got1, got2 = [], []
+    r1 = eng.add_request([1, 2, 3], 16, on_token=lambda r, t: got1.append(t))
+    eng.step()
+    # r1 prefilled (single chunk) -> first token, then the tick's decode
+    # emitted a second.
+    assert len(got1) == 2
+
+    long_prompt = list(range(1, 49))  # 48 tokens = 3 chunks of prefill_chunk=16
+    r2 = eng.add_request(long_prompt, 4, on_token=lambda r, t: got2.append(t))
+    for i in range(3):
+        n1 = len(got1)
+        eng.step()
+        # r1 kept decoding: exactly one new token per tick, even while r2's
+        # prompt was streaming through prefill.
+        assert len(got1) == n1 + 1, (i, n1, got1)
+        if i < 2:
+            assert got2 == []  # r2 still mid-prefill
+    # Tick 3 ran r2's last chunk -> first token, then the batched decode
+    # added its second.
+    assert len(got2) == 2
+
+    # Interleaving must not change outputs (greedy exactness).
+    outs = eng.run()
+    ref1 = list(
+        np.asarray(
+            greedy_generate(model, params, jnp.asarray([[1, 2, 3]], jnp.int32), 16, 64, kv_dtype=jnp.float32)
+        )[0]
+    )
+    ref2 = list(
+        np.asarray(
+            greedy_generate(model, params, jnp.asarray([long_prompt], jnp.int32), 4, 64, kv_dtype=jnp.float32)
+        )[0]
+    )
+    assert outs[r1] == ref1
+    assert outs[r2] == ref2
+
+
+def test_engine_top_p_sampling(model_and_params):
+    """top_p < 1 samples valid tokens and stays deterministic per seed."""
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.8, top_p=0.9, seed=7,
+    )
+    outs = []
+    for _ in range(2):
+        eng = Engine(model, params, cfg, kv_dtype=jnp.float32)
+        rid = eng.add_request([3, 1, 4], 8)
+        outs.append(eng.run()[rid])
+    assert outs[0] == outs[1]  # same seed -> same stream
+    assert all(0 <= t < CFG.vocab_size for t in outs[0])
+
+
+def test_top_p_masks_tail():
+    """Unit check: with a peaked distribution and small top_p, only the top
+    token survives the nucleus filter."""
+    from protoquant_tpu.engine.sampling import sample
+
+    logits = jnp.asarray([[10.0, 0.0, -1.0, -2.0]])
+    for seed in range(5):
+        tok = sample(logits, jax.random.PRNGKey(seed), temperature=1.0, top_p=0.5)
+        assert int(tok[0]) == 0
+
+
 def test_engine_eos_and_streaming(model_and_params):
     """Per-request eos stops decode; on_token streams every emitted token."""
     model, params = model_and_params
