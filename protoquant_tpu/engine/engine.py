@@ -102,17 +102,20 @@ class Engine:
         self.kv_dtype = kv_dtype
         self.kv_layout = kv_layout
         self.mesh = mesh
+        B = self.cfg.max_batch_size
         if mesh is not None:
-            if kv_layout == "paged":
-                raise NotImplementedError("paged layout + mesh: use dense KV")
             from ..parallel.mesh import DATA_AXIS
 
-            if mesh.shape[DATA_AXIS] != 1:
-                raise NotImplementedError("TP engine serves one replica (dp=1)")
+            dp = mesh.shape[DATA_AXIS]
+            if kv_layout == "paged" and dp != 1:
+                # A shared page pool written by batch-sharded replicas would
+                # diverge across the data axis; paged serving is TP-only.
+                raise NotImplementedError("paged layout requires dp=1 (TP-only mesh)")
+            if B % dp:
+                raise ValueError(f"max_batch_size {B} must divide by dp={dp}")
             self._tp_fns = _build_tp_engine_fns(model, mesh)
         else:
             self._tp_fns = None
-        B = self.cfg.max_batch_size
         if kv_layout == "paged":
             # Paged INT8 layout: one pool sized for the full budget, requests
             # reserve only the pages they can use; the page free list is the
@@ -127,13 +130,21 @@ class Engine:
             # through unmapped table entries land there; see paged_kv.py).
             num_pages = B * self.cfg.max_seq_len // ps + 1
             mcfg = model.cfg
+            # Under a mesh the pools hold ALL kv heads and shard over the
+            # model axis (model.tp describes the per-shard view inside
+            # shard_map); single-chip pools are pre-divided by model.tp.
+            kv_heads = (
+                mcfg.num_key_value_heads
+                if mesh is not None
+                else mcfg.num_key_value_heads // model.tp
+            )
             self.caches = [
                 PagedInt8KVCache.init(
                     B,
                     num_pages,
                     self.cfg.max_seq_len // ps,
                     ps,
-                    mcfg.num_key_value_heads // model.tp,
+                    kv_heads,
                     mcfg.head_dim,
                 )
                 for _ in range(mcfg.num_hidden_layers)
@@ -143,18 +154,18 @@ class Engine:
             self.caches = init_cache(
                 model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype,
             )
-            if mesh is not None:
-                from ..parallel.shardings import cache_pspecs
-
-                from jax.sharding import NamedSharding
-
-                specs = cache_pspecs(self.caches)
-                self.caches = jax.tree_util.tree_map(
-                    lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
-                    self.caches,
-                    specs,
-                )
             self.allocator = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.shardings import cache_pspecs
+
+            specs = cache_pspecs(self.caches)
+            self.caches = jax.tree_util.tree_map(
+                lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+                self.caches,
+                specs,
+            )
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
@@ -415,23 +426,19 @@ def _cache_probe(cache):
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
 def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
-    """Continue prefilling a slot that already holds context (chunk 2+)."""
-    sub = [c.slot_view(slot) for c in caches]
-    Tpad = tokens.shape[1]
-    start = sub[0].lengths[0]
-    positions = start + jnp.arange(Tpad)[None, :]
-    max_pos = model.cfg.max_position_embeddings - 1
-    positions = jnp.minimum(positions, max_pos)
-    logits, sub = model.apply(
-        params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
-    )
-    new_caches = [big.merge_slot(small, slot) for big, small in zip(caches, sub)]
-    return logits[0, true_len - 1], new_caches
+    """Prefill one chunk into a slot (single-device path)."""
+    return _extend_slot_body(model, params, caches, tokens, true_len, slot)
 
 
 def _build_tp_engine_fns(model: LlamaModel, mesh):
-    """shard_map-wrapped prefill-extend and decode steps for a TP engine
-    (one replica: data axis size 1, model axis = tp)."""
+    """shard_map-wrapped prefill-extend and decode steps for a mesh engine.
+
+    Model axis = tp (Megatron shardings from parallel/shardings.py); data
+    axis = dp replicas with batch-sharded slots. Under dp>1 the global slot
+    index maps to (replica, local slot); only the owning replica advances
+    its cache (non-owners run the same program with advance=0 — their writes
+    land at-or-beyond their own tenant's frontier, where the next real
+    decode/prefill write overwrites them before any read)."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -439,7 +446,12 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map as _shard_map
 
+    from ..parallel.mesh import DATA_AXIS
     from ..parallel.shardings import cache_pspecs, params_pspecs
+
+    dp = mesh.shape[DATA_AXIS]
+    data_axis = DATA_AXIS if dp > 1 else None
+    batch_spec = P(DATA_AXIS) if dp > 1 else P()
 
     fns = {}
     state = {}
@@ -463,7 +475,10 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 check_vma=False,
             )
             def _extend(params, caches, tokens, true_len, slot):
-                return _extend_slot_body(model, params, caches, tokens, true_len, slot)
+                return _extend_slot_body(
+                    model, params, caches, tokens, true_len, slot,
+                    data_axis=data_axis,
+                )
 
             state["extend"] = jax.jit(_extend, donate_argnums=(1,))
         return state["extend"](params, caches, tokens, true_len, slot)
@@ -482,8 +497,8 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, P(), P(), P()),
-                out_specs=(P(), cspecs),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P()),
+                out_specs=(batch_spec, cspecs),
                 check_vma=False,
             )
             def _decode(params, caches, last_tokens, active, key):
@@ -493,8 +508,13 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 logits, caches = model.apply(
                     params, last_tokens[:, None], positions, caches, advance=advance
                 )
+                if data_axis is not None:
+                    # Decorrelate sampling across batch-sharded replicas.
+                    key_r = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+                else:
+                    key_r = key
                 next_tokens = sample(
-                    logits[:, -1], key, temperature, top_k, top_p
+                    logits[:, -1], key_r, temperature, top_k, top_p
                 )
                 return next_tokens, caches
 
@@ -507,16 +527,38 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
     return fns
 
 
-def _extend_slot_body(model, params, caches, tokens, true_len, slot):
-    """The un-jitted body of _extend_slot (shared with the TP wrapper)."""
-    sub = [c.slot_view(slot) for c in caches]
+def _extend_slot_body(model, params, caches, tokens, true_len, slot, data_axis=None):
+    """The un-jitted body of _extend_slot (shared with the mesh wrapper).
+
+    ``data_axis``: inside shard_map with batch-sharded caches (dp>1), the
+    global slot index resolves to (owning replica, local slot). Non-owner
+    replicas run the identical program with advance=0 on a clamped local
+    slot: their lengths never move, and their stray k/v writes land at or
+    beyond their own tenant's frontier (positions >= its length), which the
+    tenant's next real write overwrites before any masked read sees it."""
+    b_local = caches[0].lengths.shape[0]
+    if data_axis is not None:
+        r = jax.lax.axis_index(data_axis)
+        ls = slot - r * b_local
+        owner = (ls >= 0) & (ls < b_local)
+        ls = jnp.clip(ls, 0, b_local - 1)
+        adv = jnp.where(owner, true_len, 0).astype(jnp.int32).reshape(1)
+    else:
+        owner = None
+        ls = slot
+        adv = jnp.full((1,), true_len, jnp.int32)
+    sub = [c.slot_view(ls) for c in caches]
     Tpad = tokens.shape[1]
     start = sub[0].lengths[0]
     positions = start + jnp.arange(Tpad)[None, :]
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(positions, max_pos)
-    logits, sub = model.apply(
-        params, tokens, positions, sub, advance=jnp.full((1,), true_len, jnp.int32)
-    )
-    new_caches = [big.merge_slot(small, slot) for big, small in zip(caches, sub)]
-    return logits[0, true_len - 1], new_caches
+    logits, sub = model.apply(params, tokens, positions, sub, advance=adv)
+    new_caches = [big.merge_slot(small, ls) for big, small in zip(caches, sub)]
+    out_logits = logits[0, true_len - 1]
+    if data_axis is not None:
+        # Only the owner computed the real logits; make them replicated.
+        out_logits = jax.lax.psum(
+            jnp.where(owner, out_logits, jnp.zeros_like(out_logits)), data_axis
+        )
+    return out_logits, new_caches

@@ -21,6 +21,7 @@ from typing import Any
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..engine.paged_kv import PagedInt8KVCache
 from ..models.kv_cache import BF16KVCache, Int8KVCache
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -88,6 +89,21 @@ def cache_pspecs(caches) -> Any:
                 k=P(DATA_AXIS, None, MODEL_AXIS, None),
                 v=P(DATA_AXIS, None, MODEL_AXIS, None),
                 lengths=P(DATA_AXIS),
+            )
+        if isinstance(c, PagedInt8KVCache):
+            # Page pools shard on the kv-head axis exactly like the dense
+            # cache; the page table and lengths are per-slot (batch) state.
+            # Pools stay replicated over ``data`` — paged serving is dp=1
+            # (the engine enforces it: a shared page pool with batch-sharded
+            # writers would diverge across replicas).
+            return PagedInt8KVCache(
+                kq=P(None, MODEL_AXIS, None, None),
+                ks=P(None, MODEL_AXIS, None, None),
+                vq=P(None, MODEL_AXIS, None, None),
+                vs=P(None, MODEL_AXIS, None, None),
+                page_table=P(DATA_AXIS, None),
+                lengths=P(DATA_AXIS),
+                page_size=c.page_size,
             )
         raise TypeError(type(c))
 

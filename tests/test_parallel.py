@@ -249,3 +249,82 @@ def test_tp_engine_matches_single_device_engine(fp_setup):
         outs = eng.run()
     for ra, rb in zip(ref_rids, rids):
         assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_dp_tp_engine_matches_single_device_engine(fp_setup):
+    """dp>1 replica serving: a (2, 4) mesh batch-shards the slots — six
+    requests through 4 slots (slot reuse on both replicas) must reproduce
+    the single-device engine exactly (VERDICT round-1 item 5)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+        max_new_tokens=6, temperature=0.0,
+    )
+    rng = np.random.default_rng(11)
+    prompts = [
+        list(map(int, rng.integers(1, CFG.vocab_size, rng.integers(3, 10))))
+        for _ in range(6)
+    ]
+
+    ref_eng = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    ref_rids = [ref_eng.add_request(p, 6) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), jax.devices()[:8])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh)
+        rids = [eng.add_request(p, 6) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_paged_tp_engine_matches_single_device_paged(fp_setup):
+    """Paged int8 KV under a TP mesh: page pools shard on the kv-head axis;
+    outputs match the single-device paged engine (VERDICT round-1 item 5)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, page_size=8, prefill_chunk=16,
+        max_new_tokens=6, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    ref_eng = Engine(single_model, params, ecfg, kv_layout="paged")
+    ref_rids = [ref_eng.add_request(p, 6) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_layout="paged", mesh=mesh)
+        rids = [eng.add_request(p, 6) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_paged_dp_mesh_rejected(fp_setup):
+    """dp>1 + paged pools would diverge across replicas; the engine refuses."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    _, params = fp_setup
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), jax.devices()[:8])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    with pytest.raises(NotImplementedError, match="dp=1"):
+        Engine(
+            model_tp,
+            shard_params(params, mesh),
+            EngineConfig(max_batch_size=4, max_seq_len=32, page_size=8),
+            kv_layout="paged",
+            mesh=mesh,
+        )
