@@ -90,6 +90,7 @@ class Attention(nn.Module):
     cp: int = 1  # context parallelism (ring attention over a seq-sharded axis)
     cp_axis: Any = None
     int4_group: int = 128
+    collective: bool = False  # overlapped ring collective matmul for o_proj
 
     @nn.compact
     def __call__(
@@ -173,6 +174,8 @@ class Attention(nn.Module):
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
+            collective=self.collective,
+            tp=self.tp,
             name="o_proj",
         )(out)
         return o, new_cache
@@ -209,6 +212,7 @@ class MLP(nn.Module):
     fused: bool = False
     sp: bool = False
     int4_group: int = 128
+    collective: bool = False  # overlapped ring collective matmul for down_proj
 
     @nn.compact
     def __call__(self, x):
@@ -245,6 +249,8 @@ class MLP(nn.Module):
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
+            collective=self.collective,
+            tp=self.tp,
             name="down_proj",
         )(h)
 
@@ -260,12 +266,14 @@ class DecoderLayer(nn.Module):
     cp: int = 1
     cp_axis: Any = None
     int4_group: int = 128
+    collective: bool = False
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None):
         h, new_cache = Attention(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            self.sp, self.cp, self.cp_axis, self.int4_group, name="self_attn"
+            self.sp, self.cp, self.cp_axis, self.int4_group,
+            collective=self.collective, name="self_attn"
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             positions,
@@ -275,7 +283,7 @@ class DecoderLayer(nn.Module):
         x = x + h
         h = MLP(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            self.sp, self.int4_group, name="mlp",
+            self.sp, self.int4_group, collective=self.collective, name="mlp",
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
         )
@@ -309,6 +317,9 @@ class LlamaModel(nn.Module):
     cp_axis: Any = None
     # int4 quantization-group size (match QuantConfig.int4_group at convert).
     int4_group: int = 128
+    # Overlapped ring collective matmuls for the row-parallel projections
+    # (o_proj/down_proj) instead of bare psum (SURVEY.md §5.8 mechanism 2).
+    collective: bool = False
 
     @nn.compact
     def __call__(
@@ -343,6 +354,7 @@ class LlamaModel(nn.Module):
             x, nc = DecoderLayer(
                 cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
                 self.sp, self.cp, self.cp_axis, self.int4_group,
+                collective=self.collective,
                 name=f"layers_{i}",
             )(x, positions, cache_i, advance)
             new_caches.append(nc)

@@ -80,6 +80,12 @@ class QLinear(nn.Module):
     # the token axis (axis 1 of [B, T, N]) so the output returns to the
     # token-sharded layout of the surrounding norm region (SURVEY.md §2.2 SP).
     scatter_tokens: bool = False
+    # Overlapped collective matmul for the row-parallel reduction: the ring
+    # reduce-scatter fused with chunked matmuls (parallel/collective.py) —
+    # each ppermute hop rides ICI while the next chunk multiplies on the MXU
+    # (SURVEY.md §5.8 mechanism 2). Requires ``tp`` (the psum_axis size).
+    collective: bool = False
+    tp: int = 1
     # Quantization-group size for mode="weight_only_int4" (must match the
     # QuantConfig used at conversion; under TP it must divide K/tp).
     int4_group: int = 128
@@ -120,6 +126,14 @@ class QLinear(nn.Module):
                     self.kernel_init, (in_features, self.features), self.param_dtype
                 ),
             )
+            if self.psum_axis is not None and self.collective:
+                from ..parallel.collective import dynamic_qlinear_collective
+
+                y = dynamic_qlinear_collective(
+                    x, qkernel.data, qkernel.scale, self.psum_axis, self.tp,
+                    scatter_tokens=self.scatter_tokens, out_dtype=jnp.float32,
+                )
+                return self._finish_reduced(y, bias)
             if ops.LINEAR_BACKEND == "xla":
                 y = ops.dynamic_qlinear_xla(
                     x, qkernel.data, qkernel.scale, fused_bias,
@@ -142,6 +156,14 @@ class QLinear(nn.Module):
                     self.kernel_init, (in_features, self.features), self.param_dtype
                 ),
             )
+            if self.psum_axis is not None and self.collective:
+                from ..parallel.collective import weight_only_qlinear_collective
+
+                y = weight_only_qlinear_collective(
+                    x, qkernel.data, qkernel.scale, self.psum_axis, self.tp,
+                    scatter_tokens=self.scatter_tokens, out_dtype=jnp.float32,
+                )
+                return self._finish_reduced(y, bias)
             if ops.LINEAR_BACKEND == "xla":
                 y = ops.weight_only_matmul_xla(
                     x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
@@ -186,3 +208,10 @@ class QLinear(nn.Module):
             if bias is not None:
                 y = (y + bias.astype(jnp.float32)).astype(self.dtype)
         return y
+
+    def _finish_reduced(self, y: jnp.ndarray, bias) -> jnp.ndarray:
+        """Post-reduction epilogue for the collective-matmul path (the ring
+        already produced fully-reduced outputs, so no psum here)."""
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)

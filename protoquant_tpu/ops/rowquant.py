@@ -66,6 +66,12 @@ def rowquant(x: jnp.ndarray, *, block_m: int = 256, interpret: bool | None = Non
     sub = {jnp.dtype(jnp.bfloat16): 16, jnp.dtype(jnp.float32): 8}.get(
         jnp.dtype(x.dtype), 8
     )
-    bm = pick_block(x2.shape[0], block_m, sub)
+    # VMEM budget: the kernel holds the input tile, an f32 working copy (the
+    # round/clamp math is f32 for oracle bit-exactness), and the int8 output
+    # — ~11 bytes/element live at peak. Cap block_m so a wide-K tile (e.g.
+    # the 11008-wide down_proj input) stays under the ~16MB scoped VMEM.
+    budget = 12 * 1024 * 1024
+    bm_cap = max(sub, (budget // (11 * k)) // sub * sub)
+    bm = pick_block(x2.shape[0], min(block_m, bm_cap), sub)
     xq, sx = _rowquant_2d(x2, block_m=bm, interpret=interpret)
     return xq.reshape(*batch_shape, k), sx.reshape(batch_shape)

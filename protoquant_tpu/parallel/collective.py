@@ -82,6 +82,134 @@ def qmatmul_reduce_scatter(
     return out.astype(out_dtype)
 
 
+def dynamic_qlinear_collective(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    s_w: jnp.ndarray,
+    axis: str,
+    tp: int,
+    *,
+    scatter_tokens: bool = False,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+):
+    """Product-path row-parallel dynamic-int8 linear with an overlapped ring
+    reduction (wired into QLinear via ``collective=True`` — VERDICT round-1
+    item 3 / SURVEY.md §5.8 mechanism 2).
+
+    x: local [B, T, K/tp]; wq: int8 [K/tp, N]; s_w: f32 [N].
+    * scatter_tokens=False: ring reduce-scatter over output-feature chunks
+      + all_gather => the overlapped equivalent of psum(local_matmul).
+      Returns [B, T, N].
+    * scatter_tokens=True (SP): ring reduce-scatter over TOKEN chunks so the
+      output lands directly in the token-sharded layout of the surrounding
+      norm region. Returns [B, T/tp, N]. Requires T % tp == 0.
+
+    Each ring step's ppermute hop rides ICI while the next chunk's matmul
+    runs on the MXU (async collective-permute + latency-hiding scheduler).
+    """
+    from .. import ops
+
+    if ops.LINEAR_BACKEND == "xla":
+        from ..core import numerics
+
+        xq, s_x = numerics.quantize_rowwise(x)
+
+        def mm(xq_c, sx_c, wq_c, sw_c):
+            acc = jnp.matmul(
+                xq_c.astype(jnp.bfloat16),
+                wq_c.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return acc * sx_c[..., None] * sw_c[None, :]
+
+    else:
+        xq, s_x = ops.rowquant(x, interpret=interpret)
+
+        def mm(xq_c, sx_c, wq_c, sw_c):
+            return ops.qmatmul(
+                xq_c, wq_c, sx_c, sw_c, out_dtype=jnp.float32, interpret=interpret
+            )
+
+    if scatter_tokens:
+        t = x.shape[1]
+        tc = t // tp
+
+        def chunk(c):
+            xq_c = jax.lax.dynamic_slice_in_dim(xq, c * tc, tc, axis=1)
+            sx_c = jax.lax.dynamic_slice_in_dim(s_x, c * tc, tc, axis=1)
+            return mm(xq_c, sx_c, wq, s_w)
+
+        out = collective_matmul_reduce_scatter(chunk, axis, tp)
+    else:
+        n = wq.shape[1]
+        nc = n // tp
+
+        def chunk(c):
+            wq_c = jax.lax.dynamic_slice_in_dim(wq, c * nc, nc, axis=1)
+            sw_c = jax.lax.dynamic_slice_in_dim(s_w, c * nc, nc, axis=0)
+            return mm(xq, s_x, wq_c, sw_c)
+
+        part = collective_matmul_reduce_scatter(chunk, axis, tp)
+        out = jax.lax.all_gather(part, axis, axis=part.ndim - 1, tiled=True)
+    return out.astype(out_dtype)
+
+
+def weight_only_qlinear_collective(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    s_w: jnp.ndarray,
+    axis: str,
+    tp: int,
+    *,
+    scatter_tokens: bool = False,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+):
+    """Row-parallel weight-only-int8 linear with the same overlapped ring
+    reduction as :func:`dynamic_qlinear_collective`."""
+    from .. import ops
+
+    if ops.LINEAR_BACKEND == "xla":
+
+        def mm(x_c, wq_c, sw_c):
+            acc = jnp.matmul(
+                x_c.astype(jnp.bfloat16),
+                wq_c.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return acc * sw_c[None, :]
+
+    else:
+
+        def mm(x_c, wq_c, sw_c):
+            return ops.weight_only_matmul(
+                x_c, wq_c, sw_c, out_dtype=jnp.float32, interpret=interpret
+            )
+
+    if scatter_tokens:
+        t = x.shape[1]
+        tc = t // tp
+
+        def chunk(c):
+            x_c = jax.lax.dynamic_slice_in_dim(x, c * tc, tc, axis=1)
+            return mm(x_c, wq, s_w)
+
+        out = collective_matmul_reduce_scatter(chunk, axis, tp)
+    else:
+        n = wq.shape[1]
+        nc = n // tp
+
+        def chunk(c):
+            wq_c = jax.lax.dynamic_slice_in_dim(wq, c * nc, nc, axis=1)
+            sw_c = jax.lax.dynamic_slice_in_dim(s_w, c * nc, nc, axis=0)
+            return mm(x, wq_c, sw_c)
+
+        part = collective_matmul_reduce_scatter(chunk, axis, tp)
+        out = jax.lax.all_gather(part, axis, axis=part.ndim - 1, tiled=True)
+    return out.astype(out_dtype)
+
+
 def qmatmul_allreduce_overlapped(
     x: jnp.ndarray,
     wq: jnp.ndarray,

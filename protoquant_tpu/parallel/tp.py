@@ -30,16 +30,18 @@ from .shardings import cache_pspecs, params_pspecs
 
 
 def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False,
-             int4_group: int = 128) -> LlamaModel:
+             int4_group: int = 128, collective: bool = False) -> LlamaModel:
     """The TP-aware model for a mesh: head/feature dims divided by tp.
     ``sp`` additionally token-shards the norm/elementwise regions between TP
-    blocks (sequence parallelism; prefill/scoring path)."""
+    blocks (sequence parallelism; prefill/scoring path). ``collective``
+    routes the row-parallel reductions through the overlapped ring
+    collective matmul (parallel/collective.py) instead of bare psum."""
     import jax.numpy as jnp
 
     tp = mesh.shape[MODEL_AXIS]
     return LlamaModel(
         cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS,
-        sp=sp, int4_group=int4_group,
+        sp=sp, int4_group=int4_group, collective=collective,
     )
 
 

@@ -101,3 +101,74 @@ def test_allreduce_overlapped_matches_psum(tp=4):
     np.testing.assert_allclose(
         np.asarray(ar(x, wq, s_w)), np.asarray(psum_ref(x, wq, s_w)), rtol=1e-5, atol=1e-5
     )
+
+
+# -- product-path wiring (VERDICT round-1 item 3) ---------------------------
+
+
+@needs_8dev
+@pytest.mark.parametrize("mode", ["dynamic", "weight_only"])
+def test_tp_model_collective_matches_psum_path(mode):
+    """tp_model(collective=True) routes o_proj/down_proj through the ring
+    collective matmul; logits must match the plain-psum TP model (same
+    quantized weights, same rowquant points — only the reduction schedule
+    differs, so agreement is to f32 summation tolerance)."""
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.parallel import build_tp_score, make_mesh, shard_params, tp_model
+    from protoquant_tpu.utils.config import MeshConfig, ModelConfig, QuantConfig
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    fp = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    qparams = quantize_params(params, QuantConfig(mode=mode))
+    tokens = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (2, 8)), jnp.int32
+    )
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    sparams = shard_params(qparams, mesh)
+
+    model_psum = tp_model(cfg, mode, mesh, dtype=jnp.float32)
+    model_coll = tp_model(cfg, mode, mesh, dtype=jnp.float32, collective=True)
+    with mesh:
+        ref = np.asarray(build_tp_score(model_psum, mesh, qparams)(sparams, tokens))
+        got = np.asarray(build_tp_score(model_coll, mesh, qparams)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@needs_8dev
+def test_tp_sp_model_collective_matches_psum_path():
+    """SP + collective: the token-chunked ring reduce-scatter lands in the
+    same token-sharded layout as psum_scatter."""
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.parallel import build_tp_score, make_mesh, shard_params, tp_model
+    from protoquant_tpu.utils.config import MeshConfig, ModelConfig, QuantConfig
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    fp = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    qparams = quantize_params(params, QuantConfig(mode="dynamic"))
+    tokens = jnp.asarray(
+        np.random.default_rng(6).integers(0, cfg.vocab_size, (2, 8)), jnp.int32
+    )
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    sparams = shard_params(qparams, mesh)
+    model_psum = tp_model(cfg, "dynamic", mesh, dtype=jnp.float32, sp=True)
+    model_coll = tp_model(
+        cfg, "dynamic", mesh, dtype=jnp.float32, sp=True, collective=True
+    )
+    with mesh:
+        ref = np.asarray(build_tp_score(model_psum, mesh, qparams)(sparams, tokens))
+        got = np.asarray(build_tp_score(model_coll, mesh, qparams)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
