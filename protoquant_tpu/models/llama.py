@@ -79,6 +79,31 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos, sin):
     return out.astype(x.dtype)
 
 
+def _sp_gather_quantized(x, axis, dtype):
+    """SP boundary, dynamic mode: quantize the LOCAL token shard, then
+    all_gather int8 payload + f32 per-token scales — half the ICI bytes of a
+    bf16 gather (SURVEY.md §2.2 SP row: "gather int8 activations").
+
+    Exactness: rowquant scales are per-token over the K axis, so
+    quantize-then-gather is bit-identical to gather-then-quantize.
+
+    Returns (x_full, (xq, s_x)): x_full is the dequantized gathered
+    activation — downstream dynamic-mode projections consume only the
+    prequantized pair, so XLA dead-code-eliminates x_full unless a non-quant
+    consumer appears."""
+    from .. import ops
+    from ..core import numerics
+
+    if ops.LINEAR_BACKEND == "xla":
+        xq, s_x = numerics.quantize_rowwise(x.astype(dtype))
+    else:
+        xq, s_x = ops.rowquant(x.astype(dtype))
+    xq = jax.lax.all_gather(xq, axis, axis=1, tiled=True)
+    s_x = jax.lax.all_gather(s_x, axis, axis=1, tiled=True)
+    x_full = (xq.astype(jnp.float32) * s_x[..., None]).astype(dtype)
+    return x_full, (xq, s_x)
+
+
 class Attention(nn.Module):
     cfg: ModelConfig
     mode: str
@@ -101,11 +126,15 @@ class Attention(nn.Module):
         advance=None,  # [B] per-slot length increment override (engine)
     ):
         cfg = self.cfg
+        preq = None
         if self.sp:
             # SP: x is token-sharded [B, T/tp, D]; gather the full sequence
-            # for the projections/attention (int8 gathers land in a later
-            # optimization — see ROADMAP).
-            x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
+            # for the projections. Dynamic mode quantizes BEFORE the gather
+            # so the wire carries int8 + per-token scales (half the bytes).
+            if self.mode == "dynamic":
+                x, preq = _sp_gather_quantized(x, self.tp_axis, self.dtype)
+            else:
+                x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         B, T, _ = x.shape
         # Column-parallel Q/K/V: each shard owns H/tp query heads and KV/tp
         # kv heads (Megatron-style head sharding; SURVEY.md §2.2).
@@ -118,9 +147,9 @@ class Attention(nn.Module):
         )
 
         # Shared dynamic rowquant: q/k/v read the same normed activation, so
-        # quantize it once and feed all three int8 matmuls.
-        preq = None
-        if self.mode == "dynamic":
+        # quantize it once and feed all three int8 matmuls (unless the SP
+        # gather above already produced the quantized pair).
+        if self.mode == "dynamic" and preq is None:
             from .. import ops
             from ..core import numerics
 
@@ -216,15 +245,19 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        preq = None
         if self.sp:
-            x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
+            # Dynamic mode: int8-on-the-wire gather (see _sp_gather_quantized).
+            if self.mode == "dynamic":
+                x, preq = _sp_gather_quantized(x, self.tp_axis, self.dtype)
+            else:
+                x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         lin = partial(
             QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
             int4_group=self.int4_group,
         )
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
-        preq = None
-        if self.mode == "dynamic":
+        if self.mode == "dynamic" and preq is None:
             from .. import ops
             from ..core import numerics
 
