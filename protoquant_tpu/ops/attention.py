@@ -10,9 +10,12 @@ Numerics: the per-token scale factorizes out of both dots exactly —
   out[t]      = sum_s (p[t, s] * vs[s]) * vq[s]  (scale folded into the prob)
 so int8 dequant costs no extra matmul precision.
 
-Grid: (batch, kv_head). Each program computes all `group` query heads of one
-(b, kv) pair over the full cache row with online masking by cache length.
-Supports T >= 1 queries (chunked prefill uses T = chunk).
+Grid: (batch, kv_head, S/block_s) — flash-style: each (b, kv) pair streams
+the cache row through VMEM in S-blocks with online softmax (m, l, acc
+scratch), so the kernel never holds the whole window in VMEM and scales to
+arbitrary context lengths; blocks past the valid window are clamped away by
+the scalar-prefetched length (dead fetches elided). Supports T >= 1 queries
+(chunked prefill uses T = chunk).
 """
 
 from __future__ import annotations
@@ -29,79 +32,137 @@ from ._common import default_interpret
 NEG_INF = -1e30
 
 
+def _flash_block_s(s: int, want: int = 512) -> int:
+    """Largest S-block that divides S (no cache-copying pad), >= 32 sublanes
+    for the int8 tiles when possible."""
+    for bs in (want, 256, 128, 64, 32):
+        if s % bs == 0 and bs <= s:
+            return bs
+    return s  # odd window: single block (the old whole-window behavior)
+
+
 def _attn_kernel(
-    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, group, t_q, lane
+    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, group, block_s, lane,
 ):
-    """One (b, kv_head) pair.
+    """S-blocked flash attention over the int8 cache, one (b, kv_head) pair
+    per (outer) program, online softmax across the S-block axis.
 
-    q_ref:  (1, 1, TG, Dh)   TG = t_q * group query rows
-    k_ref:  (1, 1, S, Dh)    int8
-    ks_ref: (1, 1, 1, S)     f32 key scales
-    v_ref:  (1, 1, S, Dh)    int8
-    vs_ref: (1, 1, 1, S)     f32 value scales
-    len_ref: (B, 1) SMEM     pre-update cache lengths (full array; indexed by
-                             the batch grid coordinate — TPU SMEM blocks must
-                             cover the whole array)
+    q_ref:  (1, 1, TG, Dh)   TG = t_q * group query rows (constant over s)
+    k_ref:  (1, 1, bs, Dh)   int8 — S-block selected by the index map, which
+                             clamps past the valid window so Pallas elides
+                             the dead fetches (same trick as the paged kernel)
+    ks_ref: (1, 1, 1, bs)    f32 key scales
+    m/l:    VMEM (>=8, 128) f32 scratch (running max / denom, lane-replicated)
+    acc:    VMEM (>=8, Dh) f32 scratch
     """
-    # MXU lanes: bf16 on TPU (native rate; exact for int8 values), f32 in
-    # interpret mode off-TPU.
-    q = q_ref[0, 0].astype(lane)  # (TG, Dh)
-    k = k_ref[0, 0].astype(lane)  # (S, Dh)
-    ks = ks_ref[0, 0]  # (1, S)
-    dh = q.shape[-1]
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    TG = q_ref.shape[2]
+    t_max = (TG - 1) // group
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TG, S)
-    scores = scores * ks * (1.0 / (dh**0.5))
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Causal/length mask: query row r belongs to step t = r // group at
-    # absolute position len + t; key slot s is valid iff s <= len + t.
-    s_cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // group
-    valid = s_cols <= (len_ref[pl.program_id(0), 0] + t_rows)
-    scores = jnp.where(valid, scores, NEG_INF)
+    length = len_ref[b, 0]
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    # Blocks entirely beyond the last valid column (len + t_max) contribute
+    # nothing — skip their math (their DMA was already clamped away).
+    @pl.when(s * block_s <= length + t_max)
+    def _():
+        # MXU lanes: bf16 on TPU (native rate; exact for int8 values), f32 in
+        # interpret mode off-TPU.
+        q = q_ref[0, 0].astype(lane)  # (TG, Dh)
+        k = k_ref[0, 0].astype(lane)  # (bs, Dh)
+        ks = ks_ref[0, 0]  # (1, bs)
+        dh = q.shape[-1]
 
-    v = v_ref[0, 0].astype(lane)  # (S, Dh)
-    vs = vs_ref[0, 0]  # (1, S)
-    out = jax.lax.dot_general(
-        (p * vs).astype(lane), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TG, bs)
+        scores = scores * ks * (1.0 / (dh**0.5))
+
+        # Causal/length mask: query row r belongs to step t = r // group at
+        # absolute position len + t; key column c is valid iff c <= len + t.
+        cols = s * block_s + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // group
+        valid = cols <= (length + t_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        # Online-softmax update. Block 0 always holds a valid column for
+        # every row (col 0 <= len + t), so m leaves NEG_INF immediately and
+        # later fully-masked rows correctly contribute exp(NEG_INF - m) = 0.
+        m_old = m_ref[:TG, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)  # (TG, bs)
+
+        vs = vs_ref[0, 0]  # (1, bs)
+        v = v_ref[0, 0].astype(lane)  # (bs, Dh)
+        pv = jax.lax.dot_general(
+            (p * vs).astype(lane), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TG, Dh)
+
+        l_new = l_ref[:TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:TG] = acc_ref[:TG] * corr + pv
+        m_ref[:TG] = jnp.broadcast_to(m_new, (TG, m_ref.shape[1]))
+        l_ref[:TG] = jnp.broadcast_to(l_new, (TG, l_ref.shape[1]))
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0, 0] = (
+            acc_ref[:TG] / jnp.maximum(l_ref[:TG, :1], 1e-30)
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "t_q", "interpret", "out_dtype"))
 def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
     B, KV, TG, Dh = q.shape
     S = kq.shape[2]
+    bs = _flash_block_s(S)
     ks4 = ks.reshape(B, KV, 1, S)
     vs4 = vs.reshape(B, KV, 1, S)
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    t_max = (TG - 1) // group
 
+    def kv_index(b, h, s, ln):
+        # Clamp past the last needed block so dead fetches are elided.
+        s_eff = jnp.minimum(s, (jnp.maximum(ln[b, 0], 0) + t_max) // bs)
+        return (b, h, s_eff, 0)
+
+    def kscale_index(b, h, s, ln):
+        s_eff = jnp.minimum(s, (jnp.maximum(ln[b, 0], 0) + t_max) // bs)
+        return (b, h, 0, s_eff)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV, S // bs),
+        in_specs=[
+            pl.BlockSpec((1, 1, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, bs, Dh), kv_index),
+            pl.BlockSpec((1, 1, 1, bs), kscale_index),
+            pl.BlockSpec((1, 1, bs, Dh), kv_index),
+            pl.BlockSpec((1, 1, 1, bs), kscale_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((max(TG, 8), Dh), jnp.float32),
+        ],
+    )
     lane = jnp.float32 if interpret else jnp.bfloat16
-    kernel = functools.partial(_attn_kernel, group=group, t_q=t_q, lane=lane)
+    kernel = functools.partial(_attn_kernel, group=group, block_s=bs, lane=lane)
     return pl.pallas_call(
         kernel,
-        grid=(B, KV),
-        in_specs=[
-            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TG, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, TG, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
-        ),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, TG, Dh), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths2, q, kq, ks4, vq, vs4)

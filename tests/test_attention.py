@@ -88,3 +88,26 @@ def test_int8_cache_per_slot_lengths():
     v1_deq = np.asarray(cache.vq[1, :, 0].astype(jnp.float32) * cache.vs[1, :, 0, None])
     got = np.asarray(out)[1, 0]  # [H, Dh]; group=2 -> both heads read kv 0
     np.testing.assert_allclose(got[0], v1_deq[0], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("s_window,t_q", [(1024, 1), (640, 1), (1024, 4)])
+def test_int8_flash_attention_multiblock_matches_ref(s_window, t_q):
+    """S-blocked online-softmax path: multiple S blocks per (b, head)
+    program, including lengths that leave trailing blocks fully clamped
+    (VERDICT round-1 item 2: the dense kernel must not need the whole
+    window in VMEM)."""
+    B, KV, G, Dh = 2, 2, 2, 64
+    H = KV * G
+    rng = np.random.default_rng(7)
+    q = rand((B, t_q, H, Dh), seed=9, scale=0.5)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, KV, s_window, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, KV, s_window, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, s_window)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, s_window)).astype(np.float32))
+    # One slot deep into the window (spans blocks), one nearly empty (every
+    # block but the first is clamped/dead).
+    lengths = jnp.asarray([s_window - 3, 2], jnp.int32)
+
+    out = int8_kv_attention(q, kq, ks, vq, vs, lengths)
+    ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
