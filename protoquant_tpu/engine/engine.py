@@ -93,14 +93,27 @@ class Engine:
         kv_layout: str = "dense",  # "dense" | "paged"
         debug_checks: bool = False,  # NaN/Inf detection per step (syncs)
         step_budget_s: float = 300.0,  # watchdog threshold
-        mesh=None,  # optional (data=1, model=tp) mesh: TP serving (model must
-        #            be built via parallel.tp_model; params sharded)
+        mesh=None,  # optional (data=dp, model=tp) mesh: sharded serving
+        #            (model must be built via parallel.tp_model; params sharded)
+        draft_model: "LlamaModel | None" = None,  # speculative decode mode
+        draft_params=None,
+        gamma: int = 4,  # draft lookahead per tick (speculative mode)
     ):
         self.model = model
         self.params = params
         self.cfg = config or EngineConfig()
         self.kv_dtype = kv_dtype
         self.kv_layout = kv_layout
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.gamma = gamma
+        if draft_model is not None:
+            if mesh is not None:
+                raise NotImplementedError("speculative mode + mesh: serve unsharded")
+            if self.cfg.temperature != 0.0:
+                raise ValueError(
+                    "speculative engine mode is greedy-only (temperature=0)"
+                )
         self.mesh = mesh
         B = self.cfg.max_batch_size
         if mesh is not None:
@@ -166,6 +179,15 @@ class Engine:
                 self.caches,
                 specs,
             )
+        # Speculative mode: the draft model keeps its own (dense) caches,
+        # length-synchronized with the target's after every commit.
+        self.draft_caches = (
+            init_cache(
+                draft_model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype
+            )
+            if draft_model is not None
+            else None
+        )
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
@@ -182,6 +204,8 @@ class Engine:
             "steps": 0,
             "tokens_generated": 0,
             "prefills": 0,
+            "spec_proposed": 0,
+            "spec_accepted": 0,
             "step_times": deque(maxlen=256),
             "prefill_times": deque(maxlen=256),
         }
@@ -279,6 +303,16 @@ class Engine:
             jnp.asarray(len(piece), jnp.int32),
             jnp.asarray(slot, jnp.int32),
         )
+        if self.draft_caches is not None:
+            # Speculative mode: the draft cache tracks the same prompt.
+            _, self.draft_caches = _extend_slot(
+                self.draft_model,
+                self.draft_params,
+                self.draft_caches,
+                tokens,
+                jnp.asarray(len(piece), jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+            )
         req.prefill_off += len(piece)
         if req.prefill_off < len(req.prompt):
             return  # more chunks next tick; decoding slots proceed meanwhile
@@ -324,6 +358,10 @@ class Engine:
             self.slot_req[slot] = None
             # Free the slot: reset its cache length for the next tenant.
             self.caches = [c.reset_slot(jnp.asarray(slot)) for c in self.caches]
+            if self.draft_caches is not None:
+                self.draft_caches = [
+                    c.reset_slot(jnp.asarray(slot)) for c in self.draft_caches
+                ]
             if self.allocator is not None and req.pages:
                 self.allocator.free(req.pages)
                 req.pages = []
@@ -338,6 +376,9 @@ class Engine:
         if self.prefilling:
             self._prefill_tick()
         if not any(self.active):
+            return
+        if self.draft_caches is not None:
+            self._spec_decode_tick(t0)
             return
         active = jnp.asarray(self.active)
         self._key, sub = jax.random.split(self._key)
@@ -370,6 +411,69 @@ class Engine:
                 req.on_token(req.rid, int(toks[slot]))
             self.stats["tokens_generated"] += 1
             self._maybe_finish(slot)
+        self.stats["steps"] += 1
+        dt = time.perf_counter() - t0
+        self.stats["step_times"].append(dt)
+        self.watchdog.observe(dt)
+
+    def _spec_decode_tick(self, t0: float):
+        """Speculative decode tick: the draft model proposes gamma tokens per
+        slot, the target scores every window in ONE batched forward, and each
+        active slot commits its accepted prefix + 1 corrected token — i.e.
+        1..gamma+1 tokens per tick per slot at one target forward per tick.
+        Greedy acceptance makes the stream exactly equal to plain greedy
+        decoding (engine-level test)."""
+        import dataclasses
+
+        active = jnp.asarray(self.active)
+        proposals, self.draft_caches = _draft_propose(
+            self.draft_model,
+            self.draft_params,
+            self.draft_caches,
+            self.last_tokens,
+            active,
+            self.gamma,
+        )
+        window = jnp.concatenate([self.last_tokens[:, None], proposals], axis=1)
+        greedy, accepted, self.caches = _spec_score_and_accept(
+            self.model, self.params, self.caches, window, active
+        )
+        # Draft caches rewind to the committed frontier (pools beyond are
+        # masked by length and overwritten by the next window). Each layer
+        # gets its OWN copy: sharing the target's lengths buffer would let a
+        # later donated target step delete it out from under the draft.
+        committed = self.caches[0].lengths
+        self.draft_caches = [
+            dataclasses.replace(c, lengths=committed + 0)
+            for c in self.draft_caches
+        ]
+
+        window_h = jax.device_get(window)
+        greedy_h = jax.device_get(greedy)
+        accepted_h = jax.device_get(accepted)
+        import numpy as _np
+
+        new_last = _np.array(jax.device_get(self.last_tokens))  # mutable copy
+        for slot in range(self.cfg.max_batch_size):
+            if not self.active[slot]:
+                continue
+            req = self.slot_req[slot]
+            a = int(accepted_h[slot])
+            emitted = [int(t) for t in window_h[slot, 1 : 1 + a]]
+            emitted.append(int(greedy_h[slot, a]))
+            self.stats["spec_proposed"] += self.gamma
+            self.stats["spec_accepted"] += a
+            for tok in emitted:
+                req.out.append(tok)
+                if req.on_token is not None:
+                    req.on_token(req.rid, tok)
+                self.stats["tokens_generated"] += 1
+                self._maybe_finish(slot)
+                if req.done:
+                    break  # tokens past eos/max_new are discarded
+            if not req.done:
+                new_last[slot] = emitted[-1]
+        self.last_tokens = jnp.asarray(new_last)
         self.stats["steps"] += 1
         dt = time.perf_counter() - t0
         self.stats["step_times"].append(dt)
@@ -414,6 +518,10 @@ class Engine:
         if self.allocator is not None:
             out["kv_pages_free"] = self.allocator.num_free
             out["kv_pages_total"] = self.allocator.num_pages
+        if self.draft_caches is not None:
+            out["spec_acceptance_rate"] = self.stats["spec_accepted"] / max(
+                1, self.stats["spec_proposed"]
+            )
         return out
 
 
@@ -428,6 +536,58 @@ def _cache_probe(cache):
 def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
     """Prefill one chunk into a slot (single-device path)."""
     return _extend_slot_body(model, params, caches, tokens, true_len, slot)
+
+
+# -- speculative decode tick (engine mode; SURVEY.md §3.4 / A3 extension) ----
+
+
+@partial(jax.jit, static_argnames=("model", "gamma"), donate_argnums=(2,))
+def _draft_propose(model, params, caches, last_tokens, active, gamma: int):
+    """Draft gamma greedy proposals per slot (batched), then one extra step
+    so the draft cache also holds K/V for the final proposal (needed when
+    all gamma tokens are accepted). Returns (proposals [B, gamma], caches)."""
+    advance = active.astype(jnp.int32)
+    max_pos = model.cfg.max_position_embeddings - 1
+
+    def body(carry, _):
+        tok, caches = carry
+        positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
+        logits, caches = model.apply(
+            params, tok[:, None], positions, caches, advance=advance
+        )
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        return (nxt, caches), nxt
+
+    (last, caches), proposals = jax.lax.scan(
+        body, (last_tokens, caches), None, length=gamma
+    )
+    positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
+    _, caches = model.apply(params, last[:, None], positions, caches, advance=advance)
+    return proposals.T, caches  # scan stacks on axis 0 -> [B, gamma]
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _spec_score_and_accept(model, params, caches, window, active):
+    """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
+    forward with advance=0 (lengths frozen — cache rollback is free, see
+    models/speculative.py), computes per-slot greedy acceptance, and commits
+    accepted+1 positions per active slot."""
+    import dataclasses
+
+    B, T = window.shape
+    max_pos = model.cfg.max_position_embeddings - 1
+    positions = jnp.minimum(
+        caches[0].lengths[:, None] + jnp.arange(T)[None, :], max_pos
+    )
+    logits, caches = model.apply(
+        params, window, positions, caches, advance=jnp.zeros((B,), jnp.int32)
+    )
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
+    match = (window[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+    accepted = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in [0, gamma]
+    adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
+    caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
+    return greedy, accepted, caches
 
 
 def _build_tp_engine_fns(model: LlamaModel, mesh):

@@ -364,3 +364,58 @@ def test_http_server_oversized_prompt_returns_400(model_and_params):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_engine_speculative_matches_plain_greedy(model_and_params):
+    """Speculative engine mode (draft proposes, target verifies) must emit
+    EXACTLY the plain greedy engine's streams — with a perfect draft (the
+    target itself: ~100% acceptance) and with a divergent draft (an
+    independently initialized model: low acceptance), across slot reuse and
+    eos stops (VERDICT round-1 item 9)."""
+    model, params = model_and_params
+    prompts = _prompts(5, seed=9)
+
+    plain = _engine(model, params, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
+    # Perfect draft: the target model itself.
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.float32, draft_model=model, draft_params=params, gamma=3,
+    )
+    rids = [eng.add_request(p, 8) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    m = eng.metrics()
+    assert m["spec_acceptance_rate"] > 0.9, m  # perfect draft accepts ~all
+    # Fewer target ticks than tokens: speculation actually batched commits.
+    assert eng.stats["steps"] < eng.stats["tokens_generated"], eng.stats
+
+    # Divergent draft: differently-initialized weights — acceptance may be
+    # near zero, output must STILL be exactly the plain greedy stream.
+    bad_params = model.init(jax.random.PRNGKey(42), jnp.zeros((1, 4), jnp.int32))
+    eng2 = Engine(
+        model, params,
+        EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.float32, draft_model=model, draft_params=bad_params, gamma=3,
+    )
+    rids2 = [eng2.add_request(p, 8) for p in prompts]
+    outs2 = eng2.run()
+    for ra, rb in zip(plain_rids, rids2):
+        assert plain_outs[ra] == outs2[rb], (plain_outs[ra], outs2[rb])
+
+
+def test_engine_speculative_rejects_sampling():
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    with pytest.raises(ValueError, match="greedy-only"):
+        Engine(
+            model, params,
+            EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
+            kv_dtype=jnp.float32, draft_model=model, draft_params=params,
+        )
