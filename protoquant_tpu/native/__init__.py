@@ -1,38 +1,59 @@
 """Native (C++) host-runtime components, bound via ctypes.
 
-Built on first import with g++ (cached next to the source); falls back to a
-pure-Python free-list with identical semantics if no toolchain is available,
-so the package never hard-fails — but the native path is the product path.
+Built on first import with g++ into a user cache directory, keyed by a
+content hash of the source (a stale binary can never shadow newer source,
+and no binary ever lives in the repo). The loader additionally checks the
+library's `pq_abi_version` export against its own expectation. Falls back to
+a pure-Python free-list with identical semantics if no toolchain is
+available, so the package never hard-fails — but the native path is the
+product path.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pq_alloc.cpp")
-_SO = os.path.join(_DIR, "_pq_alloc.so")
+_ABI_VERSION = 2
 _build_lock = threading.Lock()
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "protoquant_tpu")
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return tempfile.gettempdir()
 
 
 def _build() -> str | None:
     with _build_lock:
-        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-            return _SO
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(_cache_dir(), f"_pq_alloc_{digest}.so")
+        if os.path.exists(so):
+            return so
         try:
+            tmp = so + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
                 check=True,
                 capture_output=True,
             )
-            return _SO
+            os.replace(tmp, so)  # atomic: concurrent builders race safely
+            return so
         except Exception:
-            # No toolchain (or build failure): a previously-built library is
-            # still valid — prefer it over the Python fallback.
-            return _SO if os.path.exists(_SO) else None
+            return None
 
 
 _lib = None
@@ -46,6 +67,10 @@ def _load():
     if so is None:
         return None
     lib = ctypes.CDLL(so)
+    lib.pq_abi_version.restype = ctypes.c_int32
+    lib.pq_abi_version.argtypes = []
+    if lib.pq_abi_version() != _ABI_VERSION:
+        return None
     lib.pq_alloc_create.restype = ctypes.c_void_p
     lib.pq_alloc_create.argtypes = [ctypes.c_int32]
     lib.pq_alloc_destroy.argtypes = [ctypes.c_void_p]

@@ -75,4 +75,9 @@ void pq_free_pages(PqAllocator* a, const int32_t* pages, int32_t n) {
 int32_t pq_num_free(const PqAllocator* a) { return a->num_free; }
 int32_t pq_num_pages(const PqAllocator* a) { return a->num_pages; }
 
+// ABI version: the Python loader refuses any library whose version doesn't
+// match its expectation, so a stale cached binary can never silently shadow
+// newer source (the cache key is also a content hash — belt and braces).
+int32_t pq_abi_version(void) { return 2; }
+
 }  // extern "C"
