@@ -92,7 +92,8 @@ class Engine:
         kv_dtype=jnp.int8,
         kv_layout: str = "dense",  # "dense" | "paged"
         debug_checks: bool = False,  # NaN/Inf detection per step (syncs)
-        step_budget_s: float = 300.0,  # watchdog threshold
+        step_budget_s: "float | None" = None,  # watchdog threshold
+        #              (None = adaptive: 30x rolling-median step, 120s floor)
         mesh=None,  # optional (data=dp, model=tp) mesh: sharded serving
         #            (model must be built via parallel.tp_model; params sharded)
         draft_model: "LlamaModel | None" = None,  # speculative decode mode

@@ -59,23 +59,57 @@ class Heartbeat:
 
 
 class StepWatchdog:
-    """Flags decode steps exceeding a wall-clock budget."""
+    """Flags decode steps exceeding a wall-clock budget.
 
-    def __init__(self, budget_s: float = 30.0, on_timeout=None):
+    With ``budget_s=None`` (the engine default) the budget adapts to the
+    serving workload: ``max(floor_s, multiplier x rolling-median step time)``
+    once ``min_obs`` steps have been observed. A fixed budget loose enough to
+    survive first-step compilation (minutes on TPU) would never fire on a
+    real serving hang (steady steps are milliseconds); the adaptive budget
+    tightens to the observed regime while the floor keeps late one-off
+    compilations (a fresh prefill bucket) from false-firing.
+    """
+
+    def __init__(
+        self,
+        budget_s: float | None = 30.0,
+        on_timeout=None,
+        floor_s: float = 120.0,
+        multiplier: float = 30.0,
+        min_obs: int = 16,
+    ):
         self.budget_s = budget_s
         self.on_timeout = on_timeout
+        self.floor_s = floor_s
+        self.multiplier = multiplier
+        self.min_obs = min_obs
         self.timeouts = 0
         self.last_duration = 0.0
+        self._window: list[float] = []  # rolling window (adaptive mode)
+
+    def current_budget(self) -> float | None:
+        """The budget in force now; None while adapting with too few steps."""
+        if self.budget_s is not None:
+            return self.budget_s
+        if len(self._window) < self.min_obs:
+            return None
+        med = sorted(self._window)[len(self._window) // 2]
+        return max(self.floor_s, self.multiplier * med)
 
     def observe(self, duration_s: float):
         self.last_duration = duration_s
-        if duration_s > self.budget_s:
+        budget = self.current_budget()
+        if self.budget_s is None:
+            self._window.append(duration_s)
+            if len(self._window) > 64:
+                self._window.pop(0)
+        if budget is not None and duration_s > budget:
             self.timeouts += 1
             if self.on_timeout is not None:
                 self.on_timeout(duration_s)
             else:
                 raise EngineHealthError(
-                    f"decode step took {duration_s:.1f}s (> {self.budget_s}s budget)"
+                    f"decode step took {duration_s:.1f}s (> {budget:.1f}s budget)"
                 )
 
 

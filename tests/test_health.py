@@ -54,6 +54,22 @@ def test_watchdog_fires():
     assert fired and wd2.timeouts == 1
 
 
+def test_watchdog_adaptive():
+    # Adaptive mode (budget_s=None): no budget until min_obs steps seen, so
+    # compile-dominated early steps can't false-fire...
+    wd = StepWatchdog(budget_s=None, floor_s=1.0, multiplier=30.0, min_obs=16)
+    wd.observe(100.0)  # first-step compile: huge, tolerated
+    assert wd.current_budget() is None and wd.timeouts == 0
+    for _ in range(40):
+        wd.observe(0.005)
+    # ...then the budget tightens to max(floor, 30 x median) of the regime.
+    assert wd.current_budget() == pytest.approx(1.0)
+    wd.observe(0.9)  # a slow-but-under-floor step (late bucket compile): ok
+    with pytest.raises(EngineHealthError):
+        wd.observe(1.5)  # a real hang relative to the serving regime
+    assert wd.timeouts == 1
+
+
 def test_check_finite():
     check_finite("ok", jnp.ones((4,)))
     with pytest.raises(EngineHealthError):
