@@ -98,17 +98,29 @@ def bench_decode(model, params, kv_dtype, batch, ctx, steps):
         (_, _), toks = jax.lax.scan(body, (tok0, caches), None, length=n_steps)
         return toks
 
-    run(model, params, jnp.ones((batch, 1), jnp.int32), steps).block_until_ready()
-    # Timed calls use distinct real inputs: the TPU tunnel in this
-    # environment can memoize identical-argument executions, which corrupts
-    # repeat-call timing. Best-of-3 with varied tokens defeats that.
+    # Warmup MUST fetch to host: on this tunnel block_until_ready() returns
+    # early while the background compile is still in flight (measured: a
+    # program whose first fetch took 113s "blocked ready" in 0.15s). After
+    # the executable exists, block/fetch agree — so force the compile to
+    # completion with a real fetch before any timing.
+    np.asarray(run(model, params, jnp.ones((batch, 1), jnp.int32), steps))
+    # Timed calls use distinct real inputs: the tunnel can memoize
+    # identical-argument executions, which corrupts repeat-call timing.
+    # Each bracket chains `chain` dispatches (device executes them
+    # back-to-back on one stream) and fetches only the last, so the ~50ms
+    # per-fetch tunnel RTT is amortized over the whole chain.
+    chain = 4
     best = float("inf")
     for i in range(3):
-        tok = jnp.full((batch, 1), 2 + i, jnp.int32)
+        toks = [
+            jnp.full((batch, 1), 2 + chain * i + j, jnp.int32)
+            for j in range(chain)
+        ]
         t0 = time.perf_counter()
-        run(model, params, tok, steps).block_until_ready()
+        out = [run(model, params, t, steps) for t in toks]
+        np.asarray(out[-1])
         best = min(best, time.perf_counter() - t0)
-    return batch * steps / best  # tokens/s
+    return chain * batch * steps / best  # tokens/s
 
 
 def main():

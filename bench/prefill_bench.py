@@ -57,42 +57,61 @@ def build(cfg, mode):
     return model, params
 
 
-SCAN_STEPS = int(os.environ.get("PREFILL_SCAN_STEPS", "8"))
+_STEPS_ENV = os.environ.get("PREFILL_SCAN_STEPS", "")
+# Each timed program should run >= ~1s at the bf16 speed of light: shorter
+# single-program timings on this tunnel come back below physical limits
+# (measured: single forwards 4-65x above SoL throughput), so only
+# long-running programs amortize the transport noise into a faithful number.
+TARGET_SECONDS = float(os.environ.get("PREFILL_TARGET_SECONDS", "1.0"))
 
 
-def bench_score(model, params, batch, seq, vocab, iters=3):
-    """Time SCAN_STEPS scoring forwards over distinct [batch, seq] token
+def scan_steps(sol_seconds_per_forward: float) -> int:
+    if _STEPS_ENV:
+        return int(_STEPS_ENV)
+    return max(16, min(2048, int(TARGET_SECONDS / max(sol_seconds_per_forward, 1e-6))))
+
+
+def bench_score(model, params, batch, seq, vocab, n_steps, iters=3):
+    """Time n_steps scoring forwards over distinct [batch, seq] token
     batches, the whole loop inside ONE jitted lax.scan program.
 
-    Two tunnel landmines defeated (measured this session): (a) per-call
-    timings of single forwards come back 4-65x above the MXU speed of light
-    — only whole-loop-in-one-program timings execute faithfully (same trick
-    as bench.py's decode scan); (b) identical-argument executions are
-    memoized ACROSS runs, so inputs are salted per process."""
+    Two tunnel landmines defeated (measured round 2): (a) per-call timings of
+    single forwards come back 4-65x above the MXU speed of light — only
+    whole-loop-in-one-program timings execute faithfully (same trick as
+    bench.py's decode scan); (b) identical-argument executions are memoized
+    ACROSS runs, so inputs are salted per process. Token inputs are generated
+    on-device inside the scan (fold_in per step) so host->device transfer
+    doesn't scale with n_steps."""
 
     @jax.jit
-    def run(p, toks):  # toks: [N, batch, seq]
-        def body(carry, tok):
+    def run(p, salt):
+        def body(carry, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), salt + i)
+            tok = jax.random.randint(key, (batch, seq), 1, vocab, jnp.int32)
             logits = model.apply(p, tok)
-            # Data dependence between steps prevents reordering/elision.
-            return carry + logits[0, -1, :8].astype(jnp.float32), ()
+            # Consume EVERY logit through a nonlinearity: a carry that reads
+            # only logits[0, -1, :8] lets XLA slice the whole forward down to
+            # the final position (q/o/MLP matmuls DCE'd at T-1 of T positions,
+            # 99.98% of lm_head gone) — measured as "3000x above MXU speed of
+            # light" before this fix. logsumexp over all axes is not
+            # algebraically collapsible through the matmuls.
+            return carry + jax.nn.logsumexp(logits.astype(jnp.float32)), ()
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), toks)
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
         return acc
 
-    salt = (os.getpid() * 7919 + int(time.time() * 1000)) % (vocab - 8)
-    rng = np.random.default_rng(salt)
-    mk = lambda: jnp.asarray(
-        rng.integers(1, vocab, (SCAN_STEPS, batch, seq)), jnp.int32
-    )
-    run(params, mk()).block_until_ready()
+    # Timing MUST force a host fetch: on this tunnel block_until_ready() can
+    # return without waiting for execution (measured: a scan whose first
+    # float() fetch took 113s "blocked ready" in 0.15s), so only the
+    # scalar materialization below is a real synchronization point.
+    salt0 = (os.getpid() * 7919 + int(time.time() * 1000)) % 2**20
+    float(run(params, jnp.int32(salt0)))  # warmup: compile + execute + fetch
     best = float("inf")
-    for _ in range(iters):
-        toks = mk()
+    for k in range(1, iters + 1):
         t0 = time.perf_counter()
-        run(params, toks).block_until_ready()
+        float(run(params, jnp.int32(salt0 + (k << 20))))
         best = min(best, time.perf_counter() - t0)
-    return SCAN_STEPS * batch * seq / best  # prompt tokens/s
+    return n_steps * batch * seq / best  # prompt tokens/s
 
 
 def linear_flops(cfg, m_tokens):
@@ -134,15 +153,19 @@ def main():
         sol_bf16 = flops / V5E_BF16_FLOPS  # fastest physically possible
         sol_int8 = flops / V5E_INT8_TOPS
 
+        n_steps = scan_steps(sol_bf16)
+
         model_fp, params_fp = build(cfg, "fp")
-        tps_fp = bench_score(model_fp, params_fp, batch, seq, cfg.vocab_size)
+        tps_fp = bench_score(model_fp, params_fp, batch, seq, cfg.vocab_size, n_steps)
         del params_fp
         t_fp = m_tokens / tps_fp
 
         for backend in backends:
             _ops.LINEAR_BACKEND = backend
             model_q, params_q = build(cfg, "dynamic")
-            tps_q = bench_score(model_q, params_q, batch, seq, cfg.vocab_size)
+            tps_q = bench_score(
+                model_q, params_q, batch, seq, cfg.vocab_size, n_steps
+            )
             del params_q
             t_q = m_tokens / tps_q
             # Credibility: a measured time below the MXU speed-of-light for
@@ -160,6 +183,7 @@ def main():
                 "mxu_util_bf16": round(sol_bf16 / t_fp, 3),
                 "credible_on_real_hw": bool(credible),
                 "layers": layers,
+                "scan_steps": n_steps,
             }
             print(json.dumps(rec), flush=True)
             results.append(rec)

@@ -246,6 +246,16 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.waiting) or bool(self.prefilling) or any(self.active)
 
+    def _paged_window_pages(self, needed_tokens: int) -> int:
+        """Smallest power-of-2 page count whose window covers
+        ``needed_tokens`` (+1 for the incoming decode write)."""
+        full = self.caches[0].page_table.shape[1]
+        ps = self.cfg.page_size
+        w = 1
+        while w * ps < needed_tokens + 1:
+            w *= 2
+        return min(w, full)
+
     # -- engine loop -------------------------------------------------------
 
     def _assign_slots(self):
@@ -387,9 +397,36 @@ class Engine:
             self._tp_fns["decode"] if self._tp_fns is not None
             else partial(_decode_step, self.model)
         )
+        # Paged layout: slice the page table to the power-of-2 page bucket
+        # covering the longest ACTIVE context (host-known), so the gathered
+        # attention window scales with live occupancy instead of max_seq —
+        # the XLA-backend gather then reads O(active window) HBM bytes per
+        # step. Mid-prefill slots don't constrain the bucket: their decode
+        # writes are garbage that the next chunk overwrites (trash-page if
+        # out-of-window), and their attention output is discarded. One decode
+        # program compiles per bucket (log2(max_pages) total). Restoring the
+        # full-width table afterwards is safe: the device step never edits
+        # the table, and the sliced copies — not the originals — were donated.
+        caches, restore_tables = self.caches, None
+        if self.kv_layout == "paged" and self.mesh is None:
+            needed = max(
+                (
+                    len(r.prompt) + len(r.out)
+                    for r in self.slot_req
+                    if r is not None and self.active[r.slot]
+                ),
+                default=0,
+            )
+            W = self._paged_window_pages(needed)
+            if W < self.caches[0].page_table.shape[1]:
+                restore_tables = [c.page_table for c in self.caches]
+                caches = [
+                    dataclasses.replace(c, page_table=c.page_table[:, :W])
+                    for c in self.caches
+                ]
         next_tokens, self.caches = decode(
             self.params,
-            self.caches,
+            caches,
             self.last_tokens,
             active,
             sub,
@@ -397,6 +434,11 @@ class Engine:
             top_k=self.cfg.top_k,
             top_p=self.cfg.top_p,
         )
+        if restore_tables is not None:
+            self.caches = [
+                dataclasses.replace(c, page_table=t)
+                for c, t in zip(self.caches, restore_tables)
+            ]
         self.last_tokens = next_tokens
         if self.debug_checks:
             check_finite("decode next_tokens", next_tokens)

@@ -275,3 +275,35 @@ def test_paged_prefill_pad_overflow_goes_to_trash(model_and_params):
         )[0]
     )
     assert out == ref, (out, ref)
+
+
+def test_paged_window_bucketing_crosses_boundaries(model_and_params):
+    """The decode-tick page-table slice (window bucketing) must traverse
+    several power-of-2 buckets as contexts grow, stay exact, and restore the
+    full-width table between ticks."""
+    model, params = model_and_params
+    cfg = EngineConfig(
+        max_batch_size=2, max_seq_len=64, page_size=4, prefill_chunk=16,
+        max_new_tokens=14, temperature=0.0,
+    )
+    eng = Engine(model, params, cfg, kv_layout="paged")
+    used = []
+    orig = eng._paged_window_pages
+    eng._paged_window_pages = lambda n: used.append(orig(n)) or used[-1]
+
+    prompts = [[3, 17, 5, 9, 2], [1, 2, 3]]
+    rids = [eng.add_request(p, 14) for p in prompts]
+    outs = eng.run()
+
+    full = 64 // 4
+    assert len(set(used)) >= 2, used  # crossed at least one bucket boundary
+    assert max(used) < full  # never needed the full window for these lengths
+    assert all(c.page_table.shape[1] == full for c in eng.caches)
+    for rid, p in zip(rids, prompts):
+        ref = list(
+            np.asarray(
+                greedy_generate(model, params, jnp.asarray([p], jnp.int32), 14,
+                                64, kv_dtype=jnp.int8)
+            )[0]
+        )
+        assert outs[rid] == ref, (outs[rid], ref)
