@@ -314,12 +314,26 @@ class DecoderLayer(nn.Module):
             advance,
         )
         x = x + h
-        h = MLP(
-            self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-            self.sp, self.int4_group, collective=self.collective, name="mlp",
-        )(
-            RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
-        )
+        normed = RMSNorm(
+            self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm"
+        )(x)
+        if self.cfg.is_moe:
+            # Mixtral-family sparse MLP. Under a mesh, the experts shard over
+            # the same axis TP uses (EP replaces MLP tensor parallelism; the
+            # psum traffic shape is identical). SP/fused don't apply.
+            from .moe import MoEMLP
+
+            assert not (self.sp or self.fused), "MoE: sp/fused unsupported"
+            h = MoEMLP(
+                self.cfg, self.mode, self.dtype, ep=self.tp,
+                ep_axis=self.tp_axis, name="block_sparse_moe",
+            )(normed)
+        else:
+            h = MLP(
+                self.cfg, self.mode, self.dtype, self.tp, self.tp_axis,
+                self.fused, self.sp, self.int4_group,
+                collective=self.collective, name="mlp",
+            )(normed)
         return x + h, new_cache
 
 

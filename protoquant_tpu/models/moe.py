@@ -1,0 +1,219 @@
+"""Mixture-of-experts MLP (Mixtral family) with int8 experts + expert
+parallelism.
+
+Beyond-reference extension: the reference quantizes dense linears only
+(SURVEY.md §2.1 R2); SURVEY.md §2.2's EP row promised a design note for how
+QTensor sharding extends to experts — this is the implementation. The design
+is the compiler-friendly GShard/Mesh-TensorFlow capacity form, which is the
+TPU-idiomatic MoE: routing is expressed as dense one-hot dispatch/combine
+einsums over STATIC shapes [tokens, experts, capacity], so XLA tiles every
+expert matmul onto the MXU as one batched GEMM — no dynamic shapes, no
+scatter, no host round-trips.
+
+Quantization: expert weights are stacked 3D tensors [E, K, N] quantized
+per-expert-per-output-channel (QTensor axis=1 → scales [E, N]); activations
+entering experts are dynamically row-quantized ([E, C, K] → scales [E, C]),
+the exact analogue of the dense dynamic path. The matmuls use the XLA
+bf16-lane formulation (the measured product-best backend on decode; see
+ops/xla_backend.py numerics note) batched over E.
+
+Expert parallelism: run inside shard_map with ``ep_axis`` set and the expert
+axis of w1/w2/w3 sharded over that mesh axis. Every shard computes the
+(replicated, deterministic) router and dispatch, slices its own expert
+columns, computes its local experts' GEMMs, and psums the combined output —
+the same ICI traffic shape as the dense TP MLP ([N, d] per layer). A
+dispatch all_to_all (tokens move instead of replicating) is the pod-scale
+variant; with int8 dispatch payloads it halves wire bytes the same way the
+SP gathers do (models/llama.py::_sp_gather_quantized).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import numerics
+from ..core.qtensor import QTensor
+from ..utils.config import ModelConfig
+
+
+def _qtensor3_init(kernel_init, shape, param_dtype):
+    """Init returning a stacked QTensor ([E, K, N] payload, [E, N] scales) so
+    a freshly-initialized quantized MoE model has the same param STRUCTURE as
+    one produced by nn.convert.quantize_params."""
+
+    def init(key):
+        w = kernel_init(key, shape, param_dtype)
+        return QTensor.quantize(w, axis=1)
+
+    return init
+
+
+def expert_capacity(n_tokens: int, cfg: ModelConfig) -> int:
+    """Static per-expert token capacity (GShard): ceil(k*N/E * factor)."""
+    e, k = cfg.num_local_experts, cfg.num_experts_per_tok
+    return max(1, math.ceil(k * n_tokens / e * cfg.expert_capacity_factor))
+
+
+def dispatch_combine(gate_idx, gate_vals, num_experts: int, capacity: int):
+    """Dense dispatch/combine tensors from top-k routing decisions.
+
+    gate_idx/gate_vals: [N, k]. Priority is choice-major then token order
+    (every token's first choice outranks any token's second choice), the
+    standard GShard tie-break. Assignments past an expert's capacity are
+    dropped — the token's contribution for that choice becomes 0 and the
+    residual stream carries it unchanged.
+
+    Returns (dispatch [N, E, C] f32 in {0,1}, combine [N, E, C] f32).
+    """
+    n, k = gate_idx.shape
+    # Choice-major flat assignment list: rows 0..N-1 are every token's first
+    # choice, rows N..2N-1 the second, ...
+    flat_idx = gate_idx.T.reshape(-1)  # [k*N]
+    oh = jax.nn.one_hot(flat_idx, num_experts, dtype=jnp.float32)  # [k*N, E]
+    pos = jnp.cumsum(oh, axis=0) - 1.0  # queue position within each expert
+    keep = (pos < capacity) & (oh > 0)  # [k*N, E]
+    slot = jax.nn.one_hot(
+        jnp.where(keep, pos, -1).max(axis=-1).astype(jnp.int32), capacity,
+        dtype=jnp.float32,
+    )  # [k*N, C] (all-dropped rows one-hot nothing: max(-1) -> -1 -> zeros)
+    assign = (oh * keep)[:, :, None] * slot[:, None, :]  # [k*N, E, C]
+    assign = assign.reshape(k, n, num_experts, capacity).transpose(1, 0, 2, 3)
+    dispatch = assign.sum(axis=1)  # [N, E, C]
+    combine = jnp.einsum("nkec,nk->nec", assign, gate_vals.astype(jnp.float32))
+    return dispatch, combine
+
+
+class _StackedWeight(nn.Module):
+    """Stacked per-expert weight [E, K, N] living at ``<name>/kernel`` (fp)
+    or ``<name>/qkernel`` (quantized) — the same param layout as QLinear, so
+    nn.convert.quantize_params transforms it structurally (3D kernels
+    quantize along axis=1: per-expert per-output-channel scales [E, N])."""
+
+    shape: tuple
+    quantized: bool
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.lecun_normal(batch_axis=(0,))
+        if not self.quantized:
+            return self.param("kernel", init, self.shape, jnp.float32)
+        return self.param("qkernel", _qtensor3_init(init, self.shape, jnp.float32))
+
+
+class MoEMLP(nn.Module):
+    """Sparse MoE block replacing the dense SwiGLU MLP (HF name
+    ``block_sparse_moe``): router ``gate`` + stacked experts w1/w3 (gate/up,
+    [E, d, I]) and w2 (down, [E, I, d])."""
+
+    cfg: ModelConfig
+    mode: str = "dynamic"  # "fp" | "dynamic" | "weight_only"
+    dtype: Any = jnp.bfloat16
+    ep: int = 1  # expert-parallel degree (experts sharded ep ways)
+    ep_axis: Any = None  # mesh axis name (inside shard_map) for EP
+
+    def _stacked(self, name: str, shape):
+        return _StackedWeight(shape, self.mode != "fp", name=name)()
+
+    def _matmul(self, x, w, preq=None):
+        """Batched per-expert linear: x [E, C, K] @ w [E, K, N] -> [E, C, N]
+        f32, through the mode's quantized formulation."""
+        if self.mode == "fp":
+            return jnp.einsum(
+                "eck,ekn->ecn",
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        if self.mode == "dynamic":
+            xq, s_x = preq if preq is not None else numerics.quantize_rowwise(
+                x.astype(self.dtype)
+            )
+            acc = jnp.einsum(
+                "eck,ekn->ecn",
+                xq.astype(jnp.bfloat16),
+                w.data.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return acc * s_x[..., None] * w.scale[:, None, :]
+        # weight_only: int8 weights stream from HBM, bf16-lane activations.
+        acc = jnp.einsum(
+            "eck,ekn->ecn",
+            x.astype(jnp.bfloat16),
+            w.data.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return acc * w.scale[:, None, :]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, d]
+        cfg = self.cfg
+        if self.mode == "weight_only_int4":
+            raise NotImplementedError(
+                "MoE experts support fp/dynamic/weight_only; int4 group "
+                "packing for stacked experts is future work"
+            )
+        e_global, k = cfg.num_local_experts, cfg.num_experts_per_tok
+        d, inter = cfg.hidden_size, cfg.intermediate_size
+        if e_global % self.ep:
+            raise ValueError(f"ep={self.ep} must divide num_experts={e_global}")
+        e_local = e_global // self.ep
+
+        b, t, _ = x.shape
+        n = b * t
+        xf = x.reshape(n, d)
+
+        # Router: tiny [d, E] fp32 matmul; kept full-precision (its argmax
+        # decides routing — quantization noise here changes WHICH expert
+        # runs, a much larger error than any matmul rounding).
+        router_logits = nn.Dense(
+            e_global, use_bias=False, dtype=jnp.float32,
+            param_dtype=jnp.float32, name="gate",
+        )(xf.astype(jnp.float32))
+        probs = jax.nn.softmax(router_logits, axis=-1)
+        gate_vals, gate_idx = jax.lax.top_k(probs, k)
+        gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+
+        cap = expert_capacity(n, cfg)
+        dispatch, combine = dispatch_combine(gate_idx, gate_vals, e_global, cap)
+
+        # Local expert shards (full tensors when ep == 1).
+        w1 = self._stacked("w1", (e_local, d, inter))  # gate proj
+        w3 = self._stacked("w3", (e_local, d, inter))  # up proj
+        w2 = self._stacked("w2", (e_local, inter, d))  # down proj
+        if self.ep_axis is not None:
+            r = jax.lax.axis_index(self.ep_axis)
+            dispatch = jax.lax.dynamic_slice_in_dim(
+                dispatch, r * e_local, e_local, axis=1
+            )
+            combine = jax.lax.dynamic_slice_in_dim(
+                combine, r * e_local, e_local, axis=1
+            )
+
+        xin = jnp.einsum(
+            "nec,nd->ecd", dispatch, xf.astype(jnp.float32)
+        ).astype(self.dtype)  # [E_local, C, d]
+
+        # Shared rowquant: w1 and w3 read the same activation (the dense
+        # path's fused-producer move, SURVEY.md §8.3.3).
+        preq = (
+            numerics.quantize_rowwise(xin.astype(self.dtype))
+            if self.mode == "dynamic"
+            else None
+        )
+        gate_out = self._matmul(xin, w1, preq)
+        up_out = self._matmul(xin, w3, preq)
+        h = (jax.nn.silu(gate_out) * up_out).astype(self.dtype)  # [E, C, I]
+        y = self._matmul(h, w2)  # [E_local, C, d] f32
+
+        out = jnp.einsum("nec,ecd->nd", combine, y)
+        if self.ep_axis is not None:
+            # Non-local experts contributed nothing on this shard; the psum
+            # assembles the full mixture (same wire bytes as the TP MLP's
+            # all-reduce: one [N, d] payload).
+            out = jax.lax.psum(out, self.ep_axis)
+        return out.astype(self.dtype).reshape(b, t, d)

@@ -20,15 +20,25 @@ from ..utils.config import QuantConfig
 
 
 def _is_linear_params(subtree: Any) -> bool:
+    # ndim 2: QLinear / flax Dense. ndim 3: stacked MoE expert weights
+    # [E, K, N] (models/moe.py::_StackedWeight) — quantized along axis=1
+    # (per-expert per-output-channel scales [E, N]).
     return (
         isinstance(subtree, Mapping)
         and "kernel" in subtree
         and isinstance(subtree["kernel"], jnp.ndarray)
-        and subtree["kernel"].ndim == 2
+        and subtree["kernel"].ndim in (2, 3)
     )
 
 
 def _skip(path: str, cfg: QuantConfig) -> bool:
+    # MoE routers stay full-precision structurally: their argmax decides
+    # WHICH expert runs — quantization noise there reroutes tokens, a far
+    # larger error than matmul rounding — and MoEMLP's nn.Dense("gate")
+    # expects an fp kernel param. (The exact segment "gate"; the dense MLP's
+    # gate_proj does not match.)
+    if path.split("/")[-1] == "gate":
+        return True
     return any(path.endswith(pat) or pat in path for pat in cfg.skip_patterns)
 
 
@@ -46,7 +56,11 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
     if _is_linear_params(params) and not _skip(_path, cfg):
         out = dict(params)
         w = out.pop("kernel")
-        if cfg.mode == "weight_only_int4":
+        if w.ndim == 3:
+            # Stacked MoE experts: int8 per-expert channelwise (int4 group
+            # packing for stacked experts is future work — int8 applies).
+            out["qkernel"] = QTensor.quantize(w, axis=1)
+        elif cfg.mode == "weight_only_int4":
             from ..core.qtensor import QTensor4
             from .qlinear import pick_int4_group
 

@@ -43,10 +43,18 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # Mixture-of-experts (Mixtral-family; 0 = dense SwiGLU MLP).
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+    expert_capacity_factor: float = 1.25
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_local_experts > 0
 
     @classmethod
     def llama2_7b(cls) -> "ModelConfig":
@@ -60,6 +68,20 @@ class ModelConfig:
             num_hidden_layers=80,
             num_attention_heads=64,
             num_key_value_heads=8,
+        )
+
+    @classmethod
+    def mixtral_8x7b(cls) -> "ModelConfig":
+        return cls(
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=32768,
+            rope_theta=1e6,
+            num_local_experts=8,
+            num_experts_per_tok=2,
         )
 
     @classmethod
