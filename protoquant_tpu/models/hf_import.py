@@ -56,11 +56,30 @@ def import_hf_llama(
                 proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
                 for proj in _PROJS_ATTN
             },
-            "mlp": {
+        }
+        if cfg.is_moe:
+            # Mixtral layout: block_sparse_moe.gate + per-expert w1/w2/w3
+            # ([out, in] each) stacked into [E, in, out] expert tensors.
+            moepre = f"{pre}.block_sparse_moe"
+            layer["block_sparse_moe"] = {
+                "gate": {"kernel": _kernel(sd, f"{moepre}.gate.weight")},
+                **{
+                    w: {
+                        "kernel": jnp.stack(
+                            [
+                                _kernel(sd, f"{moepre}.experts.{e}.{w}.weight")
+                                for e in range(cfg.num_local_experts)
+                            ]
+                        )
+                    }
+                    for w in ("w1", "w2", "w3")
+                },
+            }
+        else:
+            layer["mlp"] = {
                 proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}
                 for proj in _PROJS_MLP
-            },
-        }
+            }
         p[f"layers_{i}"] = layer
     p["norm"] = {
         "weight": jnp.asarray(np.asarray(sd["model.norm.weight"], np.float32))
