@@ -41,12 +41,21 @@ def _path_names(path) -> list[str]:
     return names
 
 
+MOE_EXPERT_WEIGHTS = ("w1", "w2", "w3")
+
+
 def _param_spec(path, leaf) -> P:
     names = _path_names(path)
     joined = "/".join(names)
     is_scale = names and names[-1] == "scale"
     is_bias = names and names[-1] == "bias"
     ndim = getattr(leaf, "ndim", None)
+    if any(n in MOE_EXPERT_WEIGHTS for n in names):
+        # Expert parallelism: stacked expert tensors shard on the expert
+        # (leading) axis over the model axis — kernel/qkernel.data [E, K, N]
+        # and per-expert scales [E, N] alike. The router ("gate") falls
+        # through to replicated.
+        return P(MODEL_AXIS, *([None] * ((ndim or 1) - 1)))
     if any(f"/{p}/" in f"/{joined}/" for p in COLUMN_PARALLEL):
         if is_scale:
             if ndim == 2:  # int4 group-wise scale [K/group, N]: shard N

@@ -249,3 +249,60 @@ def test_moe_engine_batched_equals_sequential():
             )[0]
         )
         assert outs[rid] == ref, (outs[rid], ref)
+
+
+def test_moe_tp_model_matches_unsharded():
+    """Mixtral under tp_model: attention TP + expert-parallel MoE over a
+    (1,4) mesh — scoring matches the unsharded model, and a cached TP decode
+    step runs. Expert specs: stacked [E,K,N] shard on E (shardings.py)."""
+    from protoquant_tpu.parallel import (
+        build_tp_score, build_tp_step, make_mesh, make_tp_caches, shard_params,
+        tp_model,
+    )
+    from protoquant_tpu.utils.config import MeshConfig
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64, num_local_experts=4, num_experts_per_tok=2,
+        expert_capacity_factor=8.0,
+    )
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, 128, (2, 8)), jnp.int32
+    )
+    fp_params = LlamaModel(cfg, mode="fp", dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), toks
+    )
+    # Sharpen the routers: random-init router logits are near-tied, so the
+    # psum reduction-order noise of the TP attention (1e-7 relative) flips
+    # top-k choices and the comparison measures routing luck, not math.
+    # 10x router weights give decisive margins; the comparison is then exact.
+    for li in range(cfg.num_hidden_layers):
+        g = fp_params["params"][f"layers_{li}"]["block_sparse_moe"]["gate"]
+        g["kernel"] = g["kernel"] * 10.0
+    params = quantize_params(fp_params, QuantConfig(mode="weight_only"))
+    ref = np.asarray(
+        LlamaModel(cfg, mode="weight_only", dtype=jnp.float32).apply(params, toks)
+    )
+
+    # weight_only is the exact-under-TP mode (dynamic re-derives per-token
+    # scales over each shard's LOCAL contraction slice, so TP-dynamic differs
+    # from unsharded by design — the dense TP tests pin that with cosine).
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model = tp_model(cfg, "weight_only", mesh, dtype=jnp.float32)
+    sp = shard_params(params, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model, mesh, params)(sp, toks))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # Decode step with int8 KV under the same mesh.
+    caches = make_tp_caches(cfg, mesh, 2, 32, jnp.int8)
+    step = build_tp_step(model, mesh, params, caches)
+    with mesh:
+        logits, caches = step(
+            sp, toks[:, :4],
+            jnp.broadcast_to(jnp.arange(4)[None], (2, 4)),
+            caches, jnp.full((2,), 4, jnp.int32),
+        )
+    assert logits.shape == (2, 4, 128)
+    assert np.all(np.isfinite(np.asarray(logits)))
