@@ -419,3 +419,34 @@ def test_engine_speculative_rejects_sampling():
             EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
             kv_dtype=jnp.float32, draft_model=model, draft_params=params,
         )
+
+
+def test_engine_speculative_with_paged_target(model_and_params):
+    """Speculative mode composes with the paged target cache: the draft
+    stays dense, the target's gamma+1-wide writes land in mapped pages (or
+    the trash page past the reserved chain) and the length rewind gives free
+    rollback — output must exactly equal the plain greedy paged engine."""
+    model, params = model_and_params
+    prompts = _prompts(4, seed=11)
+
+    plain = Engine(
+        model, params,
+        EngineConfig(max_batch_size=3, max_seq_len=64, page_size=16,
+                     prefill_chunk=16, max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.int8, kv_layout="paged",
+    )
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=3, max_seq_len=64, page_size=16,
+                     prefill_chunk=16, max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.int8, kv_layout="paged",
+        draft_model=model, draft_params=params, gamma=3,
+    )
+    rids = [eng.add_request(p, 8) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    assert eng.allocator.num_free == eng.allocator.num_pages
