@@ -115,6 +115,13 @@ class MoEMLP(nn.Module):
     dtype: Any = jnp.bfloat16
     ep: int = 1  # expert-parallel degree (experts sharded ep ways)
     ep_axis: Any = None  # mesh axis name (inside shard_map) for EP
+    # Pod-scale dispatch: tokens arrive SHARDED over ep_axis (SP-style
+    # layout); dispatched activations move to their expert owners via
+    # all_to_all — in dynamic mode as int8 + per-row scales (half the ICI
+    # bytes of bf16, exact: rowquant scales are per-token over K, so
+    # quantize-then-move == move-then-quantize). False = replicate tokens,
+    # psum the combine (the TP-MLP-shaped traffic default).
+    token_sharded: bool = False
 
     def _stacked(self, name: str, shape):
         return _StackedWeight(shape, self.mode != "fp", name=name)()
@@ -185,6 +192,12 @@ class MoEMLP(nn.Module):
         w1 = self._stacked("w1", (e_local, d, inter))  # gate proj
         w3 = self._stacked("w3", (e_local, d, inter))  # up proj
         w2 = self._stacked("w2", (e_local, inter, d))  # down proj
+
+        if self.token_sharded and self.ep_axis is not None:
+            return self._alltoall_forward(
+                xf, dispatch, combine, w1, w2, w3, b, t, d
+            )
+
         if self.ep_axis is not None:
             r = jax.lax.axis_index(self.ep_axis)
             dispatch = jax.lax.dynamic_slice_in_dim(
@@ -216,4 +229,46 @@ class MoEMLP(nn.Module):
             # assembles the full mixture (same wire bytes as the TP MLP's
             # all-reduce: one [N, d] payload).
             out = jax.lax.psum(out, self.ep_axis)
+        return out.astype(self.dtype).reshape(b, t, d)
+
+    def _alltoall_forward(self, xf, dispatch, combine, w1, w2, w3, b, t, d):
+        """Token-sharded EP (GShard dispatch): this shard's dispatched rows
+        [E, C_local, d] travel to their expert owners via all_to_all, expert
+        GEMMs run over every shard's contributions [E_local, ep*C_local, d],
+        and results return by the inverse all_to_all; the combine is local
+        (tokens never left). Dynamic mode quantizes BEFORE the wire: int8
+        payload + f32 per-row scales = ~half the ICI bytes of bf16, exact
+        (rowquant is per-row over K)."""
+        xin = jnp.einsum(
+            "nec,nd->ecd", dispatch, xf.astype(jnp.float32)
+        ).astype(self.dtype)  # [E, C_local, d]
+
+        def a2a_out(a):  # [E, cl, ...] -> [E_local, ep*cl, ...]
+            return jax.lax.all_to_all(
+                a, self.ep_axis, split_axis=0, concat_axis=1, tiled=True
+            )
+
+        def a2a_back(a):  # [E_local, ep*cl, ...] -> [E, cl, ...]
+            return jax.lax.all_to_all(
+                a, self.ep_axis, split_axis=1, concat_axis=0, tiled=True
+            )
+
+        if self.mode == "dynamic":
+            xq, s_x = numerics.quantize_rowwise(xin)
+            preq = (a2a_out(xq), a2a_out(s_x))  # int8 on the wire
+            xg = None
+        else:
+            preq = None
+            xg = a2a_out(xin)
+
+        gate_out = self._matmul(
+            xg if xg is not None else preq[0].astype(self.dtype), w1, preq
+        )
+        up_out = self._matmul(
+            xg if xg is not None else preq[0].astype(self.dtype), w3, preq
+        )
+        h = (jax.nn.silu(gate_out) * up_out).astype(self.dtype)
+        y = self._matmul(h, w2)  # [E_local, ep*C_local, d] f32
+
+        out = jnp.einsum("nec,ecd->nd", combine, a2a_back(y))
         return out.astype(self.dtype).reshape(b, t, d)
