@@ -50,7 +50,13 @@ def build(cfg, mode, batch, ctx):
         if mode != "fp":
             from protoquant_tpu.utils.config import QuantConfig
 
-            params = quantize_params(fp_params, QuantConfig(mode=mode))
+            params = quantize_params(
+                fp_params,
+                QuantConfig(
+                    mode=mode,
+                    int4_storage=os.environ.get("BENCH_INT4_STORAGE", "packed"),
+                ),
+            )
         else:
             # Honest bf16 baseline: weights stored (and streamed from HBM)
             # in bf16, not f32.

@@ -110,8 +110,13 @@ class QTensor:
 class QTensor4:
     """INT4 group-wise weight container (extension beyond the reference).
 
-    data: int8 [K/2, N] — two 4-bit values per byte packed along K
-      (byte i = k=i low nibble, k=i+K/2 high nibble).
+    Two storage layouts, distinguished by ``data.dtype``:
+      * "packed" (int8 [K/2, N]): two 4-bit values per byte packed along K
+        (byte i = k=i low nibble, k=i+K/2 high nibble) — consumed by the
+        Pallas wo4 kernel's in-VMEM unpack.
+      * "native" (jnp.int4 [K, N]): XLA's own s4 dtype — XLA:TPU stores s4
+        packed in HBM and owns the unpack, so the convert fuses into the dot
+        operand instead of burning VPU shifts (see ops/xla_backend.py).
     scale: f32 [K/group, N]; group: static contraction-group size.
     """
 
@@ -122,10 +127,18 @@ class QTensor4:
     orig_dtype_name: str = "float32"
 
     @classmethod
-    def quantize(cls, w: jnp.ndarray, group: int = 128) -> "QTensor4":
+    def quantize(
+        cls, w: jnp.ndarray, group: int = 128, storage: str = "packed"
+    ) -> "QTensor4":
         q, s = numerics.quantize_groupwise_int4(w, group=group)
+        if storage == "native":
+            data = q.astype(jnp.int4)
+        elif storage == "packed":
+            data = numerics.pack_int4(q, group)
+        else:
+            raise ValueError(f"unknown int4 storage {storage!r}")
         return cls(
-            data=numerics.pack_int4(q, group),
+            data=data,
             scale=s,
             group=group,
             orig_k=w.shape[0],
@@ -133,11 +146,18 @@ class QTensor4:
         )
 
     @property
+    def storage(self) -> str:
+        return "native" if self.data.dtype == jnp.int4 else "packed"
+
+    @property
     def shape(self):
         return (self.orig_k, self.data.shape[1])
 
     def dequantize(self) -> jnp.ndarray:
-        q = numerics.unpack_int4(self.data, self.group)
+        if self.storage == "native":
+            q = self.data.astype(jnp.int8)
+        else:
+            q = numerics.unpack_int4(self.data, self.group)
         k, n = q.shape
         w = (
             q.astype(jnp.float32).reshape(k // self.group, self.group, n)
@@ -146,7 +166,10 @@ class QTensor4:
         return w.astype(jnp.dtype(self.orig_dtype_name))
 
     def nbytes(self) -> int:
-        return self.data.size + self.scale.size * 4
+        payload = (
+            self.data.size // 2 if self.storage == "native" else self.data.size
+        )  # s4 is packed 2-per-byte in device memory either way
+        return payload + self.scale.size * 4
 
 
 def quantize(x: jnp.ndarray, axis: int = 0) -> QTensor:

@@ -115,6 +115,7 @@ class Attention(nn.Module):
     cp: int = 1  # context parallelism (ring attention over a seq-sharded axis)
     cp_axis: Any = None
     int4_group: int = 128
+    int4_storage: str = "packed"
     collective: bool = False  # overlapped ring collective matmul for o_proj
 
     @nn.compact
@@ -143,7 +144,7 @@ class Attention(nn.Module):
         Dh = cfg.head_dim
         lin = partial(
             QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
-            int4_group=self.int4_group,
+            int4_group=self.int4_group, int4_storage=self.int4_storage,
         )
 
         # Shared dynamic rowquant: q/k/v read the same normed activation, so
@@ -203,6 +204,7 @@ class Attention(nn.Module):
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
+            int4_storage=self.int4_storage,
             collective=self.collective,
             tp=self.tp,
             name="o_proj",
@@ -241,6 +243,7 @@ class MLP(nn.Module):
     fused: bool = False
     sp: bool = False
     int4_group: int = 128
+    int4_storage: str = "packed"
     collective: bool = False  # overlapped ring collective matmul for down_proj
 
     @nn.compact
@@ -254,7 +257,7 @@ class MLP(nn.Module):
                 x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         lin = partial(
             QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
-            int4_group=self.int4_group,
+            int4_group=self.int4_group, int4_storage=self.int4_storage,
         )
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
         if self.mode == "dynamic" and preq is None:
@@ -282,6 +285,7 @@ class MLP(nn.Module):
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
+            int4_storage=self.int4_storage,
             collective=self.collective,
             tp=self.tp,
             name="down_proj",
@@ -299,6 +303,7 @@ class DecoderLayer(nn.Module):
     cp: int = 1
     cp_axis: Any = None
     int4_group: int = 128
+    int4_storage: str = "packed"
     collective: bool = False
 
     @nn.compact
@@ -306,6 +311,7 @@ class DecoderLayer(nn.Module):
         h, new_cache = Attention(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
             self.sp, self.cp, self.cp_axis, self.int4_group,
+            int4_storage=self.int4_storage,
             collective=self.collective, name="self_attn"
         )(
             RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
@@ -332,6 +338,7 @@ class DecoderLayer(nn.Module):
             h = MLP(
                 self.cfg, self.mode, self.dtype, self.tp, self.tp_axis,
                 self.fused, self.sp, self.int4_group,
+                int4_storage=self.int4_storage,
                 collective=self.collective, name="mlp",
             )(normed)
         return x + h, new_cache
@@ -364,6 +371,8 @@ class LlamaModel(nn.Module):
     cp_axis: Any = None
     # int4 quantization-group size (match QuantConfig.int4_group at convert).
     int4_group: int = 128
+    # int4 payload layout (match QuantConfig.int4_storage at convert).
+    int4_storage: str = "packed"
     # Overlapped ring collective matmuls for the row-parallel projections
     # (o_proj/down_proj) instead of bare psum (SURVEY.md §5.8 mechanism 2).
     collective: bool = False
@@ -401,6 +410,7 @@ class LlamaModel(nn.Module):
             x, nc = DecoderLayer(
                 cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
                 self.sp, self.cp, self.cp_axis, self.int4_group,
+                int4_storage=self.int4_storage,
                 collective=self.collective,
                 name=f"layers_{i}",
             )(x, positions, cache_i, advance)
@@ -420,6 +430,7 @@ class LlamaModel(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             int4_group=self.int4_group,
+            int4_storage=self.int4_storage,
             name="lm_head",
         )(x)
         if self.tp_axis is not None:

@@ -65,7 +65,9 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
             from .qlinear import pick_int4_group
 
             group = pick_int4_group(w.shape[0], cfg.int4_group)
-            out["qkernel"] = QTensor4.quantize(w, group=group)
+            out["qkernel"] = QTensor4.quantize(
+                w, group=group, storage=cfg.int4_storage
+            )
         else:
             out["qkernel"] = QTensor.quantize(w, axis=0)
         return out

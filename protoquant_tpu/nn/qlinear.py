@@ -37,12 +37,17 @@ def pick_int4_group(k: int, want: int = 128) -> int:
     return g
 
 
-def _qtensor4_init(kernel_init: Initializer, shape, param_dtype, group: int = 128):
+def _qtensor4_init(
+    kernel_init: Initializer, shape, param_dtype, group: int = 128,
+    storage: str = "packed",
+):
     from ..core.qtensor import QTensor4
 
     def init(key):
         w = kernel_init(key, shape, param_dtype)
-        return QTensor4.quantize(w, group=pick_int4_group(shape[0], group))
+        return QTensor4.quantize(
+            w, group=pick_int4_group(shape[0], group), storage=storage
+        )
 
     return init
 
@@ -89,6 +94,9 @@ class QLinear(nn.Module):
     # Quantization-group size for mode="weight_only_int4" (must match the
     # QuantConfig used at conversion; under TP it must divide K/tp).
     int4_group: int = 128
+    # int4 payload layout (must match QuantConfig.int4_storage at convert):
+    # "packed" bytes (Pallas wo4) or "native" XLA s4 (XLA backend only).
+    int4_storage: str = "packed"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, prequantized=None) -> jnp.ndarray:
@@ -180,11 +188,15 @@ class QLinear(nn.Module):
                     (in_features, self.features),
                     self.param_dtype,
                     self.int4_group,
+                    self.int4_storage,
                 ),
             )
+            # Native-s4 storage is only consumable by the XLA formulation
+            # (the Pallas wo4 kernel reads the byte-packed layout).
+            native = qkernel.data.dtype == jnp.int4
             wo4 = (
                 ops.weight_only_int4_matmul_xla
-                if ops.LINEAR_BACKEND == "xla"
+                if native or ops.LINEAR_BACKEND == "xla"
                 else ops.weight_only_int4_matmul
             )
             y = wo4(

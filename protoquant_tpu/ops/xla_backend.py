@@ -56,15 +56,56 @@ def weight_only_matmul_xla(x, wq, s_w, bias=None, out_dtype=None):
 
 
 def weight_only_int4_matmul_xla(x, packed, scales, group, bias=None, out_dtype=None):
-    """int4 nibbles streamed from HBM, unpacked+dequantized by XLA ops."""
+    """int4 weights via XLA.
+
+    Native-s4 storage (packed.dtype == jnp.int4, [K, N]): XLA:TPU stores s4
+    packed in HBM (half the int8 bytes) and owns the nibble unpack, so the
+    bf16 convert rides the dot operand. Group scales factorize EXACTLY by
+    splitting the contraction per group — y = sum_g (x_g @ w4_g) * s[g] —
+    a batched [K/group] x [M, g] @ [g, N] einsum instead of materializing a
+    dequantized [K, N] copy. The [M, K/group, N] f32 partials stay fusable
+    for decode-sized M; for large M (prefill) the materialized-dequant form
+    wins compute-bound anyway, so we switch there.
+
+    Byte-packed storage (int8 [K/2, N]): legacy path — unpack with shifts
+    and materialize the dequantized weight (2x+ int8 traffic; the Pallas wo4
+    kernel is the right consumer for this layout)."""
     from ..core import numerics
 
     out_dtype = out_dtype or x.dtype
-    q = numerics.unpack_int4(packed, group)
-    k, n = q.shape
-    w = (
-        q.astype(jnp.float32).reshape(k // group, group, n) * scales[:, None, :]
-    ).reshape(k, n)
+    if packed.dtype == jnp.int4:
+        import jax
+
+        # bf16 lanes on TPU (native MXU rate, exact for int4 values); f32 on
+        # CPU (XLA:CPU's dot thunk can't execute bf16 x bf16).
+        lane = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        k, n = packed.shape
+        m = x.reshape(-1, k).shape[0]
+        if m <= 64:
+            xg = x.reshape(-1, k // group, group)
+            wg = packed.reshape(k // group, group, n).astype(lane)
+            acc = jnp.einsum(
+                "mgk,gkn->mgn",
+                xg.astype(lane),
+                wg,
+                preferred_element_type=jnp.float32,
+            )
+            y = jnp.einsum("mgn,gn->mn", acc, scales)
+            y = y.reshape(*x.shape[:-1], n)
+            if bias is not None:
+                y = y + bias.astype(jnp.float32)
+            return y.astype(out_dtype)
+        w = (
+            packed.astype(jnp.float32).reshape(k // group, group, n)
+            * scales[:, None, :]
+        ).reshape(k, n)
+    else:
+        q = numerics.unpack_int4(packed, group)
+        k, n = q.shape
+        w = (
+            q.astype(jnp.float32).reshape(k // group, group, n)
+            * scales[:, None, :]
+        ).reshape(k, n)
     acc = jnp.matmul(
         x.astype(jnp.bfloat16),
         w.astype(jnp.bfloat16),

@@ -105,3 +105,98 @@ def test_int4_model_end_to_end():
     )
     # int4 error compounds over 2 layers + lm_head; ~0.94 is expected
     assert cos > 0.9, cos
+
+
+def test_qtensor4_native_storage_roundtrip():
+    """Native s4 storage: same quantized values as the byte-packed layout
+    (dequantize matches exactly), half the logical payload bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    packed = QTensor4.quantize(w, group=128, storage="packed")
+    native = QTensor4.quantize(w, group=128, storage="native")
+    assert native.storage == "native" and packed.storage == "packed"
+    assert native.data.dtype == jnp.int4 and native.data.shape == (256, 64)
+    np.testing.assert_array_equal(
+        np.asarray(packed.dequantize()), np.asarray(native.dequantize())
+    )
+    assert native.nbytes() == packed.nbytes()
+
+
+def test_int4_native_xla_matmul_matches_packed():
+    """The grouped native-s4 XLA matmul == the packed unpack-and-matmul, for
+    both the small-M grouped-einsum form and the large-M materialized form."""
+    import numpy as np
+
+    from protoquant_tpu.ops import (
+        weight_only_int4_matmul_xla,
+    )
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    packed = QTensor4.quantize(w, group=128, storage="packed")
+    native = QTensor4.quantize(w, group=128, storage="native")
+    for m in (4, 128):  # grouped-einsum branch and materialized branch
+        x = jnp.asarray(rng.standard_normal((m, 256)), jnp.float32)
+        ref = np.asarray(x) @ np.asarray(packed.dequantize())
+        y_packed = np.asarray(
+            weight_only_int4_matmul_xla(
+                x, packed.data, packed.scale, 128, out_dtype=jnp.float32
+            )
+        )
+        y_native = np.asarray(
+            weight_only_int4_matmul_xla(
+                x, native.data, native.scale, 128, out_dtype=jnp.float32
+            )
+        )
+        scale = np.abs(ref).max()
+        if m <= 64:
+            # Grouped-einsum branch: f32 lanes on CPU -> tight vs f32 ref.
+            np.testing.assert_allclose(y_native, ref, rtol=1e-4, atol=1e-4)
+        else:
+            # Materialized branch (both storages): bf16-lane rounding.
+            np.testing.assert_allclose(
+                y_native / scale, ref / scale, rtol=0, atol=6e-3
+            )
+        np.testing.assert_allclose(
+            y_packed / scale, ref / scale, rtol=0, atol=6e-3
+        )
+
+
+def test_int4_native_model_end_to_end():
+    """QuantConfig(int4_storage='native') converts and the model runs; the
+    QLinear dispatches native payloads to the XLA formulation regardless of
+    the global backend knob."""
+    import numpy as np
+
+    from protoquant_tpu import ops as _ops
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.utils.config import ModelConfig, QuantConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    toks = jnp.asarray(
+        np.random.default_rng(2).integers(0, 64, (1, 8)), jnp.int32
+    )
+    fp = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    p = fp.init(jax.random.PRNGKey(0), toks)
+    ref = np.asarray(fp.apply(p, toks))
+    qp = quantize_params(
+        p, QuantConfig(mode="weight_only_int4", int4_group=32,
+                       int4_storage="native")
+    )
+    model = LlamaModel(cfg, mode="weight_only_int4", dtype=jnp.float32,
+                       int4_group=32, int4_storage="native")
+    old = _ops.LINEAR_BACKEND
+    try:
+        _ops.LINEAR_BACKEND = "pallas"  # native payload must still route xla
+        got = np.asarray(model.apply(qp, toks))
+    finally:
+        _ops.LINEAR_BACKEND = old
+    cos = float((ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got)))
+    assert cos > 0.95, cos  # group=32 int4 on a tiny random model
