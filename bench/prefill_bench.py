@@ -58,17 +58,20 @@ def build(cfg, mode):
 
 
 _STEPS_ENV = os.environ.get("PREFILL_SCAN_STEPS", "")
-# Each timed program should run >= ~1s at the bf16 speed of light: shorter
-# single-program timings on this tunnel come back below physical limits
-# (measured: single forwards 4-65x above SoL throughput), so only
-# long-running programs amortize the transport noise into a faithful number.
-TARGET_SECONDS = float(os.environ.get("PREFILL_TARGET_SECONDS", "1.0"))
+# Per-program runtime is a narrow window on this tunnel: too short and the
+# ~40-50ms transport RTT dominates; too LONG and the remote executor hangs
+# outright (measured: a 2048-step scan, ~5s of real work, never returned
+# its fetch — while 16..256-step versions of the same program are fine).
+# Target ~0.3s of real work per program, assuming execution lands ~5x off
+# SoL, and amortize RTT by chaining dispatches (see bench_score).
+TARGET_SECONDS = float(os.environ.get("PREFILL_TARGET_SECONDS", "0.3"))
 
 
 def scan_steps(sol_seconds_per_forward: float) -> int:
     if _STEPS_ENV:
         return int(_STEPS_ENV)
-    return max(16, min(2048, int(TARGET_SECONDS / max(sol_seconds_per_forward, 1e-6))))
+    want = TARGET_SECONDS / (5.0 * max(sol_seconds_per_forward, 1e-6))
+    return max(16, min(256, int(want)))
 
 
 def bench_score(model, params, batch, seq, vocab, n_steps, iters=3):
@@ -103,15 +106,21 @@ def bench_score(model, params, batch, seq, vocab, n_steps, iters=3):
     # Timing MUST force a host fetch: on this tunnel block_until_ready() can
     # return without waiting for execution (measured: a scan whose first
     # float() fetch took 113s "blocked ready" in 0.15s), so only the
-    # scalar materialization below is a real synchronization point.
+    # scalar materialization below is a real synchronization point. Each
+    # bracket chains `chain` dispatches (distinct salts; the device executes
+    # them back-to-back on one stream) and fetches only the last, amortizing
+    # the per-fetch RTT across the chain.
+    chain = 3
     salt0 = (os.getpid() * 7919 + int(time.time() * 1000)) % 2**20
     float(run(params, jnp.int32(salt0)))  # warmup: compile + execute + fetch
     best = float("inf")
     for k in range(1, iters + 1):
+        salts = [jnp.int32(salt0 + (k << 20) + (j << 26)) for j in range(chain)]
         t0 = time.perf_counter()
-        float(run(params, jnp.int32(salt0 + (k << 20))))
+        out = [run(params, s) for s in salts]
+        float(out[-1])
         best = min(best, time.perf_counter() - t0)
-    return n_steps * batch * seq / best  # prompt tokens/s
+    return chain * n_steps * batch * seq / best  # prompt tokens/s
 
 
 def linear_flops(cfg, m_tokens):
