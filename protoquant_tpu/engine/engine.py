@@ -45,6 +45,7 @@ class Request:
     prefill_off: int = 0  # tokens of the prompt already prefetched into KV
     last_logits: "object" = None  # final-position logits of the last chunk
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
+    cancelled: bool = False  # retired early via Engine.cancel()
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -195,6 +196,7 @@ class Engine:
         self.waiting: deque[Request] = deque()
         self.prefilling: deque[Request] = deque()
         self.finished: list[Request] = []
+        self._cancel_pending: list[int] = []
         self._next_rid = 0
         self._key = jax.random.PRNGKey(self.cfg.seed)
         self.eos_id: Optional[int] = None
@@ -242,6 +244,38 @@ class Engine:
         )
         self.waiting.append(req)
         return rid
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request by id, wherever it is in its lifecycle (queued,
+        mid-prefill, or decoding). Safe to call from another thread (e.g. an
+        HTTP handler): the cancellation is recorded here and applied at the
+        start of the next engine tick, so it never races the device step.
+        Tokens already generated stay in the request's output; the request
+        retires with ``cancelled=True`` and its slot/KV pages free for the
+        next tenant. Returns False for an unknown or already-finished rid."""
+        live = any(r.rid == rid for r in self.waiting) or any(
+            r is not None and r.rid == rid for r in self.slot_req
+        )
+        if not live:
+            return False
+        self._cancel_pending.append(rid)
+        return True
+
+    def _process_cancels(self):
+        """Apply pending cancellations (tick-start, host state only)."""
+        if not self._cancel_pending:
+            return
+        pending, self._cancel_pending = set(self._cancel_pending), []
+        for req in [r for r in self.waiting if r.rid in pending]:
+            self.waiting.remove(req)
+            req.cancelled = True
+            req.done = True
+            self.finished.append(req)
+        for slot in range(self.cfg.max_batch_size):
+            req = self.slot_req[slot]
+            if req is not None and req.rid in pending:
+                req.cancelled = True
+                self._retire_slot(slot)
 
     def has_work(self) -> bool:
         return bool(self.waiting) or bool(self.prefilling) or any(self.active)
@@ -363,19 +397,27 @@ class Engine:
             or (eos is not None and tok == eos)
             or total_len >= self.cfg.max_seq_len
         ):
-            req.done = True
-            self.finished.append(req)
-            self.active[slot] = False
-            self.slot_req[slot] = None
-            # Free the slot: reset its cache length for the next tenant.
-            self.caches = [c.reset_slot(jnp.asarray(slot)) for c in self.caches]
-            if self.draft_caches is not None:
-                self.draft_caches = [
-                    c.reset_slot(jnp.asarray(slot)) for c in self.draft_caches
-                ]
-            if self.allocator is not None and req.pages:
-                self.allocator.free(req.pages)
-                req.pages = []
+            self._retire_slot(slot)
+
+    def _retire_slot(self, slot: int):
+        """Retire the slot's request: mark done, free the slot's cache
+        length / KV pages / any mid-prefill queue entry for the next tenant."""
+        req = self.slot_req[slot]
+        req.done = True
+        self.finished.append(req)
+        self.active[slot] = False
+        self.slot_req[slot] = None
+        if req in self.prefilling:
+            self.prefilling.remove(req)
+        # Free the slot: reset its cache length for the next tenant.
+        self.caches = [c.reset_slot(jnp.asarray(slot)) for c in self.caches]
+        if self.draft_caches is not None:
+            self.draft_caches = [
+                c.reset_slot(jnp.asarray(slot)) for c in self.draft_caches
+            ]
+        if self.allocator is not None and req.pages:
+            self.allocator.free(req.pages)
+            req.pages = []
 
     def step(self):
         """One engine tick: assign slots, run at most ONE prefill chunk, then
@@ -383,6 +425,7 @@ class Engine:
         interleave tick-by-tick, so admitting a long prompt never stalls the
         running requests for more than one chunk."""
         t0 = time.perf_counter()
+        self._process_cancels()
         self._assign_slots()
         if self.prefilling:
             self._prefill_tick()

@@ -5,8 +5,10 @@ requests and a single engine thread drives Engine.step() — requests enqueue
 from any number of client connections and batch together on the device.
 
   POST /generate   {"tokens": [1,2,3], "max_new_tokens": 32, "eos_id": null}
-      -> {"request": rid, "tokens": [...]}
+      -> {"request": rid, "tokens": [...], "cancelled": false}
   (sampling temperature/top_k are engine-level EngineConfig settings)
+  POST /cancel     {"request": rid} -> {"request": rid, "cancelled": bool}
+      (the /generate call waiting on rid returns its partial tokens)
   GET  /metrics    -> Engine.metrics() + health
   GET  /health     -> {"ok": true}
 """
@@ -50,6 +52,15 @@ class EngineServer:
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/cancel":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(n) or b"{}")
+                        rid = int(req["request"])
+                    except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+                        return self._json(400, {"error": f"bad request: {e}"})
+                    ok = outer.cancel(rid)
+                    return self._json(200, {"request": rid, "cancelled": ok})
                 if self.path != "/generate":
                     return self._json(404, {"error": "not found"})
                 try:
@@ -67,7 +78,10 @@ class EngineServer:
                 out = outer.wait(rid, timeout=float(req.get("timeout_s", 300)))
                 if out is None:
                     return self._json(504, {"request": rid, "error": "timeout"})
-                return self._json(200, {"request": rid, "tokens": out})
+                tokens, cancelled = out
+                return self._json(
+                    200, {"request": rid, "tokens": tokens, "cancelled": cancelled}
+                )
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -84,7 +98,12 @@ class EngineServer:
             self._events[rid] = threading.Event()
         return rid
 
+    def cancel(self, rid: int) -> bool:
+        with self._lock:
+            return self.engine.cancel(rid)
+
     def wait(self, rid: int, timeout: float = 300.0):
+        """Block until rid finishes; returns (tokens, cancelled) or None."""
         ev = self._events[rid]
         if not ev.wait(timeout):
             return None
@@ -105,7 +124,7 @@ class EngineServer:
                     while self.engine.finished:
                         req = self.engine.finished.pop(0)
                         if req.rid in self._events:
-                            self._results[req.rid] = req.out
+                            self._results[req.rid] = (req.out, req.cancelled)
                             self._events[req.rid].set()
             if not has_work:
                 time.sleep(0.005)

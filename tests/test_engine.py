@@ -450,3 +450,119 @@ def test_engine_speculative_with_paged_target(model_and_params):
     for ra, rb in zip(plain_rids, rids):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
     assert eng.allocator.num_free == eng.allocator.num_pages
+
+
+def test_engine_cancel_waiting_request(model_and_params):
+    """Cancelling a queued (never-admitted) request retires it with no
+    output and does not disturb the other requests."""
+    model, params = model_and_params
+    prompts = _prompts(3, seed=7)
+    eng = _engine(model, params, max_batch_size=2, kv_dtype=jnp.float32)
+    rids = [eng.add_request(p, 6) for p in prompts]
+    assert eng.cancel(rids[2])
+    out = eng.run()
+    assert out[rids[2]] == []
+    cancelled = {r.rid: r.cancelled for r in eng.finished}
+    assert cancelled[rids[2]] and not cancelled[rids[0]] and not cancelled[rids[1]]
+
+    for i in range(2):  # survivors match solo runs
+        ref_eng = _engine(model, params, kv_dtype=jnp.float32)
+        ref_rid = ref_eng.add_request(prompts[i], 6)
+        assert out[rids[i]] == ref_eng.run()[ref_rid]
+
+    assert not eng.cancel(rids[2])  # already finished -> False
+    assert not eng.cancel(10_000)  # unknown rid -> False
+
+
+def test_engine_cancel_mid_decode_frees_slot(model_and_params):
+    """Cancelling a decoding request keeps its partial tokens, frees the
+    slot, and the next tenant of that slot decodes correctly."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    full = _engine(model, params, max_batch_size=1, kv_dtype=jnp.float32)
+    full_rid = full.add_request(prompt, 8)
+    ref = full.run()[full_rid]
+
+    eng = _engine(model, params, max_batch_size=1, kv_dtype=jnp.float32)
+    rid = eng.add_request(prompt, 8)
+    for _ in range(4):  # prefill tick + a few decode ticks
+        eng.step()
+    assert eng.cancel(rid)
+    eng.step()  # applies the cancel; may also be a no-op decode-wise
+    req = eng.finished[-1]
+    assert req.rid == rid and req.cancelled and req.done
+    assert 0 < len(req.out) < 8
+    assert req.out == ref[: len(req.out)]  # partial output is a true prefix
+    assert eng.slot_req == [None]
+
+    rid2 = eng.add_request(prompt, 8)  # slot reuse after cancel
+    assert eng.run()[rid2] == ref
+
+
+def test_engine_cancel_mid_prefill(model_and_params):
+    """Cancelling between prefill chunks drops the request before it ever
+    decodes and releases its slot for the next request."""
+    model, params = model_and_params
+    long_prompt = list(range(1, 41))  # 40 tokens, chunk=16 -> 3 ticks
+    eng = _engine(model, params, max_batch_size=1, kv_dtype=jnp.float32)
+    rid = eng.add_request(long_prompt, 6)
+    eng.step()  # first chunk only
+    assert eng.prefilling and eng.prefilling[0].rid == rid
+    assert eng.cancel(rid)
+    eng.step()
+    req = eng.finished[-1]
+    assert req.rid == rid and req.cancelled and req.out == []
+    assert not eng.prefilling and eng.slot_req == [None]
+
+    prompt = [3, 17, 5, 9]
+    ref_eng = _engine(model, params, kv_dtype=jnp.float32)
+    ref_rid = ref_eng.add_request(prompt, 6)
+    ref = ref_eng.run()[ref_rid]
+    rid2 = eng.add_request(prompt, 6)
+    assert eng.run()[rid2] == ref
+
+
+def test_http_server_cancel_endpoint(model_and_params):
+    import json
+    import threading
+    import time as _time
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    srv = EngineServer(eng, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path,
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)
+
+        # Unknown rid -> cancelled false.
+        assert post("/cancel", {"request": 999})["cancelled"] is False
+
+        result = {}
+
+        def call():
+            result.update(post("/generate", {"tokens": [3, 1, 4], "max_new_tokens": 40}))
+
+        t = threading.Thread(target=call)
+        t.start()
+        _time.sleep(0.15)
+        # rid 0 is the first request of this engine.
+        cancel = post("/cancel", {"request": 0})
+        t.join(timeout=120)
+        if cancel["cancelled"]:
+            assert result["cancelled"] is True
+            assert len(result["tokens"]) <= 40
+        else:  # lost the race: request already finished normally
+            assert result["cancelled"] is False
+    finally:
+        srv.stop()
