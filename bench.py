@@ -67,7 +67,13 @@ def build(cfg, mode, batch, ctx):
                 fp_params,
             )
     params = jax.device_put(params, jax.devices()[0])
-    model = LlamaModel(cfg, mode=mode, dtype=jnp.bfloat16, fused=True)
+    model = LlamaModel(
+        cfg,
+        mode=mode,
+        dtype=jnp.bfloat16,
+        fused=True,
+        int4_storage=os.environ.get("BENCH_INT4_STORAGE", "packed"),
+    )
     return model, params
 
 

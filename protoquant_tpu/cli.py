@@ -37,7 +37,11 @@ def cmd_convert(args):
 
     with open(args.config) as f:
         cfg = ModelConfig(**json.load(f))
-    qcfg = QuantConfig(mode=args.mode)
+    qcfg = QuantConfig(
+        mode=args.mode,
+        int4_group=args.int4_group,
+        int4_storage=args.int4_storage,
+    )
     sd = _load_state_dict(args.weights)
     params = import_hf_llama(sd, cfg)
     qparams = quantize_params(params, qcfg)
@@ -61,7 +65,12 @@ def cmd_generate(args):
     meta = load_config(args.ckpt)
     cfg = ModelConfig(**meta["model"])
     qcfg = QuantConfig(**meta["quant"])
-    model = LlamaModel(cfg, mode=qcfg.mode)
+    # The model's int4 layout attributes must match the checkpoint's
+    # QuantConfig, or flax rejects the restored payload shapes.
+    model = LlamaModel(
+        cfg, mode=qcfg.mode,
+        int4_group=qcfg.int4_group, int4_storage=qcfg.int4_storage,
+    )
     fp_model = LlamaModel(cfg, mode="fp")
     example = quantize_params(
         fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
@@ -92,7 +101,12 @@ def _load_engine(args):
     meta = load_config(args.ckpt)
     cfg = ModelConfig(**meta["model"])
     qcfg = QuantConfig(**meta["quant"])
-    model = LlamaModel(cfg, mode=qcfg.mode)
+    # The model's int4 layout attributes must match the checkpoint's
+    # QuantConfig, or flax rejects the restored payload shapes.
+    model = LlamaModel(
+        cfg, mode=qcfg.mode,
+        int4_group=qcfg.int4_group, int4_storage=qcfg.int4_storage,
+    )
     fp_model = LlamaModel(cfg, mode="fp")
     example = quantize_params(
         fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
@@ -133,6 +147,11 @@ def main(argv=None):
     c.add_argument("--weights", required=True)
     c.add_argument("--config", required=True, help="ModelConfig json")
     c.add_argument("--mode", default="dynamic", choices=["dynamic", "weight_only", "weight_only_int4"])
+    c.add_argument("--int4-group", type=int, default=128)
+    c.add_argument(
+        "--int4-storage", default="packed", choices=["packed", "native"],
+        help="int4 payload layout: byte-packed (Pallas wo4 kernel) or native jnp.int4 (XLA s4)",
+    )
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
 

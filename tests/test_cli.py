@@ -65,3 +65,21 @@ def test_cli_bad_weights_extension(weights_and_config):
     tmp, wpath, cpath = weights_and_config
     with pytest.raises(ValueError, match="unsupported weight file"):
         main(["convert", "--weights", "w.pt", "--config", cpath, "--out", str(tmp / "x")])
+
+
+def test_cli_int4_native_convert_then_generate(weights_and_config, capsys):
+    """Checkpoints record their int4 layout (group + storage); restore builds
+    the model with the SAME layout — the regression here was a packed-layout
+    model rejecting native-s4 payload shapes."""
+    tmp, wpath, cpath = weights_and_config
+    out = str(tmp / "ckpt_int4_native")
+    main(["convert", "--weights", wpath, "--config", cpath,
+          "--mode", "weight_only_int4", "--int4-group", "32",
+          "--int4-storage", "native", "--out", out])
+    capsys.readouterr()
+
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "6", "--max-seq", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 6
+    assert all(0 <= t < 64 for t in rec["tokens"])
