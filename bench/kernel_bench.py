@@ -32,9 +32,14 @@ V5E_INT8_TOPS = 394.0
 V5E_BF16_TFLOPS = 197.0
 
 
-def scan_time(step_fn, x0, iters, int_vary):
+def scan_time(step_fn, x0, iters, int_vary, chain=3):
     """Mean seconds per invocation of step_fn, measured as a scan of `iters`
-    steps inside one jit, best of 3 fetch-forced brackets."""
+    steps inside one jit, best of 3 fetch-forced brackets.
+
+    Each bracket chains `chain` salted dispatches back-to-back on the device
+    stream and fetches only the last: the ~50 ms per-fetch tunnel RTT then
+    amortizes over the whole chain instead of deflating one program's number
+    (BASELINE.md "Timing methodology" item 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -54,10 +59,12 @@ def scan_time(step_fn, x0, iters, int_vary):
     float(run(x0, jnp.int32(1)))  # warmup: compile + execute + fetch
     best = float("inf")
     for k in range(2, 5):
+        salts = [jnp.int32(k * 1009 + j * 131071) for j in range(chain)]
         t0 = time.perf_counter()
-        float(run(x0, jnp.int32(k * 1009)))
+        out = [run(x0, s) for s in salts]
+        float(out[-1])
         best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return best / (iters * chain)
 
 
 def main():

@@ -131,6 +131,23 @@ def _bias_free_kernel(base, xq_ref, wq_ref, sx_ref, sw_ref, out_ref, acc_ref):
 
 
 def _pick_blocks(m, n, k, block_m, block_n, block_k):
+    # Auto blocks are M-aware. Every k-step DMAs (bm*bk + bk*bn) int8 bytes
+    # for 2*bm*bn*bk int-ops; with the v5e's 394 T-ops MXU against 819 GB/s
+    # HBM, the step only becomes compute-bound once the square block edge
+    # clears ~480 (2*B*bk/819e9 <= 2*B*B*bk/394e12  =>  B >= 481). So
+    # prefill/scoring shapes (M >= 512) take 512-edge tiles with a deep k
+    # block (~4.5 MB VMEM with double-buffered operands), while decode
+    # (tiny M) keeps flat, shallow tiles so the single M-row program still
+    # streams the weight at full bandwidth.
+    # Chip sweep (bench/block_sweep.py, 2048x4096x4096): 512x1024x1024 and
+    # 512x2048x1024 tie for best (+70% over the old 256x256x512); wide N
+    # also halves the xq re-stream count at N=11008 vs bn=512.
+    if block_m is None:
+        block_m = 512 if m >= 512 else 256
+    if block_n is None:
+        block_n = 1024 if m >= 512 else 256
+    if block_k is None:
+        block_k = 1024 if m >= 512 else 512
     # int8 tiles want sublane multiples of 32 and lane multiples of 128.
     bm = pick_block(m, block_m, 32)
     bn = pick_block(n, block_n, 128)
@@ -146,9 +163,9 @@ def qmatmul(
     bias: jnp.ndarray | None = None,
     out_dtype=jnp.float32,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused int8 GEMM: y = (xq @ wq) * s_x[:,None] * s_w[None,:] + bias.

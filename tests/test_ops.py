@@ -90,6 +90,20 @@ def test_qmatmul_matches_reference(m, k, n):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6)
 
 
+def test_qmatmul_large_m_auto_blocks():
+    """M >= 512 flips the auto chooser to the prefill tile branch
+    (512-edge blocks, deep k) — exactness must hold there too."""
+    rng = np.random.default_rng(11)
+    m, k, n = 512, 384, 256  # k/n smaller than the preferred blocks: clamp path
+    xq = jnp.asarray(rng.integers(-127, 128, size=(m, k), dtype=np.int8))
+    wq = jnp.asarray(rng.integers(-127, 128, size=(k, n), dtype=np.int8))
+    s_x = jnp.asarray(rng.uniform(0.01, 0.1, size=(m,)).astype(np.float32))
+    s_w = jnp.asarray(rng.uniform(0.01, 0.1, size=(n,)).astype(np.float32))
+    y = ops.qmatmul(xq, wq, s_x, s_w)  # no overrides: exercises auto blocks
+    y_ref = numerics.qmatmul_ref(xq, wq, s_x, s_w, None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6)
+
+
 def test_qmatmul_integer_core_bit_exact():
     """With unit scales and no bias, output == exact int32 accumulator."""
     rng = np.random.default_rng(6)
