@@ -145,14 +145,15 @@ def main():
     mode = os.environ.get("BENCH_MODE", "dynamic")
 
     # Backend selection (see ops.LINEAR_BACKEND / kv_cache.ATTENTION_BACKEND).
-    # Default both to the XLA-fused formulations: on this runtime pallas_call
-    # custom-calls carry per-invocation overhead inside large programs
-    # (measured: 0.84x with pallas linears vs 1.40x with xla linears, same
-    # int8 HBM traffic — see docs/ARCHITECTURE.md).
+    # "auto" = the measured-table routing (ops.resolve_linear_backend): XLA
+    # formulations for every linear GEMM on this hardware — XLA places int8
+    # dots on the MXU at roofline-class utilization and fuses at decode,
+    # where each pallas_call carries per-invocation overhead (BASELINE.md
+    # formulation probe; docs/ARCHITECTURE.md).
     import protoquant_tpu.ops as _ops
     from protoquant_tpu.models import kv_cache as _kv
 
-    _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", "xla")
+    _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", "auto")
     _kv.ATTENTION_BACKEND = os.environ.get("BENCH_ATTENTION_BACKEND", "xla")
 
     cfg = ModelConfig(

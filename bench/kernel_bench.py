@@ -117,6 +117,17 @@ def main():
             lambda a: ops.dynamic_qlinear_xla(a, wq, s_w, out_dtype=jnp.bfloat16),
             x_bf, iters, int_vary=False,
         )
+        # Apples-to-apples vs qmatmul: the XLA int8 GEMM fed PREQUANTIZED
+        # int8 (the product path shares rowquant across sibling projections,
+        # so the GEMM-only comparison is the fair one; dyn_xla above also
+        # pays for its in-graph rowquant).
+        dt_xs8 = scan_time(
+            lambda a: ops.dynamic_qlinear_xla(
+                a.astype(jnp.bfloat16), wq, s_w, out_dtype=jnp.bfloat16,
+                prequantized=(a, s_x),
+            ),
+            xq, iters, int_vary=True,
+        )
         dt_wo = scan_time(
             lambda a: ops.weight_only_matmul(a, wq, s_w), x_bf, iters,
             int_vary=False,
@@ -153,6 +164,11 @@ def main():
                 ),
                 "dyn_xla_hbm_frac": round(
                     bytes_q / dt_dxla / 1e9 / V5E_HBM_GBS, 3
+                ),
+                "xla_s8_us": round(dt_xs8 * 1e6, 1),
+                "xla_s8_tops": round(flops / dt_xs8 / 1e12, 2),
+                "xla_s8_mxu_util": round(
+                    flops / dt_xs8 / 1e12 / V5E_INT8_TOPS, 3
                 ),
                 "wo_matmul_us": round(dt_wo * 1e6, 1),
                 "wo_gbs": round(bytes_q / dt_wo / 1e9, 1),

@@ -94,7 +94,7 @@ def _sp_gather_quantized(x, axis, dtype):
     from .. import ops
     from ..core import numerics
 
-    if ops.LINEAR_BACKEND == "xla":
+    if ops.resolve_linear_backend() == "xla":
         xq, s_x = numerics.quantize_rowwise(x.astype(dtype))
     else:
         xq, s_x = ops.rowquant(x.astype(dtype))
@@ -154,7 +154,7 @@ class Attention(nn.Module):
             from .. import ops
             from ..core import numerics
 
-            if ops.LINEAR_BACKEND == "xla":
+            if ops.resolve_linear_backend() == "xla":
                 preq = numerics.quantize_rowwise(x.astype(self.dtype))
             else:
                 preq = ops.rowquant(x.astype(self.dtype))
@@ -264,7 +264,7 @@ class MLP(nn.Module):
             from .. import ops
             from ..core import numerics
 
-            if ops.LINEAR_BACKEND == "xla":
+            if ops.resolve_linear_backend() == "xla":
                 preq = numerics.quantize_rowwise(x.astype(self.dtype))
             else:
                 preq = ops.rowquant(x.astype(self.dtype))

@@ -142,7 +142,9 @@ class QLinear(nn.Module):
                     scatter_tokens=self.scatter_tokens, out_dtype=jnp.float32,
                 )
                 return self._finish_reduced(y, bias)
-            if ops.LINEAR_BACKEND == "xla":
+            if ops.resolve_linear_backend(
+                x.size // in_features, in_features, self.features
+            ) == "xla":
                 y = ops.dynamic_qlinear_xla(
                     x, qkernel.data, qkernel.scale, fused_bias,
                     out_dtype=self.dtype, prequantized=prequantized,
@@ -172,7 +174,9 @@ class QLinear(nn.Module):
                     scatter_tokens=self.scatter_tokens, out_dtype=jnp.float32,
                 )
                 return self._finish_reduced(y, bias)
-            if ops.LINEAR_BACKEND == "xla":
+            if ops.resolve_linear_backend(
+                x.size // in_features, in_features, self.features
+            ) == "xla":
                 y = ops.weight_only_matmul_xla(
                     x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
                 )
@@ -196,7 +200,9 @@ class QLinear(nn.Module):
             native = qkernel.data.dtype == jnp.int4
             wo4 = (
                 ops.weight_only_int4_matmul_xla
-                if native or ops.LINEAR_BACKEND == "xla"
+                if native or ops.resolve_linear_backend(
+                    x.size // in_features, in_features, self.features
+                ) == "xla"
                 else ops.weight_only_int4_matmul
             )
             y = wo4(

@@ -13,10 +13,40 @@ from .xla_backend import (
     weight_only_matmul_xla,
 )
 
-# Linear-op backend: "pallas" (explicit kernels, bit-exact int32 path) or
-# "xla" (compiler-fused bf16-lane formulations — faster where pallas_call
-# custom-calls carry per-invocation overhead; same int8/int4 HBM traffic).
-LINEAR_BACKEND = "pallas"
+# Linear-op backend:
+#   "auto"   (default) — measured-table routing, see resolve_linear_backend
+#   "pallas" — explicit Mosaic kernels, the bit-exact-int32 contract path
+#   "xla"    — compiler-fused formulations (int8 operands ride the MXU dot;
+#              scales/casts fuse into operands/epilogue)
+LINEAR_BACKEND = "auto"
+
+
+def resolve_linear_backend(m: int | None = None,
+                           k: int | None = None,
+                           n: int | None = None) -> str:
+    """Resolve the backend for one linear GEMM of shape [m,k]x[k,n].
+
+    Under "auto" every linear routes to the XLA formulation on this
+    hardware, by measurement (BASELINE.md round-2 formulation probe,
+    bench/prefill_formulation_probe.py):
+
+      * prefill (M>=512): XLA compiles the int8 dot onto the int8 MXU at
+        0.69–0.78 of the 394 T-op/s peak — the same relative efficiency as
+        XLA's own bf16 matmul (0.77–0.83 of its peak), i.e. roofline-class.
+        The Pallas qmatmul kernel reaches 0.49–0.65 after block tuning.
+      * decode (small M): memory-bound; the XLA form fuses into neighbours
+        while each pallas_call carries fixed per-invocation overhead
+        (measured end-to-end: 0.84x pallas vs 1.40x xla in round 1).
+
+    The Pallas tier remains (a) the bit-exact int32-accumulator contract
+    path ("pallas" override, used by the numerics tests) and (b) the ONLY
+    path for ops XLA cannot express as well: the rowquant VPU kernel,
+    flash/paged int8-KV attention, and int4 nibble handling. The m/k/n
+    arguments exist so future hardware/runtimes can split the table by
+    shape without touching call sites."""
+    if LINEAR_BACKEND == "auto":
+        return "xla"
+    return LINEAR_BACKEND
 
 __all__ = [
     "rowquant",

@@ -110,7 +110,7 @@ def dynamic_qlinear_collective(
     """
     from .. import ops
 
-    if ops.LINEAR_BACKEND == "xla":
+    if ops.resolve_linear_backend() == "xla":
         from ..core import numerics
 
         xq, s_x = numerics.quantize_rowwise(x)
@@ -170,7 +170,7 @@ def weight_only_qlinear_collective(
     reduction as :func:`dynamic_qlinear_collective`."""
     from .. import ops
 
-    if ops.LINEAR_BACKEND == "xla":
+    if ops.resolve_linear_backend() == "xla":
 
         def mm(x_c, wq_c, sw_c):
             acc = jnp.matmul(

@@ -49,6 +49,24 @@ def test_int4_xla_matches_reference():
     np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_ref), rtol=5e-3, atol=5e-3)
 
 
+def test_auto_backend_routing():
+    """Default is the measured-table "auto" policy: on this runtime every
+    linear GEMM resolves to the XLA formulation (BASELINE.md formulation
+    probe); explicit overrides pass through untouched."""
+    assert ops.LINEAR_BACKEND == "auto"
+    assert ops.resolve_linear_backend(1, 4096, 4096) == "xla"   # decode
+    assert ops.resolve_linear_backend(512, 4096, 11008) == "xla"  # prefill
+    assert ops.resolve_linear_backend() == "xla"  # shapeless call sites
+    prev = ops.LINEAR_BACKEND
+    try:
+        ops.LINEAR_BACKEND = "pallas"
+        assert ops.resolve_linear_backend(512, 4096, 4096) == "pallas"
+        ops.LINEAR_BACKEND = "xla"
+        assert ops.resolve_linear_backend(512, 4096, 4096) == "xla"
+    finally:
+        ops.LINEAR_BACKEND = prev
+
+
 @pytest.mark.parametrize("mode", ["dynamic", "weight_only"])
 def test_model_backends_agree(mode):
     cfg = ModelConfig(
