@@ -57,6 +57,12 @@ def import_hf_llama(
                 for proj in _PROJS_ATTN
             },
         }
+        if cfg.attention_bias:
+            # Qwen2 family: q/k/v carry biases (o_proj does not).
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                layer["self_attn"][proj]["bias"] = jnp.asarray(
+                    np.asarray(sd[f"{pre}.self_attn.{proj}.bias"], np.float32)
+                )
         if cfg.is_moe:
             # Mixtral layout: block_sparse_moe.gate + per-expert w1/w2/w3
             # ([out, in] each) stacked into [E, in, out] expert tensors.

@@ -50,10 +50,20 @@ def init_cache(
 class RMSNorm(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Gemma stores norm weights zero-centred and applies (1 + w); the init
+    # flips to zeros so a fresh fp model is identity-normed either way.
+    unit_offset: bool = False
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("weight", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32)
+        init = (
+            nn.initializers.zeros_init()
+            if self.unit_offset
+            else nn.initializers.ones_init()
+        )
+        w = self.param("weight", init, (x.shape[-1],), jnp.float32)
+        if self.unit_offset:
+            w = w + 1.0
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         y = xf * jax.lax.rsqrt(var + self.eps)
@@ -142,8 +152,12 @@ class Attention(nn.Module):
         H = cfg.num_attention_heads // self.tp
         KV = cfg.num_key_value_heads // self.tp
         Dh = cfg.head_dim
+        # q/k/v carry biases in the Qwen2 family (o_proj never does); the
+        # bias rides the kernels' fused fp32 epilogue, so the int8 path is
+        # unchanged.
         lin = partial(
-            QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
+            QLinear, mode=self.mode, use_bias=cfg.attention_bias,
+            dtype=self.dtype,
             int4_group=self.int4_group, int4_storage=self.int4_storage,
         )
 
@@ -275,7 +289,13 @@ class MLP(nn.Module):
         else:
             gate = lin(inter, name="gate_proj")(x, preq)
             up = lin(inter, name="up_proj")(x, preq)
-        h = jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up
+        # SwiGLU (Llama: silu) or GeGLU (Gemma: tanh-approx gelu) gate.
+        act = (
+            jax.nn.silu
+            if self.cfg.hidden_act == "silu"
+            else partial(jax.nn.gelu, approximate=True)
+        )
+        h = act(gate.astype(jnp.float32)).astype(self.dtype) * up
         # Row-parallel down projection: all-reduce (or reduce-scatter under SP).
         return QLinear(
             self.cfg.hidden_size,
@@ -314,14 +334,20 @@ class DecoderLayer(nn.Module):
             int4_storage=self.int4_storage,
             collective=self.collective, name="self_attn"
         )(
-            RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x),
+            RMSNorm(
+                self.cfg.rms_norm_eps, self.dtype,
+                unit_offset=self.cfg.rmsnorm_unit_offset,
+                name="input_layernorm",
+            )(x),
             positions,
             cache,
             advance,
         )
         x = x + h
         normed = RMSNorm(
-            self.cfg.rms_norm_eps, self.dtype, name="post_attention_layernorm"
+            self.cfg.rms_norm_eps, self.dtype,
+            unit_offset=self.cfg.rmsnorm_unit_offset,
+            name="post_attention_layernorm",
         )(x)
         if self.cfg.is_moe:
             # Mixtral-family sparse MLP. Under a mesh, the experts shard over
@@ -397,6 +423,9 @@ class LlamaModel(nn.Module):
             param_dtype=jnp.float32,
             name="embed_tokens",
         )(tokens)
+        if cfg.scale_embeddings:
+            # Gemma normalizer, applied in the activation dtype like HF does.
+            x = x * jnp.asarray(cfg.hidden_size**0.5, self.dtype)
 
         if self.sp:
             # Enter the token-sharded region: each shard keeps its T/tp slice.
@@ -416,7 +445,10 @@ class LlamaModel(nn.Module):
             )(x, positions, cache_i, advance)
             new_caches.append(nc)
 
-        x = RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
+        x = RMSNorm(
+            cfg.rms_norm_eps, self.dtype,
+            unit_offset=cfg.rmsnorm_unit_offset, name="norm",
+        )(x)
         if self.sp:
             # The SP region ends here: the column-parallel lm_head needs the
             # full sequence on every shard (it is vocab-sharded over the same
@@ -438,6 +470,9 @@ class LlamaModel(nn.Module):
                 logits, self.tp_axis, axis=logits.ndim - 1, tiled=True
             )
         logits = logits.astype(jnp.float32)
+        if cfg.final_logit_softcap:
+            cap = cfg.final_logit_softcap
+            logits = cap * jnp.tanh(logits / cap)
         if caches is None:
             return logits
         return logits, new_caches

@@ -19,15 +19,23 @@ import jax.numpy as jnp
 
 def _fuse_kernels(subtrees: list, name: str) -> dict:
     for t in subtrees:
-        extra = set(t.keys()) - {"kernel"}
+        extra = set(t.keys()) - {"kernel", "bias"}
         if extra:
             raise ValueError(
                 f"fuse_projections({name}): cannot fuse layers with extra "
-                f"params {sorted(extra)} (e.g. biases) — fused QLinears are "
-                "bias-free"
+                f"params {sorted(extra)}"
             )
+    has_bias = ["bias" in t for t in subtrees]
+    if any(has_bias) and not all(has_bias):
+        raise ValueError(
+            f"fuse_projections({name}): all-or-none biases required to fuse"
+        )
     kernels = [t["kernel"] for t in subtrees]
-    return {"kernel": jnp.concatenate(kernels, axis=1)}
+    out = {"kernel": jnp.concatenate(kernels, axis=1)}
+    if all(has_bias):
+        # Per-output-channel biases concatenate along the same axis — exact.
+        out["bias"] = jnp.concatenate([t["bias"] for t in subtrees])
+    return out
 
 
 def fuse_projections(params: Any) -> Any:

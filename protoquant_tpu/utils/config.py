@@ -51,10 +51,25 @@ class ModelConfig:
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
     expert_capacity_factor: float = 1.25
+    # --- Architecture variants beyond Llama/Mistral/Mixtral ---
+    # Qwen2 family: biases on the q/k/v projections (o_proj stays bias-free).
+    attention_bias: bool = False
+    # MLP gate activation: "silu" (Llama SwiGLU) | "gelu_tanh" (Gemma GeGLU).
+    hidden_act: str = "silu"
+    # Gemma family: RMSNorm computes y * (1 + w) (weights stored zero-centred).
+    rmsnorm_unit_offset: bool = False
+    # Gemma family: scale embeddings by sqrt(hidden_size) after lookup.
+    scale_embeddings: bool = False
+    # Gemma-2 style final-logit soft-capping: cap * tanh(logits / cap); 0 = off.
+    final_logit_softcap: float = 0.0
+    # Head dim when it differs from hidden_size // heads (Gemma: 256). 0 = derive.
+    head_dim_override: int = 0
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_attention_heads
+        return self.head_dim_override or (
+            self.hidden_size // self.num_attention_heads
+        )
 
     @property
     def is_moe(self) -> bool:
@@ -86,6 +101,39 @@ class ModelConfig:
             rope_theta=1e6,
             num_local_experts=8,
             num_experts_per_tok=2,
+        )
+
+    @classmethod
+    def qwen2_7b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_hidden_layers=28,
+            num_attention_heads=28,
+            num_key_value_heads=4,
+            max_position_embeddings=32768,
+            rms_norm_eps=1e-6,
+            rope_theta=1e6,
+            attention_bias=True,
+        )
+
+    @classmethod
+    def gemma_7b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=256000,
+            hidden_size=3072,
+            intermediate_size=24576,
+            num_hidden_layers=28,
+            num_attention_heads=16,
+            num_key_value_heads=16,
+            max_position_embeddings=8192,
+            rms_norm_eps=1e-6,
+            tie_word_embeddings=True,
+            hidden_act="gelu_tanh",
+            rmsnorm_unit_offset=True,
+            scale_embeddings=True,
+            head_dim_override=256,
         )
 
     @classmethod

@@ -1,0 +1,118 @@
+"""Cross-framework parity: our decoder vs transformers' reference models.
+
+The strongest available oracle for model-tier semantics (SURVEY.md §4.2
+step 3): instantiate the real HF implementation (torch CPU) on a tiny
+random-weight config, import its state dict via models.hf_import, and demand
+fp32 logit agreement. This pins RoPE pairing, norm semantics (incl. Gemma's
+(1+w) zero-centred variant), activation functions (SwiGLU vs GeGLU),
+GQA head grouping, attention scaling, bias handling (Qwen2), embedding
+scaling, and weight-layout transposes against upstream — not against our
+own reimplementation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from protoquant_tpu.models import LlamaModel
+from protoquant_tpu.models.hf_import import import_hf_llama
+from protoquant_tpu.utils.config import ModelConfig
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _logits_ours(cfg: ModelConfig, sd, tokens_np):
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_llama(sd, cfg)
+    return np.asarray(model.apply(params, jnp.asarray(tokens_np)))
+
+
+def _state_dict_np(hf_model):
+    return {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+
+
+def _tokens(vocab, batch=2, t=12, seed=0):
+    return np.random.default_rng(seed).integers(0, vocab, (batch, t)).astype(np.int32)
+
+
+@torch.no_grad()
+def test_llama_parity():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    toks = _tokens(64)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_qwen2_parity():
+    """Qwen2 = Llama arch + q/k/v biases + high rope theta."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf = Qwen2ForCausalLM(hf_cfg).eval().float()
+    # Qwen2's bias init is zeros; make them non-trivial so the test actually
+    # exercises the bias path end-to-end.
+    sd = hf.state_dict()
+    for k in list(sd):
+        if k.endswith(("q_proj.bias", "k_proj.bias", "v_proj.bias")):
+            sd[k].normal_(0.0, 0.05, generator=torch.Generator().manual_seed(7))
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=1e6,
+        attention_bias=True,
+    )
+    toks = _tokens(64, seed=1)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_gemma_parity():
+    """Gemma = GeGLU + zero-centred (1+w) RMSNorm + scaled embeddings +
+    head_dim != hidden/heads + tied lm_head."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    hf_cfg = GemmaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_act="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(2)
+    hf = GemmaForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        tie_word_embeddings=True, hidden_act="gelu_tanh",
+        rmsnorm_unit_offset=True, scale_embeddings=True, head_dim_override=32,
+    )
+    toks = _tokens(64, seed=2)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,104 @@
+"""Qwen2/Gemma architecture variants through the quantized stack.
+
+HF-semantics parity lives in test_hf_parity.py; here the variants run the
+same ladder the Llama family does: int8-dynamic logit agreement vs fp,
+bias-preserving projection fusion, and end-to-end Engine decode.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.engine import Engine, EngineConfig
+from protoquant_tpu.models import LlamaModel
+from protoquant_tpu.nn import fuse_projections, quantize_params
+from protoquant_tpu.utils.config import ModelConfig, QuantConfig
+
+QWEN2_TINY = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=64, rope_theta=1e6, attention_bias=True,
+)
+GEMMA_TINY = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=64, tie_word_embeddings=True,
+    hidden_act="gelu_tanh", rmsnorm_unit_offset=True, scale_embeddings=True,
+    head_dim_override=32,
+)
+
+
+def _init_fp(cfg, seed=0):
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    tokens = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), tokens)
+    # Flax bias init is zeros; randomize so the bias path is load-bearing.
+    if cfg.attention_bias:
+        rng = np.random.default_rng(3)
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.asarray(
+                rng.normal(0, 0.05, a.shape).astype(np.float32)
+            )
+            if any(getattr(p, "key", None) == "bias" for p in path)
+            else a,
+            params,
+        )
+    return model, params
+
+
+def _check_dynamic_close(cfg, seed):
+    fp_model, fp_params = _init_fp(cfg, seed)
+    toks = jnp.asarray(
+        np.random.default_rng(seed).integers(0, cfg.vocab_size, (2, 10)), jnp.int32
+    )
+    lfp = np.asarray(fp_model.apply(fp_params, toks))
+    q_model = LlamaModel(cfg, mode="dynamic", dtype=jnp.float32)
+    qparams = quantize_params(fp_params, QuantConfig(mode="dynamic"))
+    lq = np.asarray(q_model.apply(qparams, toks))
+    assert np.isfinite(lq).all()
+    # int8-dynamic logits track fp within quantization noise.
+    err = np.abs(lq - lfp).max() / (np.abs(lfp).max() + 1e-9)
+    assert err < 0.12, err
+    agree = np.mean(np.argmax(lq, -1) == np.argmax(lfp, -1))
+    assert agree > 0.8, agree
+
+
+def test_qwen2_dynamic_quantization():
+    _check_dynamic_close(QWEN2_TINY, seed=0)
+
+
+def test_gemma_dynamic_quantization():
+    _check_dynamic_close(GEMMA_TINY, seed=1)
+
+
+def test_fused_qkv_with_bias_exact():
+    """Qwen2-style fused QKV: concatenated kernels AND biases — fp forward
+    must be exact vs the unfused module."""
+    cfg = QWEN2_TINY
+    fp_model, fp_params = _init_fp(cfg, seed=2)
+    toks = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (1, 9)), jnp.int32
+    )
+    base = np.asarray(fp_model.apply(fp_params, toks))
+    fused_params = fuse_projections(fp_params)
+    fused_model = LlamaModel(cfg, mode="fp", dtype=jnp.float32, fused=True)
+    fused = np.asarray(fused_model.apply(fused_params, toks))
+    np.testing.assert_allclose(fused, base, rtol=1e-6, atol=1e-6)
+
+
+def test_gemma_engine_decode():
+    """Gemma-shaped model end-to-end through the continuous-batching engine
+    (int8 KV): head_dim override must thread through cache layouts."""
+    cfg = GEMMA_TINY
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(4), jnp.ones((1, 4), jnp.int32))
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=6),
+        kv_dtype=jnp.int8,
+    )
+    rid = eng.add_request([1, 2, 3], 6)
+    out = eng.run()[rid]
+    assert len(out) == 6 and all(0 <= t < cfg.vocab_size for t in out)
