@@ -154,7 +154,7 @@ def main():
     from protoquant_tpu.models import kv_cache as _kv
 
     _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", "auto")
-    _kv.ATTENTION_BACKEND = os.environ.get("BENCH_ATTENTION_BACKEND", "xla")
+    _kv.ATTENTION_BACKEND = os.environ.get("BENCH_ATTENTION_BACKEND", "auto")
 
     cfg = ModelConfig(
         vocab_size=32000,

@@ -62,24 +62,38 @@ def main():
     from protoquant_tpu.ops.attention import int8_kv_attention_xla
 
     def time_case(name, make_carry, body_fn, nbytes):
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(carry, salt):
-            def body(c, i):
-                kn = k_new + (0.001 * ((i + salt) % 7 - 3)).astype(jnp.bfloat16)
-                c, acc = body_fn(c, kn)
-                return c, acc
+        # Two scan lengths; the difference cancels the fixed ~30-50ms tunnel
+        # RTT per dispatch+fetch that otherwise floors short programs
+        # (BASELINE.md "Timing methodology"; inplace_probe read_tiny showed a
+        # flat ~113us/iter floor at iters=256 for a no-op body).
+        def make_run(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(carry, salt):
+                def body(c, i):
+                    kn = k_new + (0.001 * ((i + salt) % 7 - 3)).astype(jnp.bfloat16)
+                    c, acc = body_fn(c, kn)
+                    return c, acc
 
-            carry, accs = jax.lax.scan(body, carry, jnp.arange(iters))
-            return jnp.sum(accs)
+                carry, accs = jax.lax.scan(body, carry, jnp.arange(n))
+                return jnp.sum(accs)
 
-        float(run(make_carry(), jnp.int32(1)))
-        best = float("inf")
+            return run
+
+        lo, hi = iters, 4 * iters
+        run_lo, run_hi = make_run(lo), make_run(hi)
+        float(run_lo(make_carry(), jnp.int32(1)))
+        float(run_hi(make_carry(), jnp.int32(1)))
+        best_lo = best_hi = float("inf")
         for j in range(2, 5):
             t0 = time.perf_counter()
-            out = run(make_carry(), jnp.int32(j * 1009))
+            out = run_lo(make_carry(), jnp.int32(j * 1009))
             float(out)
-            best = min(best, time.perf_counter() - t0)
-        dt = best / iters
+            best_lo = min(best_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = run_hi(make_carry(), jnp.int32(j * 2027))
+            float(out)
+            best_hi = min(best_hi, time.perf_counter() - t0)
+        dt = max(best_hi - best_lo, 1e-9) / (hi - lo)
         print(
             json.dumps(
                 {
@@ -126,10 +140,102 @@ def main():
         c2 = BF16KVCache(k=k_all, v=v_all, lengths=c.lengths)
         return c2, c2.k[0, 0, 0, 0].astype(jnp.float32)
 
+    # ---- candidate fixes: per-batch dynamic_update_slice (in-place-able) ----
+    from protoquant_tpu.models.kv_cache import quantize_kv
+
+    def dus_update(c, kn):
+        import dataclasses
+
+        k8, ks_new = quantize_kv(kn)
+        v8, vs_new = quantize_kv(v_new)
+        # [B, T, KV, Dh] -> [B, KV, T, Dh] to match the head-major cache.
+        k8 = jnp.swapaxes(k8, 1, 2)
+        v8 = jnp.swapaxes(v8, 1, 2)
+        ks_new = jnp.swapaxes(ks_new, 1, 2)
+        vs_new = jnp.swapaxes(vs_new, 1, 2)
+        kq, ks, vq, vs = c.kq, c.ks, c.vq, c.vs
+        zero = jnp.int32(0)
+        for b in range(B):
+            s = c.lengths[b]
+            kq = jax.lax.dynamic_update_slice(kq, k8[b : b + 1], (b, zero, s, zero))
+            vq = jax.lax.dynamic_update_slice(vq, v8[b : b + 1], (b, zero, s, zero))
+            ks = jax.lax.dynamic_update_slice(ks, ks_new[b : b + 1], (b, zero, s))
+            vs = jax.lax.dynamic_update_slice(vs, vs_new[b : b + 1], (b, zero, s))
+        c2 = Int8KVCache(kq=kq, ks=ks, vq=vq, vs=vs, lengths=c.lengths)
+        return c2, c2.ks[0, 0, 0]
+
+    def dus_fori_update(c, kn):
+        k8, ks_new = quantize_kv(kn)
+        v8, vs_new = quantize_kv(v_new)
+        k8 = jnp.swapaxes(k8, 1, 2)
+        v8 = jnp.swapaxes(v8, 1, 2)
+        ks_new = jnp.swapaxes(ks_new, 1, 2)
+        vs_new = jnp.swapaxes(vs_new, 1, 2)
+        zero = jnp.int32(0)
+
+        def body(b, arrs):
+            kq, ks, vq, vs = arrs
+            s = c.lengths[b]
+            kq = jax.lax.dynamic_update_slice(
+                kq, jax.lax.dynamic_slice_in_dim(k8, b, 1, 0), (b, zero, s, zero)
+            )
+            vq = jax.lax.dynamic_update_slice(
+                vq, jax.lax.dynamic_slice_in_dim(v8, b, 1, 0), (b, zero, s, zero)
+            )
+            ks = jax.lax.dynamic_update_slice(
+                ks, jax.lax.dynamic_slice_in_dim(ks_new, b, 1, 0), (b, zero, s)
+            )
+            vs = jax.lax.dynamic_update_slice(
+                vs, jax.lax.dynamic_slice_in_dim(vs_new, b, 1, 0), (b, zero, s)
+            )
+            return kq, ks, vq, vs
+
+        kq, ks, vq, vs = jax.lax.fori_loop(0, B, body, (c.kq, c.ks, c.vq, c.vs))
+        c2 = Int8KVCache(kq=kq, ks=ks, vq=vq, vs=vs, lengths=c.lengths)
+        return c2, c2.ks[0, 0, 0]
+
+    def dus_update_attend(c, kn):
+        c2, _ = dus_update(c, kn)
+        out = int8_kv_attention_xla(q, c2.kq, c2.ks, c2.vq, c2.vs, c.lengths)
+        return c2, jnp.abs(out.astype(jnp.float32)).sum()
+
+    from protoquant_tpu.ops.attention import int8_kv_attention
+    from protoquant_tpu.ops.kv_scatter import kv_scatter_decode
+
+    def pl_scatter_only(c, kn):
+        import dataclasses
+
+        k8, ks_new = quantize_kv(kn)
+        v8, vs_new = quantize_kv(v_new)
+        kq, ks, vq, vs = kv_scatter_decode(
+            c.kq, c.ks, c.vq, c.vs, c.lengths,
+            jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks_new, 1, 2),
+            jnp.swapaxes(v8, 1, 2), jnp.swapaxes(vs_new, 1, 2),
+        )
+        c2 = Int8KVCache(kq=kq, ks=ks, vq=vq, vs=vs, lengths=c.lengths)
+        return c2, c2.ks[0, 0, 0]
+
+    def pl_scatter_attend(c, kn):
+        c2, _ = pl_scatter_only(c, kn)
+        out = int8_kv_attention(q, c2.kq, c2.ks, c2.vq, c2.vs, c.lengths,
+                                interpret=False)
+        return c2, jnp.abs(out.astype(jnp.float32)).sum()
+
+    def pl_scatter_attend_xla(c, kn):
+        c2, _ = pl_scatter_only(c, kn)
+        out = int8_kv_attention_xla(q, c2.kq, c2.ks, c2.vq, c2.vs, c.lengths)
+        return c2, jnp.abs(out.astype(jnp.float32)).sum()
+
+    time_case("pl_scatter_only", make_i8, pl_scatter_only, 0)
+    time_case("pl_scatter_attend", make_i8, pl_scatter_attend, bytes_read_i8)
+    time_case("pl_scatter_attend_xla", make_i8, pl_scatter_attend_xla, bytes_read_i8)
     time_case("attend_only", make_i8, attend_only, bytes_read_i8)
     time_case("update_only", make_i8, update_only, 0)
     time_case("update_attend", make_i8, update_attend, bytes_read_i8)
     time_case("bf16_update", make_bf, bf16_update, 0)
+    time_case("dus_update", make_i8, dus_update, 0)
+    time_case("dus_fori_update", make_i8, dus_fori_update, 0)
+    time_case("dus_update_attend", make_i8, dus_update_attend, bytes_read_i8)
 
 
 if __name__ == "__main__":

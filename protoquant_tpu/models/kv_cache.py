@@ -103,7 +103,19 @@ class BF16KVCache(_DenseSlotViews):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
 
 
-ATTENTION_BACKEND = "xla"  # "xla" | "pallas" (see Int8KVCache.update_and_attend)
+# "auto" | "xla" | "pallas" (see Int8KVCache.update_and_attend). auto routes
+# to the head-blocked Pallas flash kernel on TPU — measured 2.3x faster than
+# the XLA-fused formulation at decode (B=8, KV=32, S=2048: 138us vs 320us,
+# ~1.0 of HBM bandwidth on both cache streams; bench/flash_hb_probe.py) —
+# and to the XLA formulation off-TPU (interpret-mode Pallas is test-only).
+ATTENTION_BACKEND = "auto"
+
+
+def _resolve_attention_backend() -> str:
+    mode = ATTENTION_BACKEND
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return mode
 
 
 def quantize_kv(x: jnp.ndarray):
@@ -157,6 +169,23 @@ class Int8KVCache(_DenseSlotViews):
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
         k8, ks_new = quantize_kv(k)
         v8, vs_new = quantize_kv(v)
+        if T == 1 and _resolve_attention_backend() == "pallas":
+            # Decode: in-place Pallas scatter. The XLA scatter below is also
+            # in-place in isolation, but XLA wraps it in full-cache defensive
+            # copies when the result feeds the Pallas attend custom call
+            # (~236us/step at B=8,KV=32,S=2048 — bench/kv_update_probe.py);
+            # the aliased kernel pins the buffer instead.
+            from ..ops._common import default_interpret
+            from ..ops.kv_scatter import kv_scatter_decode
+
+            kq, ks, vq, vs = kv_scatter_decode(
+                self.kq, self.ks, self.vq, self.vs, self.lengths,
+                jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks_new, 1, 2),
+                jnp.swapaxes(v8, 1, 2), jnp.swapaxes(vs_new, 1, 2),
+                interpret=default_interpret(),
+            )
+            return Int8KVCache(kq=kq, ks=ks, vq=vq, vs=vs,
+                               lengths=self.lengths + adv)
         b_idx, s_idx = _write_positions(self.lengths, T)
         # Cache layout is head-major: advanced indices (b, s) land in front,
         # so the scattered block is [B, T, KV, Dh] — matching k8 directly.
@@ -172,7 +201,9 @@ class Int8KVCache(_DenseSlotViews):
     def update_and_attend(self, q, k, v, advance=None):
         new = self.update(k, v, advance)
         attend = (
-            int8_kv_attention if ATTENTION_BACKEND == "pallas" else int8_kv_attention_xla
+            int8_kv_attention
+            if _resolve_attention_backend() == "pallas"
+            else int8_kv_attention_xla
         )
         out = attend(q, new.kq, new.ks, new.vq, new.vs, self.lengths)
         return out, new

@@ -41,24 +41,48 @@ def _flash_block_s(s: int, want: int = 512) -> int:
     return s  # odd window: single block (the old whole-window behavior)
 
 
+def _head_block(KV: int, TG: int, Dh: int, bs: int, budget: int = 12 << 20) -> int:
+    """Largest divisor HB of KV whose per-program VMEM footprint fits.
+
+    Head-blocking is the decode-perf lever: at (B=8, KV=32, S=2048) the
+    HB=1 grid is 1024 programs and per-program overhead caps the kernel at
+    0.34 of HBM bandwidth, while HB=32 (32 programs, 2MB k/v blocks) streams
+    both caches at ~1.0 of HBM bandwidth — 2.3x faster than the XLA-fused
+    formulation at the same shape (bench/flash_hb_probe.py, measured on v5e).
+
+    Footprint: double-buffered in/out blocks + f32 scratch + the (HB,TG,bs)
+    f32 scores/probs intermediates.
+    """
+    for hb in range(KV, 0, -1):
+        if KV % hb:
+            continue
+        tg8 = max(TG, 8)
+        blocks = hb * (TG * Dh * 2 + bs * Dh + bs * 4 + bs * Dh + bs * 4 + TG * Dh * 2)
+        scratch = hb * tg8 * (128 + 128 + Dh) * 4
+        scores = 2 * hb * TG * bs * 4
+        if 2 * blocks + scratch + scores <= budget:
+            return hb
+    return 1
+
+
 def _attn_kernel(
     len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
     *, group, block_s, lane,
 ):
-    """S-blocked flash attention over the int8 cache, one (b, kv_head) pair
-    per (outer) program, online softmax across the S-block axis.
+    """S-blocked flash attention over the int8 cache, HB kv-heads per
+    program, online softmax across the S-block axis.
 
-    q_ref:  (1, 1, TG, Dh)   TG = t_q * group query rows (constant over s)
-    k_ref:  (1, 1, bs, Dh)   int8 — S-block selected by the index map, which
+    q_ref:  (1, HB, TG, Dh)  TG = t_q * group query rows (constant over s)
+    k_ref:  (1, HB, bs, Dh)  int8 — S-block selected by the index map, which
                              clamps past the valid window so Pallas elides
                              the dead fetches (same trick as the paged kernel)
-    ks_ref: (1, 1, 1, bs)    f32 key scales
-    m/l:    VMEM (>=8, 128) f32 scratch (running max / denom, lane-replicated)
-    acc:    VMEM (>=8, Dh) f32 scratch
+    ks_ref: (1, HB, 1, bs)   f32 key scales
+    m/l:    VMEM (HB, >=8, 128) f32 scratch (running max / denom)
+    acc:    VMEM (HB, >=8, Dh) f32 scratch
     """
     b = pl.program_id(0)
     s = pl.program_id(2)
-    TG = q_ref.shape[2]
+    HB, TG = q_ref.shape[1], q_ref.shape[2]
     t_max = (TG - 1) // group
 
     @pl.when(s == 0)
@@ -75,47 +99,48 @@ def _attn_kernel(
     def _():
         # MXU lanes: bf16 on TPU (native rate; exact for int8 values), f32 in
         # interpret mode off-TPU.
-        q = q_ref[0, 0].astype(lane)  # (TG, Dh)
-        k = k_ref[0, 0].astype(lane)  # (bs, Dh)
-        ks = ks_ref[0, 0]  # (1, bs)
+        q = q_ref[0].astype(lane)  # (HB, TG, Dh)
+        k = k_ref[0].astype(lane)  # (HB, bs, Dh)
+        ks = ks_ref[0]  # (HB, 1, bs)
         dh = q.shape[-1]
 
         scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (TG, bs)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (HB, TG, bs)
         scores = scores * ks * (1.0 / (dh**0.5))
 
         # Causal/length mask: query row r belongs to step t = r // group at
         # absolute position len + t; key column c is valid iff c <= len + t.
-        cols = s * block_s + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // group
+        cols = s * block_s + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
         valid = cols <= (length + t_rows)
         scores = jnp.where(valid, scores, NEG_INF)
 
         # Online-softmax update. Block 0 always holds a valid column for
         # every row (col 0 <= len + t), so m leaves NEG_INF immediately and
         # later fully-masked rows correctly contribute exp(NEG_INF - m) = 0.
-        m_old = m_ref[:TG, :1]
+        m_old = m_ref[:, :TG, :1]  # (HB, TG, 1)
         m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
         corr = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)  # (TG, bs)
+        p = jnp.exp(scores - m_new)  # (HB, TG, bs)
 
-        vs = vs_ref[0, 0]  # (1, bs)
-        v = v_ref[0, 0].astype(lane)  # (bs, Dh)
+        vs = vs_ref[0]  # (HB, 1, bs)
+        v = v_ref[0].astype(lane)  # (HB, bs, Dh)
         pv = jax.lax.dot_general(
-            (p * vs).astype(lane), v, (((1,), (0,)), ((), ())),
+            (p * vs).astype(lane), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (TG, Dh)
+        )  # (HB, TG, Dh)
 
-        l_new = l_ref[:TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:TG] = acc_ref[:TG] * corr + pv
-        m_ref[:TG] = jnp.broadcast_to(m_new, (TG, m_ref.shape[1]))
-        l_ref[:TG] = jnp.broadcast_to(l_new, (TG, l_ref.shape[1]))
+        l_new = l_ref[:, :TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:, :TG] = acc_ref[:, :TG] * corr + pv
+        m_ref[:, :TG] = jnp.broadcast_to(m_new, (HB, TG, m_ref.shape[2]))
+        l_ref[:, :TG] = jnp.broadcast_to(l_new, (HB, TG, l_ref.shape[2]))
 
     @pl.when(s == pl.num_programs(2) - 1)
     def _():
-        o_ref[0, 0] = (
-            acc_ref[:TG] / jnp.maximum(l_ref[:TG, :1], 1e-30)
+        o_ref[0] = (
+            acc_ref[:, :TG] / jnp.maximum(l_ref[:, :TG, :1], 1e-30)
         ).astype(o_ref.dtype)
 
 
@@ -124,6 +149,7 @@ def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
     B, KV, TG, Dh = q.shape
     S = kq.shape[2]
     bs = _flash_block_s(S)
+    HB = _head_block(KV, TG, Dh, bs)
     ks4 = ks.reshape(B, KV, 1, S)
     vs4 = vs.reshape(B, KV, 1, S)
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
@@ -140,19 +166,19 @@ def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KV, S // bs),
+        grid=(B, KV // HB, S // bs),
         in_specs=[
-            pl.BlockSpec((1, 1, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, bs, Dh), kv_index),
-            pl.BlockSpec((1, 1, 1, bs), kscale_index),
-            pl.BlockSpec((1, 1, bs, Dh), kv_index),
-            pl.BlockSpec((1, 1, 1, bs), kscale_index),
+            pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+            pl.BlockSpec((1, HB, bs, Dh), kv_index),
+            pl.BlockSpec((1, HB, 1, bs), kscale_index),
+            pl.BlockSpec((1, HB, bs, Dh), kv_index),
+            pl.BlockSpec((1, HB, 1, bs), kscale_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((max(TG, 8), 128), jnp.float32),
-            pltpu.VMEM((max(TG, 8), 128), jnp.float32),
-            pltpu.VMEM((max(TG, 8), Dh), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), Dh), jnp.float32),
         ],
     )
     lane = jnp.float32 if interpret else jnp.bfloat16
@@ -203,11 +229,11 @@ def int8_kv_attention(
 
 def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
-    batched MXU matmuls, so HBM still streams int8 — and at decode shapes
-    the single large batched GEMM beats the per-(b,head)-program Pallas grid
-    (measured on v5e: ~8.7us vs 32.4us at B=8, 32 heads, S=512). This is the
-    default product path; the Pallas kernel above remains for long-S shapes
-    and as the fusion-controlled variant.
+    batched dots, so HBM still streams int8. Off-TPU (and under
+    ATTENTION_BACKEND="xla") this is the product path; on TPU the
+    head-blocked Pallas kernel above is ~2.1x faster at decode (XLA's
+    batched-matvec fusions stream the cache at 0.46-0.63 of HBM bandwidth
+    vs ~1.0 for the kernel — bench/attend_decomp_probe.py, v5e).
 
     Also serves as the test oracle for the kernel.
 

@@ -1,0 +1,111 @@
+"""In-place decode-step KV-cache scatter as a Pallas custom call.
+
+Why this exists (measured on v5e, bench/kv_update_probe.py): the XLA scatter
+formulation of ``Int8KVCache.update`` is itself in-place and ~free, but when
+its result feeds the Pallas attention kernel XLA inserts defensive copies of
+the whole cache around the custom call (~236us at B=8, KV=32, S=2048 —
+dwarfing the 138us attend). Expressing the scatter AS a Pallas call with
+``input_output_aliases`` makes the in-place contract explicit end-to-end:
+the cache buffer is pinned, only the new token's block is written, and the
+downstream attend kernel reads the same buffer.
+
+Mechanism: grid over batch; each program reads the one cache block that
+contains this row's write position (S-block 8 for int8 payloads, 128 for f32
+scales — Mosaic's minimum tile), inserts the new token at ``length % block``
+via dynamic_update_slice, and writes the block back to the same buffer
+(outputs alias the cache inputs; blocks the grid never touches remain the
+buffer's own bytes). Block positions come from the scalar-prefetched
+``lengths`` through the BlockSpec index maps. No manual DMA, no semaphores.
+
+Decode (T == 1) only: for chunked prefill (T > 1) the XLA scatter amortizes
+its copies over the whole chunk and stays the right tool.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SBLK = 8  # S-block for int8 payload writes (Mosaic sublane minimum)
+_SBLK_SCALE = 128  # S-block for f32 scale writes (Mosaic lane minimum)
+
+
+def _scatter_kernel(len_ref, k8_ref, ksn_ref, v8_ref, vsn_ref,
+                    kq_in, ks_in, vq_in, vs_in,
+                    kq_out, ks_out, vq_out, vs_out):
+    b = pl.program_id(0)
+    ln = jnp.maximum(len_ref[b, 0], 0)
+    row8 = ln % _SBLK
+    row128 = ln % _SBLK_SCALE
+
+    def _insert(blk, new, axis, row):
+        # Row-select insert (Mosaic has no value-level dynamic_update_slice).
+        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
+        return jnp.where(rows == row, jnp.broadcast_to(new, blk.shape), blk)
+
+    kq_out[...] = _insert(kq_in[...], k8_ref[...], 2, row8)
+    vq_out[...] = _insert(vq_in[...], v8_ref[...], 2, row8)
+    ks_out[...] = _insert(ks_in[...], ksn_ref[...], 2, row128)
+    vs_out[...] = _insert(vs_in[...], vsn_ref[...], 2, row128)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_scatter_decode(kq, ks, vq, vs, lengths, k8, ks_new, v8, vs_new,
+                      *, interpret: bool = False):
+    """Write one decode token per batch row into the int8 cache, in place.
+
+    kq/vq: [B, KV, S, Dh] int8;  ks/vs: [B, KV, S] f32;  lengths: [B] int32
+    k8/v8: [B, KV, 1, Dh] int8;  ks_new/vs_new: [B, KV, 1] f32
+    Returns the four updated cache arrays (same buffers when donated).
+    """
+    B, KV, S, Dh = kq.shape
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+
+    def _ln(ref, b):
+        return jnp.clip(ref[b, 0], 0, S - 1)
+
+    payload_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, ln: (b, 0, 0, 0))
+    scale_blk = pl.BlockSpec((1, KV, 1), lambda b, ln: (b, 0, 0))
+    cache_payload_blk = pl.BlockSpec(
+        (1, KV, _SBLK, Dh), lambda b, ln: (b, 0, _ln(ln, b) // _SBLK, 0))
+    cache_scale_blk = pl.BlockSpec(
+        (1, KV, _SBLK_SCALE), lambda b, ln: (b, 0, _ln(ln, b) // _SBLK_SCALE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            payload_blk,  # k8
+            scale_blk,    # ks_new
+            payload_blk,  # v8
+            scale_blk,    # vs_new
+            cache_payload_blk,  # kq (alias donor + current block bytes)
+            cache_scale_blk,    # ks
+            cache_payload_blk,  # vq
+            cache_scale_blk,    # vs
+        ],
+        out_specs=[
+            cache_payload_blk,
+            cache_scale_blk,
+            cache_payload_blk,
+            cache_scale_blk,
+        ],
+    )
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        # Indices are positions in the full pallas_call operand list, where
+        # the scalar-prefetch operand (lengths) is index 0.
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(lengths2, k8, ks_new, v8, vs_new, kq, ks, vq, vs)

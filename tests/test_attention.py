@@ -111,3 +111,76 @@ def test_int8_flash_attention_multiblock_matches_ref(s_window, t_q):
     out = int8_kv_attention(q, kq, ks, vq, vs, lengths)
     ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_kv_scatter_decode_matches_xla_scatter():
+    """The in-place Pallas decode scatter (ops/kv_scatter.py) is bit-exact
+    vs the advanced-index XLA scatter, across block-edge positions."""
+    from protoquant_tpu.ops.kv_scatter import kv_scatter_decode
+
+    B, KV, S, Dh = 4, 8, 256, 32
+    rng = np.random.default_rng(0)
+    kq = jnp.asarray(rng.integers(-100, 100, (B, KV, S, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-100, 100, (B, KV, S, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.01, 1, (B, KV, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 1, (B, KV, S)), jnp.float32)
+    # Positions probing: 0, mid-block, last row, scale-block edges.
+    lengths = jnp.asarray([0, 5, 255, 130], jnp.int32)
+    k8 = jnp.asarray(rng.integers(-100, 100, (B, KV, 1, Dh), dtype=np.int8))
+    v8 = jnp.asarray(rng.integers(-100, 100, (B, KV, 1, Dh), dtype=np.int8))
+    ksn = jnp.asarray(rng.uniform(0.01, 1, (B, KV, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.uniform(0.01, 1, (B, KV, 1)), jnp.float32)
+
+    kq2, ks2, vq2, vs2 = kv_scatter_decode(
+        kq, ks, vq, vs, lengths, k8, ksn, v8, vsn, interpret=True
+    )
+    b_idx = jnp.arange(B)[:, None]
+    s_idx = lengths[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(kq2), np.asarray(kq.at[b_idx, :, s_idx].set(jnp.swapaxes(k8, 1, 2)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vq2), np.asarray(vq.at[b_idx, :, s_idx].set(jnp.swapaxes(v8, 1, 2)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ks2), np.asarray(ks.at[b_idx, :, s_idx].set(ksn[..., 0][:, None, :]))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vs2), np.asarray(vs.at[b_idx, :, s_idx].set(vsn[..., 0][:, None, :]))
+    )
+
+
+def test_pallas_backend_decode_stream_matches_xla_backend():
+    """Full decode stream through the pallas backend (in-place scatter +
+    flash attend) matches the xla backend's outputs and cache contents."""
+    from protoquant_tpu.models import kv_cache as kvmod
+
+    B, KV, G, S, Dh, T = 2, 2, 2, 64, 32, 4
+    H = KV * G
+    k0 = rand((B, T, KV, Dh), seed=50)
+    v0 = rand((B, T, KV, Dh), seed=51)
+
+    def run(backend):
+        prev = kvmod.ATTENTION_BACKEND
+        kvmod.ATTENTION_BACKEND = backend
+        try:
+            c = Int8KVCache.init(B, S, KV, Dh)
+            c = c.update(k0, v0)  # prefill via the shared XLA scatter
+            outs = []
+            for step in range(3):
+                q = rand((B, 1, H, Dh), seed=60 + step, scale=0.5)
+                k = rand((B, 1, KV, Dh), seed=70 + step, scale=0.5)
+                v = rand((B, 1, KV, Dh), seed=80 + step, scale=0.5)
+                o, c = c.update_and_attend(q, k, v)
+                outs.append(np.asarray(o))
+            return outs, c
+        finally:
+            kvmod.ATTENTION_BACKEND = prev
+
+    outs_p, cache_p = run("pallas")
+    outs_x, cache_x = run("xla")
+    np.testing.assert_array_equal(np.asarray(cache_p.kq), np.asarray(cache_x.kq))
+    np.testing.assert_array_equal(np.asarray(cache_p.vq), np.asarray(cache_x.vq))
+    np.testing.assert_array_equal(np.asarray(cache_p.lengths), np.asarray(cache_x.lengths))
+    for a, b in zip(outs_p, outs_x):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
