@@ -11,11 +11,13 @@ Host side: pages are allocated/freed by the native C++ free-list allocator
 request only reserves ceil((prompt+max_new)/page_size) pages instead of a
 full max_seq slot row.
 
-Attention: decode steps (T=1) can run the scalar-prefetch Pallas kernel
+Attention: decode steps (T=1) run the scalar-prefetch Pallas kernel
 (ops/paged_attention.py) that walks the page table in-kernel — no gathered
-window ever materializes (enable via models.kv_cache.ATTENTION_BACKEND =
-"pallas"); the default/XLA path and chunked prefill gather the mapped pages
-into a contiguous window and reuse the int8 attention backends.
+window ever materializes — whenever models.kv_cache.ATTENTION_BACKEND
+resolves to "pallas" (the "auto" default on TPU); the cache update likewise
+runs the in-place aliased Pallas scatter. Off-TPU/"xla" decode and chunked
+prefill gather the mapped pages into a contiguous window and reuse the int8
+attention backends.
 """
 
 from __future__ import annotations
@@ -80,6 +82,27 @@ class PagedInt8KVCache:
         ps = self.page_size
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
 
+        from ..models.kv_cache import _resolve_attention_backend
+
+        if T == 1 and _resolve_attention_backend() == "pallas":
+            # Decode: in-place aliased Pallas scatter (same defensive-copy
+            # story as the dense cache — see ops/kv_scatter.py docstring).
+            from ..ops._common import default_interpret
+            from ..ops.kv_scatter import paged_kv_scatter_decode
+
+            k8, ks_new = quantize_kv(k)
+            v8, vs_new = quantize_kv(v)
+            kq, ks, vq, vs = paged_kv_scatter_decode(
+                self.kq, self.ks, self.vq, self.vs,
+                self.page_table, self.lengths,
+                jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks_new, 1, 2),
+                jnp.swapaxes(v8, 1, 2), jnp.swapaxes(vs_new, 1, 2),
+                interpret=default_interpret(),
+            )
+            return dataclasses.replace(
+                self, kq=kq, ks=ks, vq=vq, vs=vs, lengths=self.lengths + adv
+            )
+
         pos = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
         page_idx = pos // ps
         width = self.page_table.shape[1]
@@ -125,7 +148,7 @@ class PagedInt8KVCache:
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)
-        if q.shape[1] == 1 and _kvmod.ATTENTION_BACKEND == "pallas":
+        if q.shape[1] == 1 and _kvmod._resolve_attention_backend() == "pallas":
             # Decode: the scalar-prefetch kernel walks the page table —
             # no gathered window.
             out = paged_int8_attention(

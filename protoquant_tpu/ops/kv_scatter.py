@@ -109,3 +109,90 @@ def kv_scatter_decode(kq, ks, vq, vs, lengths, k8, ks_new, v8, vs_new,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
     )(lengths2, k8, ks_new, v8, vs_new, kq, ks, vq, vs)
+
+
+def _paged_scatter_kernel(pt_ref, len_ref, k8_ref, ksn_ref, v8_ref, vsn_ref,
+                          kq_in, ks_in, vq_in, vs_in,
+                          kq_out, ks_out, vq_out, vs_out, *, page_size):
+    b = pl.program_id(0)
+    off = jnp.maximum(len_ref[b, 0], 0) % page_size
+    row8 = off % _SBLK
+
+    def _insert(blk, new, axis, row):
+        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
+        return jnp.where(rows == row, jnp.broadcast_to(new, blk.shape), blk)
+
+    kq_out[...] = _insert(kq_in[...], k8_ref[...], 2, row8)
+    vq_out[...] = _insert(vq_in[...], v8_ref[...], 2, row8)
+    # Scale blocks cover the page's whole [1, ps] row; insert on the lane axis.
+    ks_out[...] = _insert(ks_in[...], ksn_ref[...][..., None], 3, off)
+    vs_out[...] = _insert(vs_in[...], vsn_ref[...][..., None], 3, off)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_kv_scatter_decode(kq, ks, vq, vs, page_table, lengths,
+                            k8, ks_new, v8, vs_new, *, interpret: bool = False):
+    """Write one decode token per batch row into the mapped page, in place.
+
+    kq/vq: [P, KV, ps, Dh] int8 pools;  ks/vs: [P, KV, 1, ps] f32
+    page_table: [B, maxP] int32 (-1 unmapped); lengths: [B] int32
+    k8/v8: [B, KV, 1, Dh] int8;  ks_new/vs_new: [B, KV, 1] f32
+    Unmapped rows and rows past the table window write to the reserved
+    trash page (pool row P-1), matching the XLA scatter's semantics.
+    """
+    P, KV, ps, Dh = kq.shape
+    B, width = page_table.shape
+    assert ps % _SBLK == 0, "page_size must be a multiple of 8"
+    trash = P - 1
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    pt = page_table.astype(jnp.int32)
+
+    def _page(pt_ref, ln_ref, b):
+        pi = jnp.maximum(ln_ref[b, 0], 0) // ps
+        pg = pt_ref[b, jnp.minimum(pi, width - 1)]
+        return jnp.where((pg < 0) | (pi >= width), trash, pg)
+
+    def _row8(ln_ref, b):
+        return (jnp.maximum(ln_ref[b, 0], 0) % ps) // _SBLK
+
+    payload_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, pt, ln: (b, 0, 0, 0))
+    scale_blk = pl.BlockSpec((1, KV, 1), lambda b, pt, ln: (b, 0, 0))
+    pool_payload_blk = pl.BlockSpec(
+        (1, KV, _SBLK, Dh),
+        lambda b, pt, ln: (_page(pt, ln, b), 0, _row8(ln, b), 0))
+    pool_scale_blk = pl.BlockSpec(
+        (1, KV, 1, ps), lambda b, pt, ln: (_page(pt, ln, b), 0, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            payload_blk,   # k8
+            scale_blk,     # ks_new
+            payload_blk,   # v8
+            scale_blk,     # vs_new
+            pool_payload_blk,  # kq (alias donor + current block bytes)
+            pool_scale_blk,    # ks
+            pool_payload_blk,  # vq
+            pool_scale_blk,    # vs
+        ],
+        out_specs=[
+            pool_payload_blk,
+            pool_scale_blk,
+            pool_payload_blk,
+            pool_scale_blk,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_scatter_kernel, page_size=ps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        # Operand list: pt=0, lengths=1, new data 2-5, pools 6-9.
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        interpret=interpret,
+    )(pt, lengths2, k8, ks_new, v8, vs_new, kq, ks, vq, vs)

@@ -28,21 +28,22 @@ NEG_INF = -1e30
 def _kernel(
     pt_ref,  # [B, maxP] int32 (scalar prefetch)
     len_ref,  # [B, 1] int32 (scalar prefetch)
-    q_ref,  # (1, 1, G, Dh)
-    k_ref,  # (1, 1, ps, Dh) int8 — page selected by index_map via pt_ref
-    ks_ref,  # (1, 1, 1, ps) f32
-    v_ref,  # (1, 1, ps, Dh) int8
-    vs_ref,  # (1, 1, 1, ps) f32
-    o_ref,  # (1, 1, G, Dh)
-    m_ref,  # VMEM (G, 128) f32 scratch (running max, lane-replicated)
-    l_ref,  # VMEM (G, 128) f32 scratch (running denom)
-    acc_ref,  # VMEM (G, Dh) f32 scratch
+    q_ref,  # (1, HB, G, Dh)
+    k_ref,  # (1, HB, ps, Dh) int8 — page selected by index_map via pt_ref
+    ks_ref,  # (1, HB, 1, ps) f32
+    v_ref,  # (1, HB, ps, Dh) int8
+    vs_ref,  # (1, HB, 1, ps) f32
+    o_ref,  # (1, HB, G, Dh)
+    m_ref,  # VMEM (HB, >=G, 128) f32 scratch (running max, lane-replicated)
+    l_ref,  # VMEM (HB, >=G, 128) f32 scratch (running denom)
+    acc_ref,  # VMEM (HB, >=G, Dh) f32 scratch
     *,
     page_size: int,
     lane,
 ):
     b = pl.program_id(0)
     j = pl.program_id(2)
+    HB, G = q_ref.shape[1], q_ref.shape[2]
 
     @pl.when(j == 0)
     def _():
@@ -50,45 +51,44 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(lane)  # (G, Dh)
-    k = k_ref[0, 0].astype(lane)  # (ps, Dh)
-    ks = ks_ref[0, 0]  # (1, ps)
+    q = q_ref[0].astype(lane)  # (HB, G, Dh)
+    k = k_ref[0].astype(lane)  # (HB, ps, Dh)
+    ks = ks_ref[0]  # (HB, 1, ps)
     dh = q.shape[-1]
 
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, ps)
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (HB, G, ps)
     scores = scores * ks * (1.0 / (dh**0.5))
 
     # Key slot s of page j holds absolute position j*ps + s; for a T=1 decode
     # query at position len[b], slots with pos <= len are valid. Unmapped
     # pages sit entirely beyond len, so they mask themselves.
-    pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     valid = pos <= len_ref[b, 0]
     scores = jnp.where(valid, scores, NEG_INF)
 
-    G = q.shape[0]  # scratch is padded to >=8 rows; operate on the first G
-    m_old = m_ref[:G, :1]  # (G, 1)
+    m_old = m_ref[:, :G, :1]  # (HB, G, 1)
     m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
     corr = jnp.exp(m_old - m_new)
-    p = jnp.exp(scores - m_new)  # (G, ps)
+    p = jnp.exp(scores - m_new)  # (HB, G, ps)
 
-    vs = vs_ref[0, 0]  # (1, ps)
-    v = v_ref[0, 0].astype(lane)  # (ps, Dh)
+    vs = vs_ref[0]  # (HB, 1, ps)
+    v = v_ref[0].astype(lane)  # (HB, ps, Dh)
     pv = jax.lax.dot_general(
-        (p * vs).astype(lane), v, (((1,), (0,)), ((), ())),
+        (p * vs).astype(lane), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (G, Dh)
+    )  # (HB, G, Dh)
 
-    l_new = l_ref[:G, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:G] = acc_ref[:G] * corr + pv
-    m_ref[:G] = jnp.broadcast_to(m_new, (G, m_ref.shape[1]))
-    l_ref[:G] = jnp.broadcast_to(l_new, (G, l_ref.shape[1]))
+    l_new = l_ref[:, :G, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:, :G] = acc_ref[:, :G] * corr + pv
+    m_ref[:, :G] = jnp.broadcast_to(m_new, (HB, G, m_ref.shape[2]))
+    l_ref[:, :G] = jnp.broadcast_to(l_new, (HB, G, l_ref.shape[2]))
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
-        o_ref[0, 0] = (
-            acc_ref[:G] / jnp.maximum(l_ref[:G, :1], 1e-30)
+        o_ref[0] = (
+            acc_ref[:, :G] / jnp.maximum(l_ref[:, :G, :1], 1e-30)
         ).astype(o_ref.dtype)
 
 
@@ -98,9 +98,16 @@ def _kernel(
 def _paged_attend(
     q, kq, ks4, vq, vs4, page_table, lengths, *, page_size, interpret, out_dtype
 ):
+    from .attention import _head_block
+
     B, KV, G, Dh = q.shape
     maxP = page_table.shape[1]
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    # Head-blocking (same lever as the dense flash kernel): HB kv-heads per
+    # program divides the grid's program count — the paged grid is otherwise
+    # (B, KV, maxP) = thousands of tiny programs whose fixed overhead caps
+    # throughput far below HBM bandwidth.
+    HB = _head_block(KV, G, Dh, page_size)
     # Raw table (−1 markers intact) goes to the kernel for the mapped check;
     # the index maps clamp only for the DMA address, and reuse the previous
     # page index beyond the window so Pallas elides the dead fetches.
@@ -112,19 +119,19 @@ def _paged_attend(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KV, maxP),
+        grid=(B, KV // HB, maxP),
         in_specs=[
-            pl.BlockSpec((1, 1, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, page_size, Dh), page_index),
-            pl.BlockSpec((1, 1, 1, page_size), page_index),
-            pl.BlockSpec((1, 1, page_size, Dh), page_index),
-            pl.BlockSpec((1, 1, 1, page_size), page_index),
+            pl.BlockSpec((1, HB, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
+            pl.BlockSpec((1, HB, page_size, Dh), page_index),
+            pl.BlockSpec((1, HB, 1, page_size), page_index),
+            pl.BlockSpec((1, HB, page_size, Dh), page_index),
+            pl.BlockSpec((1, HB, 1, page_size), page_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, HB, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((max(G, 8), 128), jnp.float32),
-            pltpu.VMEM((max(G, 8), 128), jnp.float32),
-            pltpu.VMEM((max(G, 8), Dh), jnp.float32),
+            pltpu.VMEM((HB, max(G, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(G, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(G, 8), Dh), jnp.float32),
         ],
     )
     lane = jnp.float32 if interpret else jnp.bfloat16

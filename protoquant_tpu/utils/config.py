@@ -165,7 +165,11 @@ class EngineConfig:
 
     max_batch_size: int = 8
     max_seq_len: int = 2048
-    page_size: int = 64  # tokens per KV page
+    # Tokens per KV page. 128 balances paged-kernel streaming efficiency
+    # (0.95 of HBM bandwidth at B=8/KV=32/S=2048 vs 0.72 at ps=64, 1.0+ at
+    # ps=256 — bench/paged_probe.py, v5e) against per-sequence fragmentation
+    # (up to page_size-1 wasted token slots per live request).
+    page_size: int = 128
     prefill_chunk: int = 512
     max_new_tokens: int = 256
     temperature: float = 0.0  # 0 => greedy

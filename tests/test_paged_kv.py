@@ -307,3 +307,46 @@ def test_paged_window_bucketing_crosses_boundaries(model_and_params):
             )[0]
         )
         assert outs[rid] == ref, (outs[rid], ref)
+
+
+def test_paged_kv_scatter_decode_matches_xla_scatter():
+    """The in-place paged Pallas scatter (ops/kv_scatter.py) is bit-exact vs
+    the advanced-index XLA scatter, including trash-page routing for
+    unmapped slots."""
+    from protoquant_tpu.ops.kv_scatter import paged_kv_scatter_decode
+
+    P, KV, ps, Dh, B, width = 7, 4, 16, 32, 4, 3
+    rng = np.random.default_rng(1)
+    kq = jnp.asarray(rng.integers(-100, 100, (P, KV, ps, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-100, 100, (P, KV, ps, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.01, 1, (P, KV, 1, ps)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 1, (P, KV, 1, ps)), jnp.float32)
+    # Slot 0: page 0 off 0; slot 1: page 4 off 15 (page edge); slot 2:
+    # unmapped (-1) -> trash; slot 3: page 2, second table entry.
+    page_table = jnp.asarray(
+        [[0, -1, -1], [4, -1, -1], [-1, -1, -1], [1, 2, -1]], jnp.int32
+    )
+    lengths = jnp.asarray([0, 15, 5, ps + 3], jnp.int32)
+    k8 = jnp.asarray(rng.integers(-100, 100, (B, KV, 1, Dh), dtype=np.int8))
+    v8 = jnp.asarray(rng.integers(-100, 100, (B, KV, 1, Dh), dtype=np.int8))
+    ksn = jnp.asarray(rng.uniform(0.01, 1, (B, KV, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.uniform(0.01, 1, (B, KV, 1)), jnp.float32)
+
+    kq2, ks2, vq2, vs2 = paged_kv_scatter_decode(
+        kq, ks, vq, vs, page_table, lengths, k8, ksn, v8, vsn, interpret=True
+    )
+
+    # XLA reference (PagedInt8KVCache.update's formulation, T=1).
+    pos = lengths[:, None]
+    page_idx = pos // ps
+    page = jnp.take_along_axis(page_table, jnp.minimum(page_idx, width - 1), axis=1)
+    page = jnp.where((page < 0) | (page_idx >= width), P - 1, page)
+    off = pos % ps
+    kqr = kq.at[page, :, off].set(jnp.swapaxes(k8, 1, 2))
+    vqr = vq.at[page, :, off].set(jnp.swapaxes(v8, 1, 2))
+    ksr = ks.at[page, :, 0, off].set(jnp.swapaxes(ksn, 1, 2)[:, 0][:, None, :])
+    vsr = vs.at[page, :, 0, off].set(jnp.swapaxes(vsn, 1, 2)[:, 0][:, None, :])
+    np.testing.assert_array_equal(np.asarray(kq2), np.asarray(kqr))
+    np.testing.assert_array_equal(np.asarray(vq2), np.asarray(vqr))
+    np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ksr))
+    np.testing.assert_array_equal(np.asarray(vs2), np.asarray(vsr))
