@@ -53,6 +53,10 @@ class RMSNorm(nn.Module):
     # Gemma stores norm weights zero-centred and applies (1 + w); the init
     # flips to zeros so a fresh fp model is identity-normed either way.
     unit_offset: bool = False
+    # quant_out: emit (xq int8, s_x f32) via the fused norm+rowquant Pallas
+    # kernel instead of the normed bf16 activation — one HBM pass instead of
+    # three when the consumer is a dynamic-int8 projection (ops/fused_quant).
+    quant_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +68,10 @@ class RMSNorm(nn.Module):
         w = self.param("weight", init, (x.shape[-1],), jnp.float32)
         if self.unit_offset:
             w = w + 1.0
+        if self.quant_out:
+            from ..ops.fused_quant import rms_norm_quant
+
+            return rms_norm_quant(x, w, eps=self.eps, cast_dtype=self.dtype)
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         y = xf * jax.lax.rsqrt(var + self.eps)
@@ -131,13 +139,13 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,  # [B, T, D]
+        x: jnp.ndarray,  # [B, T, D] (a dequantized stub when preq is given)
         positions: jnp.ndarray,  # [B, T]
         cache,  # BF16KVCache | Int8KVCache | None
         advance=None,  # [B] per-slot length increment override (engine)
+        preq=None,  # optional (xq int8, s_x) from a fused norm+quant producer
     ):
         cfg = self.cfg
-        preq = None
         if self.sp:
             # SP: x is token-sharded [B, T/tp, D]; gather the full sequence
             # for the projections. Dynamic mode quantizes BEFORE the gather
@@ -261,8 +269,7 @@ class MLP(nn.Module):
     collective: bool = False  # overlapped ring collective matmul for down_proj
 
     @nn.compact
-    def __call__(self, x):
-        preq = None
+    def __call__(self, x, preq=None):
         if self.sp:
             # Dynamic mode: int8-on-the-wire gather (see _sp_gather_quantized).
             if self.mode == "dynamic":
@@ -290,12 +297,32 @@ class MLP(nn.Module):
             gate = lin(inter, name="gate_proj")(x, preq)
             up = lin(inter, name="up_proj")(x, preq)
         # SwiGLU (Llama: silu) or GeGLU (Gemma: tanh-approx gelu) gate.
-        act = (
-            jax.nn.silu
-            if self.cfg.hidden_act == "silu"
-            else partial(jax.nn.gelu, approximate=True)
-        )
-        h = act(gate.astype(jnp.float32)).astype(self.dtype) * up
+        from .. import ops
+
+        down_preq = None
+        if self.mode == "dynamic" and not self.collective and ops.resolve_fused_quant(
+            gate.size // gate.shape[-1]
+        ):
+            # Fused act-gate-multiply + rowquant: one HBM pass over gate/up
+            # instead of three over the intermediate (ops/fused_quant.py).
+            from ..ops.fused_quant import swiglu_quant
+
+            hq, sh = swiglu_quant(
+                gate, up,
+                act="silu" if self.cfg.hidden_act == "silu" else "gelu",
+                cast_dtype=self.dtype,
+            )
+            down_preq = (hq, sh)
+            # Dequantized stub: QLinear's dynamic path consumes down_preq
+            # and XLA dead-code-eliminates this reconstruction.
+            h = (hq.astype(jnp.float32) * sh[..., None]).astype(self.dtype)
+        else:
+            act = (
+                jax.nn.silu
+                if self.cfg.hidden_act == "silu"
+                else partial(jax.nn.gelu, approximate=True)
+            )
+            h = act(gate.astype(jnp.float32)).astype(self.dtype) * up
         # Row-parallel down projection: all-reduce (or reduce-scatter under SP).
         return QLinear(
             self.cfg.hidden_size,
@@ -309,7 +336,7 @@ class MLP(nn.Module):
             collective=self.collective,
             tp=self.tp,
             name="down_proj",
-        )(h)
+        )(h, down_preq)
 
 
 class DecoderLayer(nn.Module):
@@ -328,27 +355,48 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None):
+        from .. import ops
+
+        # Fused norm+quant producers (ops/fused_quant.py): the norm emits
+        # (int8, scale) directly for the dynamic projections — one HBM pass
+        # instead of three. SP quantizes at the gather instead; MoE routes
+        # per-token and keeps the bf16 normed activation.
+        fq = (
+            self.mode == "dynamic"
+            and not self.sp
+            and ops.resolve_fused_quant(x.size // x.shape[-1])
+        )
+
+        def norm(name, quant_out):
+            return RMSNorm(
+                self.cfg.rms_norm_eps, self.dtype,
+                unit_offset=self.cfg.rmsnorm_unit_offset,
+                quant_out=quant_out, name=name,
+            )
+
+        def deq(preq):
+            xq, sx = preq
+            return (xq.astype(jnp.float32) * sx[..., None]).astype(self.dtype)
+
+        if fq:
+            attn_preq = norm("input_layernorm", True)(x)
+            attn_in = deq(attn_preq)  # stub; DCE'd (projections use the preq)
+        else:
+            attn_preq = None
+            attn_in = norm("input_layernorm", False)(x)
         h, new_cache = Attention(
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
             self.sp, self.cp, self.cp_axis, self.int4_group,
             int4_storage=self.int4_storage,
             collective=self.collective, name="self_attn"
-        )(
-            RMSNorm(
-                self.cfg.rms_norm_eps, self.dtype,
-                unit_offset=self.cfg.rmsnorm_unit_offset,
-                name="input_layernorm",
-            )(x),
-            positions,
-            cache,
-            advance,
-        )
+        )(attn_in, positions, cache, advance, preq=attn_preq)
         x = x + h
-        normed = RMSNorm(
-            self.cfg.rms_norm_eps, self.dtype,
-            unit_offset=self.cfg.rmsnorm_unit_offset,
-            name="post_attention_layernorm",
-        )(x)
+        if fq and not self.cfg.is_moe:
+            mlp_preq = norm("post_attention_layernorm", True)(x)
+            normed = deq(mlp_preq)
+        else:
+            mlp_preq = None
+            normed = norm("post_attention_layernorm", False)(x)
         if self.cfg.is_moe:
             # Mixtral-family sparse MLP. Under a mesh, the experts shard over
             # the same axis TP uses (EP replaces MLP tensor parallelism; the
@@ -366,7 +414,7 @@ class DecoderLayer(nn.Module):
                 self.fused, self.sp, self.int4_group,
                 int4_storage=self.int4_storage,
                 collective=self.collective, name="mlp",
-            )(normed)
+            )(normed, preq=mlp_preq)
         return x + h, new_cache
 
 

@@ -48,6 +48,28 @@ def resolve_linear_backend(m: int | None = None,
         return "xla"
     return LINEAR_BACKEND
 
+
+# Producer-fused quantization (ops/fused_quant.py): fused RMSNorm->int8 /
+# SwiGLU->int8 Pallas kernels that emit the dynamic projections' (int8,
+# scale) in one HBM pass instead of XLA's three (norm write + amax pass +
+# rescale pass). Decision record (measured on this chip, 2026-08-17,
+# bench/prefill_overhead_probe.py + prefill_bench A/B): "auto" resolves OFF
+# here because the ~128MB on-chip cache serves those extra activation
+# passes at ~4.7TB/s — the fused kernels' HBM-side DMA reads (which bypass
+# the cache) measure parity-to-slightly-negative at the model level (1.53x
+# vs 1.54x at 512 prefill tokens). On cache-less TPU parts the saved passes
+# are real (~80us/layer at M=512/7B); flip with FUSED_QUANT=on (env or
+# module knob). Tests pin both paths.
+import os as _os
+
+FUSED_QUANT = _os.environ.get("FUSED_QUANT", "auto")
+
+
+def resolve_fused_quant(rows: int) -> bool:
+    if FUSED_QUANT == "on":
+        return True
+    return False
+
 __all__ = [
     "rowquant",
     "qmatmul",

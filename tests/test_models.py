@@ -179,3 +179,33 @@ def test_fused_projections_exact_match(tiny_fp):
         la = np.asarray(base_model.apply(pa, tokens))
         lb = np.asarray(fused_model.apply(pb, tokens))
         np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-5), mode
+
+
+def test_fused_quant_model_matches_unfused():
+    """FUSED_QUANT=on (fused norm->int8 and swiglu->int8 producers) matches
+    the unfused dynamic model to quantization-noise tolerance."""
+    import protoquant_tpu.ops as ops
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    tokens = jnp.asarray(np.random.default_rng(5).integers(1, 97, (2, 9)), jnp.int32)
+    model = LlamaModel(cfg, mode="dynamic", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+
+    prev = ops.FUSED_QUANT
+    try:
+        ops.FUSED_QUANT = "off"
+        ref = model.apply(params, tokens)
+        ops.FUSED_QUANT = "on"
+        got = model.apply(params, tokens)
+    finally:
+        ops.FUSED_QUANT = prev
+    a, b = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9999, cos
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)

@@ -231,3 +231,55 @@ def test_tpu_rowquant_compiled():
     xq, sx = ops.rowquant(x, interpret=False)
     xq_ref, sx_ref = numerics.quantize_rowwise(x)
     np.testing.assert_array_equal(np.asarray(xq), np.asarray(xq_ref))
+
+
+def test_rms_norm_quant_matches_unfused():
+    """Fused norm+rowquant kernel vs the module composition: scales match to
+    float tolerance; int8 codes may flip only +-1 on rounding boundaries
+    (reduction-order effects), <0.1% of elements."""
+    import jax
+
+    from protoquant_tpu.core.numerics import quantize_rowwise
+    from protoquant_tpu.ops.fused_quant import rms_norm_quant
+
+    rng = np.random.default_rng(3)
+    B, T, K = 2, 37, 256
+    eps = 1e-5
+    x = jnp.asarray(rng.standard_normal((B, T, K)) * 2, jnp.bfloat16)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (K,)), jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = (xf * jax.lax.rsqrt(var + eps) * w).astype(jnp.bfloat16)
+    q_ref, s_ref = quantize_rowwise(y)
+
+    q, s = rms_norm_quant(x, w, eps=eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+    dq = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+    assert dq.max() <= 1, dq.max()
+    assert (dq != 0).mean() < 1e-3, (dq != 0).mean()
+
+
+@pytest.mark.parametrize("act", ["silu", "gelu"])
+def test_swiglu_quant_matches_unfused(act):
+    import jax
+
+    from protoquant_tpu.core.numerics import quantize_rowwise
+    from protoquant_tpu.ops.fused_quant import swiglu_quant
+
+    rng = np.random.default_rng(4)
+    B, T, I = 2, 21, 384
+    g = jnp.asarray(rng.standard_normal((B, T, I)) * 2, jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((B, T, I)) * 2, jnp.bfloat16)
+    actf = jax.nn.silu if act == "silu" else lambda v: jax.nn.gelu(v, approximate=True)
+    h = actf(g.astype(jnp.float32)).astype(jnp.bfloat16) * u
+    q_ref, s_ref = quantize_rowwise(h)
+
+    q, s = swiglu_quant(g, u, act=act, interpret=True)
+    # The gate transcendental (sigmoid/tanh) can differ by 1 bf16 ulp between
+    # the kernel and module lowerings, so scales carry that ulp and codes can
+    # flip by +-1 — pure quantization-level noise.
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)
+    dq = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+    assert dq.max() <= 1, dq.max()
+    assert (dq != 0).mean() < 0.05, (dq != 0).mean()
