@@ -184,3 +184,22 @@ def test_pallas_backend_decode_stream_matches_xla_backend():
     np.testing.assert_array_equal(np.asarray(cache_p.lengths), np.asarray(cache_x.lengths))
     for a, b in zip(outs_p, outs_x):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("kv,group", [(3, 1), (2, 8), (6, 2)])
+def test_flash_head_blocking_odd_shapes(kv, group):
+    """Head-blocked kernel across HB-divisor edge cases: odd KV (divisor
+    search), deep GQA (TG = T*group rows), and partial blocking."""
+    B, S, Dh, T = 2, 256, 64, 2
+    H = kv * group
+    rng = np.random.default_rng(11)
+    q = rand((B, T, H, Dh), seed=12, scale=0.5)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, kv, S, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, kv, S, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, kv, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, kv, S)).astype(np.float32))
+    lengths = jnp.asarray([100, 253], jnp.int32)
+
+    out = int8_kv_attention(q, kq, ks, vq, vs, lengths)
+    ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
