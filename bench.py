@@ -16,7 +16,8 @@ XLA-fused backends, fused QKV/gate-up on BOTH sides.
 
 Env knobs: BENCH_LAYERS, BENCH_BATCH, BENCH_CTX, BENCH_STEPS, BENCH_MODE
 (weight_only | weight_only_int4 | dynamic), BENCH_LINEAR_BACKEND and
-BENCH_ATTENTION_BACKEND (pallas | xla).
+BENCH_ATTENTION_BACKEND (auto | pallas | xla; default auto = the product
+routing — head-blocked Pallas flash attention + in-place scatter on TPU).
 """
 
 import json

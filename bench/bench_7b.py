@@ -47,8 +47,8 @@ def main():
     from protoquant_tpu.models import LlamaModel, init_cache, kv_cache as kvmod
     from protoquant_tpu.utils.config import ModelConfig
 
-    ops.LINEAR_BACKEND = "xla"
-    kvmod.ATTENTION_BACKEND = "xla"
+    ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", "auto")
+    kvmod.ATTENTION_BACKEND = os.environ.get("BENCH_ATTENTION_BACKEND", "auto")
 
     cfg = ModelConfig(
         vocab_size=32000, hidden_size=4096, intermediate_size=11008,

@@ -300,9 +300,10 @@ class MLP(nn.Module):
         from .. import ops
 
         down_preq = None
-        if self.mode == "dynamic" and not self.collective and ops.resolve_fused_quant(
-            gate.size // gate.shape[-1]
-        ):
+        # SP is excluded to mirror DecoderLayer's gating (SP regions quantize
+        # at the gather boundary instead).
+        if (self.mode == "dynamic" and not self.collective and not self.sp
+                and ops.resolve_fused_quant()):
             # Fused act-gate-multiply + rowquant: one HBM pass over gate/up
             # instead of three over the intermediate (ops/fused_quant.py).
             from ..ops.fused_quant import swiglu_quant
@@ -364,7 +365,7 @@ class DecoderLayer(nn.Module):
         fq = (
             self.mode == "dynamic"
             and not self.sp
-            and ops.resolve_fused_quant(x.size // x.shape[-1])
+            and ops.resolve_fused_quant()
         )
 
         def norm(name, quant_out):

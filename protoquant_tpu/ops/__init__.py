@@ -65,10 +65,8 @@ import os as _os
 FUSED_QUANT = _os.environ.get("FUSED_QUANT", "auto")
 
 
-def resolve_fused_quant(rows: int) -> bool:
-    if FUSED_QUANT == "on":
-        return True
-    return False
+def resolve_fused_quant() -> bool:
+    return FUSED_QUANT == "on"
 
 __all__ = [
     "rowquant",

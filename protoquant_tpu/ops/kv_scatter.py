@@ -36,16 +36,20 @@ _SBLK_SCALE = 128  # S-block for f32 scale writes (Mosaic lane minimum)
 
 def _scatter_kernel(len_ref, k8_ref, ksn_ref, v8_ref, vsn_ref,
                     kq_in, ks_in, vq_in, vs_in,
-                    kq_out, ks_out, vq_out, vs_out):
+                    kq_out, ks_out, vq_out, vs_out, *, max_seq):
     b = pl.program_id(0)
     ln = jnp.maximum(len_ref[b, 0], 0)
+    # A slot at capacity (length == S) must DROP the write — matching the
+    # XLA scatter's out-of-bounds semantics — not clobber the last block.
+    valid = ln < max_seq
     row8 = ln % _SBLK
     row128 = ln % _SBLK_SCALE
 
     def _insert(blk, new, axis, row):
         # Row-select insert (Mosaic has no value-level dynamic_update_slice).
         rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
-        return jnp.where(rows == row, jnp.broadcast_to(new, blk.shape), blk)
+        return jnp.where((rows == row) & valid,
+                         jnp.broadcast_to(new, blk.shape), blk)
 
     kq_out[...] = _insert(kq_in[...], k8_ref[...], 2, row8)
     vq_out[...] = _insert(vq_in[...], v8_ref[...], 2, row8)
@@ -96,7 +100,7 @@ def kv_scatter_decode(kq, ks, vq, vs, lengths, k8, ks_new, v8, vs_new,
         ],
     )
     return pl.pallas_call(
-        _scatter_kernel,
+        functools.partial(_scatter_kernel, max_seq=S),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(kq.shape, kq.dtype),

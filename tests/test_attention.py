@@ -203,3 +203,31 @@ def test_flash_head_blocking_odd_shapes(kv, group):
     out = int8_kv_attention(q, kq, ks, vq, vs, lengths)
     ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_kv_scatter_decode_drops_write_at_capacity():
+    """A slot at lengths == S must drop the write (XLA scatter OOB
+    semantics), not clobber the last block."""
+    from protoquant_tpu.ops.kv_scatter import kv_scatter_decode
+
+    B, KV, S, Dh = 2, 2, 128, 32
+    rng = np.random.default_rng(2)
+    kq = jnp.asarray(rng.integers(-100, 100, (B, KV, S, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-100, 100, (B, KV, S, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.01, 1, (B, KV, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 1, (B, KV, S)), jnp.float32)
+    lengths = jnp.asarray([S, 3], jnp.int32)  # slot 0 at capacity
+    k8 = jnp.asarray(rng.integers(-100, 100, (B, KV, 1, Dh), dtype=np.int8))
+    v8 = jnp.asarray(rng.integers(-100, 100, (B, KV, 1, Dh), dtype=np.int8))
+    ksn = jnp.asarray(rng.uniform(0.01, 1, (B, KV, 1)), jnp.float32)
+    vsn = jnp.asarray(rng.uniform(0.01, 1, (B, KV, 1)), jnp.float32)
+
+    kq2, ks2, vq2, vs2 = kv_scatter_decode(
+        kq, ks, vq, vs, lengths, k8, ksn, v8, vsn, interpret=True
+    )
+    # Slot 0: untouched everywhere.
+    np.testing.assert_array_equal(np.asarray(kq2[0]), np.asarray(kq[0]))
+    np.testing.assert_array_equal(np.asarray(ks2[0]), np.asarray(ks[0]))
+    np.testing.assert_array_equal(np.asarray(vs2[0]), np.asarray(vs[0]))
+    # Slot 1: written at position 3.
+    np.testing.assert_array_equal(np.asarray(kq2[1, :, 3]), np.asarray(k8[1, :, 0]))
