@@ -40,6 +40,8 @@ class Request:
     slot: int = -1
     done: bool = False
     pages: list = dataclasses.field(default_factory=list)  # paged layout
+    shared_pages: list = dataclasses.field(default_factory=list)  # prefix hits
+    held_pages: list = dataclasses.field(default_factory=list)  # refs we hold
     eos_id: "int | None" = None  # per-request stop token
     on_token: "object" = None  # optional callback(rid, token) for streaming
     prefill_off: int = 0  # tokens of the prompt already prefetched into KV
@@ -131,6 +133,9 @@ class Engine:
             self._tp_fns = _build_tp_engine_fns(model, mesh)
         else:
             self._tp_fns = None
+        self.prefix = None
+        if self.cfg.prefix_cache and kv_layout != "paged":
+            raise ValueError("prefix_cache requires kv_layout='paged'")
         if kv_layout == "paged":
             # Paged INT8 layout: one pool sized for the full budget, requests
             # reserve only the pages they can use; the page free list is the
@@ -165,6 +170,15 @@ class Engine:
                 for _ in range(mcfg.num_hidden_layers)
             ]
             self.allocator = PageAllocator(num_pages - 1)  # trash page excluded
+            if self.cfg.prefix_cache:
+                if draft_model is not None:
+                    # The draft's dense cache can't adopt shared pages, so a
+                    # skipped prefill would desynchronize draft and target.
+                    raise ValueError("prefix_cache is incompatible with "
+                                     "speculative mode (dense draft cache)")
+                from .prefix_cache import PrefixCache
+
+                self.prefix = PrefixCache(self.allocator)
         else:
             self.caches = init_cache(
                 model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype,
@@ -309,11 +323,31 @@ class Engine:
                     len(req.prompt) + req.max_new_tokens, self.cfg.max_seq_len
                 )
                 need = -(-budget // ps)
-                pages = self.allocator.alloc(need)
+                matched_tokens = 0
+                if self.prefix is not None:
+                    # Adopt the longest resident prefix chain; prefill only
+                    # the tail (engine/prefix_cache.py invariants).
+                    req.shared_pages, matched_tokens = self.prefix.match(
+                        req.prompt, ps
+                    )
+                    need -= len(req.shared_pages)
+                    pages = self.prefix.alloc(need)
+                else:
+                    pages = self.allocator.alloc(need)
                 if pages is None:
+                    if self.prefix is not None and req.shared_pages:
+                        self.prefix.unref(req.shared_pages)
+                        req.shared_pages = []
                     break  # pool exhausted; retry after something finishes
                 req.pages = pages
-                self.caches = [c.map_slot(slot, pages) for c in self.caches]
+                req.prefill_off = matched_tokens
+                if self.prefix is not None:
+                    self.prefix.hit_tokens += matched_tokens
+                chain = req.shared_pages + pages
+                self.caches = [
+                    c.map_slot(slot, chain, start_len=matched_tokens)
+                    for c in self.caches
+                ]
             self.waiting.popleft()
             req.slot = slot
             req.t_admit = time.perf_counter()
@@ -364,6 +398,14 @@ class Engine:
 
         # Prompt fully in KV: emit the first token and activate the slot.
         self.prefilling.popleft()
+        if self.prefix is not None:
+            # Publish this prompt's full pages for future prefix hits.
+            req.held_pages = self.prefix.publish(
+                req.prompt,
+                req.shared_pages + req.pages,
+                self.cfg.page_size,
+                len(req.shared_pages),
+            )
         if req.max_new_tokens > 0:
             self._key, sub = jax.random.split(self._key)
             first_tok = int(
@@ -415,9 +457,18 @@ class Engine:
             self.draft_caches = [
                 c.reset_slot(jnp.asarray(slot)) for c in self.draft_caches
             ]
-        if self.allocator is not None and req.pages:
-            self.allocator.free(req.pages)
-            req.pages = []
+        if self.allocator is not None:
+            if self.prefix is not None:
+                # Drop references on shared/published pages (zero-ref pages
+                # stay cached for future prefix hits); free private pages
+                # (decode tail, partial prompt page, publication-race losers).
+                held = req.held_pages or list(req.shared_pages)
+                held_set = set(held)
+                self.prefix.unref(held)
+                self.allocator.free([p for p in req.pages if p not in held_set])
+            elif req.pages:
+                self.allocator.free(req.pages)
+            req.pages, req.shared_pages, req.held_pages = [], [], []
 
     def step(self):
         """One engine tick: assign slots, run at most ONE prefill chunk, then
@@ -604,6 +655,11 @@ class Engine:
         if self.allocator is not None:
             out["kv_pages_free"] = self.allocator.num_free
             out["kv_pages_total"] = self.allocator.num_pages
+        if self.prefix is not None:
+            out["prefix_hit_tokens"] = self.prefix.hit_tokens
+            out["prefix_cached_pages"] = self.prefix.cached_pages
+            out["prefix_reusable_pages"] = self.prefix.reusable_pages
+            out["prefix_evictions"] = self.prefix.evictions
         if self.draft_caches is not None:
             out["spec_acceptance_rate"] = self.stats["spec_accepted"] / max(
                 1, self.stats["spec_proposed"]

@@ -161,14 +161,17 @@ class PagedInt8KVCache:
 
     # -- host-side table management ---------------------------------------
 
-    def map_slot(self, slot: int, pages: list[int]):
-        """Assign a page chain to a slot and zero its length."""
+    def map_slot(self, slot: int, pages: list[int], start_len: int = 0):
+        """Assign a page chain to a slot. ``start_len`` > 0 adopts the first
+        ``start_len`` tokens already resident in the chain's leading pages
+        (prefix caching): the slot's frontier starts beyond them, so the
+        shared pages are read-only for this tenant."""
         row = jnp.full((self.page_table.shape[1],), -1, jnp.int32)
         row = row.at[: len(pages)].set(jnp.asarray(pages, jnp.int32))
         return dataclasses.replace(
             self,
             page_table=self.page_table.at[slot].set(row),
-            lengths=self.lengths.at[slot].set(0),
+            lengths=self.lengths.at[slot].set(start_len),
         )
 
     def reset_slot(self, slot):

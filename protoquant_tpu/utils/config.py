@@ -176,6 +176,11 @@ class EngineConfig:
     top_k: int = 0
     top_p: float = 1.0  # nucleus sampling threshold (1.0 => disabled)
     seed: int = 0
+    # Block-level prefix caching (paged layout only): requests sharing a
+    # prompt prefix adopt the resident KV pages and skip their prefill
+    # (engine/prefix_cache.py). Exact: shared pages are bit-identical to
+    # recomputation.
+    prefix_cache: bool = False
 
 
 def to_json(cfg: Any) -> str:
