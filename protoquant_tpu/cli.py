@@ -44,6 +44,22 @@ def cmd_convert(args):
     )
     sd = _load_state_dict(args.weights)
     params = import_hf_llama(sd, cfg)
+    if args.smooth_alpha is not None:
+        # SmoothQuant calibration (nn/smooth.py): migrate activation
+        # outliers into the weights before quantizing. Calibration tokens
+        # come from --calib-tokens (comma-separated ids; reshaped [1, T]).
+        import jax.numpy as jnp
+
+        from .models import LlamaModel
+        from .nn.smooth import smoothquant
+
+        if not args.calib_tokens:
+            raise SystemExit("--smooth-alpha requires --calib-tokens")
+        toks = jnp.asarray(
+            [[int(t) for t in args.calib_tokens.split(",")]], jnp.int32
+        )
+        fp_model = LlamaModel(cfg, mode="fp")
+        params = smoothquant(fp_model, params, toks, alpha=args.smooth_alpha)
     qparams = quantize_params(params, qcfg)
     save_checkpoint(
         args.out,
@@ -153,6 +169,14 @@ def main(argv=None):
         help="int4 payload layout: byte-packed (Pallas wo4 kernel) or native jnp.int4 (XLA s4)",
     )
     c.add_argument("--out", required=True)
+    c.add_argument(
+        "--smooth-alpha", type=float, default=None,
+        help="SmoothQuant migration strength (e.g. 0.5); off when omitted",
+    )
+    c.add_argument(
+        "--calib-tokens", default=None,
+        help="comma-separated calibration token ids for --smooth-alpha",
+    )
     c.set_defaults(fn=cmd_convert)
 
     g = sub.add_parser("generate", help="decode from a quantized checkpoint")

@@ -1,6 +1,7 @@
 from .convert import dequantize_params, quantize_params, quantized_bytes
 from .fuse import fuse_projections
 from .qlinear import QLinear
+from .smooth import collect_activation_stats, smooth_params, smoothquant
 
 # The reference's conversion entry point is `qlinear_from_linear`; ours is the
 # params-tree transform (model defs already use QLinear).
@@ -15,4 +16,7 @@ __all__ = [
     "dequantize_params",
     "quantized_bytes",
     "fuse_projections",
+    "collect_activation_stats",
+    "smooth_params",
+    "smoothquant",
 ]
