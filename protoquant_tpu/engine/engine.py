@@ -101,7 +101,14 @@ class Engine:
         #            (model must be built via parallel.tp_model; params sharded)
         draft_model: "LlamaModel | None" = None,  # speculative decode mode
         draft_params=None,
-        gamma: int = 4,  # draft lookahead per tick (speculative mode)
+        gamma: int = 4,  # draft lookahead per tick (speculative modes)
+        prompt_lookup: int = 0,  # n-gram length for draft-free speculation
+        #                          (0 = off): proposals are copied from the
+        #                          request's own history where its trailing
+        #                          n-gram last occurred. Greedy acceptance
+        #                          keeps the stream exactly greedy whatever
+        #                          the proposal source, so this needs no
+        #                          draft model and no second KV cache.
     ):
         self.model = model
         self.params = params
@@ -111,6 +118,12 @@ class Engine:
         self.draft_model = draft_model
         self.draft_params = draft_params
         self.gamma = gamma
+        self.prompt_lookup = prompt_lookup
+        if prompt_lookup:
+            if draft_model is not None:
+                raise ValueError("prompt_lookup and draft_model are exclusive")
+            if self.cfg.temperature != 0.0:
+                raise ValueError("prompt-lookup speculation is greedy-only")
         if draft_model is not None:
             if mesh is not None:
                 raise NotImplementedError("speculative mode + mesh: serve unsharded")
@@ -119,6 +132,8 @@ class Engine:
                     "speculative engine mode is greedy-only (temperature=0)"
                 )
         self.mesh = mesh
+        if prompt_lookup and mesh is not None:
+            raise NotImplementedError("prompt_lookup + mesh: serve unsharded")
         B = self.cfg.max_batch_size
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
@@ -485,6 +500,9 @@ class Engine:
         if self.draft_caches is not None:
             self._spec_decode_tick(t0)
             return
+        if self.prompt_lookup:
+            self._prompt_lookup_tick(t0)
+            return
         active = jnp.asarray(self.active)
         self._key, sub = jax.random.split(self._key)
         decode = (
@@ -585,6 +603,38 @@ class Engine:
             for c in self.draft_caches
         ]
 
+        self._commit_spec_results(window, greedy, accepted, t0)
+
+    def _prompt_lookup_tick(self, t0: float):
+        """Draft-free speculative tick: each active slot proposes gamma
+        tokens by copying the continuation of the last place its trailing
+        n-gram occurred in its own history (prompt + generated). The target
+        scores every window in ONE batched forward (the same program as
+        draft-model speculation); greedy acceptance commits 1..gamma+1
+        tokens — exactly the plain greedy stream, whatever the proposals."""
+        import numpy as _np
+
+        active = jnp.asarray(self.active)
+        B = self.cfg.max_batch_size
+        props = _np.zeros((B, self.gamma), _np.int32)
+        for slot in range(B):
+            req = self.slot_req[slot]
+            if not self.active[slot] or req is None:
+                continue
+            props[slot] = _ngram_propose(
+                req.prompt + req.out, self.prompt_lookup, self.gamma
+            )
+        window = jnp.concatenate(
+            [self.last_tokens[:, None], jnp.asarray(props)], axis=1
+        )
+        greedy, accepted, self.caches = _spec_score_and_accept(
+            self.model, self.params, self.caches, window, active
+        )
+        self._commit_spec_results(window, greedy, accepted, t0)
+
+    def _commit_spec_results(self, window, greedy, accepted, t0: float):
+        """Shared tail of both speculative tick flavors: emit each active
+        slot's accepted prefix + 1 corrected token, advance bookkeeping."""
         window_h = jax.device_get(window)
         greedy_h = jax.device_get(greedy)
         accepted_h = jax.device_get(accepted)
@@ -660,7 +710,7 @@ class Engine:
             out["prefix_cached_pages"] = self.prefix.cached_pages
             out["prefix_reusable_pages"] = self.prefix.reusable_pages
             out["prefix_evictions"] = self.prefix.evictions
-        if self.draft_caches is not None:
+        if self.draft_caches is not None or self.prompt_lookup:
             out["spec_acceptance_rate"] = self.stats["spec_accepted"] / max(
                 1, self.stats["spec_proposed"]
             )
@@ -678,6 +728,24 @@ def _cache_probe(cache):
 def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
     """Prefill one chunk into a slot (single-device path)."""
     return _extend_slot_body(model, params, caches, tokens, true_len, slot)
+
+
+def _ngram_propose(hist: list, n: int, gamma: int) -> list:
+    """Prompt-lookup proposal: find the most recent earlier occurrence of
+    the trailing n-gram of ``hist`` (backing off to shorter n-grams) and
+    copy the gamma tokens that followed it. Unfilled positions return 0 —
+    harmless, since greedy acceptance only ever commits proposals that equal
+    the target's own greedy choice."""
+    out = [0] * gamma
+    for nn in range(min(n, len(hist) - 1), 0, -1):
+        pat = hist[-nn:]
+        for i in range(len(hist) - nn - 1, -1, -1):
+            if hist[i : i + nn] == pat:
+                # i + nn <= len(hist) - 1, so there is always >= 1 token.
+                cont = hist[i + nn : i + nn + gamma]
+                out[: len(cont)] = cont
+                return out
+    return out
 
 
 # -- speculative decode tick (engine mode; SURVEY.md §3.4 / A3 extension) ----

@@ -566,3 +566,95 @@ def test_http_server_cancel_endpoint(model_and_params):
             assert result["cancelled"] is False
     finally:
         srv.stop()
+
+
+# -- prompt-lookup (draft-free) speculation ----------------------------------
+
+
+def test_ngram_propose_unit():
+    from protoquant_tpu.engine.engine import _ngram_propose
+
+    # Trailing bigram (5, 6) occurred earlier at index 1; continuation 7 8 9.
+    hist = [4, 5, 6, 7, 8, 9, 5, 6]
+    assert _ngram_propose(hist, 2, 3) == [7, 8, 9]
+    # Shorter continuation than gamma: pad with 0.
+    hist = [1, 2, 3, 9, 2, 3]
+    assert _ngram_propose(hist, 2, 4) == [9, 2, 3, 0]
+    # Backoff: no bigram match, unigram 3 matched at index 0 -> continuation.
+    hist = [3, 7, 8, 1, 3]
+    assert _ngram_propose(hist, 2, 2) == [7, 8]
+    # Nothing matches anywhere: all padding.
+    assert _ngram_propose([1, 2, 3], 2, 3) == [0, 0, 0]
+    # Most RECENT earlier occurrence wins.
+    hist = [5, 1, 5, 2, 5]
+    assert _ngram_propose(hist, 1, 1) == [2]
+
+
+def test_engine_prompt_lookup_matches_greedy(model_and_params):
+    """Prompt-lookup speculation emits exactly the plain greedy stream —
+    with repetitive prompts (where lookup proposals can accept) and
+    arbitrary ones (where acceptance may be zero)."""
+    model, params = model_and_params
+    prompts = _prompts(3, seed=13) + [[7, 9, 7, 9, 7, 9, 7, 9, 7]]
+
+    plain = _engine(model, params, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 10) for p in prompts]
+    plain_outs = plain.run()
+
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=10, temperature=0.0),
+        kv_dtype=jnp.float32, prompt_lookup=2, gamma=3,
+    )
+    rids = [eng.add_request(p, 10) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    assert eng.stats["spec_proposed"] > 0
+
+
+def test_engine_prompt_lookup_with_paged_prefix_cache(model_and_params):
+    """Draft-free speculation has no second cache, so it composes with the
+    paged layout AND prefix caching — exact greedy output, prefix hits."""
+    model, params = model_and_params
+    prompt = list(range(1, 25))
+
+    plain = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, page_size=8,
+                     prefill_chunk=16, max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.int8, kv_layout="paged",
+    )
+    r = plain.add_request(prompt, 8)
+    ref = plain.run()[r]
+
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, page_size=8,
+                     prefill_chunk=16, max_new_tokens=8, temperature=0.0,
+                     prefix_cache=True),
+        kv_dtype=jnp.int8, kv_layout="paged", prompt_lookup=2, gamma=3,
+    )
+    a = eng.add_request(prompt, 8)
+    assert eng.run()[a] == ref
+    b = eng.add_request(prompt, 8)
+    assert eng.run()[b] == ref
+    assert eng.metrics()["prefix_hit_tokens"] > 0
+
+
+def test_engine_prompt_lookup_guards(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="greedy-only"):
+        Engine(
+            model, params,
+            EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
+            kv_dtype=jnp.float32, prompt_lookup=2,
+        )
+    with pytest.raises(ValueError, match="exclusive"):
+        Engine(
+            model, params,
+            EngineConfig(max_batch_size=2, max_seq_len=64),
+            kv_dtype=jnp.float32, prompt_lookup=2,
+            draft_model=model, draft_params=params,
+        )
