@@ -162,7 +162,11 @@ def main(argv=None):
     c = sub.add_parser("convert", help="fp weights -> quantized checkpoint")
     c.add_argument("--weights", required=True)
     c.add_argument("--config", required=True, help="ModelConfig json")
-    c.add_argument("--mode", default="dynamic", choices=["dynamic", "weight_only", "weight_only_int4"])
+    c.add_argument(
+        "--mode",
+        default="dynamic",
+        choices=["dynamic", "weight_only", "weight_only_int4", "weight_only_fp8"],
+    )
     c.add_argument("--int4-group", type=int, default=128)
     c.add_argument(
         "--int4-storage", default="packed", choices=["packed", "native"],

@@ -57,9 +57,19 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
         out = dict(params)
         w = out.pop("kernel")
         if w.ndim == 3:
-            # Stacked MoE experts: int8 per-expert channelwise (int4 group
-            # packing for stacked experts is future work — int8 applies).
-            out["qkernel"] = QTensor.quantize(w, axis=1)
+            # Stacked MoE experts: per-expert channelwise (axis=1). int4
+            # group packing for stacked experts is future work; int8/fp8
+            # apply directly.
+            if cfg.mode == "weight_only_fp8":
+                from ..core.qtensor import QTensorF8
+
+                out["qkernel"] = QTensorF8.quantize(w, axis=1)
+            else:
+                out["qkernel"] = QTensor.quantize(w, axis=1)
+        elif cfg.mode == "weight_only_fp8":
+            from ..core.qtensor import QTensorF8
+
+            out["qkernel"] = QTensorF8.quantize(w, axis=0)
         elif cfg.mode == "weight_only_int4":
             from ..core.qtensor import QTensor4
             from .qlinear import pick_int4_group

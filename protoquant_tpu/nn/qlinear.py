@@ -63,6 +63,16 @@ def _qtensor_init(kernel_init: Initializer, shape, param_dtype):
     return init
 
 
+def _qtensorf8_init(kernel_init: Initializer, shape, param_dtype):
+    from ..core.qtensor import QTensorF8
+
+    def init(key):
+        w = kernel_init(key, shape, param_dtype)
+        return QTensorF8.quantize(w, axis=0)
+
+    return init
+
+
 class QLinear(nn.Module):
     """Quantized (or fp) linear layer: y = x @ W + b.
 
@@ -184,6 +194,20 @@ class QLinear(nn.Module):
                 y = ops.weight_only_matmul(
                     x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
                 )
+        elif self.mode == "weight_only_fp8":
+            # e4m3 payload, per-channel f32 scales. Always the XLA
+            # formulation: the f8->bf16 convert rides the dot operand (same
+            # HBM bytes as int8 weight-only; no Pallas fp8 tier on v5e —
+            # there is no native fp8 MXU rate to chase, only the byte win).
+            qkernel = self.param(
+                "qkernel",
+                _qtensorf8_init(
+                    self.kernel_init, (in_features, self.features), self.param_dtype
+                ),
+            )
+            y = ops.weight_only_matmul_xla(
+                x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
+            )
         elif self.mode == "weight_only_int4":
             qkernel = self.param(
                 "qkernel",

@@ -15,7 +15,8 @@ from typing import Any
 class QuantConfig:
     """How to quantize a model."""
 
-    mode: str = "dynamic"  # "dynamic" | "weight_only" | "weight_only_int4" | "fp"
+    mode: str = "dynamic"
+    # "dynamic" | "weight_only" | "weight_only_int4" | "weight_only_fp8" | "fp"
     kv_bits: int = 8  # 8 (int8 KV cache) or 16 (bf16 KV cache)
     clamp: int = 127
     int4_group: int = 128  # contraction-group size for int4 scales
@@ -27,7 +28,9 @@ class QuantConfig:
     skip_patterns: tuple = ()
 
     def __post_init__(self):
-        if self.mode not in ("dynamic", "weight_only", "weight_only_int4", "fp"):
+        if self.mode not in (
+            "dynamic", "weight_only", "weight_only_int4", "weight_only_fp8", "fp"
+        ):
             raise ValueError(f"unknown quant mode {self.mode!r}")
         if self.kv_bits not in (8, 16):
             raise ValueError("kv_bits must be 8 or 16")
