@@ -144,19 +144,24 @@ class PagedInt8KVCache:
         vs = self.vs[page][:, :, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, P * ps)
         return k, ks, v, vs
 
-    def update_and_attend(self, q, k, v, advance=None):
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0):
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)
-        if q.shape[1] == 1 and _kvmod._resolve_attention_backend() == "pallas":
+        if (
+            q.shape[1] == 1
+            and window == 0
+            and _kvmod._resolve_attention_backend() == "pallas"
+        ):
             # Decode: the scalar-prefetch kernel walks the page table —
-            # no gathered window.
+            # no gathered window. (Sliding-window models take the gather+XLA
+            # path below; the page-walk kernel is full-causal only.)
             out = paged_int8_attention(
                 q, new.kq, new.ks, new.vq, new.vs, new.page_table, self.lengths
             )
             return out, new
         kq, ks, vq, vs = new._gather_window()
-        out = int8_kv_attention_xla(q, kq, ks, vq, vs, self.lengths)
+        out = int8_kv_attention_xla(q, kq, ks, vq, vs, self.lengths, window=window)
         return out, new
 
     # -- host-side table management ---------------------------------------

@@ -78,11 +78,33 @@ class RMSNorm(nn.Module):
         return (y * w).astype(self.dtype)
 
 
-def rope_tables(head_dim: int, max_len: int, theta: float):
-    """cos/sin tables [max_len, head_dim//2], f32."""
+def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
+    """cos/sin tables [max_len, head_dim//2], f32.
+
+    ``cfg`` (ModelConfig) enables RoPE scaling: "linear" position
+    interpolation (inv_freq / factor) or Llama-3.1's NTK-by-parts rule —
+    low-frequency components interpolate by ``factor``, high-frequency ones
+    stay extrapolated, with a smooth blend between the two wavelength bands
+    (pinned against transformers' _compute_llama3_parameters in
+    tests/test_hf_parity.py)."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if cfg is not None and cfg.rope_scaling_type == "linear":
+        inv_freq = inv_freq / cfg.rope_scaling_factor
+    elif cfg is not None and cfg.rope_scaling_type == "llama3":
+        factor = cfg.rope_scaling_factor
+        lo_f = cfg.rope_scaling_low_freq_factor
+        hi_f = cfg.rope_scaling_high_freq_factor
+        orig = cfg.rope_scaling_original_max_position_embeddings
+        wavelen = 2.0 * jnp.pi / inv_freq
+        smooth = (orig / wavelen - lo_f) / (hi_f - lo_f)
+        blended = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen < orig / hi_f,  # high-frequency band: extrapolate
+            inv_freq,
+            jnp.where(wavelen > orig / lo_f, inv_freq / factor, blended),
+        )
     t = jnp.arange(max_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)
     return jnp.cos(freqs), jnp.sin(freqs)
@@ -195,25 +217,32 @@ class Attention(nn.Module):
             k = lin(KV * Dh, name="k_proj")(x, preq).reshape(B, T, KV, Dh)
             v = lin(KV * Dh, name="v_proj")(x, preq).reshape(B, T, KV, Dh)
 
-        cos, sin = rope_tables(Dh, cfg.max_position_embeddings, cfg.rope_theta)
+        cos, sin = rope_tables(
+            Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
+        )
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
         if cache is not None:
             # Cache classes own update + masking + (for int8) the Pallas
             # in-kernel-dequant attention.
-            out, new_cache = cache.update_and_attend(q, k, v, advance)
+            out, new_cache = cache.update_and_attend(
+                q, k, v, advance, window=cfg.sliding_window
+            )
         elif self.cp_axis is not None:
             # Context parallelism: tokens (and their q/k/v) are seq-sharded;
             # KV blocks rotate around the ring while each shard accumulates
             # online-softmax partials (parallel/context.py).
             from ..parallel.context import ring_attention
 
+            assert cfg.sliding_window == 0, "CP + sliding window unsupported"
             new_cache = None
             out = ring_attention(q, k, v, positions, self.cp_axis, self.cp)
         else:
             new_cache = None
-            out = mha_attention(q, k, v, positions, positions)
+            out = mha_attention(
+                q, k, v, positions, positions, window=cfg.sliding_window
+            )
 
         out = out.reshape(B, T, H * Dh)
         # Row-parallel output projection: all-reduce, or reduce-scatter back
@@ -234,12 +263,14 @@ class Attention(nn.Module):
         return o, new_cache
 
 
-def mha_attention(q, k, v, q_positions, k_positions):
+def mha_attention(q, k, v, q_positions, k_positions, window: int = 0):
     """Grouped-query attention with absolute-position causal masking.
 
     q: [B, T, H, Dh]; k/v: [B, S, KV, Dh]; q_positions [B, T];
     k_positions [B or 1, S]. Slots with k_pos > q_pos are masked, which also
     hides unwritten cache slots (their k_pos exceeds every live query).
+    ``window`` > 0 adds Mistral-style sliding-window masking: a query also
+    ignores keys more than window-1 positions behind it.
     """
     B, T, H, Dh = q.shape
     KV = k.shape[2]
@@ -250,6 +281,11 @@ def mha_attention(q, k, v, q_positions, k_positions):
 
     scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) / jnp.sqrt(Dh)
     mask = k_positions[:, None, None, None, :] <= q_positions[:, None, None, :, None]
+    if window > 0:
+        mask &= (
+            k_positions[:, None, None, None, :]
+            > q_positions[:, None, None, :, None] - window
+        )
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bskd->btkgd", probs, vf)

@@ -227,7 +227,7 @@ def int8_kv_attention(
     return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(B, T, H, Dh)
 
 
-def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths):
+def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -259,6 +259,12 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths):
     s_pos = jnp.arange(kq.shape[2])
     t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
     mask = s_pos[None, None, None, None, :] <= t_pos[:, None, None, :, None]
+    if window > 0:
+        # Sliding-window (Mistral): keys more than window-1 behind are out.
+        mask &= (
+            s_pos[None, None, None, None, :]
+            > t_pos[:, None, None, :, None] - window
+        )
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     pv = (probs * vs[:, :, None, None, :]).astype(lane)

@@ -67,6 +67,16 @@ class ModelConfig:
     final_logit_softcap: float = 0.0
     # Head dim when it differs from hidden_size // heads (Gemma: 256). 0 = derive.
     head_dim_override: int = 0
+    # Mistral-family sliding-window attention: each query attends to at most
+    # the last `sliding_window` positions. 0 = full causal attention.
+    sliding_window: int = 0
+    # RoPE scaling ("" = none): "llama3" (Llama-3.1+ NTK-by-parts) or
+    # "linear" (position-interpolation: inv_freq / factor).
+    rope_scaling_type: str = ""
+    rope_scaling_factor: float = 8.0
+    rope_scaling_low_freq_factor: float = 1.0
+    rope_scaling_high_freq_factor: float = 4.0
+    rope_scaling_original_max_position_embeddings: int = 8192
 
     @property
     def head_dim(self) -> int:
@@ -90,6 +100,40 @@ class ModelConfig:
             num_hidden_layers=80,
             num_attention_heads=64,
             num_key_value_heads=8,
+        )
+
+    @classmethod
+    def mistral_7b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=32768,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            sliding_window=4096,
+        )
+
+    @classmethod
+    def llama3_8b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=131072,
+            rms_norm_eps=1e-5,
+            rope_theta=500000.0,
+            rope_scaling_type="llama3",
+            rope_scaling_factor=8.0,
+            rope_scaling_low_freq_factor=1.0,
+            rope_scaling_high_freq_factor=4.0,
+            rope_scaling_original_max_position_embeddings=8192,
         )
 
     @classmethod

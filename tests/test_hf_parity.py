@@ -116,3 +116,110 @@ def test_gemma_parity():
     ours = _logits_ours(cfg, _state_dict_np(hf), toks)
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_mistral_sliding_window_parity():
+    """Mistral = Llama arch + sliding-window attention. T=12 > window=5 so
+    the window mask actually bites in this test."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    hf_cfg = MistralConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        sliding_window=5, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    hf = MistralForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=5,
+    )
+    toks = _tokens(64, seed=3)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Control: the window changed the math (full-causal differs).
+    full = _logits_ours(
+        ModelConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64,
+        ),
+        _state_dict_np(hf),
+        toks,
+    )
+    assert np.abs(full - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_llama3_rope_scaling_parity():
+    """Llama-3.1 NTK-by-parts rope scaling, pinned against transformers'
+    _compute_llama3_parameters. original_max < T so every band is active."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 2.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 8,
+        },
+    )
+    torch.manual_seed(4)
+    hf = LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_scaling_type="llama3",
+        rope_scaling_factor=2.0, rope_scaling_low_freq_factor=1.0,
+        rope_scaling_high_freq_factor=4.0,
+        rope_scaling_original_max_position_embeddings=8,
+    )
+    toks = _tokens(64, seed=4)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Control: scaling changed the math vs unscaled rope.
+    unscaled = _logits_ours(
+        ModelConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64,
+        ),
+        _state_dict_np(hf),
+        toks,
+    )
+    assert np.abs(unscaled - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_llama_linear_rope_scaling_parity():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={"rope_type": "linear", "factor": 4.0},
+    )
+    torch.manual_seed(5)
+    hf = LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_scaling_type="linear",
+        rope_scaling_factor=4.0,
+    )
+    toks = _tokens(64, seed=5)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
