@@ -1,0 +1,130 @@
+"""Quantization-quality ladder: every weight mode on the SAME shaped model.
+
+Extends bench/acceptance.py's config-3 evidence into a mode-by-mode table:
+int8 dynamic (+/- SmoothQuant), int8 weight-only, fp8 weight-only, int4
+weight-only — all against the same fp32 weights, with the shaped lm_head
+(peaked logits; greedy agreement measures real decisions, not tie-breaks)
+and injected activation outliers (a few boosted norm channels — the regime
+trained LLMs live in and the one SmoothQuant exists for).
+
+Usage: python bench/quality_ladder.py [--cpu] [--layers 4] [--hidden 512]
+Prints one JSON object per mode plus a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--vocab", type=int, default=1024)
+    ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--outlier-boost", type=float, default=30.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from protoquant_tpu.models import LlamaModel, greedy_generate, perplexity
+    from protoquant_tpu.nn import quantize_params, smoothquant
+    from protoquant_tpu.utils.config import ModelConfig, QuantConfig
+
+    rng = np.random.default_rng(0)
+    cfg = ModelConfig(
+        vocab_size=args.vocab,
+        hidden_size=args.hidden,
+        intermediate_size=args.hidden * 2,
+        num_hidden_layers=args.layers,
+        num_attention_heads=max(1, args.hidden // 64),
+        num_key_value_heads=max(1, args.hidden // 128),
+        max_position_embeddings=256,
+    )
+    fp_model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = fp_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    params = jax.tree_util.tree_map(lambda a: a, params)
+
+    # Shaped lm_head (see bench/acceptance.py config 3 for the derivation).
+    V, _ = cfg.vocab_size, cfg.hidden_size
+    perm = rng.permutation(V)
+    emb = np.asarray(params["params"]["embed_tokens"]["embedding"], np.float32)
+    params["params"]["lm_head"]["kernel"] = jnp.asarray(4.0 * emb[np.argsort(perm)].T)
+
+    # Activation outliers: boost a few norm channels in every layer.
+    n_out = max(4, args.hidden // 64)
+    for lname, layer in params["params"].items():
+        if not lname.startswith("layers_"):
+            continue
+        for norm in ("input_layernorm", "post_attention_layernorm"):
+            w = layer[norm]["weight"]
+            layer[norm]["weight"] = w.at[:n_out].mul(args.outlier_boost)
+
+    prompt = jnp.asarray(rng.integers(0, V, (1, 16)), jnp.int32)
+    g_fp = np.asarray(
+        greedy_generate(fp_model, params, prompt, args.new_tokens, 128,
+                        kv_dtype=jnp.float32)
+    )
+    eval_toks = jnp.concatenate([prompt, jnp.asarray(g_fp, jnp.int32)], axis=1)
+    logits_fp = np.asarray(fp_model.apply(params, eval_toks))
+    ppl_fp = perplexity(fp_model, params, eval_toks)
+
+    calib = jnp.asarray(rng.integers(0, V, (2, 64)), jnp.int32)
+    smoothed = smoothquant(fp_model, params, calib, alpha=0.5)
+
+    rows = []
+
+    def run(label, mode, src_params, kv_dtype=jnp.float32, qcfg=None):
+        qp = quantize_params(src_params, qcfg or QuantConfig(mode=mode))
+        qm = LlamaModel(cfg, mode=mode, dtype=jnp.float32)
+        lq = np.asarray(qm.apply(qp, eval_toks))
+        cos = float(
+            np.sum(logits_fp * lq)
+            / (np.linalg.norm(logits_fp) * np.linalg.norm(lq) + 1e-12)
+        )
+        top1 = float(np.mean(np.argmax(logits_fp, -1) == np.argmax(lq, -1)))
+        g_q = np.asarray(
+            greedy_generate(qm, qp, prompt, args.new_tokens, 128, kv_dtype=kv_dtype)
+        )
+        gm = float(np.mean(g_fp == g_q))
+        ppl_q = perplexity(qm, qp, eval_toks)
+        row = {
+            "mode": label,
+            "logit_cosine": round(cos, 6),
+            "top1_agreement": round(top1, 4),
+            "greedy_match": round(gm, 4),
+            "ppl_rel_delta": round(abs(float(ppl_q - ppl_fp)) / float(ppl_fp), 5),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    run("int8_dynamic", "dynamic", params)
+    run("int8_dynamic+smooth", "dynamic", smoothed)
+    run("int8_dynamic+int8kv", "dynamic", params, kv_dtype=jnp.int8)
+    run("int8_weight_only", "weight_only", params)
+    run("fp8_weight_only", "weight_only_fp8", params,
+        qcfg=QuantConfig(mode="weight_only_fp8"))
+    run("int4_weight_only_g128", "weight_only_int4", params,
+        qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
+
+    print(json.dumps({
+        "scale": f"{args.layers}L-d{args.hidden} shaped logits, "
+                 f"{n_out} outlier channels x{args.outlier_boost}",
+        "ppl_fp": round(float(ppl_fp), 3),
+        "ladder": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

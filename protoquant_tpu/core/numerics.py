@@ -128,18 +128,44 @@ def dynamic_qlinear_ref(
 QMAX4 = 7
 
 
-def quantize_groupwise_int4(w: jnp.ndarray, group: int = 128):
+def quantize_groupwise_int4(w: jnp.ndarray, group: int = 128, clip: str = "mse"):
     """[K, N] -> (q int8 in [-7, 7], scales f32 [K/group, N]).
 
     K must divide by ``group``. Symmetric, zero-point-free like the int8
     scheme; scales are per contraction-group per output channel.
+
+    ``clip``: "amax" uses the group max (never clips — but 4-bit steps are
+    wide, rel-rmse ~0.118 on Gaussian groups at g=128); "mse" (default)
+    searches per-group scale candidates r*amax, r in [0.5, 1], and keeps the
+    reconstruction-MSE minimizer — trading a little clipping for ~25%
+    narrower steps (rel-rmse ~0.089 measured; pure conversion-time cost,
+    the runtime layout is identical).
     """
     k, n = w.shape
     if k % group:
         raise ValueError(f"K={k} not divisible by group={group}")
     wg = w.astype(jnp.float32).reshape(k // group, group, n)
     amax = jnp.max(jnp.abs(wg), axis=1)  # [G, N]
-    scale = jnp.maximum(amax / QMAX4, SCALE_EPS)
+    if clip == "mse":
+        ratios = [0.5 + 0.025 * i for i in range(21)]  # python floats: the
+        # loop unrolls under jit (conversion runs once; 21 passes are cheap)
+        best_scale = jnp.maximum(amax / QMAX4, SCALE_EPS)
+        best_err = None
+        for r in ratios:
+            s = jnp.maximum(amax * (r / QMAX4), SCALE_EPS)
+            qc = jnp.clip(jnp.round(wg / s[:, None, :]), -QMAX4, QMAX4)
+            err = jnp.sum((qc * s[:, None, :] - wg) ** 2, axis=1)  # [G, N]
+            if best_err is None:
+                best_err, best_scale = err, s
+            else:
+                take = err < best_err
+                best_err = jnp.where(take, err, best_err)
+                best_scale = jnp.where(take, s, best_scale)
+        scale = best_scale
+    elif clip == "amax":
+        scale = jnp.maximum(amax / QMAX4, SCALE_EPS)
+    else:
+        raise ValueError(f"unknown int4 clip mode {clip!r}")
     q = jnp.clip(jnp.round(wg / scale[:, None, :]), -QMAX4, QMAX4)
     return q.reshape(k, n).astype(jnp.int8), scale
 

@@ -128,9 +128,10 @@ class QTensor4:
 
     @classmethod
     def quantize(
-        cls, w: jnp.ndarray, group: int = 128, storage: str = "packed"
+        cls, w: jnp.ndarray, group: int = 128, storage: str = "packed",
+        clip: str = "mse",
     ) -> "QTensor4":
-        q, s = numerics.quantize_groupwise_int4(w, group=group)
+        q, s = numerics.quantize_groupwise_int4(w, group=group, clip=clip)
         if storage == "native":
             data = q.astype(jnp.int4)
         elif storage == "packed":

@@ -76,7 +76,7 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
 
             group = pick_int4_group(w.shape[0], cfg.int4_group)
             out["qkernel"] = QTensor4.quantize(
-                w, group=group, storage=cfg.int4_storage
+                w, group=group, storage=cfg.int4_storage, clip=cfg.int4_clip
             )
         else:
             out["qkernel"] = QTensor.quantize(w, axis=0)

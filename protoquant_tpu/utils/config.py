@@ -20,6 +20,9 @@ class QuantConfig:
     kv_bits: int = 8  # 8 (int8 KV cache) or 16 (bf16 KV cache)
     clamp: int = 127
     int4_group: int = 128  # contraction-group size for int4 scales
+    # int4 scale selection: "mse" (per-group clip search minimizing
+    # reconstruction error) or "amax" (never clips; wider steps).
+    int4_clip: str = "mse"
     # int4 payload layout: "packed" (int8 bytes, Pallas wo4 kernel) or
     # "native" (XLA s4 dtype — packed in HBM by XLA, unpack fused into the
     # dot; only the XLA backend consumes it).

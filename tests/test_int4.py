@@ -28,15 +28,34 @@ def test_pack_unpack_roundtrip():
         np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
 
 
+def _group_dequant(q, s, group=128):
+    g, n = np.asarray(s).shape
+    return (
+        np.asarray(q, np.float32).reshape(g, group, n) * np.asarray(s)[:, None, :]
+    ).reshape(g * group, n)
+
+
 def test_groupwise_quantize_error_bound():
+    """clip='amax' never clips: every element lands within half a step."""
     w = rand((256, 64), seed=1, scale=2.0)
-    q, s = numerics.quantize_groupwise_int4(w, group=128)
+    q, s = numerics.quantize_groupwise_int4(w, group=128, clip="amax")
     assert q.shape == w.shape and s.shape == (2, 64)
-    w_hat = (
-        np.asarray(q, np.float32).reshape(2, 128, 64) * np.asarray(s)[:, None, :]
-    ).reshape(256, 64)
+    w_hat = _group_dequant(q, s)
     bound = np.repeat(np.asarray(s), 128, axis=0) / 2 + 1e-8
     assert np.all(np.abs(w_hat - np.asarray(w)) <= bound)
+
+
+def test_groupwise_mse_clip_improves_reconstruction():
+    """The default clip='mse' scale search must beat amax scaling in total
+    reconstruction MSE (it trades bounded clipping for narrower steps)."""
+    w = rand((256, 64), seed=3, scale=1.0)
+    qa, sa = numerics.quantize_groupwise_int4(w, group=128, clip="amax")
+    qm, sm = numerics.quantize_groupwise_int4(w, group=128)  # default mse
+    err_a = np.mean((_group_dequant(qa, sa) - np.asarray(w)) ** 2)
+    err_m = np.mean((_group_dequant(qm, sm) - np.asarray(w)) ** 2)
+    assert err_m < err_a, (err_m, err_a)
+    # Values stay in the nibble range either way.
+    assert np.abs(np.asarray(qm)).max() <= 7
 
 
 def test_qtensor4_roundtrip_and_bytes():
