@@ -60,7 +60,25 @@ def cmd_convert(args):
         )
         fp_model = LlamaModel(cfg, mode="fp")
         params = smoothquant(fp_model, params, toks, alpha=args.smooth_alpha)
-    qparams = quantize_params(params, qcfg)
+    if args.gptq:
+        # GPTQ error-compensated rounding (nn/gptq.py); reuses the
+        # --calib-tokens corpus (composes with --smooth-alpha: grams are
+        # collected on the smoothed fp params).
+        import jax.numpy as jnp
+
+        from .models import LlamaModel
+        from .nn import collect_grams, gptq_params
+
+        if not args.calib_tokens:
+            raise SystemExit("--gptq requires --calib-tokens")
+        toks = jnp.asarray(
+            [[int(t) for t in args.calib_tokens.split(",")]], jnp.int32
+        )
+        fp_model = LlamaModel(cfg, mode="fp")
+        grams = collect_grams(fp_model, params, toks)
+        qparams = gptq_params(params, grams, qcfg)
+    else:
+        qparams = quantize_params(params, qcfg)
     save_checkpoint(
         args.out,
         qparams,
@@ -179,7 +197,11 @@ def main(argv=None):
     )
     c.add_argument(
         "--calib-tokens", default=None,
-        help="comma-separated calibration token ids for --smooth-alpha",
+        help="comma-separated calibration token ids (--smooth-alpha/--gptq)",
+    )
+    c.add_argument(
+        "--gptq", action="store_true",
+        help="GPTQ error-compensated rounding (needs --calib-tokens)",
     )
     c.set_defaults(fn=cmd_convert)
 

@@ -1,5 +1,6 @@
 from .convert import dequantize_params, quantize_params, quantized_bytes
 from .fuse import fuse_projections
+from .gptq import collect_grams, gptq_params
 from .qlinear import QLinear
 from .smooth import collect_activation_stats, smooth_params, smoothquant
 
@@ -19,4 +20,6 @@ __all__ = [
     "collect_activation_stats",
     "smooth_params",
     "smoothquant",
+    "collect_grams",
+    "gptq_params",
 ]

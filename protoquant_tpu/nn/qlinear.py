@@ -24,6 +24,13 @@ from ..core.qtensor import QTensor
 
 Initializer = Callable[..., Any]
 
+# Trace-time calibration switch (set via nn.gptq.collect_grams): when True,
+# every QLinear sows the Gram matrix of its input (sum over tokens of
+# x^T x, [K, K] f32) into the "calib" collection — the Hessian proxy GPTQ's
+# error-compensated rounding needs. Module-global like ops.LINEAR_BACKEND:
+# calibration runs are fresh traces, so flipping it between applies is safe.
+CALIB_MODE = False
+
 
 def pick_int4_group(k: int, want: int = 128) -> int:
     """Largest even group <= want that divides K (small models / odd K)."""
@@ -116,6 +123,15 @@ class QLinear(nn.Module):
         'fuse rowquant into the producer' move, SURVEY.md §8.3.3)."""
         in_features = x.shape[-1]
         x = x.astype(self.dtype)
+        if CALIB_MODE:
+            xf = x.reshape(-1, in_features).astype(jnp.float32)
+            self.sow(
+                "calib",
+                "gram",
+                xf.T @ xf,
+                reduce_fn=lambda prev, new: prev + new,
+                init_fn=lambda: jnp.zeros(()),
+            )
         bias = (
             self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             if self.use_bias
