@@ -82,12 +82,26 @@ def main():
 
     calib = jnp.asarray(rng.integers(0, V, (2, 64)), jnp.int32)
     smoothed = smoothquant(fp_model, params, calib, alpha=0.5)
+    # GPTQ needs a well-conditioned Gram for the widest linear (K = 2*hidden
+    # at down_proj): >= 2x that many calibration tokens (see nn/gptq.py).
+    from protoquant_tpu.nn import collect_grams, gptq_params
+
+    gptq_calib = jnp.asarray(
+        rng.integers(0, V, (max(4, 6 * args.hidden // 128), 128)), jnp.int32
+    )
+    grams = collect_grams(fp_model, params, gptq_calib)
 
     rows = []
 
-    def run(label, mode, src_params, kv_dtype=jnp.float32, qcfg=None):
-        qp = quantize_params(src_params, qcfg or QuantConfig(mode=mode))
-        qm = LlamaModel(cfg, mode=mode, dtype=jnp.float32)
+    def run(label, mode, src_params, kv_dtype=jnp.float32, qcfg=None,
+            gptq=False):
+        qcfg_eff = qcfg or QuantConfig(mode=mode)
+        if gptq:
+            qp = gptq_params(src_params, grams, qcfg_eff)
+        else:
+            qp = quantize_params(src_params, qcfg_eff)
+        qm = LlamaModel(cfg, mode=mode, int4_group=qcfg_eff.int4_group,
+                        dtype=jnp.float32)
         lq = np.asarray(qm.apply(qp, eval_toks))
         cos = float(
             np.sum(logits_fp * lq)
@@ -113,10 +127,13 @@ def main():
     run("int8_dynamic+smooth", "dynamic", smoothed)
     run("int8_dynamic+int8kv", "dynamic", params, kv_dtype=jnp.int8)
     run("int8_weight_only", "weight_only", params)
+    run("int8_weight_only+gptq", "weight_only", params, gptq=True)
     run("fp8_weight_only", "weight_only_fp8", params,
         qcfg=QuantConfig(mode="weight_only_fp8"))
     run("int4_weight_only_g128", "weight_only_int4", params,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
+    run("int4_weight_only_g128+gptq", "weight_only_int4", params,
+        qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True)
 
     print(json.dumps({
         "scale": f"{args.layers}L-d{args.hidden} shaped logits, "
