@@ -156,6 +156,11 @@ class Attention(nn.Module):
     cp_axis: Any = None
     int4_group: int = 128
     int4_storage: str = "packed"
+    # LoRA adapters (nn/lora.py): rank 0 = off; targets = projection names
+    # that carry an adapter (fused layers use their fused names).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
     collective: bool = False  # overlapped ring collective matmul for o_proj
 
     @nn.compact
@@ -185,10 +190,12 @@ class Attention(nn.Module):
         # q/k/v carry biases in the Qwen2 family (o_proj never does); the
         # bias rides the kernels' fused fp32 epilogue, so the int8 path is
         # unchanged.
-        lin = partial(
-            QLinear, mode=self.mode, use_bias=cfg.attention_bias,
+        _lr = lambda n: self.lora_rank if n in self.lora_targets else 0
+        lin = lambda feats, name: QLinear(
+            feats, mode=self.mode, use_bias=cfg.attention_bias,
             dtype=self.dtype,
             int4_group=self.int4_group, int4_storage=self.int4_storage,
+            lora_rank=_lr(name), lora_alpha=self.lora_alpha, name=name,
         )
 
         # Shared dynamic rowquant: q/k/v read the same normed activation, so
@@ -207,15 +214,15 @@ class Attention(nn.Module):
             # One fused QKV matmul: exact — per-output-channel scales just
             # concatenate along N (params pre-fused by nn.fuse_projections).
             assert self.tp == 1, "fused QKV requires tp=1"
-            qkv = lin((H + 2 * KV) * Dh, name="qkv_proj")(x, preq)
+            qkv = lin((H + 2 * KV) * Dh, "qkv_proj")(x, preq)
             q, k, v = jnp.split(qkv, [H * Dh, (H + KV) * Dh], axis=-1)
             q = q.reshape(B, T, H, Dh)
             k = k.reshape(B, T, KV, Dh)
             v = v.reshape(B, T, KV, Dh)
         else:
-            q = lin(H * Dh, name="q_proj")(x, preq).reshape(B, T, H, Dh)
-            k = lin(KV * Dh, name="k_proj")(x, preq).reshape(B, T, KV, Dh)
-            v = lin(KV * Dh, name="v_proj")(x, preq).reshape(B, T, KV, Dh)
+            q = lin(H * Dh, "q_proj")(x, preq).reshape(B, T, H, Dh)
+            k = lin(KV * Dh, "k_proj")(x, preq).reshape(B, T, KV, Dh)
+            v = lin(KV * Dh, "v_proj")(x, preq).reshape(B, T, KV, Dh)
 
         cos, sin = rope_tables(
             Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
@@ -256,6 +263,8 @@ class Attention(nn.Module):
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
             int4_storage=self.int4_storage,
+            lora_rank=_lr("o_proj"),
+            lora_alpha=self.lora_alpha,
             collective=self.collective,
             tp=self.tp,
             name="o_proj",
@@ -302,6 +311,11 @@ class MLP(nn.Module):
     sp: bool = False
     int4_group: int = 128
     int4_storage: str = "packed"
+    # LoRA adapters (nn/lora.py): rank 0 = off; targets = projection names
+    # that carry an adapter (fused layers use their fused names).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
     collective: bool = False  # overlapped ring collective matmul for down_proj
 
     @nn.compact
@@ -312,9 +326,11 @@ class MLP(nn.Module):
                 x, preq = _sp_gather_quantized(x, self.tp_axis, self.dtype)
             else:
                 x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
-        lin = partial(
-            QLinear, mode=self.mode, use_bias=False, dtype=self.dtype,
+        _lr = lambda n: self.lora_rank if n in self.lora_targets else 0
+        lin = lambda feats, name: QLinear(
+            feats, mode=self.mode, use_bias=False, dtype=self.dtype,
             int4_group=self.int4_group, int4_storage=self.int4_storage,
+            lora_rank=_lr(name), lora_alpha=self.lora_alpha, name=name,
         )
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
         if self.mode == "dynamic" and preq is None:
@@ -327,11 +343,11 @@ class MLP(nn.Module):
                 preq = ops.rowquant(x.astype(self.dtype))
         if self.fused:
             assert self.tp == 1, "fused gate/up requires tp=1"
-            gu = lin(2 * inter, name="gate_up_proj")(x, preq)
+            gu = lin(2 * inter, "gate_up_proj")(x, preq)
             gate, up = jnp.split(gu, [inter], axis=-1)
         else:
-            gate = lin(inter, name="gate_proj")(x, preq)
-            up = lin(inter, name="up_proj")(x, preq)
+            gate = lin(inter, "gate_proj")(x, preq)
+            up = lin(inter, "up_proj")(x, preq)
         # SwiGLU (Llama: silu) or GeGLU (Gemma: tanh-approx gelu) gate.
         from .. import ops
 
@@ -370,6 +386,8 @@ class MLP(nn.Module):
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
             int4_storage=self.int4_storage,
+            lora_rank=_lr("down_proj"),
+            lora_alpha=self.lora_alpha,
             collective=self.collective,
             tp=self.tp,
             name="down_proj",
@@ -388,6 +406,11 @@ class DecoderLayer(nn.Module):
     cp_axis: Any = None
     int4_group: int = 128
     int4_storage: str = "packed"
+    # LoRA adapters (nn/lora.py): rank 0 = off; targets = projection names
+    # that carry an adapter (fused layers use their fused names).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
     collective: bool = False
 
     @nn.compact
@@ -425,6 +448,8 @@ class DecoderLayer(nn.Module):
             self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
             self.sp, self.cp, self.cp_axis, self.int4_group,
             int4_storage=self.int4_storage,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            lora_targets=self.lora_targets,
             collective=self.collective, name="self_attn"
         )(attn_in, positions, cache, advance, preq=attn_preq)
         x = x + h
@@ -450,6 +475,8 @@ class DecoderLayer(nn.Module):
                 self.cfg, self.mode, self.dtype, self.tp, self.tp_axis,
                 self.fused, self.sp, self.int4_group,
                 int4_storage=self.int4_storage,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_targets=self.lora_targets,
                 collective=self.collective, name="mlp",
             )(normed, preq=mlp_preq)
         return x + h, new_cache
@@ -484,6 +511,10 @@ class LlamaModel(nn.Module):
     int4_group: int = 128
     # int4 payload layout (match QuantConfig.int4_storage at convert).
     int4_storage: str = "packed"
+    # LoRA adapters on the quantized base (nn/lora.py): 0 = off.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
     # Overlapped ring collective matmuls for the row-parallel projections
     # (o_proj/down_proj) instead of bare psum (SURVEY.md §5.8 mechanism 2).
     collective: bool = False
@@ -525,6 +556,8 @@ class LlamaModel(nn.Module):
                 cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
                 self.sp, self.cp, self.cp_axis, self.int4_group,
                 int4_storage=self.int4_storage,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_targets=self.lora_targets,
                 collective=self.collective,
                 name=f"layers_{i}",
             )(x, positions, cache_i, advance)
@@ -548,6 +581,8 @@ class LlamaModel(nn.Module):
             dtype=self.dtype,
             int4_group=self.int4_group,
             int4_storage=self.int4_storage,
+            lora_rank=(self.lora_rank if "lm_head" in self.lora_targets else 0),
+            lora_alpha=self.lora_alpha,
             name="lm_head",
         )(x)
         if self.tp_axis is not None:

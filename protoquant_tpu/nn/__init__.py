@@ -1,6 +1,7 @@
 from .convert import dequantize_params, quantize_params, quantized_bytes
 from .fuse import fuse_projections
 from .gptq import collect_grams, gptq_params
+from .lora import attach_lora, import_hf_lora, merge_lora
 from .qlinear import QLinear
 from .smooth import collect_activation_stats, smooth_params, smoothquant
 
@@ -22,4 +23,7 @@ __all__ = [
     "smoothquant",
     "collect_grams",
     "gptq_params",
+    "attach_lora",
+    "import_hf_lora",
+    "merge_lora",
 ]

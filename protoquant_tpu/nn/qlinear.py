@@ -114,6 +114,15 @@ class QLinear(nn.Module):
     # int4 payload layout (must match QuantConfig.int4_storage at convert):
     # "packed" bytes (Pallas wo4) or "native" XLA s4 (XLA backend only).
     int4_storage: str = "packed"
+    # LoRA adapter on top of the (quantized) base weight: rank 0 = off.
+    # y += (x @ A) @ B * (alpha / rank), A [K, r], B [r, N] fp32 — the
+    # standard quantized-base + fp-adapter serving recipe (the base stays
+    # int8/int4/fp8 in HBM; the adapter adds 2*r*(K+N)/... ~ negligible
+    # bytes and rides the residual stream in fp). Under TP row-parallelism
+    # A shards on K and the LoRA partial sums join the same psum as the
+    # base matmul (added pre-reduce).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, prequantized=None) -> jnp.ndarray:
@@ -255,6 +264,32 @@ class QLinear(nn.Module):
             )
         else:
             raise ValueError(f"unknown mode {self.mode!r}")
+
+        if self.lora_rank > 0:
+            if self.collective:
+                raise NotImplementedError(
+                    "LoRA + collective ring matmul: the ring returns fully "
+                    "reduced outputs, but the adapter partials need the psum"
+                )
+            lora_a = self.param(
+                "lora_a",
+                nn.initializers.lecun_normal(),
+                (in_features, self.lora_rank),
+                jnp.float32,
+            )
+            lora_b = self.param(
+                "lora_b",
+                nn.initializers.zeros_init(),
+                (self.lora_rank, self.features),
+                jnp.float32,
+            )
+            # fp adapter path on the same activation the base consumed; the
+            # [.., r] bottleneck keeps this O(r/N) of the base matmul cost.
+            delta = (
+                x.astype(jnp.float32).reshape(-1, in_features) @ lora_a
+            ) @ lora_b
+            delta = delta.reshape(*x.shape[:-1], self.features)
+            y = y + (delta * (self.lora_alpha / self.lora_rank)).astype(y.dtype)
 
         if self.psum_axis is not None:
             if self.scatter_tokens:

@@ -56,6 +56,8 @@ def _param_spec(path, leaf) -> P:
         # and per-expert scales [E, N] alike. The router ("gate") falls
         # through to replicated.
         return P(MODEL_AXIS, *([None] * ((ndim or 1) - 1)))
+    is_lora_a = names and names[-1] == "lora_a"
+    is_lora_b = names and names[-1] == "lora_b"
     if any(f"/{p}/" in f"/{joined}/" for p in COLUMN_PARALLEL):
         if is_scale:
             if ndim == 2:  # int4 group-wise scale [K/group, N]: shard N
@@ -63,6 +65,10 @@ def _param_spec(path, leaf) -> P:
             return P(MODEL_AXIS)  # per-output-channel scale shards with N
         if is_bias:
             return P(MODEL_AXIS)  # bias follows the sharded output features
+        if is_lora_a:
+            return P()  # [K, r]: K unsharded for column-parallel
+        if is_lora_b:
+            return P(None, MODEL_AXIS)  # [r, N]: shards with output features
         return P(None, MODEL_AXIS)  # kernel/qkernel.data [K, N] split N
     if any(f"/{p}/" in f"/{joined}/" for p in ROW_PARALLEL):
         if is_scale:
@@ -71,6 +77,12 @@ def _param_spec(path, leaf) -> P:
             return P()  # output-channel scales replicate for row-parallel
         if is_bias:
             return P()  # added after the all-reduce on the full output
+        if is_lora_a:
+            # [K, r] shards with the contraction; the adapter partials join
+            # the base matmul's psum (added pre-reduce in QLinear).
+            return P(MODEL_AXIS, None)
+        if is_lora_b:
+            return P()  # [r, N] replicated
         return P(MODEL_AXIS, None)  # [K, N] split K
     return P()  # embeddings, norms: replicated
 

@@ -30,18 +30,24 @@ from .shardings import cache_pspecs, params_pspecs
 
 
 def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False,
-             int4_group: int = 128, collective: bool = False) -> LlamaModel:
+             int4_group: int = 128, collective: bool = False,
+             lora_rank: int = 0, lora_alpha: float = 16.0,
+             lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj"),
+             ) -> LlamaModel:
     """The TP-aware model for a mesh: head/feature dims divided by tp.
     ``sp`` additionally token-shards the norm/elementwise regions between TP
     blocks (sequence parallelism; prefill/scoring path). ``collective``
     routes the row-parallel reductions through the overlapped ring
-    collective matmul (parallel/collective.py) instead of bare psum."""
+    collective matmul (parallel/collective.py) instead of bare psum.
+    ``lora_rank`` > 0 serves LoRA adapters over the quantized base
+    (shardings.py routes lora_a/lora_b per parallelism style)."""
     import jax.numpy as jnp
 
     tp = mesh.shape[MODEL_AXIS]
     return LlamaModel(
         cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS,
         sp=sp, int4_group=int4_group, collective=collective,
+        lora_rank=lora_rank, lora_alpha=lora_alpha, lora_targets=lora_targets,
     )
 
 

@@ -1,0 +1,191 @@
+"""LoRA adapters over quantized base weights (nn/lora.py + QLinear.lora_rank).
+
+Gates: zero-B adapters are exactly the base model; a live adapter on the
+quantized base matches the fp merged-kernel model within quantization error;
+PEFT-layout import round-trips; TP sharding specs route adapter partials
+through the base psum (exact-match on the simulated mesh).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.models import LlamaModel
+from protoquant_tpu.nn import (
+    attach_lora,
+    import_hf_lora,
+    merge_lora,
+    quantize_params,
+)
+from protoquant_tpu.utils.config import ModelConfig
+
+CFG = ModelConfig(
+    vocab_size=64,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=64,
+)
+RANK = 4
+TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+
+@pytest.fixture(scope="module")
+def base():
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(1, CFG.vocab_size, (2, 12)), jnp.int32)
+    return model, params, toks
+
+
+def _randomize_b(params, seed=7):
+    """Give every adapter a non-zero B so it actually does something."""
+    out = jax.tree_util.tree_map(lambda a: a, params)
+    key = jax.random.PRNGKey(seed)
+
+    def walk(node):
+        nonlocal key
+        if isinstance(node, dict):
+            if "lora_b" in node:
+                key, sk = jax.random.split(key)
+                node["lora_b"] = (
+                    jax.random.normal(sk, node["lora_b"].shape, jnp.float32) * 0.05
+                )
+            for v in node.values():
+                walk(v)
+
+    walk(out)
+    return out
+
+
+def test_lora_zero_b_is_base_model(base):
+    model, params, toks = base
+    ref = np.asarray(model.apply(params, toks))
+    lmodel = LlamaModel(CFG, mode="fp", dtype=jnp.float32, lora_rank=RANK)
+    lparams = attach_lora(params, RANK, TARGETS)
+    out = np.asarray(lmodel.apply(lparams, toks))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_lora_matches_merged_fp(base):
+    model, params, toks = base
+    lparams = _randomize_b(attach_lora(params, RANK, TARGETS))
+    lmodel = LlamaModel(CFG, mode="fp", dtype=jnp.float32, lora_rank=RANK)
+    out = np.asarray(lmodel.apply(lparams, toks))
+
+    merged = merge_lora(lparams, alpha=16.0)
+    ref = np.asarray(model.apply(merged, toks))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    # The adapter changed the model (B is non-zero).
+    base_out = np.asarray(model.apply(params, toks))
+    assert np.abs(ref - base_out).max() > 1e-3
+
+
+def test_lora_on_quantized_base(base):
+    """Adapter over the int8 base ~ fp merged model, within quant error of
+    the same scale as the no-lora quantization error."""
+    model, params, toks = base
+    lparams_fp = _randomize_b(attach_lora(params, RANK, TARGETS))
+    merged = merge_lora(lparams_fp, alpha=16.0)
+    ref = np.asarray(model.apply(merged, toks))
+
+    # Quantize the BASE, then attach the same adapters (quantize_params
+    # passes lora_a/lora_b through untouched — they are not kernel leaves).
+    qparams = quantize_params(lparams_fp)
+    qmodel = LlamaModel(CFG, mode="dynamic", dtype=jnp.float32, lora_rank=RANK)
+    out = np.asarray(qmodel.apply(qparams, toks))
+
+    # Reference error scale: plain quantization of the merged model.
+    plain = np.asarray(
+        LlamaModel(CFG, mode="dynamic", dtype=jnp.float32).apply(
+            quantize_params(merged), toks
+        )
+    )
+    err_lora = np.mean((out - ref) ** 2)
+    err_plain = np.mean((plain - ref) ** 2)
+    assert err_lora < 4 * err_plain + 1e-6, (err_lora, err_plain)
+
+
+def test_lora_hf_peft_import(base):
+    model, params, toks = base
+    lparams = attach_lora(params, RANK, ("q_proj", "v_proj"))
+    rng = np.random.default_rng(11)
+    sd = {}
+    for i in range(CFG.num_hidden_layers):
+        for proj in ("q_proj", "v_proj"):
+            K = CFG.hidden_size
+            N = lparams["params"][f"layers_{i}"]["self_attn"][proj][
+                "lora_b"
+            ].shape[1]
+            sd[
+                f"base_model.model.model.layers.{i}.self_attn.{proj}.lora_A.weight"
+            ] = rng.normal(size=(RANK, K)).astype(np.float32)
+            sd[
+                f"base_model.model.model.layers.{i}.self_attn.{proj}.lora_B.weight"
+            ] = rng.normal(size=(N, RANK)).astype(np.float32) * 0.05
+    loaded = import_hf_lora(sd, lparams)
+    a = loaded["params"]["layers_0"]["self_attn"]["q_proj"]["lora_a"]
+    np.testing.assert_allclose(
+        np.asarray(a),
+        sd["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"].T,
+    )
+    # And the loaded adapter runs.
+    lmodel = LlamaModel(
+        CFG, mode="fp", dtype=jnp.float32, lora_rank=RANK,
+        lora_targets=("q_proj", "v_proj"),
+    )
+    out = lmodel.apply(loaded, toks)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_lora_rank_mismatch_rejected(base):
+    _, params, _ = base
+    lparams = attach_lora(params, RANK, ("q_proj",))
+    sd = {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+            np.zeros((RANK + 1, CFG.hidden_size), np.float32)
+    }
+    with pytest.raises(ValueError, match="rank mismatch"):
+        import_hf_lora(sd, lparams)
+
+
+def test_lora_tp_exact(base):
+    """LoRA partials reduce through the TP psum: the sharded model equals
+    the single-device model exactly (fp mode, 2-way model mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    from protoquant_tpu.parallel import make_mesh, shard_params, tp_model
+    from protoquant_tpu.parallel.shardings import params_pspecs
+    from protoquant_tpu.utils.config import MeshConfig
+
+    model, params, toks = base
+    lparams = _randomize_b(attach_lora(params, RANK, TARGETS))
+    lmodel = LlamaModel(CFG, mode="fp", dtype=jnp.float32, lora_rank=RANK)
+    ref = np.asarray(lmodel.apply(lparams, toks))
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+    tpm = tp_model(CFG, "fp", mesh, dtype=jnp.float32, lora_rank=RANK)
+    sharded = shard_params(lparams, mesh)
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    pspecs = params_pspecs(lparams)
+    fn = jax.jit(
+        _shard_map(
+            lambda p, t: tpm.apply(p, t),
+            mesh=mesh,
+            in_specs=(pspecs, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(fn(sharded, toks))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
