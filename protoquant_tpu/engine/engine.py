@@ -46,6 +46,7 @@ class Request:
     on_token: "object" = None  # optional callback(rid, token) for streaming
     prefill_off: int = 0  # tokens of the prompt already prefetched into KV
     last_logits: "object" = None  # final-position logits of the last chunk
+    logprobs: list = dataclasses.field(default_factory=list)  # per out token
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
     cancelled: bool = False  # retired early via Engine.cancel()
 
@@ -60,7 +61,8 @@ def _bucket(n: int, chunk: int, lo: int = 16) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("model", "temperature", "top_k", "top_p"),
+    static_argnames=("model", "temperature", "top_k", "top_p", "min_p",
+                     "penalty"),
     donate_argnums=(2,),
 )
 def _decode_step(
@@ -73,15 +75,27 @@ def _decode_step(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
+    penalty: float = 1.0,
+    counts=None,  # [B, V] int32 occurrence counts (repetition penalty)
 ):
+    from .sampling import token_logprob
+
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
     advance = active.astype(jnp.int32)
     logits, caches = model.apply(
         params, last_tokens[:, None], positions, caches, advance=advance
     )
-    next_tokens = sample(logits[:, -1], key, temperature, top_k, top_p)
-    return next_tokens, caches
+    last = logits[:, -1]
+    next_tokens = sample(
+        last, key, temperature, top_k, top_p, min_p, counts, penalty
+    )
+    logprobs = token_logprob(last, next_tokens)
+    if counts is not None:
+        b = jnp.arange(next_tokens.shape[0])
+        counts = counts.at[b, next_tokens].add(active.astype(jnp.int32))
+    return next_tokens, logprobs, counts, caches
 
 
 class Engine:
@@ -219,6 +233,21 @@ class Engine:
             if draft_model is not None
             else None
         )
+        spec_mode = draft_model is not None or bool(prompt_lookup)
+        if self.cfg.repetition_penalty != 1.0:
+            if mesh is not None:
+                raise NotImplementedError("repetition_penalty + mesh serving")
+            if spec_mode:
+                raise ValueError(
+                    "repetition_penalty is unsupported in speculative modes "
+                    "(the score-and-accept program rescores whole windows)"
+                )
+            # On-device occurrence counts over prompt + generated tokens.
+            self.token_counts = jnp.zeros((B, model.cfg.vocab_size), jnp.int32)
+        else:
+            self.token_counts = None
+        if self.cfg.return_logprobs and spec_mode:
+            raise ValueError("return_logprobs is unsupported in speculative modes")
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
@@ -368,6 +397,16 @@ class Engine:
             req.t_admit = time.perf_counter()
             self.slot_req[slot] = req
             self.prefilling.append(req)
+            if self.token_counts is not None:
+                import numpy as _np
+
+                row = _np.bincount(
+                    _np.asarray(req.prompt),
+                    minlength=self.model.cfg.vocab_size,
+                ).astype(_np.int32)
+                self.token_counts = self.token_counts.at[slot].set(
+                    jnp.asarray(row)
+                )
 
     def _prefill_tick(self):
         """Run ONE prefill chunk of the oldest mid-prefill request.
@@ -423,6 +462,11 @@ class Engine:
             )
         if req.max_new_tokens > 0:
             self._key, sub = jax.random.split(self._key)
+            counts_row = (
+                self.token_counts[req.slot][None]
+                if self.token_counts is not None
+                else None
+            )
             first_tok = int(
                 sample(
                     req.last_logits[None, :],
@@ -430,8 +474,26 @@ class Engine:
                     self.cfg.temperature,
                     self.cfg.top_k,
                     self.cfg.top_p,
+                    self.cfg.min_p,
+                    counts_row,
+                    self.cfg.repetition_penalty,
                 )[0]
             )
+            if self.cfg.return_logprobs:
+                from .sampling import token_logprob
+
+                req.logprobs.append(
+                    float(
+                        token_logprob(
+                            req.last_logits[None, :],
+                            jnp.asarray([first_tok], jnp.int32),
+                        )[0]
+                    )
+                )
+            if self.token_counts is not None:
+                self.token_counts = self.token_counts.at[
+                    req.slot, first_tok
+                ].add(1)
             req.out.append(first_tok)
             if req.on_token is not None:
                 req.on_token(req.rid, first_tok)
@@ -464,6 +526,8 @@ class Engine:
         self.finished.append(req)
         self.active[slot] = False
         self.slot_req[slot] = None
+        if self.token_counts is not None:
+            self.token_counts = self.token_counts.at[slot].set(0)
         if req in self.prefilling:
             self.prefilling.remove(req)
         # Free the slot: reset its cache length for the next tenant.
@@ -536,7 +600,7 @@ class Engine:
                     dataclasses.replace(c, page_table=c.page_table[:, :W])
                     for c in self.caches
                 ]
-        next_tokens, self.caches = decode(
+        next_tokens, logprobs, new_counts, self.caches = decode(
             self.params,
             caches,
             self.last_tokens,
@@ -545,7 +609,12 @@ class Engine:
             temperature=self.cfg.temperature,
             top_k=self.cfg.top_k,
             top_p=self.cfg.top_p,
+            min_p=self.cfg.min_p,
+            penalty=self.cfg.repetition_penalty,
+            counts=self.token_counts,
         )
+        if new_counts is not None:
+            self.token_counts = new_counts
         if restore_tables is not None:
             self.caches = [
                 dataclasses.replace(c, page_table=t)
@@ -557,11 +626,16 @@ class Engine:
             check_finite("kv lengths", self.caches[0].lengths)
             check_finite("kv values", _cache_probe(self.caches[0]))
         toks = jax.device_get(next_tokens)
+        lps = (
+            jax.device_get(logprobs) if self.cfg.return_logprobs else None
+        )
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
                 continue
             req = self.slot_req[slot]
             req.out.append(int(toks[slot]))
+            if lps is not None:
+                req.logprobs.append(float(lps[slot]))
             if req.on_token is not None:
                 req.on_token(req.rid, int(toks[slot]))
             self.stats["tokens_generated"] += 1
@@ -855,23 +929,30 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
     def decode(
         params, caches, last_tokens, active, key,
-        temperature=0.0, top_k=0, top_p=1.0,
+        temperature=0.0, top_k=0, top_p=1.0, min_p=0.0,
+        penalty=1.0, counts=None,
     ):
+        assert penalty == 1.0 and counts is None  # guarded at Engine init
         pspecs, cspecs = _specs(params, caches)
         # One compiled program per sampling config, resolved per call — a
         # changed EngineConfig.temperature takes effect on the next step
         # instead of being baked in at first trace.
-        cache_key = ("decode", float(temperature), int(top_k), float(top_p))
+        cache_key = (
+            "decode", float(temperature), int(top_k), float(top_p),
+            float(min_p),
+        )
         if cache_key not in state:
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P()),
-                out_specs=(batch_spec, cspecs),
+                out_specs=((batch_spec, batch_spec), cspecs),
                 check_vma=False,
             )
             def _decode(params, caches, last_tokens, active, key):
+                from .sampling import token_logprob
+
                 max_pos = model.cfg.max_position_embeddings - 1
                 positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
                 advance = active.astype(jnp.int32)
@@ -884,12 +965,16 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 else:
                     key_r = key
                 next_tokens = sample(
-                    logits[:, -1], key_r, temperature, top_k, top_p
+                    logits[:, -1], key_r, temperature, top_k, top_p, min_p
                 )
-                return next_tokens, caches
+                logprobs = token_logprob(logits[:, -1], next_tokens)
+                return (next_tokens, logprobs), caches
 
             state[cache_key] = jax.jit(_decode, donate_argnums=(1,))
-        return state[cache_key](params, caches, last_tokens, active, key)
+        (next_tokens, logprobs), caches = state[cache_key](
+            params, caches, last_tokens, active, key
+        )
+        return next_tokens, logprobs, None, caches
 
     fns["extend"] = extend
     fns["decode"] = decode

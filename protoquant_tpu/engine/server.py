@@ -78,9 +78,15 @@ class EngineServer:
                 out = outer.wait(rid, timeout=float(req.get("timeout_s", 300)))
                 if out is None:
                     return self._json(504, {"request": rid, "error": "timeout"})
-                tokens, cancelled = out
+                tokens, cancelled, logprobs = out
                 return self._json(
-                    200, {"request": rid, "tokens": tokens, "cancelled": cancelled}
+                    200,
+                    {
+                        "request": rid,
+                        "tokens": tokens,
+                        "cancelled": cancelled,
+                        **({"logprobs": logprobs} if logprobs else {}),
+                    },
                 )
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
@@ -103,7 +109,8 @@ class EngineServer:
             return self.engine.cancel(rid)
 
     def wait(self, rid: int, timeout: float = 300.0):
-        """Block until rid finishes; returns (tokens, cancelled) or None."""
+        """Block until rid finishes; returns (tokens, cancelled, logprobs)
+        or None on timeout."""
         ev = self._events[rid]
         if not ev.wait(timeout):
             return None
@@ -124,7 +131,9 @@ class EngineServer:
                     while self.engine.finished:
                         req = self.engine.finished.pop(0)
                         if req.rid in self._events:
-                            self._results[req.rid] = (req.out, req.cancelled)
+                            self._results[req.rid] = (
+                                req.out, req.cancelled, req.logprobs
+                            )
                             self._events[req.rid].set()
             if not has_work:
                 time.sleep(0.005)

@@ -225,6 +225,13 @@ class EngineConfig:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0
     top_p: float = 1.0  # nucleus sampling threshold (1.0 => disabled)
+    min_p: float = 0.0  # min-p truncation (0.0 => disabled)
+    # HF-semantics repetition penalty over prompt + generated tokens
+    # (1.0 => disabled; maintained as an on-device [B, V] count buffer).
+    repetition_penalty: float = 1.0
+    # Record each generated token's log-probability (pre-truncation) in
+    # Request.logprobs / the HTTP response.
+    return_logprobs: bool = False
     seed: int = 0
     # Block-level prefix caching (paged layout only): requests sharing a
     # prompt prefix adopt the resident KV pages and skip their prefill

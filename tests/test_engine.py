@@ -658,3 +658,86 @@ def test_engine_prompt_lookup_guards(model_and_params):
             kv_dtype=jnp.float32, prompt_lookup=2,
             draft_model=model, draft_params=params,
         )
+
+
+# -- sampling extras: repetition penalty, min-p, logprobs ---------------------
+
+
+def test_engine_repetition_penalty_blocks_repeats(model_and_params):
+    """With an extreme penalty, no generated token may repeat anything seen
+    (prompt or generated) while unseen vocabulary remains."""
+    model, params = model_and_params
+    prompt = [5, 9, 13]
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=16, temperature=0.0,
+                     repetition_penalty=1e6),
+        kv_dtype=jnp.float32,
+    )
+    rid = eng.add_request(prompt, 16)
+    out = eng.run()[rid]
+    seen = list(prompt)
+    for t in out:
+        assert t not in seen, (t, seen)
+        seen.append(t)
+
+
+def test_engine_min_p_one_is_greedy(model_and_params):
+    """min_p=1.0 keeps only the argmax token, so sampled output == greedy."""
+    model, params = model_and_params
+    prompts = _prompts(3, seed=21)
+
+    greedy = _engine(model, params, kv_dtype=jnp.float32)
+    g_rids = [greedy.add_request(p, 8) for p in prompts]
+    g_outs = greedy.run()
+
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=8, temperature=0.9, min_p=1.0),
+        kv_dtype=jnp.float32,
+    )
+    rids = [eng.add_request(p, 8) for p in prompts]
+    outs = eng.run()
+    for ga, rb in zip(g_rids, rids):
+        assert g_outs[ga] == outs[rb]
+
+
+def test_engine_logprobs(model_and_params):
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=6, temperature=0.0, return_logprobs=True),
+        kv_dtype=jnp.float32,
+    )
+    rid = eng.add_request(prompt, 6)
+    eng.run()
+    req = next(r for r in eng.finished if r.rid == rid)
+    assert len(req.logprobs) == len(req.out) == 6
+    assert all(np.isfinite(lp) and lp <= 0.0 for lp in req.logprobs)
+    # First token's logprob matches a scoring-pass recompute.
+    logits = np.asarray(model.apply(params, jnp.asarray([prompt], jnp.int32)))
+    last = logits[0, -1]
+    ref = last[req.out[0]] - np.log(np.sum(np.exp(last - last.max()))) - last.max()
+    np.testing.assert_allclose(req.logprobs[0], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_sampling_guards(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        Engine(
+            model, params,
+            EngineConfig(max_batch_size=2, max_seq_len=64,
+                         repetition_penalty=1.5),
+            kv_dtype=jnp.float32, prompt_lookup=2,
+        )
+    with pytest.raises(ValueError, match="logprobs"):
+        Engine(
+            model, params,
+            EngineConfig(max_batch_size=2, max_seq_len=64,
+                         return_logprobs=True),
+            kv_dtype=jnp.float32, draft_model=model, draft_params=params,
+        )
