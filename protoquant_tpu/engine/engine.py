@@ -45,6 +45,7 @@ class Request:
     eos_id: "int | None" = None  # per-request stop token
     on_token: "object" = None  # optional callback(rid, token) for streaming
     prefill_off: int = 0  # tokens of the prompt already prefetched into KV
+    adapter_id: int = 0  # multi-LoRA stack index (0 = base model)
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
@@ -78,6 +79,7 @@ def _decode_step(
     min_p: float = 0.0,
     penalty: float = 1.0,
     counts=None,  # [B, V] int32 occurrence counts (repetition penalty)
+    adapter_ids=None,  # [B] int32 multi-LoRA selection
 ):
     from .sampling import token_logprob
 
@@ -85,7 +87,8 @@ def _decode_step(
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
     advance = active.astype(jnp.int32)
     logits, caches = model.apply(
-        params, last_tokens[:, None], positions, caches, advance=advance
+        params, last_tokens[:, None], positions, caches, advance=advance,
+        adapter_ids=adapter_ids,
     )
     last = logits[:, -1]
     next_tokens = sample(
@@ -248,6 +251,17 @@ class Engine:
             self.token_counts = None
         if self.cfg.return_logprobs and spec_mode:
             raise ValueError("return_logprobs is unsupported in speculative modes")
+        if getattr(model, "lora_stack", 0) > 0:
+            if mesh is not None:
+                raise NotImplementedError("multi-LoRA + mesh serving")
+            if spec_mode:
+                raise ValueError(
+                    "multi-LoRA is unsupported in speculative modes"
+                )
+            # Per-slot adapter selection, threaded through every step.
+            self.adapter_ids = jnp.zeros((B,), jnp.int32)
+        else:
+            self.adapter_ids = None
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
@@ -279,6 +293,7 @@ class Engine:
         max_new_tokens: int | None = None,
         eos_id: int | None = None,
         on_token=None,
+        adapter_id: int = 0,
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens."""
@@ -299,7 +314,12 @@ class Engine:
             ),
             eos_id=eos_id,
             on_token=on_token,
+            adapter_id=adapter_id,
         )
+        if adapter_id and self.adapter_ids is None:
+            raise ValueError(
+                "adapter_id needs a multi-LoRA model (lora_stack > 0)"
+            )
         self.waiting.append(req)
         return rid
 
@@ -397,6 +417,10 @@ class Engine:
             req.t_admit = time.perf_counter()
             self.slot_req[slot] = req
             self.prefilling.append(req)
+            if self.adapter_ids is not None:
+                self.adapter_ids = self.adapter_ids.at[slot].set(
+                    req.adapter_id
+                )
             if self.token_counts is not None:
                 import numpy as _np
 
@@ -429,12 +453,18 @@ class Engine:
             self._tp_fns["extend"] if self._tp_fns is not None
             else partial(_extend_slot, self.model)
         )
+        aid = (
+            jnp.asarray([req.adapter_id], jnp.int32)
+            if self.adapter_ids is not None
+            else None
+        )
         req.last_logits, self.caches = extend(
             self.params,
             self.caches,
             tokens,
             jnp.asarray(len(piece), jnp.int32),
             jnp.asarray(slot, jnp.int32),
+            aid,
         )
         if self.draft_caches is not None:
             # Speculative mode: the draft cache tracks the same prompt.
@@ -445,6 +475,7 @@ class Engine:
                 tokens,
                 jnp.asarray(len(piece), jnp.int32),
                 jnp.asarray(slot, jnp.int32),
+                None,
             )
         req.prefill_off += len(piece)
         if req.prefill_off < len(req.prompt):
@@ -528,6 +559,8 @@ class Engine:
         self.slot_req[slot] = None
         if self.token_counts is not None:
             self.token_counts = self.token_counts.at[slot].set(0)
+        if self.adapter_ids is not None:
+            self.adapter_ids = self.adapter_ids.at[slot].set(0)
         if req in self.prefilling:
             self.prefilling.remove(req)
         # Free the slot: reset its cache length for the next tenant.
@@ -612,6 +645,7 @@ class Engine:
             min_p=self.cfg.min_p,
             penalty=self.cfg.repetition_penalty,
             counts=self.token_counts,
+            adapter_ids=self.adapter_ids,
         )
         if new_counts is not None:
             self.token_counts = new_counts
@@ -799,9 +833,13 @@ def _cache_probe(cache):
 
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
-def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot):
+def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot,
+                 adapter_ids=None):
     """Prefill one chunk into a slot (single-device path)."""
-    return _extend_slot_body(model, params, caches, tokens, true_len, slot)
+    return _extend_slot_body(
+        model, params, caches, tokens, true_len, slot,
+        adapter_ids=adapter_ids,
+    )
 
 
 def _ngram_propose(hist: list, n: int, gamma: int) -> list:
@@ -927,12 +965,17 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             state["extend"] = jax.jit(_extend, donate_argnums=(1,))
         return state["extend"](params, caches, tokens, true_len, slot)
 
+    def extend_with_adapters(params, caches, tokens, true_len, slot, aid):
+        assert aid is None  # multi-LoRA + mesh is guarded at Engine init
+        return extend(params, caches, tokens, true_len, slot)
+
     def decode(
         params, caches, last_tokens, active, key,
         temperature=0.0, top_k=0, top_p=1.0, min_p=0.0,
-        penalty=1.0, counts=None,
+        penalty=1.0, counts=None, adapter_ids=None,
     ):
-        assert penalty == 1.0 and counts is None  # guarded at Engine init
+        # penalty/counts/multi-LoRA are guarded at Engine init under a mesh.
+        assert penalty == 1.0 and counts is None and adapter_ids is None
         pspecs, cspecs = _specs(params, caches)
         # One compiled program per sampling config, resolved per call — a
         # changed EngineConfig.temperature takes effect on the next step
@@ -976,13 +1019,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return next_tokens, logprobs, None, caches
 
-    fns["extend"] = extend
+    fns["extend"] = extend_with_adapters
     fns["decode"] = decode
     fns["state"] = state
     return fns
 
 
-def _extend_slot_body(model, params, caches, tokens, true_len, slot, data_axis=None):
+def _extend_slot_body(model, params, caches, tokens, true_len, slot,
+                      data_axis=None, adapter_ids=None):
     """The un-jitted body of _extend_slot (shared with the mesh wrapper).
 
     ``data_axis``: inside shard_map with batch-sharded caches (dp>1), the
@@ -1008,7 +1052,9 @@ def _extend_slot_body(model, params, caches, tokens, true_len, slot, data_axis=N
     positions = start + jnp.arange(Tpad)[None, :]
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(positions, max_pos)
-    logits, sub = model.apply(params, tokens, positions, sub, advance=adv)
+    logits, sub = model.apply(
+        params, tokens, positions, sub, advance=adv, adapter_ids=adapter_ids
+    )
     new_caches = [big.merge_slot(small, ls) for big, small in zip(caches, sub)]
     out_logits = logits[0, true_len - 1]
     if data_axis is not None:

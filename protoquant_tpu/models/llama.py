@@ -161,6 +161,7 @@ class Attention(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
+    lora_stack: int = 0  # multi-LoRA: stacked adapter count (0 = single)
     collective: bool = False  # overlapped ring collective matmul for o_proj
 
     @nn.compact
@@ -171,6 +172,7 @@ class Attention(nn.Module):
         cache,  # BF16KVCache | Int8KVCache | None
         advance=None,  # [B] per-slot length increment override (engine)
         preq=None,  # optional (xq int8, s_x) from a fused norm+quant producer
+        adapter_ids=None,  # [B] int32 multi-LoRA adapter selection
     ):
         cfg = self.cfg
         if self.sp:
@@ -195,7 +197,8 @@ class Attention(nn.Module):
             feats, mode=self.mode, use_bias=cfg.attention_bias,
             dtype=self.dtype,
             int4_group=self.int4_group, int4_storage=self.int4_storage,
-            lora_rank=_lr(name), lora_alpha=self.lora_alpha, name=name,
+            lora_rank=_lr(name), lora_alpha=self.lora_alpha,
+            lora_stack=self.lora_stack, name=name,
         )
 
         # Shared dynamic rowquant: q/k/v read the same normed activation, so
@@ -214,15 +217,15 @@ class Attention(nn.Module):
             # One fused QKV matmul: exact — per-output-channel scales just
             # concatenate along N (params pre-fused by nn.fuse_projections).
             assert self.tp == 1, "fused QKV requires tp=1"
-            qkv = lin((H + 2 * KV) * Dh, "qkv_proj")(x, preq)
+            qkv = lin((H + 2 * KV) * Dh, "qkv_proj")(x, preq, adapter_ids)
             q, k, v = jnp.split(qkv, [H * Dh, (H + KV) * Dh], axis=-1)
             q = q.reshape(B, T, H, Dh)
             k = k.reshape(B, T, KV, Dh)
             v = v.reshape(B, T, KV, Dh)
         else:
-            q = lin(H * Dh, "q_proj")(x, preq).reshape(B, T, H, Dh)
-            k = lin(KV * Dh, "k_proj")(x, preq).reshape(B, T, KV, Dh)
-            v = lin(KV * Dh, "v_proj")(x, preq).reshape(B, T, KV, Dh)
+            q = lin(H * Dh, "q_proj")(x, preq, adapter_ids).reshape(B, T, H, Dh)
+            k = lin(KV * Dh, "k_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
+            v = lin(KV * Dh, "v_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
 
         cos, sin = rope_tables(
             Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
@@ -265,10 +268,11 @@ class Attention(nn.Module):
             int4_storage=self.int4_storage,
             lora_rank=_lr("o_proj"),
             lora_alpha=self.lora_alpha,
+            lora_stack=self.lora_stack,
             collective=self.collective,
             tp=self.tp,
             name="o_proj",
-        )(out)
+        )(out, None, adapter_ids)
         return o, new_cache
 
 
@@ -316,10 +320,11 @@ class MLP(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
+    lora_stack: int = 0  # multi-LoRA: stacked adapter count (0 = single)
     collective: bool = False  # overlapped ring collective matmul for down_proj
 
     @nn.compact
-    def __call__(self, x, preq=None):
+    def __call__(self, x, preq=None, adapter_ids=None):
         if self.sp:
             # Dynamic mode: int8-on-the-wire gather (see _sp_gather_quantized).
             if self.mode == "dynamic":
@@ -330,7 +335,8 @@ class MLP(nn.Module):
         lin = lambda feats, name: QLinear(
             feats, mode=self.mode, use_bias=False, dtype=self.dtype,
             int4_group=self.int4_group, int4_storage=self.int4_storage,
-            lora_rank=_lr(name), lora_alpha=self.lora_alpha, name=name,
+            lora_rank=_lr(name), lora_alpha=self.lora_alpha,
+            lora_stack=self.lora_stack, name=name,
         )
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
         if self.mode == "dynamic" and preq is None:
@@ -343,11 +349,11 @@ class MLP(nn.Module):
                 preq = ops.rowquant(x.astype(self.dtype))
         if self.fused:
             assert self.tp == 1, "fused gate/up requires tp=1"
-            gu = lin(2 * inter, "gate_up_proj")(x, preq)
+            gu = lin(2 * inter, "gate_up_proj")(x, preq, adapter_ids)
             gate, up = jnp.split(gu, [inter], axis=-1)
         else:
-            gate = lin(inter, "gate_proj")(x, preq)
-            up = lin(inter, "up_proj")(x, preq)
+            gate = lin(inter, "gate_proj")(x, preq, adapter_ids)
+            up = lin(inter, "up_proj")(x, preq, adapter_ids)
         # SwiGLU (Llama: silu) or GeGLU (Gemma: tanh-approx gelu) gate.
         from .. import ops
 
@@ -388,10 +394,11 @@ class MLP(nn.Module):
             int4_storage=self.int4_storage,
             lora_rank=_lr("down_proj"),
             lora_alpha=self.lora_alpha,
+            lora_stack=self.lora_stack,
             collective=self.collective,
             tp=self.tp,
             name="down_proj",
-        )(h, down_preq)
+        )(h, down_preq, adapter_ids)
 
 
 class DecoderLayer(nn.Module):
@@ -411,10 +418,11 @@ class DecoderLayer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
+    lora_stack: int = 0  # multi-LoRA: stacked adapter count (0 = single)
     collective: bool = False
 
     @nn.compact
-    def __call__(self, x, positions, cache, advance=None):
+    def __call__(self, x, positions, cache, advance=None, adapter_ids=None):
         from .. import ops
 
         # Fused norm+quant producers (ops/fused_quant.py): the norm emits
@@ -449,9 +457,10 @@ class DecoderLayer(nn.Module):
             self.sp, self.cp, self.cp_axis, self.int4_group,
             int4_storage=self.int4_storage,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            lora_targets=self.lora_targets,
+            lora_targets=self.lora_targets, lora_stack=self.lora_stack,
             collective=self.collective, name="self_attn"
-        )(attn_in, positions, cache, advance, preq=attn_preq)
+        )(attn_in, positions, cache, advance, preq=attn_preq,
+          adapter_ids=adapter_ids)
         x = x + h
         if fq and not self.cfg.is_moe:
             mlp_preq = norm("post_attention_layernorm", True)(x)
@@ -476,9 +485,9 @@ class DecoderLayer(nn.Module):
                 self.fused, self.sp, self.int4_group,
                 int4_storage=self.int4_storage,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                lora_targets=self.lora_targets,
+                lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective, name="mlp",
-            )(normed, preq=mlp_preq)
+            )(normed, preq=mlp_preq, adapter_ids=adapter_ids)
         return x + h, new_cache
 
 
@@ -515,6 +524,7 @@ class LlamaModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj")
+    lora_stack: int = 0  # multi-LoRA: stacked adapter count (0 = single)
     # Overlapped ring collective matmuls for the row-parallel projections
     # (o_proj/down_proj) instead of bare psum (SURVEY.md §5.8 mechanism 2).
     collective: bool = False
@@ -526,6 +536,7 @@ class LlamaModel(nn.Module):
         positions: Optional[jnp.ndarray] = None,  # [B, T]
         caches: Optional[list] = None,
         advance: Optional[jnp.ndarray] = None,  # [B] engine override
+        adapter_ids: Optional[jnp.ndarray] = None,  # [B] multi-LoRA ids
     ):
         cfg = self.cfg
         B, T = tokens.shape
@@ -557,10 +568,10 @@ class LlamaModel(nn.Module):
                 self.sp, self.cp, self.cp_axis, self.int4_group,
                 int4_storage=self.int4_storage,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                lora_targets=self.lora_targets,
+                lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective,
                 name=f"layers_{i}",
-            )(x, positions, cache_i, advance)
+            )(x, positions, cache_i, advance, adapter_ids=adapter_ids)
             new_caches.append(nc)
 
         x = RMSNorm(
@@ -583,8 +594,9 @@ class LlamaModel(nn.Module):
             int4_storage=self.int4_storage,
             lora_rank=(self.lora_rank if "lm_head" in self.lora_targets else 0),
             lora_alpha=self.lora_alpha,
+            lora_stack=self.lora_stack,
             name="lm_head",
-        )(x)
+        )(x, None, adapter_ids)
         if self.tp_axis is not None:
             logits = jax.lax.all_gather(
                 logits, self.tp_axis, axis=logits.ndim - 1, tiled=True

@@ -1,7 +1,13 @@
 from .convert import dequantize_params, quantize_params, quantized_bytes
 from .fuse import fuse_projections
 from .gptq import collect_grams, gptq_params
-from .lora import attach_lora, import_hf_lora, merge_lora
+from .lora import (
+    attach_lora,
+    attach_lora_stack,
+    import_hf_lora,
+    merge_lora,
+    set_stack_adapter,
+)
 from .qlinear import QLinear
 from .smooth import collect_activation_stats, smooth_params, smoothquant
 
@@ -24,6 +30,8 @@ __all__ = [
     "collect_grams",
     "gptq_params",
     "attach_lora",
+    "attach_lora_stack",
+    "set_stack_adapter",
     "import_hf_lora",
     "merge_lora",
 ]

@@ -137,3 +137,68 @@ def merge_lora(fp_params: Any, alpha: float = 16.0) -> Any:
             sub["kernel"].astype(jnp.float32) + (a @ b) * (alpha / r)
         ).astype(sub["kernel"].dtype)
     return out
+
+
+# -- multi-LoRA (stacked adapters, per-request selection) ---------------------
+
+
+def attach_lora_stack(params: Any, rank: int, n_adapters: int,
+                      targets=("q_proj", "k_proj", "v_proj", "o_proj"),
+                      key=None, init_scale: float = 1.0):
+    """Insert STACKED adapters (lora_a [n, K, r], lora_b [n, r, N]) into
+    every targeted linear. Every B starts at zero, so all n adapters begin
+    as the base model; fill slots with ``set_stack_adapter``. Slot 0 is the
+    reserved base-model adapter by convention (the engine assigns it to
+    requests that name no adapter) — leave its B zero."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    out = jax.tree_util.tree_map(lambda a: a, params)
+    root = out.get("params", out) if isinstance(out, Mapping) else out
+    n = 0
+    for path, sub in _walk_linears(root):
+        if path.split("/")[-1] not in targets:
+            continue
+        shape = _kernel_shape(sub)
+        if len(shape) != 2:
+            continue
+        k_in, feats = shape
+        key, sk = jax.random.split(key)
+        sub["lora_a"] = (
+            jax.random.normal(sk, (n_adapters, k_in, rank), jnp.float32)
+            * (init_scale / jnp.sqrt(k_in))
+        )
+        sub["lora_b"] = jnp.zeros((n_adapters, rank, feats), jnp.float32)
+        n += 1
+    if n == 0:
+        raise ValueError(f"no linears matched targets {targets!r}")
+    return out
+
+
+def set_stack_adapter(stacked_params: Any, idx: int, adapter_params: Any):
+    """Copy a single-adapter tree's lora_a/lora_b (e.g. from attach_lora +
+    import_hf_lora) into stack slot ``idx`` of a stacked tree."""
+    out = jax.tree_util.tree_map(lambda a: a, stacked_params)
+    root = out.get("params", out) if isinstance(out, Mapping) else out
+    src_root = (
+        adapter_params.get("params", adapter_params)
+        if isinstance(adapter_params, Mapping)
+        else adapter_params
+    )
+    src = {path: sub for path, sub in _walk_linears(src_root)}
+    n = 0
+    for path, sub in _walk_linears(root):
+        if "lora_a" not in sub or sub["lora_a"].ndim != 3:
+            continue
+        if path not in src or "lora_a" not in src[path]:
+            continue
+        a, b = src[path]["lora_a"], src[path]["lora_b"]
+        if a.shape != sub["lora_a"].shape[1:]:
+            raise ValueError(
+                f"{path}: adapter shape {a.shape} vs stack "
+                f"{sub['lora_a'].shape[1:]}"
+            )
+        sub["lora_a"] = sub["lora_a"].at[idx].set(a)
+        sub["lora_b"] = sub["lora_b"].at[idx].set(b)
+        n += 1
+    if n == 0:
+        raise ValueError("no stacked adapter slots matched the source tree")
+    return out

@@ -123,13 +123,26 @@ class QLinear(nn.Module):
     # base matmul (added pre-reduce).
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # Multi-LoRA: number of stacked adapters (0 = single adapter). When >0
+    # the adapter params gain a leading [n] axis and every call must pass
+    # ``adapter_ids`` [B] selecting one adapter per batch row (id 0 is the
+    # reserved zero adapter = base model).
+    lora_stack: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, prequantized=None) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, prequantized=None, adapter_ids=None
+    ) -> jnp.ndarray:
         """``prequantized``: optional (xq int8, s_x) from a shared rowquant
         pass — sibling projections reading the same activation (q/k/v,
         gate/up) quantize it once in the parent block (the reference's
-        'fuse rowquant into the producer' move, SURVEY.md §8.3.3)."""
+        'fuse rowquant into the producer' move, SURVEY.md §8.3.3).
+
+        ``adapter_ids`` [B] int32: multi-LoRA — when the checkpoint carries
+        STACKED adapters (lora_a [n, K, r] / lora_b [n, r, N], see
+        nn/lora.py::attach_lora_stack), each batch row applies its own
+        adapter. Required iff the params are stacked; id 0 is the reserved
+        zero adapter (= base model)."""
         in_features = x.shape[-1]
         x = x.astype(self.dtype)
         if CALIB_MODE:
@@ -271,24 +284,40 @@ class QLinear(nn.Module):
                     "LoRA + collective ring matmul: the ring returns fully "
                     "reduced outputs, but the adapter partials need the psum"
                 )
+            shape_a = (in_features, self.lora_rank)
+            shape_b = (self.lora_rank, self.features)
+            if self.lora_stack > 0:
+                shape_a = (self.lora_stack,) + shape_a
+                shape_b = (self.lora_stack,) + shape_b
             lora_a = self.param(
-                "lora_a",
-                nn.initializers.lecun_normal(),
-                (in_features, self.lora_rank),
-                jnp.float32,
+                "lora_a", nn.initializers.lecun_normal(), shape_a, jnp.float32
             )
             lora_b = self.param(
-                "lora_b",
-                nn.initializers.zeros_init(),
-                (self.lora_rank, self.features),
-                jnp.float32,
+                "lora_b", nn.initializers.zeros_init(), shape_b, jnp.float32
             )
             # fp adapter path on the same activation the base consumed; the
             # [.., r] bottleneck keeps this O(r/N) of the base matmul cost.
-            delta = (
-                x.astype(jnp.float32).reshape(-1, in_features) @ lora_a
-            ) @ lora_b
-            delta = delta.reshape(*x.shape[:-1], self.features)
+            if lora_a.ndim == 3:
+                # Multi-LoRA: per-batch-row adapter gather. The gathered
+                # [B, K, r]/[B, r, N] slices stream r*(K+N) bytes per live
+                # adapter — O(r/N) of the base weight traffic.
+                if adapter_ids is None:
+                    raise ValueError(
+                        "stacked LoRA params need adapter_ids (multi-LoRA)"
+                    )
+                xf = x.astype(jnp.float32)
+                if xf.ndim == 2:  # [B, K] -> treat tokens axis of size 1
+                    xf = xf[:, None, :]
+                a_g = lora_a[adapter_ids]  # [B, K, r]
+                b_g = lora_b[adapter_ids]  # [B, r, N]
+                delta = jnp.einsum("btk,bkr->btr", xf, a_g)
+                delta = jnp.einsum("btr,brn->btn", delta, b_g)
+                delta = delta.reshape(*x.shape[:-1], self.features)
+            else:
+                delta = (
+                    x.astype(jnp.float32).reshape(-1, in_features) @ lora_a
+                ) @ lora_b
+                delta = delta.reshape(*x.shape[:-1], self.features)
             y = y + (delta * (self.lora_alpha / self.lora_rank)).astype(y.dtype)
 
         if self.psum_axis is not None:

@@ -189,3 +189,110 @@ def test_lora_tp_exact(base):
     )
     out = np.asarray(fn(sharded, toks))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+# -- multi-LoRA: stacked adapters, per-request selection ----------------------
+
+
+def test_multi_lora_engine_per_request(base):
+    """Three requests with different adapter ids decode in ONE batch; each
+    stream must equal the single-adapter engine serving that adapter alone."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.nn.lora import attach_lora_stack, set_stack_adapter
+
+    model, params, _ = base
+    prompts = [[3, 17, 5], [9, 2, 11, 4], [7, 7, 1]]
+
+    # Build two distinct live adapters (slots 1 and 2; slot 0 stays base).
+    single1 = _randomize_b(attach_lora(params, RANK, TARGETS), seed=21)
+    single2 = _randomize_b(attach_lora(params, RANK, TARGETS), seed=22)
+    stacked = attach_lora_stack(params, RANK, 3, TARGETS)
+    stacked = set_stack_adapter(stacked, 1, single1)
+    stacked = set_stack_adapter(stacked, 2, single2)
+
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    mmodel = LlamaModel(CFG, mode="fp", dtype=jnp.float32,
+                        lora_rank=RANK, lora_stack=3)
+    eng = Engine(mmodel, stacked, ecfg, kv_dtype=jnp.float32)
+    rids = [
+        eng.add_request(prompts[0], 8, adapter_id=0),
+        eng.add_request(prompts[1], 8, adapter_id=1),
+        eng.add_request(prompts[2], 8, adapter_id=2),
+    ]
+    outs = eng.run()
+
+    # References: base model and each single-adapter model, served alone.
+    smodel = LlamaModel(CFG, mode="fp", dtype=jnp.float32, lora_rank=RANK)
+    base_eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    r0 = base_eng.add_request(prompts[0], 8)
+    assert outs[rids[0]] == base_eng.run()[r0]
+    for sp, prompt, rid in ((single1, prompts[1], rids[1]),
+                            (single2, prompts[2], rids[2])):
+        e = Engine(smodel, sp, ecfg, kv_dtype=jnp.float32)
+        r = e.add_request(prompt, 8)
+        assert outs[rid] == e.run()[r], rid
+
+
+def test_multi_lora_paged_int8(base):
+    """Multi-LoRA composes with the quantized paged engine. The reserved
+    zero adapter is EXACTLY the base engine (delta is literally zero); a
+    live adapter matches the single-adapter engine on a prefix — the
+    batched adapter einsum and the 2D matmul may differ by 1 ulp, which
+    int8 KV re-rounding can amplify into a tie-flip on random weights, so
+    full-stream equality is not the right gate there."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.nn.lora import attach_lora_stack, set_stack_adapter
+
+    model, params, _ = base
+    qbase = quantize_params(params)
+    single = _randomize_b(attach_lora(qbase, RANK, TARGETS), seed=31)
+    stacked = set_stack_adapter(
+        attach_lora_stack(qbase, RANK, 2, TARGETS), 1, single
+    )
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, page_size=8,
+                        prefill_chunk=16, max_new_tokens=8, temperature=0.0)
+    mm = LlamaModel(CFG, mode="dynamic", dtype=jnp.float32,
+                    lora_rank=RANK, lora_stack=2)
+
+    # Zero adapter == base engine, exactly.
+    eng0 = Engine(mm, stacked, ecfg, kv_dtype=jnp.int8, kv_layout="paged")
+    r0 = eng0.add_request([5, 9, 2, 14], 8, adapter_id=0)
+    out0 = eng0.run()[r0]
+    bm = LlamaModel(CFG, mode="dynamic", dtype=jnp.float32)
+    beng = Engine(bm, qbase, ecfg, kv_dtype=jnp.int8, kv_layout="paged")
+    rb = beng.add_request([5, 9, 2, 14], 8)
+    assert out0 == beng.run()[rb]
+
+    # Live adapter: prefix agreement with the single-adapter engine.
+    eng = Engine(mm, stacked, ecfg, kv_dtype=jnp.int8, kv_layout="paged")
+    rid = eng.add_request([5, 9, 2, 14], 8, adapter_id=1)
+    out = eng.run()[rid]
+    sm = LlamaModel(CFG, mode="dynamic", dtype=jnp.float32, lora_rank=RANK)
+    ref_eng = Engine(sm, single, ecfg, kv_dtype=jnp.int8, kv_layout="paged")
+    r = ref_eng.add_request([5, 9, 2, 14], 8)
+    ref = ref_eng.run()[r]
+    assert out[:5] == ref[:5], (out, ref)
+    assert out0 != out  # the adapter actually changed the stream
+
+
+def test_multi_lora_guards(base):
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    model, params, _ = base
+    # adapter_id on a non-multi-LoRA engine is rejected.
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64),
+        kv_dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="lora_stack"):
+        eng.add_request([1, 2, 3], 4, adapter_id=1)
+    # Stacked params demand adapter_ids at the module level.
+    from protoquant_tpu.nn.lora import attach_lora_stack
+
+    stacked = attach_lora_stack(params, RANK, 2, TARGETS)
+    mm = LlamaModel(CFG, mode="fp", dtype=jnp.float32,
+                    lora_rank=RANK, lora_stack=2)
+    with pytest.raises(ValueError, match="adapter_ids"):
+        mm.apply(stacked, jnp.zeros((1, 4), jnp.int32))
