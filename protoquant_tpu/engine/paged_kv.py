@@ -144,13 +144,16 @@ class PagedInt8KVCache:
         vs = self.vs[page][:, :, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, P * ps)
         return k, ks, v, vs
 
-    def update_and_attend(self, q, k, v, advance=None, window: int = 0):
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0):
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)
         if (
             q.shape[1] == 1
             and window == 0
+            and scale == 0.0
+            and softcap == 0.0
             and _kvmod._resolve_attention_backend() == "pallas"
         ):
             # Decode: the scalar-prefetch kernel walks the page table —
@@ -161,7 +164,10 @@ class PagedInt8KVCache:
             )
             return out, new
         kq, ks, vq, vs = new._gather_window()
-        out = int8_kv_attention_xla(q, kq, ks, vq, vs, self.lengths, window=window)
+        out = int8_kv_attention_xla(
+            q, kq, ks, vq, vs, self.lengths, window=window, scale=scale,
+            softcap=softcap,
+        )
         return out, new
 
     # -- host-side table management ---------------------------------------

@@ -57,6 +57,16 @@ def import_hf_llama(
                 for proj in _PROJS_ATTN
             },
         }
+        if cfg.sandwich_norms:
+            # Gemma-2: post_attention_layernorm already mapped above (it
+            # normalizes the attention OUTPUT there); add the pre/post-FFN
+            # pair.
+            for nm in ("pre_feedforward_layernorm", "post_feedforward_layernorm"):
+                layer[nm] = {
+                    "weight": jnp.asarray(
+                        np.asarray(sd[f"{pre}.{nm}.weight"], np.float32)
+                    )
+                }
         if cfg.attention_bias:
             # Qwen2 family: q/k/v carry biases (o_proj does not).
             for proj in ("q_proj", "k_proj", "v_proj"):

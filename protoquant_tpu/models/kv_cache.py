@@ -79,13 +79,14 @@ class BF16KVCache(_DenseSlotViews):
     def max_seq(self):
         return self.k.shape[1]
 
-    def update_and_attend(self, q, k, v, advance=None, window: int = 0):
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0):
         """q: [B,T,H,Dh]; k/v: [B,T,KV,Dh] (post-RoPE). Returns (out, cache).
 
         ``advance`` [B] overrides how far each slot's length moves (defaults
         to T); the engine uses it for padded prefill and inactive slots.
-        ``window`` > 0 applies sliding-window masking (ModelConfig.
-        sliding_window).
+        ``window`` > 0 applies sliding-window masking; ``scale``/``softcap``
+        override score scaling / apply Gemma-2 logit capping.
         """
         B, T = k.shape[:2]
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
@@ -98,7 +99,10 @@ class BF16KVCache(_DenseSlotViews):
         key_pos = jnp.broadcast_to(jnp.arange(self.max_seq)[None, :], (B, self.max_seq))
         from .llama import mha_attention  # local import to avoid cycle
 
-        out = mha_attention(q, k_all, v_all, q_pos, key_pos, window=window)
+        out = mha_attention(
+            q, k_all, v_all, q_pos, key_pos, window=window, scale=scale,
+            softcap=softcap,
+        )
         return out, new
 
     def reset_slot(self, slot: jnp.ndarray):
@@ -201,22 +205,26 @@ class Int8KVCache(_DenseSlotViews):
     # Pallas flash kernel on TPU — 2.3x the XLA formulation at decode —
     # XLA off-TPU). Module-level so jitted model code picks it up at trace
     # time.
-    def update_and_attend(self, q, k, v, advance=None, window: int = 0):
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0):
         new = self.update(k, v, advance)
-        # Sliding-window masking lives in the XLA formulation; the Pallas
-        # flash kernel is full-causal only (a windowed variant would also
-        # want block skipping to realize the compute win — future work).
-        attend = (
-            int8_kv_attention
-            if window == 0 and _resolve_attention_backend() == "pallas"
-            else int8_kv_attention_xla
+        # Sliding-window / custom scaling / logit capping live in the XLA
+        # formulation; the Pallas flash kernel is full-causal head_dim^-0.5
+        # only (a windowed variant would also want block skipping to realize
+        # the compute win — future work).
+        use_pallas = (
+            window == 0 and scale == 0.0 and softcap == 0.0
+            and _resolve_attention_backend() == "pallas"
         )
-        if attend is int8_kv_attention_xla:
-            out = attend(
-                q, new.kq, new.ks, new.vq, new.vs, self.lengths, window=window
+        if use_pallas:
+            out = int8_kv_attention(
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths
             )
         else:
-            out = attend(q, new.kq, new.ks, new.vq, new.vs, self.lengths)
+            out = int8_kv_attention_xla(
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths,
+                window=window, scale=scale, softcap=softcap,
+            )
         return out, new
 
     def reset_slot(self, slot: jnp.ndarray):

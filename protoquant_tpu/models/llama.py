@@ -148,6 +148,7 @@ class Attention(nn.Module):
     cfg: ModelConfig
     mode: str
     dtype: Any = jnp.bfloat16
+    layer_idx: int = 0  # alternating sliding window (Gemma-2) keys off this
     tp: int = 1  # tensor-parallel degree: heads are sharded tp-ways
     tp_axis: Any = None  # mesh axis name (inside shard_map) for collectives
     fused: bool = False  # single fused QKV / gate-up matmuls (tp=1 only)
@@ -233,11 +234,25 @@ class Attention(nn.Module):
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
+        # Per-layer attention variants: Gemma-2 applies the sliding window
+        # on even layers only, scales scores by query_pre_attn_scalar^-0.5,
+        # and soft-caps the logits. Any of these routes the int8 attends to
+        # the XLA formulation (the Pallas kernels are full-causal default-
+        # scaled only — see Int8KVCache.update_and_attend).
+        win = cfg.sliding_window
+        if cfg.alternating_sliding_window and self.layer_idx % 2 == 1:
+            win = 0
+        scale = (
+            cfg.query_pre_attn_scalar**-0.5
+            if cfg.query_pre_attn_scalar > 0.0
+            else 0.0
+        )
+        softcap = cfg.attn_logit_softcap
         if cache is not None:
             # Cache classes own update + masking + (for int8) the Pallas
             # in-kernel-dequant attention.
             out, new_cache = cache.update_and_attend(
-                q, k, v, advance, window=cfg.sliding_window
+                q, k, v, advance, window=win, scale=scale, softcap=softcap
             )
         elif self.cp_axis is not None:
             # Context parallelism: tokens (and their q/k/v) are seq-sharded;
@@ -245,13 +260,16 @@ class Attention(nn.Module):
             # online-softmax partials (parallel/context.py).
             from ..parallel.context import ring_attention
 
-            assert cfg.sliding_window == 0, "CP + sliding window unsupported"
+            assert win == 0 and softcap == 0.0 and scale == 0.0, (
+                "CP + sliding window / softcap / custom scaling unsupported"
+            )
             new_cache = None
             out = ring_attention(q, k, v, positions, self.cp_axis, self.cp)
         else:
             new_cache = None
             out = mha_attention(
-                q, k, v, positions, positions, window=cfg.sliding_window
+                q, k, v, positions, positions, window=win, scale=scale,
+                softcap=softcap,
             )
 
         out = out.reshape(B, T, H * Dh)
@@ -276,7 +294,8 @@ class Attention(nn.Module):
         return o, new_cache
 
 
-def mha_attention(q, k, v, q_positions, k_positions, window: int = 0):
+def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
+                  scale: float = 0.0, softcap: float = 0.0):
     """Grouped-query attention with absolute-position causal masking.
 
     q: [B, T, H, Dh]; k/v: [B, S, KV, Dh]; q_positions [B, T];
@@ -284,6 +303,9 @@ def mha_attention(q, k, v, q_positions, k_positions, window: int = 0):
     hides unwritten cache slots (their k_pos exceeds every live query).
     ``window`` > 0 adds Mistral-style sliding-window masking: a query also
     ignores keys more than window-1 positions behind it.
+    ``scale`` overrides the head_dim^-0.5 score scaling (Gemma-2's
+    query_pre_attn_scalar^-0.5); ``softcap`` > 0 applies Gemma-2's pre-mask
+    logit soft-capping cap*tanh(s/cap).
     """
     B, T, H, Dh = q.shape
     KV = k.shape[2]
@@ -292,7 +314,10 @@ def mha_attention(q, k, v, q_positions, k_positions, window: int = 0):
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
 
-    scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) / jnp.sqrt(Dh)
+    sm = scale if scale > 0.0 else Dh**-0.5
+    scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) * sm
+    if softcap > 0.0:
+        scores = softcap * jnp.tanh(scores / softcap)
     mask = k_positions[:, None, None, None, :] <= q_positions[:, None, None, :, None]
     if window > 0:
         mask &= (
@@ -405,6 +430,7 @@ class DecoderLayer(nn.Module):
     cfg: ModelConfig
     mode: str
     dtype: Any = jnp.bfloat16
+    layer_idx: int = 0
     tp: int = 1
     tp_axis: Any = None
     fused: bool = False
@@ -446,14 +472,16 @@ class DecoderLayer(nn.Module):
             xq, sx = preq
             return (xq.astype(jnp.float32) * sx[..., None]).astype(self.dtype)
 
-        if fq:
+        sandwich = self.cfg.sandwich_norms
+        if fq and not sandwich:
             attn_preq = norm("input_layernorm", True)(x)
             attn_in = deq(attn_preq)  # stub; DCE'd (projections use the preq)
         else:
             attn_preq = None
             attn_in = norm("input_layernorm", False)(x)
         h, new_cache = Attention(
-            self.cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
+            self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
+            self.tp_axis, self.fused,
             self.sp, self.cp, self.cp_axis, self.int4_group,
             int4_storage=self.int4_storage,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
@@ -461,8 +489,14 @@ class DecoderLayer(nn.Module):
             collective=self.collective, name="self_attn"
         )(attn_in, positions, cache, advance, preq=attn_preq,
           adapter_ids=adapter_ids)
+        if sandwich:
+            # Gemma-2: normalize the attention OUTPUT before the residual.
+            h = norm("post_attention_layernorm", False)(h)
         x = x + h
-        if fq and not self.cfg.is_moe:
+        if sandwich:
+            mlp_preq = None
+            normed = norm("pre_feedforward_layernorm", False)(x)
+        elif fq and not self.cfg.is_moe:
             mlp_preq = norm("post_attention_layernorm", True)(x)
             normed = deq(mlp_preq)
         else:
@@ -488,6 +522,8 @@ class DecoderLayer(nn.Module):
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective, name="mlp",
             )(normed, preq=mlp_preq, adapter_ids=adapter_ids)
+        if sandwich:
+            h = norm("post_feedforward_layernorm", False)(h)
         return x + h, new_cache
 
 
@@ -564,8 +600,8 @@ class LlamaModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             cache_i = caches[i] if caches is not None else None
             x, nc = DecoderLayer(
-                cfg, self.mode, self.dtype, self.tp, self.tp_axis, self.fused,
-                self.sp, self.cp, self.cp_axis, self.int4_group,
+                cfg, self.mode, self.dtype, i, self.tp, self.tp_axis,
+                self.fused, self.sp, self.cp, self.cp_axis, self.int4_group,
                 int4_storage=self.int4_storage,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,

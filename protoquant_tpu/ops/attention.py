@@ -227,7 +227,8 @@ def int8_kv_attention(
     return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(B, T, H, Dh)
 
 
-def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0):
+def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -248,7 +249,8 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0):
     # bf16 lanes are exact for int8 values; XLA:CPU's dot thunk can't run
     # bf16 x bf16 batched dots, so fall back to f32 lanes off-TPU.
     lane = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    qh = (q.astype(jnp.float32) * (Dh**-0.5)).reshape(B, T, KV, group, Dh)
+    sm = scale if scale > 0.0 else Dh**-0.5
+    qh = (q.astype(jnp.float32) * sm).reshape(B, T, KV, group, Dh)
     scores = jnp.einsum(
         "btkgd,bksd->bkgts",
         qh.astype(lane),
@@ -256,6 +258,10 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0):
         preferred_element_type=jnp.float32,
     )
     scores = scores * ks[:, :, None, None, :]
+    if softcap > 0.0:
+        # Gemma-2 attention-logit soft-capping (pre-mask; masked slots go to
+        # NEG_INF after, so the cap never resurrects them).
+        scores = softcap * jnp.tanh(scores / softcap)
     s_pos = jnp.arange(kq.shape[2])
     t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
     mask = s_pos[None, None, None, None, :] <= t_pos[:, None, None, :, None]

@@ -73,6 +73,16 @@ class ModelConfig:
     # Mistral-family sliding-window attention: each query attends to at most
     # the last `sliding_window` positions. 0 = full causal attention.
     sliding_window: int = 0
+    # Gemma-2: the window applies only on even layers (odd layers full).
+    alternating_sliding_window: bool = False
+    # Gemma-2: attention scores scaled by query_pre_attn_scalar^-0.5 instead
+    # of head_dim^-0.5 (0 = default head_dim scaling).
+    query_pre_attn_scalar: float = 0.0
+    # Gemma-2: attention-logit soft-capping cap*tanh(s/cap) pre-mask (0=off).
+    attn_logit_softcap: float = 0.0
+    # Gemma-2 sandwich norms: post-attention norm on the attention OUTPUT,
+    # plus pre/post-feedforward norms around the MLP.
+    sandwich_norms: bool = False
     # RoPE scaling ("" = none): "llama3" (Llama-3.1+ NTK-by-parts) or
     # "linear" (position-interpolation: inv_freq / factor).
     rope_scaling_type: str = ""
@@ -184,6 +194,30 @@ class ModelConfig:
             rmsnorm_unit_offset=True,
             scale_embeddings=True,
             head_dim_override=256,
+        )
+
+    @classmethod
+    def gemma2_9b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=256000,
+            hidden_size=3584,
+            intermediate_size=14336,
+            num_hidden_layers=42,
+            num_attention_heads=16,
+            num_key_value_heads=8,
+            max_position_embeddings=8192,
+            rms_norm_eps=1e-6,
+            tie_word_embeddings=True,
+            hidden_act="gelu_tanh",
+            rmsnorm_unit_offset=True,
+            scale_embeddings=True,
+            head_dim_override=256,
+            sliding_window=4096,
+            alternating_sliding_window=True,
+            query_pre_attn_scalar=256.0,
+            attn_logit_softcap=50.0,
+            final_logit_softcap=30.0,
+            sandwich_norms=True,
         )
 
     @classmethod

@@ -223,3 +223,38 @@ def test_llama_linear_rope_scaling_parity():
     ours = _logits_ours(cfg, _state_dict_np(hf), toks)
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_gemma2_parity():
+    """Gemma-2 = sandwich norms (post-attn + pre/post-FFN, all (1+w)) +
+    attention-logit soft-capping + query_pre_attn_scalar score scaling +
+    alternating sliding window + final-logit soft-capping. T=12 > window=4
+    so the even layers' window bites."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    hf_cfg = Gemma2Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_act="gelu_pytorch_tanh",
+        query_pre_attn_scalar=16.0, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=4,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(6)
+    hf = Gemma2ForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        tie_word_embeddings=True, hidden_act="gelu_tanh",
+        rmsnorm_unit_offset=True, scale_embeddings=True, head_dim_override=32,
+        query_pre_attn_scalar=16.0, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, sliding_window=4,
+        alternating_sliding_window=True, sandwich_norms=True,
+    )
+    toks = _tokens(64, seed=6)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
