@@ -211,6 +211,34 @@ class Engine:
                 from .prefix_cache import PrefixCache
 
                 self.prefix = PrefixCache(self.allocator)
+        elif kv_layout == "ring":
+            # Ring-buffer sliding-window cache: O(window) device memory per
+            # slot instead of O(max_seq) — the memory story for Mistral-class
+            # windowed models at long max context (models/kv_cache.py::
+            # RingInt8KVCache; exact vs the dense windowed cache).
+            from ..models.kv_cache import RingInt8KVCache
+
+            mcfg = model.cfg
+            if mcfg.sliding_window <= 0:
+                raise ValueError("kv_layout='ring' needs cfg.sliding_window>0")
+            if mcfg.alternating_sliding_window:
+                raise NotImplementedError(
+                    "ring layout with alternating windows (Gemma-2): odd "
+                    "layers attend full-context and need a dense cache"
+                )
+            if kv_dtype != jnp.int8:
+                raise ValueError("ring layout is int8-only")
+            if mesh is not None:
+                raise NotImplementedError("ring layout + mesh serving")
+            max_chunk = max(self.cfg.prefill_chunk, gamma + 1)
+            kv_heads = mcfg.num_key_value_heads // model.tp
+            self.caches = [
+                RingInt8KVCache.init(
+                    B, mcfg.sliding_window, max_chunk, kv_heads, mcfg.head_dim
+                )
+                for _ in range(mcfg.num_hidden_layers)
+            ]
+            self.allocator = None
         else:
             self.caches = init_cache(
                 model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype,

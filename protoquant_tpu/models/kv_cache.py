@@ -230,3 +230,101 @@ class Int8KVCache(_DenseSlotViews):
     def reset_slot(self, slot: jnp.ndarray):
         """Zero one slot's length (the payload is masked by length anyway)."""
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "ks", "vq", "vs", "lengths"],
+    meta_fields=["window"],
+)
+@dataclasses.dataclass(frozen=True)
+class RingInt8KVCache(_DenseSlotViews):
+    """Ring-buffer INT8 KV cache for sliding-window models (Mistral/Gemma-2):
+    device memory is O(window), not O(max_seq) — an 8x saving for
+    Mistral-7B's 4096 window at 32k max context.
+
+    Layout matches Int8KVCache but the S axis is a ring of capacity
+    C >= window + max_chunk - 1: position p lives in column p % C, so a
+    T-token update never overwrites a column any of its own queries still
+    needs (the oldest position query t needs is lengths+t-window+1; the ring
+    holds the last C positions). Attention reconstructs per-column absolute
+    positions from the post-update length L: column c holds
+    p_c = (L-1) - ((L-1-c) mod C), negative for never-written columns —
+    and masks on them (ops/attention.py k_positions), so results are
+    EXACTLY the dense sliding-window cache's.
+    """
+
+    kq: jnp.ndarray
+    ks: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+    lengths: jnp.ndarray
+    window: int
+
+    @classmethod
+    def init(cls, batch, window, max_chunk, kv_heads, head_dim):
+        """Capacity = window + max_chunk rounded up to a multiple of 32
+        (sublane-friendly; also keeps every in-chunk query's full window
+        resident — see class docstring)."""
+        cap = -(-(window + max_chunk) // 32) * 32
+        return cls(
+            kq=jnp.zeros((batch, kv_heads, cap, head_dim), jnp.int8),
+            ks=jnp.full((batch, kv_heads, cap), SCALE_EPS, jnp.float32),
+            vq=jnp.zeros((batch, kv_heads, cap, head_dim), jnp.int8),
+            vs=jnp.full((batch, kv_heads, cap), SCALE_EPS, jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+            window=window,
+        )
+
+    @property
+    def capacity(self):
+        return self.kq.shape[2]
+
+    @property
+    def max_seq(self):
+        # Rings impose no position limit; the engine bounds total length
+        # via max_seq_len / max_position_embeddings.
+        return 1 << 30
+
+    def update(self, k, v, advance=None):
+        B, T = k.shape[:2]
+        C = self.capacity
+        if T > C - self.window:
+            raise ValueError(
+                f"chunk {T} exceeds ring slack {C - self.window} "
+                "(init with max_chunk >= prefill chunk)"
+            )
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+        k8, ks_new = quantize_kv(k)
+        v8, vs_new = quantize_kv(v)
+        b_idx = jnp.arange(B)[:, None]
+        s_idx = (self.lengths[:, None] + jnp.arange(T)[None, :]) % C
+        kq = self.kq.at[b_idx, :, s_idx].set(k8)
+        vq = self.vq.at[b_idx, :, s_idx].set(v8)
+        ks = self.ks.at[b_idx, :, s_idx].set(ks_new)
+        vs = self.vs.at[b_idx, :, s_idx].set(vs_new)
+        return RingInt8KVCache(
+            kq=kq, ks=ks, vq=vq, vs=vs, lengths=self.lengths + adv,
+            window=self.window,
+        )
+
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0):
+        T = q.shape[1]
+        new = self.update(k, v, advance)
+        C = self.capacity
+        # Per-column absolute positions from the post-write frontier
+        # L = lengths + T (pad tokens past `advance` sit beyond every real
+        # query's mask, same as the dense caches).
+        L = (self.lengths + T)[:, None]  # [B, 1]
+        c = jnp.arange(C)[None, :]
+        k_pos = (L - 1) - ((L - 1 - c) % C)  # negative => never written
+        win = window if window > 0 else self.window
+        out = int8_kv_attention_xla(
+            q, new.kq, new.ks, new.vq, new.vs, self.lengths,
+            window=win, scale=scale, softcap=softcap, k_positions=k_pos,
+        )
+        return out, new
+
+    def reset_slot(self, slot: jnp.ndarray):
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))

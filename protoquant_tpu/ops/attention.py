@@ -228,7 +228,8 @@ def int8_kv_attention(
 
 
 def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
-                          scale: float = 0.0, softcap: float = 0.0):
+                          scale: float = 0.0, softcap: float = 0.0,
+                          k_positions=None):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -262,13 +263,20 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
         # Gemma-2 attention-logit soft-capping (pre-mask; masked slots go to
         # NEG_INF after, so the cap never resurrects them).
         scores = softcap * jnp.tanh(scores / softcap)
-    s_pos = jnp.arange(kq.shape[2])
     t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
-    mask = s_pos[None, None, None, None, :] <= t_pos[:, None, None, :, None]
+    if k_positions is None:
+        # Contiguous cache: column c holds absolute position c.
+        s_pos = jnp.broadcast_to(jnp.arange(kq.shape[2])[None, :], (B, kq.shape[2]))
+    else:
+        # Ring cache: the caller reconstructs per-column absolute positions
+        # (negative = never written).
+        s_pos = k_positions
+    mask = s_pos[:, None, None, None, :] <= t_pos[:, None, None, :, None]
+    mask &= s_pos[:, None, None, None, :] >= 0
     if window > 0:
         # Sliding-window (Mistral): keys more than window-1 behind are out.
         mask &= (
-            s_pos[None, None, None, None, :]
+            s_pos[:, None, None, None, :]
             > t_pos[:, None, None, :, None] - window
         )
     scores = jnp.where(mask, scores, NEG_INF)
