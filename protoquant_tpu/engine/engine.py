@@ -46,6 +46,11 @@ class Request:
     on_token: "object" = None  # optional callback(rid, token) for streaming
     prefill_off: int = 0  # tokens of the prompt already prefetched into KV
     adapter_id: int = 0  # multi-LoRA stack index (0 = base model)
+    # Per-request sampling overrides (None = engine-config default).
+    temperature: "float | None" = None
+    top_k: "int | None" = None
+    top_p: "float | None" = None
+    min_p: "float | None" = None
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
@@ -62,8 +67,7 @@ def _bucket(n: int, chunk: int, lo: int = 16) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("model", "temperature", "top_k", "top_p", "min_p",
-                     "penalty"),
+    static_argnames=("model", "penalty"),
     donate_argnums=(2,),
 )
 def _decode_step(
@@ -73,15 +77,12 @@ def _decode_step(
     last_tokens,  # [B] int32
     active,  # [B] bool
     key,
-    temperature: float = 0.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
-    min_p: float = 0.0,
+    samp,  # dict of [B] arrays: temps/top_ks/top_ps/min_ps (per-request)
     penalty: float = 1.0,
     counts=None,  # [B, V] int32 occurrence counts (repetition penalty)
     adapter_ids=None,  # [B] int32 multi-LoRA selection
 ):
-    from .sampling import token_logprob
+    from .sampling import sample_batched, token_logprob
 
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
@@ -91,8 +92,9 @@ def _decode_step(
         adapter_ids=adapter_ids,
     )
     last = logits[:, -1]
-    next_tokens = sample(
-        last, key, temperature, top_k, top_p, min_p, counts, penalty
+    next_tokens = sample_batched(
+        last, key, samp["temps"], samp["top_ks"], samp["top_ps"],
+        samp["min_ps"], counts, penalty,
     )
     logprobs = token_logprob(last, next_tokens)
     if counts is not None:
@@ -290,6 +292,15 @@ class Engine:
             self.adapter_ids = jnp.zeros((B,), jnp.int32)
         else:
             self.adapter_ids = None
+        # Per-slot sampling params (per-request overrides land here at
+        # admission; one decode program serves every config — traced [B]
+        # arrays, not static floats).
+        self.samp = {
+            "temps": jnp.full((B,), self.cfg.temperature, jnp.float32),
+            "top_ks": jnp.full((B,), self.cfg.top_k, jnp.int32),
+            "top_ps": jnp.full((B,), self.cfg.top_p, jnp.float32),
+            "min_ps": jnp.full((B,), self.cfg.min_p, jnp.float32),
+        }
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
@@ -322,6 +333,10 @@ class Engine:
         eos_id: int | None = None,
         on_token=None,
         adapter_id: int = 0,
+        temperature: "float | None" = None,
+        top_k: "int | None" = None,
+        top_p: "float | None" = None,
+        min_p: "float | None" = None,
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens."""
@@ -343,7 +358,16 @@ class Engine:
             eos_id=eos_id,
             on_token=on_token,
             adapter_id=adapter_id,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            min_p=min_p,
         )
+        if temperature not in (None, 0.0) and (
+            self.draft_model is not None or self.prompt_lookup
+        ):
+            raise ValueError("speculative modes are greedy-only "
+                             "(per-request temperature must be 0)")
         if adapter_id and self.adapter_ids is None:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
@@ -449,6 +473,18 @@ class Engine:
                 self.adapter_ids = self.adapter_ids.at[slot].set(
                     req.adapter_id
                 )
+            c = self.cfg
+            eff = (
+                ("temps", req.temperature, c.temperature, jnp.float32),
+                ("top_ks", req.top_k, c.top_k, jnp.int32),
+                ("top_ps", req.top_p, c.top_p, jnp.float32),
+                ("min_ps", req.min_p, c.min_p, jnp.float32),
+            )
+            for name, override, default, dt in eff:
+                v = default if override is None else override
+                self.samp[name] = self.samp[name].at[slot].set(
+                    jnp.asarray(v, dt)
+                )
             if self.token_counts is not None:
                 import numpy as _np
 
@@ -526,14 +562,16 @@ class Engine:
                 if self.token_counts is not None
                 else None
             )
+            from .sampling import sample_batched
+
             first_tok = int(
-                sample(
+                sample_batched(
                     req.last_logits[None, :],
                     sub,
-                    self.cfg.temperature,
-                    self.cfg.top_k,
-                    self.cfg.top_p,
-                    self.cfg.min_p,
+                    self.samp["temps"][req.slot][None],
+                    self.samp["top_ks"][req.slot][None],
+                    self.samp["top_ps"][req.slot][None],
+                    self.samp["min_ps"][req.slot][None],
                     counts_row,
                     self.cfg.repetition_penalty,
                 )[0]
@@ -667,10 +705,7 @@ class Engine:
             self.last_tokens,
             active,
             sub,
-            temperature=self.cfg.temperature,
-            top_k=self.cfg.top_k,
-            top_p=self.cfg.top_p,
-            min_p=self.cfg.min_p,
+            self.samp,
             penalty=self.cfg.repetition_penalty,
             counts=self.token_counts,
             adapter_ids=self.adapter_ids,
@@ -998,31 +1033,25 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         return extend(params, caches, tokens, true_len, slot)
 
     def decode(
-        params, caches, last_tokens, active, key,
-        temperature=0.0, top_k=0, top_p=1.0, min_p=0.0,
+        params, caches, last_tokens, active, key, samp,
         penalty=1.0, counts=None, adapter_ids=None,
     ):
         # penalty/counts/multi-LoRA are guarded at Engine init under a mesh.
         assert penalty == 1.0 and counts is None and adapter_ids is None
         pspecs, cspecs = _specs(params, caches)
-        # One compiled program per sampling config, resolved per call — a
-        # changed EngineConfig.temperature takes effect on the next step
-        # instead of being baked in at first trace.
-        cache_key = (
-            "decode", float(temperature), int(top_k), float(top_p),
-            float(min_p),
-        )
-        if cache_key not in state:
+        if "decode" not in state:
+            samp_spec = {k: batch_spec for k in samp}
 
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P()),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
+                          samp_spec),
                 out_specs=((batch_spec, batch_spec), cspecs),
                 check_vma=False,
             )
-            def _decode(params, caches, last_tokens, active, key):
-                from .sampling import token_logprob
+            def _decode(params, caches, last_tokens, active, key, samp):
+                from .sampling import sample_batched, token_logprob
 
                 max_pos = model.cfg.max_position_embeddings - 1
                 positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
@@ -1035,15 +1064,16 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     key_r = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
                 else:
                     key_r = key
-                next_tokens = sample(
-                    logits[:, -1], key_r, temperature, top_k, top_p, min_p
+                next_tokens = sample_batched(
+                    logits[:, -1], key_r, samp["temps"], samp["top_ks"],
+                    samp["top_ps"], samp["min_ps"],
                 )
                 logprobs = token_logprob(logits[:, -1], next_tokens)
                 return (next_tokens, logprobs), caches
 
-            state[cache_key] = jax.jit(_decode, donate_argnums=(1,))
-        (next_tokens, logprobs), caches = state[cache_key](
-            params, caches, last_tokens, active, key
+            state["decode"] = jax.jit(_decode, donate_argnums=(1,))
+        (next_tokens, logprobs), caches = state["decode"](
+            params, caches, last_tokens, active, key, samp
         )
         return next_tokens, logprobs, None, caches
 

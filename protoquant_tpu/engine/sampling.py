@@ -24,6 +24,48 @@ def apply_repetition_penalty(logits, counts, penalty: float):
     )
 
 
+def sample_batched(
+    logits: jnp.ndarray,  # [B, V] f32
+    key: jax.Array,
+    temps: jnp.ndarray,  # [B] f32 (0 => greedy for that row)
+    top_ks: jnp.ndarray,  # [B] int32 (0 => no top-k)
+    top_ps: jnp.ndarray,  # [B] f32 (1.0 => no nucleus truncation)
+    min_ps: jnp.ndarray,  # [B] f32 (0.0 => no min-p truncation)
+    counts: jnp.ndarray | None = None,  # [B, V] int32 (repetition penalty)
+    penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Per-row sampling: every request in the batch can carry its own
+    temperature/top-k/top-p/min-p, all traced — ONE compiled program serves
+    heterogeneous sampling configs (and config changes never recompile).
+    Greedy rows (temp == 0) take the post-penalty argmax exactly."""
+    B, V = logits.shape
+    logits = apply_repetition_penalty(logits, counts, penalty)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    scaled = logits / t
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    # top-k: per-row k-th largest logit is the cutoff (k=0 -> keep all).
+    k_eff = jnp.where(top_ks > 0, jnp.clip(top_ks, 1, V), V).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
+    scaled = jnp.where(scaled < kth, -1e30, scaled)
+    # top-p nucleus: exclusive-cumsum mass threshold (top token survives).
+    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1) - probs_sorted
+    keep = cum < top_ps[:, None]
+    cutoff = jnp.min(
+        jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+    )
+    scaled = jnp.where(scaled < cutoff, -1e30, scaled)
+    # min-p: keep tokens with prob >= min_p x the top token's.
+    probs = jax.nn.softmax(scaled, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    scaled = jnp.where(probs < min_ps[:, None] * pmax, -1e30, scaled)
+
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temps == 0.0, greedy, sampled)
+
+
 @partial(
     jax.jit,
     static_argnames=("temperature", "top_k", "top_p", "min_p", "penalty"),
@@ -38,35 +80,24 @@ def sample(
     counts: jnp.ndarray | None = None,  # [B, V] int32 (repetition penalty)
     penalty: float = 1.0,
 ) -> jnp.ndarray:
-    """Returns next-token ids [B] int32. temperature == 0 -> greedy
-    (repetition penalty still applies — it reshapes the argmax too)."""
-    logits = apply_repetition_penalty(logits, counts, penalty)
+    """Uniform-config convenience over sample_batched. temperature == 0 ->
+    greedy (repetition penalty still applies — it reshapes the argmax too);
+    the pure-greedy case skips the sort/softmax machinery entirely."""
     if temperature == 0.0:
+        logits = apply_repetition_penalty(logits, counts, penalty)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
-    if top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-        logits = jnp.where(logits < kth, -1e30, logits)
-    if top_p < 1.0:
-        # Nucleus: keep the smallest prefix of the sorted distribution whose
-        # mass reaches top_p. The exclusive cumsum keeps every token whose
-        # preceding mass is < top_p, so the top token always survives.
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1) - probs
-        keep = cum < top_p
-        # Smallest kept logit per row is the cutoff back in original order.
-        cutoff = jnp.min(
-            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
-        )
-        logits = jnp.where(logits < cutoff, -1e30, logits)
-    if min_p > 0.0:
-        # min-p: keep tokens whose probability is at least min_p x the top
-        # token's (scale-adaptive truncation; the top token always survives).
-        probs = jax.nn.softmax(logits, axis=-1)
-        pmax = jnp.max(probs, axis=-1, keepdims=True)
-        logits = jnp.where(probs < min_p * pmax, -1e30, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    B = logits.shape[0]
+    full = lambda v, dt: jnp.full((B,), v, dt)
+    return sample_batched(
+        logits,
+        key,
+        full(temperature, jnp.float32),
+        full(top_k, jnp.int32),
+        full(top_p, jnp.float32),
+        full(min_p, jnp.float32),
+        counts,
+        penalty,
+    )
 
 
 def token_logprob(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:

@@ -69,10 +69,21 @@ class EngineServer:
                     tokens = [int(t) for t in req["tokens"]]
                     max_new = int(req.get("max_new_tokens", 32))
                     eos_id = req.get("eos_id")
+                    samp = {
+                        k: (None if req.get(k) is None else cast(req[k]))
+                        for k, cast in (
+                            ("temperature", float), ("top_k", int),
+                            ("top_p", float), ("min_p", float),
+                        )
+                    }
+                    adapter_id = int(req.get("adapter_id", 0))
                 except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 try:
-                    rid = outer.submit(tokens, max_new, eos_id)
+                    rid = outer.submit(
+                        tokens, max_new, eos_id,
+                        adapter_id=adapter_id, **samp,
+                    )
                 except ValueError as e:  # engine-side validation (length etc.)
                     return self._json(400, {"error": str(e)})
                 out = outer.wait(rid, timeout=float(req.get("timeout_s", 300)))
@@ -98,9 +109,11 @@ class EngineServer:
 
     # -- engine-side -------------------------------------------------------
 
-    def submit(self, tokens, max_new, eos_id=None) -> int:
+    def submit(self, tokens, max_new, eos_id=None, **request_kwargs) -> int:
         with self._lock:
-            rid = self.engine.add_request(tokens, max_new, eos_id=eos_id)
+            rid = self.engine.add_request(
+                tokens, max_new, eos_id=eos_id, **request_kwargs
+            )
             self._events[rid] = threading.Event()
         return rid
 

@@ -741,3 +741,32 @@ def test_engine_sampling_guards(model_and_params):
                          return_logprobs=True),
             kv_dtype=jnp.float32, draft_model=model, draft_params=params,
         )
+
+
+def test_engine_per_request_sampling(model_and_params):
+    """Requests with different sampling configs share ONE batched decode:
+    a greedy request in the batch stays exactly greedy while a sampled
+    request (temp>0) runs beside it; per-request top_k=1 is greedy too."""
+    model, params = model_and_params
+    prompts = _prompts(3, seed=31)
+
+    plain = _engine(model, params, kv_dtype=jnp.float32)
+    g_rids = [plain.add_request(p, 8) for p in prompts]
+    g_outs = plain.run()
+
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=8, temperature=0.9, top_p=0.8),
+        kv_dtype=jnp.float32,
+    )
+    rids = [
+        eng.add_request(prompts[0], 8, temperature=0.0),  # greedy override
+        eng.add_request(prompts[1], 8),  # engine default: sampled
+        eng.add_request(prompts[2], 8, top_k=1, temperature=0.7),  # = greedy
+    ]
+    outs = eng.run()
+    assert outs[rids[0]] == g_outs[g_rids[0]]
+    assert outs[rids[2]] == g_outs[g_rids[2]]
+    # All finite/vocab-valid for the sampled one.
+    assert all(0 <= t < CFG.vocab_size for t in outs[rids[1]])
