@@ -117,6 +117,10 @@ def cmd_generate(args):
         max_seq_len=args.max_seq,
         max_new_tokens=args.max_new,
         temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        min_p=args.min_p,
+        repetition_penalty=args.repetition_penalty,
     )
     eng = Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
     prompt = [int(t) for t in args.prompt_tokens.split(",")]
@@ -151,6 +155,10 @@ def _load_engine(args):
         max_batch_size=args.batch,
         max_seq_len=args.max_seq,
         temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        min_p=args.min_p,
+        repetition_penalty=args.repetition_penalty,
     )
     return Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
 
@@ -212,6 +220,10 @@ def main(argv=None):
     g.add_argument("--max-seq", type=int, default=2048)
     g.add_argument("--batch", type=int, default=1)
     g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--min-p", type=float, default=0.0)
+    g.add_argument("--repetition-penalty", type=float, default=1.0)
     g.add_argument("--int8-kv", action="store_true", default=True)
     g.set_defaults(fn=cmd_generate)
 
@@ -222,6 +234,10 @@ def main(argv=None):
     sv.add_argument("--batch", type=int, default=8)
     sv.add_argument("--max-seq", type=int, default=2048)
     sv.add_argument("--temperature", type=float, default=0.0)
+    sv.add_argument("--top-k", type=int, default=0)
+    sv.add_argument("--top-p", type=float, default=1.0)
+    sv.add_argument("--min-p", type=float, default=0.0)
+    sv.add_argument("--repetition-penalty", type=float, default=1.0)
     sv.add_argument("--int8-kv", action="store_true", default=True)
     sv.set_defaults(fn=cmd_serve)
 

@@ -46,6 +46,9 @@ class Request:
     on_token: "object" = None  # optional callback(rid, token) for streaming
     prefill_off: int = 0  # tokens of the prompt already prefetched into KV
     adapter_id: int = 0  # multi-LoRA stack index (0 = base model)
+    # Stop sequences: token-id lists; generation retires when the output's
+    # suffix matches any of them (multi-token analogue of eos_id).
+    stop_sequences: list = dataclasses.field(default_factory=list)
     # Per-request sampling overrides (None = engine-config default).
     temperature: "float | None" = None
     top_k: "int | None" = None
@@ -333,6 +336,7 @@ class Engine:
         eos_id: int | None = None,
         on_token=None,
         adapter_id: int = 0,
+        stop_sequences=None,  # list of token-id lists (suffix match retires)
         temperature: "float | None" = None,
         top_k: "int | None" = None,
         top_p: "float | None" = None,
@@ -358,6 +362,9 @@ class Engine:
             eos_id=eos_id,
             on_token=on_token,
             adapter_id=adapter_id,
+            stop_sequences=[
+                [int(t) for t in seq] for seq in (stop_sequences or [])
+            ],
             temperature=temperature,
             top_k=top_k,
             top_p=top_p,
@@ -608,9 +615,14 @@ class Engine:
         tok = req.out[-1] if req.out else None
         total_len = len(req.prompt) + len(req.out)
         eos = req.eos_id if req.eos_id is not None else self.eos_id
+        stopped = any(
+            len(req.out) >= len(seq) and req.out[-len(seq):] == seq
+            for seq in req.stop_sequences
+        )
         if (
             len(req.out) >= req.max_new_tokens
             or (eos is not None and tok == eos)
+            or stopped
             or total_len >= self.cfg.max_seq_len
         ):
             self._retire_slot(slot)

@@ -77,12 +77,17 @@ class EngineServer:
                         )
                     }
                     adapter_id = int(req.get("adapter_id", 0))
+                    stop_sequences = [
+                        [int(t) for t in seq]
+                        for seq in (req.get("stop_sequences") or [])
+                    ]
                 except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 try:
                     rid = outer.submit(
                         tokens, max_new, eos_id,
-                        adapter_id=adapter_id, **samp,
+                        adapter_id=adapter_id,
+                        stop_sequences=stop_sequences, **samp,
                     )
                 except ValueError as e:  # engine-side validation (length etc.)
                     return self._json(400, {"error": str(e)})

@@ -770,3 +770,25 @@ def test_engine_per_request_sampling(model_and_params):
     assert outs[rids[2]] == g_outs[g_rids[2]]
     # All finite/vocab-valid for the sampled one.
     assert all(0 <= t < CFG.vocab_size for t in outs[rids[1]])
+
+
+def test_engine_stop_sequences(model_and_params):
+    """Generation retires as soon as the output suffix matches a stop
+    sequence (multi-token analogue of eos)."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    # Learn the greedy stream first, then stop on a 2-gram from its middle.
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    rid = eng.add_request(prompt, 8)
+    stream = eng.run()[rid]
+    assert len(stream) == 8
+    stop = stream[2:4]
+
+    eng2 = _engine(model, params, kv_dtype=jnp.float32)
+    rid2 = eng2.add_request(prompt, 8, stop_sequences=[stop, [999, 998]])
+    out = eng2.run()[rid2]
+    # Stops right after the FIRST suffix match of the stop pair.
+    first = next(
+        k for k in range(len(stop), 9) if stream[k - len(stop):k] == stop
+    )
+    assert out == stream[:first], (out, stream, stop)
