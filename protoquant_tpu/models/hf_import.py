@@ -67,6 +67,13 @@ def import_hf_llama(
                         np.asarray(sd[f"{pre}.{nm}.weight"], np.float32)
                     )
                 }
+        if cfg.qk_norm:
+            for nm in ("q_norm", "k_norm"):
+                layer["self_attn"][nm] = {
+                    "weight": jnp.asarray(
+                        np.asarray(sd[f"{pre}.self_attn.{nm}.weight"], np.float32)
+                    )
+                }
         if cfg.attention_bias:
             # Qwen2 family: q/k/v carry biases (o_proj does not).
             for proj in ("q_proj", "k_proj", "v_proj"):

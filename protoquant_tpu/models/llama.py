@@ -228,6 +228,10 @@ class Attention(nn.Module):
             k = lin(KV * Dh, "k_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
             v = lin(KV * Dh, "v_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
 
+        if cfg.qk_norm:
+            # Qwen3: per-head RMSNorm over head_dim on q and k, pre-RoPE.
+            q = RMSNorm(cfg.rms_norm_eps, self.dtype, name="q_norm")(q)
+            k = RMSNorm(cfg.rms_norm_eps, self.dtype, name="k_norm")(k)
         cos, sin = rope_tables(
             Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
         )

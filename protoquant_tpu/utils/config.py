@@ -83,6 +83,8 @@ class ModelConfig:
     # Gemma-2 sandwich norms: post-attention norm on the attention OUTPUT,
     # plus pre/post-feedforward norms around the MLP.
     sandwich_norms: bool = False
+    # Qwen3: per-head RMSNorm on q and k (over head_dim, pre-RoPE).
+    qk_norm: bool = False
     # RoPE scaling ("" = none): "llama3" (Llama-3.1+ NTK-by-parts) or
     # "linear" (position-interpolation: inv_freq / factor).
     rope_scaling_type: str = ""
@@ -194,6 +196,22 @@ class ModelConfig:
             rmsnorm_unit_offset=True,
             scale_embeddings=True,
             head_dim_override=256,
+        )
+
+    @classmethod
+    def qwen3_8b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=151936,
+            hidden_size=4096,
+            intermediate_size=12288,
+            num_hidden_layers=36,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=40960,
+            rms_norm_eps=1e-6,
+            rope_theta=1e6,
+            head_dim_override=128,
+            qk_norm=True,
         )
 
     @classmethod

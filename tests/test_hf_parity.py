@@ -258,3 +258,47 @@ def test_gemma2_parity():
     ours = _logits_ours(cfg, _state_dict_np(hf), toks)
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+@torch.no_grad()
+def test_qwen3_parity():
+    """Qwen3 = Llama arch + per-head q/k RMSNorm (pre-RoPE) + high theta."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=1e6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(8)
+    hf = Qwen3ForCausalLM(hf_cfg).eval().float()
+    # Non-trivial norm weights so the q/k-norm path is actually exercised.
+    sd = hf.state_dict()
+    for k in list(sd):
+        if k.endswith(("q_norm.weight", "k_norm.weight")):
+            sd[k].normal_(1.0, 0.2, generator=torch.Generator().manual_seed(9))
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=1e6,
+        head_dim_override=16, qk_norm=True,
+    )
+    toks = _tokens(64, seed=8)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Control: zeroing the norm path would change the math.
+    plain = _logits_ours(
+        ModelConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=1e6,
+            head_dim_override=16,
+        ),
+        {k: v for k, v in _state_dict_np(hf).items() if "q_norm" not in k and "k_norm" not in k},
+        toks,
+    )
+    assert np.abs(plain - theirs).max() > 1e-3
