@@ -81,21 +81,26 @@ def import_hf_llama(
                     np.asarray(sd[f"{pre}.self_attn.{proj}.bias"], np.float32)
                 )
         if cfg.is_moe:
-            # Mixtral layout: block_sparse_moe.gate + per-expert w1/w2/w3
-            # ([out, in] each) stacked into [E, in, out] expert tensors.
-            moepre = f"{pre}.block_sparse_moe"
+            # Two HF layouts map onto our block_sparse_moe/w1,w2,w3:
+            #   Mixtral:   block_sparse_moe.gate + experts.{e}.w1/w2/w3
+            #   Qwen3-MoE: mlp.gate + mlp.experts.{e}.gate/up/down_proj
+            if f"{pre}.block_sparse_moe.gate.weight" in sd:
+                moepre, names = f"{pre}.block_sparse_moe", ("w1", "w2", "w3")
+            else:
+                moepre = f"{pre}.mlp"
+                names = ("gate_proj", "down_proj", "up_proj")
             layer["block_sparse_moe"] = {
                 "gate": {"kernel": _kernel(sd, f"{moepre}.gate.weight")},
                 **{
-                    w: {
+                    ours: {
                         "kernel": jnp.stack(
                             [
-                                _kernel(sd, f"{moepre}.experts.{e}.{w}.weight")
+                                _kernel(sd, f"{moepre}.experts.{e}.{theirs}.weight")
                                 for e in range(cfg.num_local_experts)
                             ]
                         )
                     }
-                    for w in ("w1", "w2", "w3")
+                    for ours, theirs in zip(("w1", "w2", "w3"), names)
                 },
             }
         else:

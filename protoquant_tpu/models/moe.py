@@ -165,7 +165,8 @@ class MoEMLP(nn.Module):
                 "packing for stacked experts is future work"
             )
         e_global, k = cfg.num_local_experts, cfg.num_experts_per_tok
-        d, inter = cfg.hidden_size, cfg.intermediate_size
+        d = cfg.hidden_size
+        inter = cfg.moe_intermediate_size or cfg.intermediate_size
         if e_global % self.ep:
             raise ValueError(f"ep={self.ep} must divide num_experts={e_global}")
         e_local = e_global // self.ep
@@ -183,7 +184,8 @@ class MoEMLP(nn.Module):
         )(xf.astype(jnp.float32))
         probs = jax.nn.softmax(router_logits, axis=-1)
         gate_vals, gate_idx = jax.lax.top_k(probs, k)
-        gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+        if cfg.moe_norm_topk:
+            gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
 
         cap = expert_capacity(n, cfg)
         dispatch, combine = dispatch_combine(gate_idx, gate_vals, e_global, cap)

@@ -57,6 +57,12 @@ class ModelConfig:
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
     expert_capacity_factor: float = 1.25
+    # Expert FFN width when it differs from the dense intermediate size
+    # (Qwen3-MoE); 0 = intermediate_size.
+    moe_intermediate_size: int = 0
+    # Normalize the top-k routing weights to sum 1 (Mixtral/Qwen3 true;
+    # Qwen2-MoE ships norm_topk_prob=False).
+    moe_norm_topk: bool = True
     # --- Architecture variants beyond Llama/Mistral/Mixtral ---
     # Qwen2 family: biases on the q/k/v projections (o_proj stays bias-free).
     attention_bias: bool = False
@@ -212,6 +218,25 @@ class ModelConfig:
             rope_theta=1e6,
             head_dim_override=128,
             qk_norm=True,
+        )
+
+    @classmethod
+    def qwen3_moe_30b_a3b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=151936,
+            hidden_size=2048,
+            intermediate_size=6144,
+            num_hidden_layers=48,
+            num_attention_heads=32,
+            num_key_value_heads=4,
+            max_position_embeddings=40960,
+            rms_norm_eps=1e-6,
+            rope_theta=1e6,
+            head_dim_override=128,
+            qk_norm=True,
+            num_local_experts=128,
+            num_experts_per_tok=8,
+            moe_intermediate_size=768,
         )
 
     @classmethod

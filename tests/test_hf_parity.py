@@ -302,3 +302,63 @@ def test_qwen3_parity():
         toks,
     )
     assert np.abs(plain - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_mixtral_parity():
+    """Mixtral MoE routing + experts vs transformers, with the capacity
+    factor raised so the GShard dispatch drops nothing (HF routes without
+    capacity limits; at equal effective routing the math must agree)."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    hf_cfg = MixtralConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=1e6,
+        num_local_experts=4, num_experts_per_tok=2,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(10)
+    hf = MixtralForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=1e6,
+        num_local_experts=4, num_experts_per_tok=2,
+        expert_capacity_factor=8.0,  # no drops -> comparable to HF routing
+    )
+    toks = _tokens(64, seed=10)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+@torch.no_grad()
+def test_qwen3_moe_parity():
+    """Qwen3-MoE = Qwen3 attention (qk-norm) + MoE MLP with its own expert
+    width (moe_intermediate_size) and gate_proj/up_proj/down_proj naming."""
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=1e6, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    hf = Qwen3MoeForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=1e6,
+        head_dim_override=16, qk_norm=True,
+        num_local_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, expert_capacity_factor=8.0,
+    )
+    toks = _tokens(64, seed=11)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
