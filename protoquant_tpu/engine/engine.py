@@ -224,8 +224,12 @@ class Engine:
             from ..models.kv_cache import RingInt8KVCache
 
             mcfg = model.cfg
-            if mcfg.sliding_window <= 0:
-                raise ValueError("kv_layout='ring' needs cfg.sliding_window>0")
+            ring_window = self.cfg.stream_window or mcfg.sliding_window
+            if ring_window <= 0:
+                raise ValueError(
+                    "kv_layout='ring' needs cfg.sliding_window>0 or "
+                    "EngineConfig.stream_window>0 (StreamingLLM serving)"
+                )
             if mcfg.alternating_sliding_window:
                 raise NotImplementedError(
                     "ring layout with alternating windows (Gemma-2): odd "
@@ -239,7 +243,8 @@ class Engine:
             kv_heads = mcfg.num_key_value_heads // model.tp
             self.caches = [
                 RingInt8KVCache.init(
-                    B, mcfg.sliding_window, max_chunk, kv_heads, mcfg.head_dim
+                    B, ring_window, max_chunk, kv_heads, mcfg.head_dim,
+                    sinks=self.cfg.attention_sinks,
                 )
                 for _ in range(mcfg.num_hidden_layers)
             ]

@@ -235,7 +235,7 @@ class Int8KVCache(_DenseSlotViews):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["kq", "ks", "vq", "vs", "lengths"],
-    meta_fields=["window"],
+    meta_fields=["window", "sinks"],
 )
 @dataclasses.dataclass(frozen=True)
 class RingInt8KVCache(_DenseSlotViews):
@@ -260,13 +260,20 @@ class RingInt8KVCache(_DenseSlotViews):
     vs: jnp.ndarray
     lengths: jnp.ndarray
     window: int
+    sinks: int = 0
 
     @classmethod
-    def init(cls, batch, window, max_chunk, kv_heads, head_dim):
-        """Capacity = window + max_chunk rounded up to a multiple of 32
-        (sublane-friendly; also keeps every in-chunk query's full window
-        resident — see class docstring)."""
-        cap = -(-(window + max_chunk) // 32) * 32
+    def init(cls, batch, window, max_chunk, kv_heads, head_dim, sinks=0):
+        """Capacity = sinks + window + max_chunk rounded up to a multiple
+        of 32 (sublane-friendly; also keeps every in-chunk query's full
+        window resident — see class docstring).
+
+        ``sinks`` > 0 reserves the first columns for positions 0..sinks-1
+        PERMANENTLY (StreamingLLM attention sinks): those keys stay visible
+        to every query forever while the rest of the ring slides — the
+        serving trick that keeps full-attention models coherent on
+        unbounded streams with O(window) memory."""
+        cap = -(-(sinks + window + max_chunk) // 32) * 32
         return cls(
             kq=jnp.zeros((batch, kv_heads, cap, head_dim), jnp.int8),
             ks=jnp.full((batch, kv_heads, cap), SCALE_EPS, jnp.float32),
@@ -274,6 +281,7 @@ class RingInt8KVCache(_DenseSlotViews):
             vs=jnp.full((batch, kv_heads, cap), SCALE_EPS, jnp.float32),
             lengths=jnp.zeros((batch,), jnp.int32),
             window=window,
+            sinks=sinks,
         )
 
     @property
@@ -286,26 +294,35 @@ class RingInt8KVCache(_DenseSlotViews):
         # via max_seq_len / max_position_embeddings.
         return 1 << 30
 
+    def _column(self, pos):
+        """Ring column for absolute position(s): sink positions pin to
+        their own column; the rest rotate through the remaining R slots."""
+        R = self.capacity - self.sinks
+        return jnp.where(
+            pos < self.sinks, pos, self.sinks + (pos - self.sinks) % R
+        )
+
     def update(self, k, v, advance=None):
         B, T = k.shape[:2]
         C = self.capacity
-        if T > C - self.window:
+        if T > C - self.window - self.sinks:
             raise ValueError(
-                f"chunk {T} exceeds ring slack {C - self.window} "
-                "(init with max_chunk >= prefill chunk)"
+                f"chunk {T} exceeds ring slack {C - self.window - self.sinks}"
+                " (init with max_chunk >= prefill chunk)"
             )
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
         k8, ks_new = quantize_kv(k)
         v8, vs_new = quantize_kv(v)
         b_idx = jnp.arange(B)[:, None]
-        s_idx = (self.lengths[:, None] + jnp.arange(T)[None, :]) % C
+        pos = self.lengths[:, None] + jnp.arange(T)[None, :]
+        s_idx = self._column(pos)
         kq = self.kq.at[b_idx, :, s_idx].set(k8)
         vq = self.vq.at[b_idx, :, s_idx].set(v8)
         ks = self.ks.at[b_idx, :, s_idx].set(ks_new)
         vs = self.vs.at[b_idx, :, s_idx].set(vs_new)
         return RingInt8KVCache(
             kq=kq, ks=ks, vq=vq, vs=vs, lengths=self.lengths + adv,
-            window=self.window,
+            window=self.window, sinks=self.sinks,
         )
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
@@ -318,11 +335,21 @@ class RingInt8KVCache(_DenseSlotViews):
         # query's mask, same as the dense caches).
         L = (self.lengths + T)[:, None]  # [B, 1]
         c = jnp.arange(C)[None, :]
-        k_pos = (L - 1) - ((L - 1 - c) % C)  # negative => never written
+        if self.sinks == 0:
+            k_pos = (L - 1) - ((L - 1 - c) % C)  # negative => never written
+        else:
+            # Sink columns hold their own position (if written); rotating
+            # columns hold the latest position >= sinks mapping to them.
+            R = C - self.sinks
+            m = c - self.sinks
+            rot = (L - 1) - ((L - 1 - self.sinks - m) % R)
+            rot = jnp.where(rot >= self.sinks, rot, -1)
+            k_pos = jnp.where(c < self.sinks, jnp.where(c < L, c, -1), rot)
         win = window if window > 0 else self.window
         out = int8_kv_attention_xla(
             q, new.kq, new.ks, new.vq, new.vs, self.lengths,
             window=win, scale=scale, softcap=softcap, k_positions=k_pos,
+            sinks=self.sinks,
         )
         return out, new
 

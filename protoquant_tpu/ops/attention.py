@@ -229,7 +229,7 @@ def int8_kv_attention(
 
 def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          k_positions=None):
+                          k_positions=None, sinks: int = 0):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -274,11 +274,16 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
     mask = s_pos[:, None, None, None, :] <= t_pos[:, None, None, :, None]
     mask &= s_pos[:, None, None, None, :] >= 0
     if window > 0:
-        # Sliding-window (Mistral): keys more than window-1 behind are out.
-        mask &= (
+        # Sliding-window (Mistral): keys more than window-1 behind are out —
+        # except the first `sinks` positions (StreamingLLM attention sinks),
+        # which stay visible forever.
+        in_window = (
             s_pos[:, None, None, None, :]
             > t_pos[:, None, None, :, None] - window
         )
+        if sinks > 0:
+            in_window |= s_pos[:, None, None, None, :] < sinks
+        mask &= in_window
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     pv = (probs * vs[:, :, None, None, :]).astype(lane)

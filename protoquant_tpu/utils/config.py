@@ -310,6 +310,12 @@ class EngineConfig:
     # Request.logprobs / the HTTP response.
     return_logprobs: bool = False
     seed: int = 0
+    # Ring-layout streaming (kv_layout='ring'): serving-time window for
+    # models WITHOUT a trained sliding window (0 = use cfg.sliding_window),
+    # and StreamingLLM attention sinks — the first N positions stay visible
+    # forever while the ring slides.
+    stream_window: int = 0
+    attention_sinks: int = 0
     # Block-level prefix caching (paged layout only): requests sharing a
     # prompt prefix adopt the resident KV pages and skip their prefill
     # (engine/prefix_cache.py). Exact: shared pages are bit-identical to

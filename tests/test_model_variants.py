@@ -233,3 +233,64 @@ def test_ring_engine_guards():
             EngineConfig(max_batch_size=2, max_seq_len=64),
             kv_dtype=jnp.int8, kv_layout="ring",
         )
+
+
+def test_ring_attention_sinks_exact():
+    """Ring cache with StreamingLLM sinks == dense cache + explicit
+    sink|window masking, through the wrap point."""
+    from protoquant_tpu.models.kv_cache import Int8KVCache, RingInt8KVCache
+    from protoquant_tpu.ops.attention import int8_kv_attention_xla
+
+    rng = np.random.default_rng(7)
+    B, KV, Dh, W, S = 1, 2, 16, 6, 3
+    ring = RingInt8KVCache.init(B, W, max_chunk=7, kv_heads=KV, head_dim=Dh,
+                                sinks=S)
+    dense = Int8KVCache.init(B, 64, KV, Dh)
+    H = 4
+    total = 0
+    saw_sink_effect = False
+    for t in [7, 7, 1, 1, 7, 1, 1, 7, 1]:  # 33 tokens, wraps the ring
+        q = jnp.asarray(rng.normal(size=(B, t, H, Dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, t, KV, Dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, t, KV, Dh)), jnp.float32)
+        out_r, ring = ring.update_and_attend(q, k, v)
+        lengths_before = dense.lengths
+        dense = dense.update(k, v)
+        ref = int8_kv_attention_xla(
+            q, dense.kq, dense.ks, dense.vq, dense.vs, lengths_before,
+            window=W, sinks=S,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"len {total}",
+        )
+        # Control: once past window+sinks, the no-sink result must differ.
+        if total + t > W + S:
+            no_sink = int8_kv_attention_xla(
+                q, dense.kq, dense.ks, dense.vq, dense.vs, lengths_before,
+                window=W, sinks=0,
+            )
+            if np.abs(np.asarray(ref) - np.asarray(no_sink)).max() > 1e-4:
+                saw_sink_effect = True
+        total += t
+    assert total > ring.capacity  # wrapped
+    assert saw_sink_effect  # sinks actually changed the attention
+
+
+def test_streaming_engine_window_free_model():
+    """StreamingLLM serving: a FULL-attention model (no trained window)
+    decodes an unbounded-ish stream through the ring layout with serving
+    window + attention sinks — O(window) memory, valid outputs far past
+    the window."""
+    model = LlamaModel(QWEN2_TINY, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32))
+    cfg = EngineConfig(max_batch_size=1, max_seq_len=128, prefill_chunk=7,
+                       max_new_tokens=60, temperature=0.0,
+                       stream_window=12, attention_sinks=4)
+    eng = Engine(model, params, cfg, kv_dtype=jnp.int8, kv_layout="ring")
+    rid = eng.add_request(list(range(1, 15)), 60)
+    out = eng.run()[rid]
+    assert len(out) == 60
+    assert all(0 <= t < QWEN2_TINY.vocab_size for t in out)
+    assert eng.caches[0].capacity < 64  # far below the 74-token stream
+    assert eng.caches[0].sinks == 4
