@@ -239,7 +239,12 @@ class Engine:
                 raise ValueError("ring layout is int8-only")
             if mesh is not None:
                 raise NotImplementedError("ring layout + mesh serving")
-            max_chunk = max(self.cfg.prefill_chunk, gamma + 1)
+            # Prefill pieces are padded to power-of-2 buckets with floor 16
+            # (_bucket), so the ring's slack must cover the PADDED chunk.
+            max_chunk = max(
+                _bucket(self.cfg.prefill_chunk, self.cfg.prefill_chunk),
+                gamma + 1,
+            )
             kv_heads = mcfg.num_key_value_heads // model.tp
             self.caches = [
                 RingInt8KVCache.init(

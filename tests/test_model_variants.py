@@ -294,3 +294,18 @@ def test_streaming_engine_window_free_model():
     assert all(0 <= t < QWEN2_TINY.vocab_size for t in out)
     assert eng.caches[0].capacity < 64  # far below the 74-token stream
     assert eng.caches[0].sinks == 4
+
+
+def test_streaming_engine_small_window_bucket_slack():
+    """Regression: prefill pieces pad to 16-token buckets, so the ring must
+    size its slack for the PADDED chunk even when prefill_chunk and the
+    window are small (used to raise 'chunk 16 exceeds ring slack 12')."""
+    model = LlamaModel(QWEN2_TINY, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32))
+    cfg = EngineConfig(max_batch_size=1, max_seq_len=64, prefill_chunk=8,
+                       max_new_tokens=30, temperature=0.0,
+                       stream_window=16, attention_sinks=4)
+    eng = Engine(model, params, cfg, kv_dtype=jnp.int8, kv_layout="ring")
+    rid = eng.add_request(list(range(1, 20)), 30)
+    out = eng.run()[rid]
+    assert len(out) == 30
