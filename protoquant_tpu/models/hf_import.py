@@ -41,6 +41,33 @@ def import_hf_llama(
     }
     for i in range(cfg.num_hidden_layers):
         pre = f"model.layers.{i}"
+        if cfg.is_mla:
+            # DeepSeek MLA projection set (models/mla.py). kv_b_proj maps to
+            # a _Weight kernel — same {kernel: [in, out]} layout as QLinear.
+            attn_projs = ["kv_a_proj_with_mqa", "kv_b_proj", "o_proj"]
+            attn_projs += (
+                ["q_a_proj", "q_b_proj"] if cfg.q_lora_rank > 0 else ["q_proj"]
+            )
+            self_attn = {
+                proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
+                for proj in attn_projs
+            }
+            self_attn["kv_a_layernorm"] = {
+                "weight": jnp.asarray(
+                    np.asarray(sd[f"{pre}.self_attn.kv_a_layernorm.weight"], np.float32)
+                )
+            }
+            if cfg.q_lora_rank > 0:
+                self_attn["q_a_layernorm"] = {
+                    "weight": jnp.asarray(
+                        np.asarray(sd[f"{pre}.self_attn.q_a_layernorm.weight"], np.float32)
+                    )
+                }
+        else:
+            self_attn = {
+                proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
+                for proj in _PROJS_ATTN
+            }
         layer: dict = {
             "input_layernorm": {
                 "weight": jnp.asarray(
@@ -52,10 +79,7 @@ def import_hf_llama(
                     np.asarray(sd[f"{pre}.post_attention_layernorm.weight"], np.float32)
                 )
             },
-            "self_attn": {
-                proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
-                for proj in _PROJS_ATTN
-            },
+            "self_attn": self_attn,
         }
         if cfg.sandwich_norms:
             # Gemma-2: post_attention_layernorm already mapped above (it
@@ -80,10 +104,10 @@ def import_hf_llama(
                 layer["self_attn"][proj]["bias"] = jnp.asarray(
                     np.asarray(sd[f"{pre}.self_attn.{proj}.bias"], np.float32)
                 )
-        if cfg.is_moe:
-            # Two HF layouts map onto our block_sparse_moe/w1,w2,w3:
+        if cfg.layer_is_moe(i):
+            # Three HF layouts map onto our block_sparse_moe/w1,w2,w3:
             #   Mixtral:   block_sparse_moe.gate + experts.{e}.w1/w2/w3
-            #   Qwen3-MoE: mlp.gate + mlp.experts.{e}.gate/up/down_proj
+            #   Qwen3-MoE / DeepSeek: mlp.gate + mlp.experts.{e}.gate/up/down
             if f"{pre}.block_sparse_moe.gate.weight" in sd:
                 moepre, names = f"{pre}.block_sparse_moe", ("w1", "w2", "w3")
             else:
@@ -103,6 +127,25 @@ def import_hf_llama(
                     for ours, theirs in zip(("w1", "w2", "w3"), names)
                 },
             }
+            if cfg.moe_gate_bias:
+                # DeepSeek-V3 selection-bias buffer.
+                layer["block_sparse_moe"]["e_score_correction_bias"] = (
+                    jnp.asarray(
+                        np.asarray(
+                            sd[f"{moepre}.gate.e_score_correction_bias"],
+                            np.float32,
+                        )
+                    )
+                )
+            if cfg.n_shared_experts > 0:
+                layer["block_sparse_moe"]["shared_experts"] = {
+                    proj: {
+                        "kernel": _kernel(
+                            sd, f"{moepre}.shared_experts.{proj}.weight"
+                        )
+                    }
+                    for proj in _PROJS_MLP
+                }
         else:
             layer["mlp"] = {
                 proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}

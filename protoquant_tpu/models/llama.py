@@ -32,6 +32,12 @@ def init_cache(
     int8 selects the quantized cache (component A1). Under tensor parallelism
     each shard holds kv_heads/tp heads (pass tp when building *local* caches
     inside shard_map; global caches sharded by pjit use tp=1 shapes)."""
+    if cfg.is_mla:
+        # MLA latent caches (models/mla.py): MQA-shared latents, so the
+        # cache replicates under TP (tp is irrelevant to its shape).
+        from .mla import init_mla_cache
+
+        return init_mla_cache(cfg, batch, max_seq, kv_dtype)
     kv_heads = cfg.num_key_value_heads // tp
     if kv_dtype == jnp.int8:
         make = lambda: Int8KVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
@@ -483,16 +489,30 @@ class DecoderLayer(nn.Module):
         else:
             attn_preq = None
             attn_in = norm("input_layernorm", False)(x)
-        h, new_cache = Attention(
-            self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
-            self.tp_axis, self.fused,
-            self.sp, self.cp, self.cp_axis, self.int4_group,
-            int4_storage=self.int4_storage,
-            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            lora_targets=self.lora_targets, lora_stack=self.lora_stack,
-            collective=self.collective, name="self_attn"
-        )(attn_in, positions, cache, advance, preq=attn_preq,
-          adapter_ids=adapter_ids)
+        if self.cfg.is_mla:
+            # DeepSeek-V2/V3 multi-head latent attention (models/mla.py).
+            from .mla import MLAAttention
+
+            assert not (self.sp or self.fused or self.cp > 1), (
+                "MLA: sp/fused/cp unsupported"
+            )
+            h, new_cache = MLAAttention(
+                self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
+                self.tp_axis, self.int4_group,
+                int4_storage=self.int4_storage,
+                collective=self.collective, name="self_attn",
+            )(attn_in, positions, cache, advance, preq=attn_preq)
+        else:
+            h, new_cache = Attention(
+                self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
+                self.tp_axis, self.fused,
+                self.sp, self.cp, self.cp_axis, self.int4_group,
+                int4_storage=self.int4_storage,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_targets=self.lora_targets, lora_stack=self.lora_stack,
+                collective=self.collective, name="self_attn"
+            )(attn_in, positions, cache, advance, preq=attn_preq,
+              adapter_ids=adapter_ids)
         if sandwich:
             # Gemma-2: normalize the attention OUTPUT before the residual.
             h = norm("post_attention_layernorm", False)(h)
@@ -506,7 +526,7 @@ class DecoderLayer(nn.Module):
         else:
             mlp_preq = None
             normed = norm("post_attention_layernorm", False)(x)
-        if self.cfg.is_moe:
+        if self.cfg.layer_is_moe(self.layer_idx):
             # Mixtral-family sparse MLP. Under a mesh, the experts shard over
             # the same axis TP uses (EP replaces MLP tensor parallelism; the
             # psum traffic shape is identical). SP/fused don't apply.

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..core import numerics
 from ..core.qtensor import QTensor
+from ..nn.qlinear import QLinear
 from ..utils.config import ModelConfig
 
 
@@ -103,6 +104,42 @@ class _StackedWeight(nn.Module):
         if not self.quantized:
             return self.param("kernel", init, self.shape, jnp.float32)
         return self.param("qkernel", _qtensor3_init(init, self.shape, jnp.float32))
+
+
+class _SharedExperts(nn.Module):
+    """DeepSeek shared experts: a dense SwiGLU MLP of width
+    n_shared_experts * moe_intermediate_size that EVERY token visits,
+    added to the routed mixture (HF: hidden + shared_experts(residuals)).
+    Plain QLinears — quantizes/shards like any dense MLP."""
+
+    cfg: ModelConfig
+    mode: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):  # [N, d] -> [N, d] f32
+        cfg = self.cfg
+        inter = (
+            cfg.moe_intermediate_size or cfg.intermediate_size
+        ) * cfg.n_shared_experts
+        lin = lambda feats, name: QLinear(
+            feats, mode=self.mode, use_bias=False, dtype=self.dtype, name=name
+        )
+        preq = (
+            numerics.quantize_rowwise(x.astype(self.dtype))
+            if self.mode == "dynamic"
+            else None
+        )
+        gate = lin(inter, "gate_proj")(x.astype(self.dtype), preq)
+        up = lin(inter, "up_proj")(x.astype(self.dtype), preq)
+        act = (
+            jax.nn.silu if cfg.hidden_act == "silu"
+            else lambda a: jax.nn.gelu(a, approximate=True)
+        )
+        h = (act(gate.astype(jnp.float32))).astype(self.dtype) * up.astype(
+            self.dtype
+        )
+        return lin(cfg.hidden_size, "down_proj")(h).astype(jnp.float32)
 
 
 class MoEMLP(nn.Module):
@@ -182,10 +219,49 @@ class MoEMLP(nn.Module):
             e_global, use_bias=False, dtype=jnp.float32,
             param_dtype=jnp.float32, name="gate",
         )(xf.astype(jnp.float32))
-        probs = jax.nn.softmax(router_logits, axis=-1)
-        gate_vals, gate_idx = jax.lax.top_k(probs, k)
+        if cfg.moe_score_func == "sigmoid":
+            # DeepSeek-V3 noaux-tc router (sigmoid scores).
+            scores = jax.nn.sigmoid(router_logits)
+        else:
+            scores = jax.nn.softmax(router_logits, axis=-1)
+        # Selection scores: V3 adds a load-balance correction bias (a
+        # non-trained buffer) for CHOOSING experts; combine weights always
+        # come from the raw scores.
+        choice = scores
+        if cfg.moe_gate_bias:
+            bias = self.param(
+                "e_score_correction_bias",
+                nn.initializers.zeros_init(), (e_global,), jnp.float32,
+            )
+            choice = scores + bias[None, :]
+        if cfg.n_group > 1 and cfg.topk_group > 0:
+            # Group-limited routing: score each expert group (V3: sum of its
+            # top-2 biased scores; V2: max), keep the best topk_group groups,
+            # and zero the rest out of the selection (scores are
+            # non-negative, so masked experts are never picked).
+            G = cfg.n_group
+            cg = choice.reshape(n, G, e_global // G)
+            if cfg.moe_gate_bias:
+                top2, _ = jax.lax.top_k(cg, 2)
+                group_scores = top2.sum(axis=-1)
+            else:
+                group_scores = cg.max(axis=-1)
+            _, g_idx = jax.lax.top_k(group_scores, cfg.topk_group)
+            g_mask = jnp.zeros((n, G), jnp.bool_).at[
+                jnp.arange(n)[:, None], g_idx
+            ].set(True)
+            choice = jnp.where(
+                jnp.repeat(g_mask, e_global // G, axis=-1), choice, 0.0
+            )
+        _, gate_idx = jax.lax.top_k(choice, k)
+        gate_vals = jnp.take_along_axis(scores, gate_idx, axis=-1)
         if cfg.moe_norm_topk:
-            gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+            denom = jnp.sum(gate_vals, axis=-1, keepdims=True)
+            if cfg.moe_score_func == "sigmoid":
+                denom = denom + 1e-20  # HF V3 epsilon
+            gate_vals = gate_vals / denom
+        if cfg.routed_scaling_factor != 1.0:
+            gate_vals = gate_vals * cfg.routed_scaling_factor
 
         cap = expert_capacity(n, cfg)
         dispatch, combine = dispatch_combine(gate_idx, gate_vals, e_global, cap)
@@ -195,9 +271,15 @@ class MoEMLP(nn.Module):
         w3 = self._stacked("w3", (e_local, d, inter))  # up proj
         w2 = self._stacked("w2", (e_local, inter, d))  # down proj
 
+        shared = (
+            _SharedExperts(cfg, self.mode, self.dtype, name="shared_experts")
+            if cfg.n_shared_experts > 0
+            else None
+        )
+
         if self.token_sharded and self.ep_axis is not None:
             return self._alltoall_forward(
-                xf, dispatch, combine, w1, w2, w3, b, t, d
+                xf, dispatch, combine, w1, w2, w3, b, t, d, shared
             )
 
         if self.ep_axis is not None:
@@ -231,9 +313,15 @@ class MoEMLP(nn.Module):
             # assembles the full mixture (same wire bytes as the TP MLP's
             # all-reduce: one [N, d] payload).
             out = jax.lax.psum(out, self.ep_axis)
+        if shared is not None:
+            # Shared experts run replicated (post-psum: every shard computes
+            # the same dense MLP on the same replicated tokens).
+            out = out + shared(xf)
         return out.astype(self.dtype).reshape(b, t, d)
 
-    def _alltoall_forward(self, xf, dispatch, combine, w1, w2, w3, b, t, d):
+    def _alltoall_forward(
+        self, xf, dispatch, combine, w1, w2, w3, b, t, d, shared=None
+    ):
         """Token-sharded EP (GShard dispatch): this shard's dispatched rows
         [E, C_local, d] travel to their expert owners via all_to_all, expert
         GEMMs run over every shard's contributions [E_local, ep*C_local, d],
@@ -273,4 +361,7 @@ class MoEMLP(nn.Module):
         y = self._matmul(h, w2)  # [E_local, ep*C_local, d] f32
 
         out = jnp.einsum("nec,ecd->nd", combine, a2a_back(y))
+        if shared is not None:
+            # Tokens are shard-local here; the shared MLP applies in place.
+            out = out + shared(xf)
         return out.astype(self.dtype).reshape(b, t, d)

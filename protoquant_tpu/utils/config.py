@@ -91,6 +91,29 @@ class ModelConfig:
     sandwich_norms: bool = False
     # Qwen3: per-head RMSNorm on q and k (over head_dim, pre-RoPE).
     qk_norm: bool = False
+    # --- DeepSeek-V2/V3 multi-head latent attention (MLA) ---
+    # kv_lora_rank > 0 switches the attention tier to MLA (models/mla.py):
+    # K/V are generated from a shared low-rank latent; the cache stores the
+    # latent + one rope key per token instead of per-head K/V.
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0  # 0 = full q_proj (V2-Lite); >0 = compressed q
+    qk_nope_head_dim: int = 128  # per-head non-positional key/query dim
+    qk_rope_head_dim: int = 64  # decoupled rope key/query dim (MQA-shared)
+    v_head_dim: int = 128  # per-head value dim
+    # RoPE pairing: False = half-split (Llama: i with i+D/2); True =
+    # interleaved (DeepSeek: 2i with 2i+1, complex-multiplication order).
+    rope_interleave: bool = False
+    # --- DeepSeek MoE (shared experts + scaled/grouped routing) ---
+    n_shared_experts: int = 0  # dense experts every token visits (width = n * moe_inter)
+    routed_scaling_factor: float = 1.0  # multiplies the top-k combine weights
+    moe_score_func: str = "softmax"  # "softmax" (V2) | "sigmoid" (V3)
+    # V3 noaux_tc router: an e_score_correction_bias buffer added to the
+    # scores for SELECTION only (combine weights use the raw scores), and
+    # group scores = sum of each group's top-2 (V2 groups use the max).
+    moe_gate_bias: bool = False
+    n_group: int = 0  # expert groups for group-limited routing (0/1 = off)
+    topk_group: int = 0  # groups each token may route into
+    first_k_dense_replace: int = 0  # first K layers use the dense MLP
     # RoPE scaling ("" = none): "llama3" (Llama-3.1+ NTK-by-parts) or
     # "linear" (position-interpolation: inv_freq / factor).
     rope_scaling_type: str = ""
@@ -108,6 +131,15 @@ class ModelConfig:
     @property
     def is_moe(self) -> bool:
         return self.num_local_experts > 0
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    def layer_is_moe(self, layer_idx: int) -> bool:
+        """DeepSeek interleaves dense and MoE layers: the first
+        ``first_k_dense_replace`` layers keep the dense MLP."""
+        return self.is_moe and layer_idx >= self.first_k_dense_replace
 
     @classmethod
     def llama2_7b(cls) -> "ModelConfig":
@@ -261,6 +293,68 @@ class ModelConfig:
             attn_logit_softcap=50.0,
             final_logit_softcap=30.0,
             sandwich_norms=True,
+        )
+
+    @classmethod
+    def deepseek_v2_lite(cls) -> "ModelConfig":
+        """DeepSeek-V2-Lite (16B-A2.4B): MLA attention (no q compression)
+        + DeepSeek MoE with 2 shared experts, softmax greedy routing."""
+        return cls(
+            vocab_size=102400,
+            hidden_size=2048,
+            intermediate_size=10944,
+            num_hidden_layers=27,
+            num_attention_heads=16,
+            num_key_value_heads=16,
+            max_position_embeddings=163840,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            rope_interleave=True,
+            kv_lora_rank=512,
+            q_lora_rank=0,
+            qk_nope_head_dim=128,
+            qk_rope_head_dim=64,
+            v_head_dim=128,
+            num_local_experts=64,
+            num_experts_per_tok=6,
+            moe_intermediate_size=1408,
+            moe_norm_topk=False,
+            n_shared_experts=2,
+            routed_scaling_factor=1.0,
+            first_k_dense_replace=1,
+        )
+
+    @classmethod
+    def deepseek_v3(cls) -> "ModelConfig":
+        """DeepSeek-V3/R1 (671B-A37B): MLA with compressed q + sigmoid
+        noaux-tc routing (gate bias, group-limited top-k, shared expert)."""
+        return cls(
+            vocab_size=129280,
+            hidden_size=7168,
+            intermediate_size=18432,
+            num_hidden_layers=61,
+            num_attention_heads=128,
+            num_key_value_heads=128,
+            max_position_embeddings=163840,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            rope_interleave=True,
+            kv_lora_rank=512,
+            q_lora_rank=1536,
+            qk_nope_head_dim=128,
+            qk_rope_head_dim=64,
+            v_head_dim=128,
+            num_local_experts=256,
+            num_experts_per_tok=8,
+            moe_intermediate_size=2048,
+            moe_norm_topk=True,
+            n_shared_experts=1,
+            routed_scaling_factor=2.5,
+            moe_score_func="sigmoid",
+            moe_gate_bias=True,
+            n_group=8,
+            topk_group=4,
+            first_k_dense_replace=3,
         )
 
     @classmethod

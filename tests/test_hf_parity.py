@@ -362,3 +362,129 @@ def test_qwen3_moe_parity():
     ours = _logits_ours(cfg, _state_dict_np(hf), toks)
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+@torch.no_grad()
+def test_deepseek_v2_mla_parity():
+    """DeepSeek-V2 MLA attention (all-dense layers): latent KV compression,
+    decoupled interleaved rope, kv_a/q-side layernorms, (dn+dr)^-0.5 scaling.
+    first_k_dense_replace >= layers keeps every MLP dense so this pins the
+    attention tier in isolation."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    hf_cfg = DeepseekV2Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        kv_lora_rank=16, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=2,
+        topk_method="greedy", norm_topk_prob=False, routed_scaling_factor=1.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(12)
+    hf = DeepseekV2ForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        rope_interleave=True, kv_lora_rank=16, q_lora_rank=0,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        num_local_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=2, moe_norm_topk=False,
+    )
+    toks = _tokens(64, seed=12)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+    # Control: half-split rope pairing is the wrong math for DeepSeek.
+    import dataclasses
+
+    wrong = _logits_ours(
+        dataclasses.replace(cfg, rope_interleave=False),
+        _state_dict_np(hf), toks,
+    )
+    assert np.abs(wrong - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_deepseek_v2_moe_parity():
+    """DeepSeek-V2 MoE: softmax greedy router with routed_scaling_factor +
+    2 shared experts + first_k_dense_replace interleaving."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    hf_cfg = DeepseekV2Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        kv_lora_rank=16, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=2, first_k_dense_replace=1,
+        topk_method="greedy", norm_topk_prob=False, routed_scaling_factor=1.5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(13)
+    hf = DeepseekV2ForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        rope_interleave=True, kv_lora_rank=16, q_lora_rank=0,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        num_local_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=2, first_k_dense_replace=1, moe_norm_topk=False,
+        routed_scaling_factor=1.5, expert_capacity_factor=8.0,
+    )
+    toks = _tokens(64, seed=13)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=4e-4, atol=4e-4)
+
+
+@torch.no_grad()
+def test_deepseek_v3_parity():
+    """DeepSeek-V3/R1: compressed q (q_a/q_b + layernorm) + sigmoid noaux-tc
+    router (e_score_correction_bias for selection only, top-2-sum group
+    scores, group-limited top-k, normalized weights * routed_scaling)."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    hf_cfg = DeepseekV3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        kv_lora_rank=16, q_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1,
+        n_group=4, topk_group=2, norm_topk_prob=True,
+        routed_scaling_factor=2.5, rope_interleave=True,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(14)
+    hf = DeepseekV3ForCausalLM(hf_cfg).eval().float()
+    # The correction bias ships as zeros; randomize so the biased-selection
+    # path (bias changes WHO is picked but not the combine weights) is
+    # actually exercised.
+    sd = hf.state_dict()
+    for k in list(sd):
+        if k.endswith("e_score_correction_bias"):
+            sd[k].normal_(0.0, 0.5, generator=torch.Generator().manual_seed(15))
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        rope_interleave=True, kv_lora_rank=16, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        num_local_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1, moe_norm_topk=True,
+        routed_scaling_factor=2.5, moe_score_func="sigmoid",
+        moe_gate_bias=True, n_group=4, topk_group=2,
+        expert_capacity_factor=8.0,
+    )
+    toks = _tokens(64, seed=14)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=4e-4, atol=4e-4)
