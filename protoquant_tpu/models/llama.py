@@ -88,16 +88,43 @@ def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
     """cos/sin tables [max_len, head_dim//2], f32.
 
     ``cfg`` (ModelConfig) enables RoPE scaling: "linear" position
-    interpolation (inv_freq / factor) or Llama-3.1's NTK-by-parts rule —
+    interpolation (inv_freq / factor), Llama-3.1's NTK-by-parts rule —
     low-frequency components interpolate by ``factor``, high-frequency ones
-    stay extrapolated, with a smooth blend between the two wavelength bands
-    (pinned against transformers' _compute_llama3_parameters in
-    tests/test_hf_parity.py)."""
+    stay extrapolated, with a smooth blend between the two wavelength bands —
+    or "yarn" (DeepSeek long-context: ramped interpolation between the
+    beta_fast/beta_slow correction dims plus an attention_factor multiplied
+    into cos/sin). All pinned against transformers' modeling_rope_utils in
+    tests/test_hf_parity.py."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
     if cfg is not None and cfg.rope_scaling_type == "linear":
         inv_freq = inv_freq / cfg.rope_scaling_factor
+    elif cfg is not None and cfg.rope_scaling_type == "yarn":
+        import math
+
+        factor = cfg.rope_scaling_factor
+        orig = cfg.rope_scaling_original_max_position_embeddings
+
+        def corr_dim(n_rot):
+            # Dimension whose wavelength completes n_rot rotations at orig.
+            return (
+                head_dim
+                * math.log(orig / (n_rot * 2 * math.pi))
+                / (2 * math.log(theta))
+            )
+
+        low = max(math.floor(corr_dim(cfg.rope_scaling_beta_fast)), 0)
+        high = min(math.ceil(corr_dim(cfg.rope_scaling_beta_slow)), head_dim - 1)
+        if low == high:
+            high += 0.001  # transformers' singularity guard
+        ramp = jnp.clip(
+            (jnp.arange(head_dim // 2, dtype=jnp.float32) - low) / (high - low),
+            0.0,
+            1.0,
+        )
+        extrap = 1.0 - ramp  # 1 = keep extrapolated, 0 = interpolate
+        inv_freq = (inv_freq / factor) * (1.0 - extrap) + inv_freq * extrap
     elif cfg is not None and cfg.rope_scaling_type == "llama3":
         factor = cfg.rope_scaling_factor
         lo_f = cfg.rope_scaling_low_freq_factor
@@ -113,7 +140,30 @@ def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
         )
     t = jnp.arange(max_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)
-    return jnp.cos(freqs), jnp.sin(freqs)
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    if cfg is not None and cfg.rope_scaling_type == "yarn":
+        cos = cos * yarn_attention_factor(cfg)
+        sin = sin * yarn_attention_factor(cfg)
+    return cos, sin
+
+
+def yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    """YaRN attention-magnitude correction (paper eq. for sqrt(1/t))."""
+    import math
+
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def yarn_attention_factor(cfg) -> float:
+    """Multiplier on cos/sin under yarn scaling (transformers'
+    _compute_yarn_parameters attention_factor inference)."""
+    f = cfg.rope_scaling_factor
+    m, mad = cfg.rope_scaling_mscale, cfg.rope_scaling_mscale_all_dim
+    if m and mad:
+        return yarn_mscale(f, m) / yarn_mscale(f, mad)
+    return yarn_mscale(f)
 
 
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos, sin):

@@ -313,6 +313,16 @@ class MLAAttention(nn.Module):
         dv = cfg.v_head_dim
         r = cfg.kv_lora_rank
         sm = (dn + dr) ** -0.5
+        if cfg.rope_scaling_type == "yarn" and cfg.rope_scaling_mscale_all_dim:
+            # DeepSeek-V3: softmax scale picks up mscale^2 (the cos/sin
+            # attention_factor cancels between q_pe and k_pe, so the
+            # magnitude correction re-enters here for ALL dims).
+            from .llama import yarn_mscale
+
+            m = yarn_mscale(
+                cfg.rope_scaling_factor, cfg.rope_scaling_mscale_all_dim
+            )
+            sm = sm * m * m
 
         lin = lambda feats, name: QLinear(
             feats, mode=self.mode, use_bias=False, dtype=self.dtype,

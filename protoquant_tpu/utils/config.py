@@ -114,13 +114,19 @@ class ModelConfig:
     n_group: int = 0  # expert groups for group-limited routing (0/1 = off)
     topk_group: int = 0  # groups each token may route into
     first_k_dense_replace: int = 0  # first K layers use the dense MLP
-    # RoPE scaling ("" = none): "llama3" (Llama-3.1+ NTK-by-parts) or
-    # "linear" (position-interpolation: inv_freq / factor).
+    # RoPE scaling ("" = none): "llama3" (Llama-3.1+ NTK-by-parts),
+    # "linear" (position-interpolation: inv_freq / factor), or "yarn"
+    # (DeepSeek long-context: ramped interpolation + attention factor).
     rope_scaling_type: str = ""
     rope_scaling_factor: float = 8.0
     rope_scaling_low_freq_factor: float = 1.0
     rope_scaling_high_freq_factor: float = 4.0
     rope_scaling_original_max_position_embeddings: int = 8192
+    # yarn parameters (transformers rope_scaling dict names).
+    rope_scaling_beta_fast: float = 32.0
+    rope_scaling_beta_slow: float = 1.0
+    rope_scaling_mscale: float = 0.0  # 0 = unset
+    rope_scaling_mscale_all_dim: float = 0.0  # 0 = unset; V3 sets 1.0
 
     @property
     def head_dim(self) -> int:
@@ -322,6 +328,13 @@ class ModelConfig:
             n_shared_experts=2,
             routed_scaling_factor=1.0,
             first_k_dense_replace=1,
+            rope_scaling_type="yarn",
+            rope_scaling_factor=40.0,
+            rope_scaling_beta_fast=32.0,
+            rope_scaling_beta_slow=1.0,
+            rope_scaling_mscale=0.707,
+            rope_scaling_mscale_all_dim=0.707,
+            rope_scaling_original_max_position_embeddings=4096,
         )
 
     @classmethod
@@ -355,6 +368,13 @@ class ModelConfig:
             n_group=8,
             topk_group=4,
             first_k_dense_replace=3,
+            rope_scaling_type="yarn",
+            rope_scaling_factor=40.0,
+            rope_scaling_beta_fast=32.0,
+            rope_scaling_beta_slow=1.0,
+            rope_scaling_mscale=1.0,
+            rope_scaling_mscale_all_dim=1.0,
+            rope_scaling_original_max_position_embeddings=4096,
         )
 
     @classmethod

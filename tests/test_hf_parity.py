@@ -488,3 +488,61 @@ def test_deepseek_v3_parity():
     ours = _logits_ours(cfg, _state_dict_np(hf), toks)
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=4e-4, atol=4e-4)
+
+
+@torch.no_grad()
+def test_deepseek_v3_yarn_parity():
+    """YaRN rope scaling (what real DeepSeek checkpoints ship): ramped
+    interpolation between the beta_fast/beta_slow correction dims,
+    attention_factor on cos/sin, and V3's mscale^2 softmax-scale term.
+    original_max (4) < T (12) so the scaled bands are all active."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    rope_scaling = {
+        "rope_type": "yarn", "factor": 16.0, "beta_fast": 32.0,
+        "beta_slow": 1.0, "mscale": 0.707, "mscale_all_dim": 0.707,
+        "original_max_position_embeddings": 4,
+    }
+    hf_cfg = DeepseekV3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        kv_lora_rank=16, q_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=2,
+        n_group=2, topk_group=1, norm_topk_prob=True,
+        routed_scaling_factor=1.0, rope_interleave=True,
+        rope_scaling=rope_scaling,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(16)
+    hf = DeepseekV3ForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        rope_interleave=True, kv_lora_rank=16, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        num_local_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=2, moe_norm_topk=True,
+        moe_score_func="sigmoid", moe_gate_bias=True, n_group=2, topk_group=1,
+        expert_capacity_factor=8.0,
+        rope_scaling_type="yarn", rope_scaling_factor=16.0,
+        rope_scaling_beta_fast=32.0, rope_scaling_beta_slow=1.0,
+        rope_scaling_mscale=0.707, rope_scaling_mscale_all_dim=0.707,
+        rope_scaling_original_max_position_embeddings=4,
+    )
+    toks = _tokens(64, seed=16)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=4e-4, atol=4e-4)
+
+    # Control: yarn changed the math vs unscaled rope.
+    import dataclasses
+
+    unscaled = _logits_ours(
+        dataclasses.replace(cfg, rope_scaling_type=""),
+        _state_dict_np(hf), toks,
+    )
+    assert np.abs(unscaled - theirs).max() > 1e-3
