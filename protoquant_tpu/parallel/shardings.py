@@ -25,7 +25,13 @@ from ..engine.paged_kv import PagedInt8KVCache
 from ..models.kv_cache import BF16KVCache, Int8KVCache
 from .mesh import DATA_AXIS, MODEL_AXIS
 
-COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head")
+COLUMN_PARALLEL = (
+    "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
+    # MLA (models/mla.py): the head-expanding projections shard over heads;
+    # q_a_proj / kv_a_proj_with_mqa emit per-token head-SHARED latents and
+    # fall through to replicated (their outputs are tiny).
+    "q_b_proj", "kv_b_proj",
+)
 ROW_PARALLEL = ("o_proj", "down_proj")
 
 
@@ -97,6 +103,22 @@ def cache_pspecs(caches) -> Any:
     """Per-layer KV cache specs: batch over data, kv-heads over model."""
 
     def one(c):
+        from ..models.mla import Int8MLACache, MLACache
+
+        if isinstance(c, MLACache):
+            # MLA latent caches are MQA-shared: replicate over the model
+            # axis (they are ~(r+dr)/(2*KV*Dh) the size of a GQA cache),
+            # shard batch over data.
+            return MLACache(
+                c=P(DATA_AXIS, None, None), p=P(DATA_AXIS, None, None),
+                lengths=P(DATA_AXIS),
+            )
+        if isinstance(c, Int8MLACache):
+            return Int8MLACache(
+                cq=P(DATA_AXIS, None, None), cs=P(DATA_AXIS, None),
+                pq=P(DATA_AXIS, None, None), ps=P(DATA_AXIS, None),
+                lengths=P(DATA_AXIS),
+            )
         if isinstance(c, Int8KVCache):
             return Int8KVCache(
                 kq=P(DATA_AXIS, MODEL_AXIS, None, None),

@@ -349,3 +349,87 @@ def test_paged_dp_mesh_rejected(fp_setup):
             kv_layout="paged",
             mesh=mesh,
         )
+
+
+MLA_CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    max_position_embeddings=64,
+    rope_interleave=True,
+    kv_lora_rank=16,
+    q_lora_rank=24,
+    qk_nope_head_dim=16,
+    qk_rope_head_dim=8,
+    v_head_dim=16,
+)
+
+
+@needs_8dev
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_tp_mla_decode_matches_single_device(kv_dtype):
+    """MLA under TP: q_b/kv_b column-parallel over heads, kv_a/q_a and the
+    latent cache replicated, o_proj row-parallel psum — prefill + decode
+    through the latent cache == single device."""
+    single = LlamaModel(MLA_CFG, mode="fp", dtype=jnp.float32)
+    params = single.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32))
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(MLA_CFG, "fp", mesh, dtype=jnp.float32)
+    B, T = 2, 6
+    caches = make_tp_caches(MLA_CFG, mesh, B, 32, kv_dtype)
+    step = build_tp_step(model_tp, mesh, params, caches)
+    sparams = shard_params(params, mesh)
+    tokens = jnp.asarray(
+        np.random.default_rng(9).integers(0, MLA_CFG.vocab_size, (B, T)),
+        jnp.int32,
+    )
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    with mesh:
+        logits, caches = step(
+            sparams, tokens, positions, caches, jnp.full((B,), T, jnp.int32)
+        )
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        logits2, caches = step(
+            sparams, nxt, caches[0].lengths[:, None], caches,
+            jnp.ones((B,), jnp.int32),
+        )
+    assert logits2.shape == (B, 1, MLA_CFG.vocab_size)
+
+    ref_caches = init_cache(MLA_CFG, B, 32, kv_dtype=kv_dtype)
+    ref_logits, ref_caches = single.apply(params, tokens, positions, ref_caches)
+    ref2, _ = single.apply(params, nxt, ref_caches[0].lengths[:, None], ref_caches)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(ref2), rtol=5e-4, atol=5e-4
+    )
+
+
+@needs_8dev
+def test_tp_mla_dynamic_int8_close_to_single_device():
+    """Dynamic-int8 MLA under TP tracks the single-device quantized model."""
+    fp = LlamaModel(MLA_CFG, mode="fp", dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32))
+    qp = quantize_params(params)
+    single = LlamaModel(MLA_CFG, mode="dynamic", dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(10).integers(0, MLA_CFG.vocab_size, (2, 8)),
+        jnp.int32,
+    )
+    ref = np.asarray(single.apply(qp, tokens))
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+    model_tp = tp_model(MLA_CFG, "dynamic", mesh, dtype=jnp.float32)
+    sparams = shard_params(qp, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, qp)(sparams, tokens))
+    # Row-parallel o_proj quantizes its LOCAL head shard per token, so TP is
+    # close-not-exact in dynamic mode (same as the GQA dynamic TP test).
+    cos = np.sum(ref * got) / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-12)
+    assert cos > 0.995, cos
+    agree = np.mean(np.argmax(ref, -1) == np.argmax(got, -1))
+    assert agree > 0.85, agree
