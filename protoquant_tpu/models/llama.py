@@ -285,23 +285,40 @@ class Attention(nn.Module):
             v = lin(KV * Dh, "v_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
 
         if cfg.qk_norm:
-            # Qwen3: per-head RMSNorm over head_dim on q and k, pre-RoPE.
-            q = RMSNorm(cfg.rms_norm_eps, self.dtype, name="q_norm")(q)
-            k = RMSNorm(cfg.rms_norm_eps, self.dtype, name="k_norm")(k)
-        cos, sin = rope_tables(
-            Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
-        )
-        q = apply_rope(q, positions, cos, sin)
-        k = apply_rope(k, positions, cos, sin)
+            # Qwen3 / Gemma-3: per-head RMSNorm over head_dim on q and k,
+            # pre-RoPE (Gemma-3 stores these zero-centred like its other
+            # norms — unit_offset follows the family flag).
+            q = RMSNorm(cfg.rms_norm_eps, self.dtype,
+                        unit_offset=cfg.rmsnorm_unit_offset, name="q_norm")(q)
+            k = RMSNorm(cfg.rms_norm_eps, self.dtype,
+                        unit_offset=cfg.rmsnorm_unit_offset, name="k_norm")(k)
 
         # Per-layer attention variants: Gemma-2 applies the sliding window
-        # on even layers only, scales scores by query_pre_attn_scalar^-0.5,
-        # and soft-caps the logits. Any of these routes the int8 attends to
-        # the XLA formulation (the Pallas kernels are full-causal default-
-        # scaled only — see Int8KVCache.update_and_attend).
-        win = cfg.sliding_window
-        if cfg.alternating_sliding_window and self.layer_idx % 2 == 1:
-            win = 0
+        # on even layers only (pattern 2); Gemma-3 makes every Nth layer
+        # global (pattern N) and gives sliding layers their own UNSCALED
+        # rope base (rope_local_theta). Gemma-2 additionally scales scores
+        # by query_pre_attn_scalar^-0.5 and soft-caps the logits. Any of
+        # these routes the int8 attends to the XLA formulation (the Pallas
+        # kernels are full-causal default-scaled only — see
+        # Int8KVCache.update_and_attend).
+        pattern = cfg.sliding_window_pattern or (
+            2 if cfg.alternating_sliding_window else 0
+        )
+        is_sliding = cfg.sliding_window > 0 and (
+            pattern == 0 or bool((self.layer_idx + 1) % pattern)
+        )
+        win = cfg.sliding_window if is_sliding else 0
+
+        if cfg.rope_local_theta > 0.0 and is_sliding:
+            cos, sin = rope_tables(
+                Dh, cfg.max_position_embeddings, cfg.rope_local_theta, None
+            )
+        else:
+            cos, sin = rope_tables(
+                Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
+            )
+        q = apply_rope(q, positions, cos, sin)
+        k = apply_rope(k, positions, cos, sin)
         scale = (
             cfg.query_pre_attn_scalar**-0.5
             if cfg.query_pre_attn_scalar > 0.0

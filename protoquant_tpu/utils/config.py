@@ -81,6 +81,13 @@ class ModelConfig:
     sliding_window: int = 0
     # Gemma-2: the window applies only on even layers (odd layers full).
     alternating_sliding_window: bool = False
+    # Gemma-3: every Nth layer is global, the rest sliding — layer i slides
+    # iff (i+1) % pattern != 0 (pattern 2 == Gemma-2's alternation; 0 = all
+    # layers sliding when sliding_window > 0).
+    sliding_window_pattern: int = 0
+    # Gemma-3: sliding layers use this UNSCALED rope base (global layers use
+    # rope_theta + rope_scaling). 0 = one rope for all layers.
+    rope_local_theta: float = 0.0
     # Gemma-2: attention scores scaled by query_pre_attn_scalar^-0.5 instead
     # of head_dim^-0.5 (0 = default head_dim scaling).
     query_pre_attn_scalar: float = 0.0
@@ -299,6 +306,36 @@ class ModelConfig:
             attn_logit_softcap=50.0,
             final_logit_softcap=30.0,
             sandwich_norms=True,
+        )
+
+    @classmethod
+    def gemma3_4b(cls) -> "ModelConfig":
+        """Gemma-3-4B (text): 5:1 sliding/global layer pattern, dual rope
+        bases (global 1e6 linear-scaled 8x, local 1e4 unscaled), zero-centred
+        qk-norms, sandwich norms, no softcaps."""
+        return cls(
+            vocab_size=262208,
+            hidden_size=2560,
+            intermediate_size=10240,
+            num_hidden_layers=34,
+            num_attention_heads=8,
+            num_key_value_heads=4,
+            max_position_embeddings=131072,
+            rms_norm_eps=1e-6,
+            rope_theta=1e6,
+            rope_local_theta=10000.0,
+            rope_scaling_type="linear",
+            rope_scaling_factor=8.0,
+            tie_word_embeddings=True,
+            hidden_act="gelu_tanh",
+            rmsnorm_unit_offset=True,
+            scale_embeddings=True,
+            head_dim_override=256,
+            sliding_window=1024,
+            sliding_window_pattern=6,
+            query_pre_attn_scalar=256.0,
+            sandwich_norms=True,
+            qk_norm=True,
         )
 
     @classmethod

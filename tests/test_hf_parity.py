@@ -546,3 +546,56 @@ def test_deepseek_v3_yarn_parity():
         _state_dict_np(hf), toks,
     )
     assert np.abs(unscaled - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_gemma3_parity():
+    """Gemma-3 = Gemma-2 machinery (sandwich norms, GeGLU, scaled embeds,
+    query_pre_attn_scalar) + zero-centred per-head qk-norms + an every-Nth-
+    layer-global sliding pattern with DUAL rope bases: global layers use
+    rope_theta with linear scaling, sliding layers rope_local_base_freq
+    unscaled. T=12 > window=4 so layer 0's window bites; pattern=2 makes
+    layer 1 global."""
+    from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+    hf_cfg = Gemma3TextConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        hidden_activation="gelu_pytorch_tanh", query_pre_attn_scalar=16.0,
+        sliding_window=4, sliding_window_pattern=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(17)
+    hf = Gemma3ForCausalLM(hf_cfg).eval().float()
+    # qk-norm weights init to zeros-centred identity; randomize so the path
+    # is exercised.
+    sd = hf.state_dict()
+    for k in list(sd):
+        if k.endswith(("q_norm.weight", "k_norm.weight")):
+            sd[k].normal_(0.0, 0.2, generator=torch.Generator().manual_seed(18))
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=1_000_000.0, rope_local_theta=10_000.0,
+        rope_scaling_type="linear", rope_scaling_factor=8.0,
+        tie_word_embeddings=True, hidden_act="gelu_tanh",
+        rmsnorm_unit_offset=True, scale_embeddings=True, head_dim_override=32,
+        query_pre_attn_scalar=16.0, sliding_window=4,
+        sliding_window_pattern=2, sandwich_norms=True, qk_norm=True,
+    )
+    toks = _tokens(64, seed=17)
+    ours = _logits_ours(cfg, sd := {k: v.numpy() for k, v in sd.items()}, toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+    # Control: a single shared rope base is the wrong math.
+    import dataclasses
+
+    wrong = _logits_ours(
+        dataclasses.replace(cfg, rope_local_theta=0.0), sd, toks
+    )
+    assert np.abs(wrong - theirs).max() > 1e-3
