@@ -104,7 +104,45 @@ def import_hf_llama(
                 layer["self_attn"][proj]["bias"] = jnp.asarray(
                     np.asarray(sd[f"{pre}.self_attn.{proj}.bias"], np.float32)
                 )
-        if cfg.layer_is_moe(i):
+        if cfg.attention_out_bias:
+            # GPT-OSS: o_proj carries a bias too.
+            layer["self_attn"]["o_proj"]["bias"] = jnp.asarray(
+                np.asarray(sd[f"{pre}.self_attn.o_proj.bias"], np.float32)
+            )
+        if cfg.learned_attention_sinks:
+            layer["self_attn"]["sinks"] = jnp.asarray(
+                np.asarray(sd[f"{pre}.self_attn.sinks"], np.float32)
+            )
+        if cfg.layer_is_moe(i) and cfg.moe_variant == "gpt_oss":
+            # GPT-OSS ships experts PRE-STACKED ([E, d, 2I] / [E, I, d],
+            # already input-major) with per-expert biases and a biased
+            # router (HF name "router" -> our "gate").
+            mp = f"{pre}.mlp"
+            layer["block_sparse_moe"] = {
+                "gate": {
+                    "kernel": _kernel(sd, f"{mp}.router.weight"),
+                    "bias": jnp.asarray(
+                        np.asarray(sd[f"{mp}.router.bias"], np.float32)
+                    ),
+                },
+                "gate_up_proj": {
+                    "kernel": jnp.asarray(
+                        np.asarray(sd[f"{mp}.experts.gate_up_proj"], np.float32)
+                    )
+                },
+                "gate_up_proj_bias": jnp.asarray(
+                    np.asarray(sd[f"{mp}.experts.gate_up_proj_bias"], np.float32)
+                ),
+                "down_proj": {
+                    "kernel": jnp.asarray(
+                        np.asarray(sd[f"{mp}.experts.down_proj"], np.float32)
+                    )
+                },
+                "down_proj_bias": jnp.asarray(
+                    np.asarray(sd[f"{mp}.experts.down_proj_bias"], np.float32)
+                ),
+            }
+        elif cfg.layer_is_moe(i):
             # Three HF layouts map onto our block_sparse_moe/w1,w2,w3:
             #   Mixtral:   block_sparse_moe.gate + experts.{e}.w1/w2/w3
             #   Qwen3-MoE / DeepSeek: mlp.gate + mlp.experts.{e}.gate/up/down

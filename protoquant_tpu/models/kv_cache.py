@@ -80,13 +80,15 @@ class BF16KVCache(_DenseSlotViews):
         return self.k.shape[1]
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
-                          scale: float = 0.0, softcap: float = 0.0):
+                          scale: float = 0.0, softcap: float = 0.0,
+                          sink_logits=None):
         """q: [B,T,H,Dh]; k/v: [B,T,KV,Dh] (post-RoPE). Returns (out, cache).
 
         ``advance`` [B] overrides how far each slot's length moves (defaults
         to T); the engine uses it for padded prefill and inactive slots.
         ``window`` > 0 applies sliding-window masking; ``scale``/``softcap``
-        override score scaling / apply Gemma-2 logit capping.
+        override score scaling / apply Gemma-2 logit capping;
+        ``sink_logits`` [H] joins GPT-OSS learned sinks to every softmax.
         """
         B, T = k.shape[:2]
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
@@ -101,7 +103,7 @@ class BF16KVCache(_DenseSlotViews):
 
         out = mha_attention(
             q, k_all, v_all, q_pos, key_pos, window=window, scale=scale,
-            softcap=softcap,
+            softcap=softcap, sink_logits=sink_logits,
         )
         return out, new
 
@@ -206,14 +208,16 @@ class Int8KVCache(_DenseSlotViews):
     # XLA off-TPU). Module-level so jitted model code picks it up at trace
     # time.
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
-                          scale: float = 0.0, softcap: float = 0.0):
+                          scale: float = 0.0, softcap: float = 0.0,
+                          sink_logits=None):
         new = self.update(k, v, advance)
-        # Sliding-window / custom scaling / logit capping live in the XLA
-        # formulation; the Pallas flash kernel is full-causal head_dim^-0.5
-        # only (a windowed variant would also want block skipping to realize
-        # the compute win — future work).
+        # Sliding-window / custom scaling / logit capping / learned sinks
+        # live in the XLA formulation; the Pallas flash kernel is
+        # full-causal head_dim^-0.5 only (a windowed variant would also want
+        # block skipping to realize the compute win — future work).
         use_pallas = (
             window == 0 and scale == 0.0 and softcap == 0.0
+            and sink_logits is None
             and _resolve_attention_backend() == "pallas"
         )
         if use_pallas:
@@ -224,6 +228,7 @@ class Int8KVCache(_DenseSlotViews):
             out = int8_kv_attention_xla(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,
+                sink_logits=sink_logits,
             )
         return out, new
 

@@ -114,8 +114,12 @@ def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
                 / (2 * math.log(theta))
             )
 
-        low = max(math.floor(corr_dim(cfg.rope_scaling_beta_fast)), 0)
-        high = min(math.ceil(corr_dim(cfg.rope_scaling_beta_slow)), head_dim - 1)
+        lo_raw = corr_dim(cfg.rope_scaling_beta_fast)
+        hi_raw = corr_dim(cfg.rope_scaling_beta_slow)
+        if cfg.rope_scaling_truncate:
+            lo_raw, hi_raw = math.floor(lo_raw), math.ceil(hi_raw)
+        low = max(lo_raw, 0)
+        high = min(hi_raw, head_dim - 1)
         if low == high:
             high += 0.001  # transformers' singularity guard
         ramp = jnp.clip(
@@ -325,11 +329,23 @@ class Attention(nn.Module):
             else 0.0
         )
         softcap = cfg.attn_logit_softcap
+        # GPT-OSS learned sinks: a trainable per-head logit that joins every
+        # softmax (mha_attention._softmax_with_sinks). Sharded over heads
+        # under TP, like the head dimension it indexes.
+        sinks = (
+            self.param(
+                "sinks", nn.initializers.zeros_init(), (H,), jnp.float32
+            )
+            if cfg.learned_attention_sinks
+            else None
+        )
         if cache is not None:
             # Cache classes own update + masking + (for int8) the Pallas
             # in-kernel-dequant attention.
+            kw = {} if sinks is None else {"sink_logits": sinks}
             out, new_cache = cache.update_and_attend(
-                q, k, v, advance, window=win, scale=scale, softcap=softcap
+                q, k, v, advance, window=win, scale=scale, softcap=softcap,
+                **kw,
             )
         elif self.cp_axis is not None:
             # Context parallelism: tokens (and their q/k/v) are seq-sharded;
@@ -337,8 +353,9 @@ class Attention(nn.Module):
             # online-softmax partials (parallel/context.py).
             from ..parallel.context import ring_attention
 
-            assert win == 0 and softcap == 0.0 and scale == 0.0, (
-                "CP + sliding window / softcap / custom scaling unsupported"
+            assert win == 0 and softcap == 0.0 and scale == 0.0 and sinks is None, (
+                "CP + sliding window / softcap / custom scaling / learned "
+                "sinks unsupported"
             )
             new_cache = None
             out = ring_attention(q, k, v, positions, self.cp_axis, self.cp)
@@ -346,7 +363,7 @@ class Attention(nn.Module):
             new_cache = None
             out = mha_attention(
                 q, k, v, positions, positions, window=win, scale=scale,
-                softcap=softcap,
+                softcap=softcap, sink_logits=sinks,
             )
 
         out = out.reshape(B, T, H * Dh)
@@ -355,7 +372,7 @@ class Attention(nn.Module):
         o = QLinear(
             cfg.hidden_size,
             mode=self.mode,
-            use_bias=False,
+            use_bias=cfg.attention_out_bias,
             dtype=self.dtype,
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
@@ -372,7 +389,8 @@ class Attention(nn.Module):
 
 
 def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
-                  scale: float = 0.0, softcap: float = 0.0):
+                  scale: float = 0.0, softcap: float = 0.0,
+                  sink_logits=None):
     """Grouped-query attention with absolute-position causal masking.
 
     q: [B, T, H, Dh]; k/v: [B, S, KV, Dh]; q_positions [B, T];
@@ -383,6 +401,9 @@ def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
     ``scale`` overrides the head_dim^-0.5 score scaling (Gemma-2's
     query_pre_attn_scalar^-0.5); ``softcap`` > 0 applies Gemma-2's pre-mask
     logit soft-capping cap*tanh(s/cap).
+    ``sink_logits`` [H]: GPT-OSS learned attention sinks — one trainable
+    logit per head joins every softmax and its probability mass is dropped,
+    so heads can attend "nowhere".
     """
     B, T, H, Dh = q.shape
     KV = k.shape[2]
@@ -402,9 +423,21 @@ def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
             > q_positions[:, None, None, :, None] - window
         )
     scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _softmax_with_sinks(scores, sink_logits, KV, group)
     out = jnp.einsum("bkgts,bskd->btkgd", probs, vf)
     return out.reshape(B, T, H, Dh).astype(q.dtype)
+
+
+def _softmax_with_sinks(scores, sink_logits, KV: int, group: int):
+    """Softmax over the key axis of [B, KV, G, T, S] scores, optionally
+    joined by a per-head sink logit whose probability is discarded — the
+    remaining probs sum to < 1 (GPT-OSS semantics)."""
+    if sink_logits is None:
+        return jax.nn.softmax(scores, axis=-1)
+    s = sink_logits.astype(jnp.float32).reshape(1, KV, group, 1, 1)
+    sink_col = jnp.broadcast_to(s, scores.shape[:-1] + (1,))
+    combined = jnp.concatenate([scores, sink_col], axis=-1)
+    return jax.nn.softmax(combined, axis=-1)[..., :-1]
 
 
 class MLP(nn.Module):

@@ -216,9 +216,18 @@ class MoEMLP(nn.Module):
         # decides routing — quantization noise here changes WHICH expert
         # runs, a much larger error than any matmul rounding).
         router_logits = nn.Dense(
-            e_global, use_bias=False, dtype=jnp.float32,
+            e_global, use_bias=cfg.moe_router_bias, dtype=jnp.float32,
             param_dtype=jnp.float32, name="gate",
         )(xf.astype(jnp.float32))
+        if cfg.moe_softmax_after_topk:
+            # GPT-OSS routing: top-k on the RAW logits, then softmax over
+            # only the selected k values (no norm/scaling afterwards).
+            top_vals, gate_idx = jax.lax.top_k(router_logits, k)
+            gate_vals = jax.nn.softmax(top_vals, axis=-1)
+            return self._dispatch_and_run(
+                cfg, xf, gate_idx, gate_vals, e_global, e_local, d, inter,
+                b, t, n,
+            )
         if cfg.moe_score_func == "sigmoid":
             # DeepSeek-V3 noaux-tc router (sigmoid scores).
             scores = jax.nn.sigmoid(router_logits)
@@ -262,14 +271,61 @@ class MoEMLP(nn.Module):
             gate_vals = gate_vals / denom
         if cfg.routed_scaling_factor != 1.0:
             gate_vals = gate_vals * cfg.routed_scaling_factor
+        return self._dispatch_and_run(
+            cfg, xf, gate_idx, gate_vals, e_global, e_local, d, inter, b, t, n
+        )
 
+    def _expert_weights(self, e_local: int, d: int, inter: int):
+        """Local expert weight shards by variant (full tensors at ep=1)."""
+        if self.cfg.moe_variant == "gpt_oss":
+            zeros = nn.initializers.zeros_init()
+            return {
+                # Fused gate/up, INTERLEAVED along the output axis (gate =
+                # even columns, up = odd), plus per-expert biases.
+                "gu": self._stacked("gate_up_proj", (e_local, d, 2 * inter)),
+                "gu_b": self.param(
+                    "gate_up_proj_bias", zeros, (e_local, 2 * inter),
+                    jnp.float32,
+                ),
+                "down": self._stacked("down_proj", (e_local, inter, d)),
+                "down_b": self.param(
+                    "down_proj_bias", zeros, (e_local, d), jnp.float32
+                ),
+            }
+        return {
+            "w1": self._stacked("w1", (e_local, d, inter)),  # gate proj
+            "w3": self._stacked("w3", (e_local, d, inter)),  # up proj
+            "w2": self._stacked("w2", (e_local, inter, d)),  # down proj
+        }
+
+    def _expert_ffn(self, xin, weights, preq):
+        """Batched per-expert FFN [E, C, d] -> [E, C, d] f32 by variant."""
+        if self.cfg.moe_variant == "gpt_oss":
+            gu = self._matmul(xin, weights["gu"], preq)
+            gu = gu + weights["gu_b"][:, None, :]
+            gate, up = gu[..., 0::2], gu[..., 1::2]
+            # GPT-OSS clamped glu: gate <= 7, |up| <= 7,
+            # out = (up + 1) * gate * sigmoid(1.702 * gate).
+            gate = jnp.minimum(gate, 7.0)
+            up = jnp.clip(up, -7.0, 7.0)
+            glu = gate * jax.nn.sigmoid(1.702 * gate)
+            h = ((up + 1.0) * glu).astype(self.dtype)
+            y = self._matmul(h, weights["down"])
+            return y + weights["down_b"][:, None, :]
+        gate_out = self._matmul(xin, weights["w1"], preq)
+        up_out = self._matmul(xin, weights["w3"], preq)
+        h = (jax.nn.silu(gate_out) * up_out).astype(self.dtype)  # [E, C, I]
+        return self._matmul(h, weights["w2"])
+
+    def _dispatch_and_run(
+        self, cfg, xf, gate_idx, gate_vals, e_global, e_local, d, inter,
+        b, t, n,
+    ):
         cap = expert_capacity(n, cfg)
         dispatch, combine = dispatch_combine(gate_idx, gate_vals, e_global, cap)
 
         # Local expert shards (full tensors when ep == 1).
-        w1 = self._stacked("w1", (e_local, d, inter))  # gate proj
-        w3 = self._stacked("w3", (e_local, d, inter))  # up proj
-        w2 = self._stacked("w2", (e_local, inter, d))  # down proj
+        weights = self._expert_weights(e_local, d, inter)
 
         shared = (
             _SharedExperts(cfg, self.mode, self.dtype, name="shared_experts")
@@ -279,7 +335,7 @@ class MoEMLP(nn.Module):
 
         if self.token_sharded and self.ep_axis is not None:
             return self._alltoall_forward(
-                xf, dispatch, combine, w1, w2, w3, b, t, d, shared
+                xf, dispatch, combine, weights, b, t, d, shared
             )
 
         if self.ep_axis is not None:
@@ -295,17 +351,14 @@ class MoEMLP(nn.Module):
             "nec,nd->ecd", dispatch, xf.astype(jnp.float32)
         ).astype(self.dtype)  # [E_local, C, d]
 
-        # Shared rowquant: w1 and w3 read the same activation (the dense
+        # Shared rowquant: gate and up read the same activation (the dense
         # path's fused-producer move, SURVEY.md §8.3.3).
         preq = (
             numerics.quantize_rowwise(xin.astype(self.dtype))
             if self.mode == "dynamic"
             else None
         )
-        gate_out = self._matmul(xin, w1, preq)
-        up_out = self._matmul(xin, w3, preq)
-        h = (jax.nn.silu(gate_out) * up_out).astype(self.dtype)  # [E, C, I]
-        y = self._matmul(h, w2)  # [E_local, C, d] f32
+        y = self._expert_ffn(xin, weights, preq)  # [E_local, C, d] f32
 
         out = jnp.einsum("nec,ecd->nd", combine, y)
         if self.ep_axis is not None:
@@ -320,7 +373,7 @@ class MoEMLP(nn.Module):
         return out.astype(self.dtype).reshape(b, t, d)
 
     def _alltoall_forward(
-        self, xf, dispatch, combine, w1, w2, w3, b, t, d, shared=None
+        self, xf, dispatch, combine, weights, b, t, d, shared=None
     ):
         """Token-sharded EP (GShard dispatch): this shard's dispatched rows
         [E, C_local, d] travel to their expert owners via all_to_all, expert
@@ -346,19 +399,12 @@ class MoEMLP(nn.Module):
         if self.mode == "dynamic":
             xq, s_x = numerics.quantize_rowwise(xin)
             preq = (a2a_out(xq), a2a_out(s_x))  # int8 on the wire
-            xg = None
+            xg = preq[0].astype(self.dtype)
         else:
             preq = None
             xg = a2a_out(xin)
 
-        gate_out = self._matmul(
-            xg if xg is not None else preq[0].astype(self.dtype), w1, preq
-        )
-        up_out = self._matmul(
-            xg if xg is not None else preq[0].astype(self.dtype), w3, preq
-        )
-        h = (jax.nn.silu(gate_out) * up_out).astype(self.dtype)
-        y = self._matmul(h, w2)  # [E_local, ep*C_local, d] f32
+        y = self._expert_ffn(xg, weights, preq)  # [E_local, ep*C_local, d]
 
         out = jnp.einsum("nec,ecd->nd", combine, a2a_back(y))
         if shared is not None:

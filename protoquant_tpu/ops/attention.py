@@ -229,7 +229,8 @@ def int8_kv_attention(
 
 def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          k_positions=None, sinks: int = 0):
+                          k_positions=None, sinks: int = 0,
+                          sink_logits=None):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -285,7 +286,17 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
             in_window |= s_pos[:, None, None, None, :] < sinks
         mask &= in_window
     scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sink_logits is None:
+        probs = jax.nn.softmax(scores, axis=-1)
+    else:
+        # GPT-OSS learned sinks: one trainable logit per head joins the
+        # softmax; its probability mass is dropped (models/llama.py
+        # _softmax_with_sinks semantics).
+        sl = sink_logits.astype(jnp.float32).reshape(1, KV, group, 1, 1)
+        sink_col = jnp.broadcast_to(sl, scores.shape[:-1] + (1,))
+        probs = jax.nn.softmax(
+            jnp.concatenate([scores, sink_col], axis=-1), axis=-1
+        )[..., :-1]
     pv = (probs * vs[:, :, None, None, :]).astype(lane)
     out = jnp.einsum(
         "bkgts,bksd->btkgd",

@@ -62,6 +62,23 @@ def _param_spec(path, leaf) -> P:
         # and per-expert scales [E, N] alike. The router ("gate") falls
         # through to replicated.
         return P(MODEL_AXIS, *([None] * ((ndim or 1) - 1)))
+    if (
+        "block_sparse_moe" in names
+        and "shared_experts" not in names
+        and any(
+            n in ("gate_up_proj", "down_proj", "gate_up_proj_bias",
+                  "down_proj_bias")
+            for n in names
+        )
+    ):
+        # GPT-OSS stacked experts (+ per-expert biases): expert axis over
+        # the model axis. shared_experts are dense QLinears and fall through
+        # to the column/row-parallel rules below.
+        return P(MODEL_AXIS, *([None] * ((ndim or 1) - 1)))
+    if names and names[-1] == "sinks":
+        # GPT-OSS learned attention sinks: one logit per head, sharded with
+        # the heads under TP.
+        return P(MODEL_AXIS)
     is_lora_a = names and names[-1] == "lora_a"
     is_lora_b = names and names[-1] == "lora_b"
     if any(f"/{p}/" in f"/{joined}/" for p in COLUMN_PARALLEL):

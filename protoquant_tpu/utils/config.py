@@ -98,6 +98,22 @@ class ModelConfig:
     sandwich_norms: bool = False
     # Qwen3: per-head RMSNorm on q and k (over head_dim, pre-RoPE).
     qk_norm: bool = False
+    # --- GPT-OSS ---
+    # Bias on o_proj (GPT-OSS carries biases on all four attention
+    # projections; attention_bias alone covers q/k/v, Qwen2-style).
+    attention_out_bias: bool = False
+    # Learned per-head attention sinks: a trainable logit per head appended
+    # to every softmax (its probability mass is discarded), letting heads
+    # dump attention nowhere — OSS's alternative to StreamingLLM sinks.
+    learned_attention_sinks: bool = False
+    # Expert style: "mixtral" (w1/w3/w2 SwiGLU) or "gpt_oss" (fused
+    # INTERLEAVED gate_up [E, d, 2I] + biases, clamped glu:
+    # gate<=7, |up|<=7, (up+1) * gate*sigmoid(1.702*gate)).
+    moe_variant: str = "mixtral"
+    moe_router_bias: bool = False  # router linear carries a bias
+    # GPT-OSS routing: top-k on the raw logits, then softmax over just the
+    # selected k values (vs softmax-then-topk everywhere else).
+    moe_softmax_after_topk: bool = False
     # --- DeepSeek-V2/V3 multi-head latent attention (MLA) ---
     # kv_lora_rank > 0 switches the attention tier to MLA (models/mla.py):
     # K/V are generated from a shared low-rank latent; the cache stores the
@@ -134,6 +150,8 @@ class ModelConfig:
     rope_scaling_beta_slow: float = 1.0
     rope_scaling_mscale: float = 0.0  # 0 = unset
     rope_scaling_mscale_all_dim: float = 0.0  # 0 = unset; V3 sets 1.0
+    # floor/ceil the yarn correction range (DeepSeek True, GPT-OSS False).
+    rope_scaling_truncate: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -306,6 +324,41 @@ class ModelConfig:
             attn_logit_softcap=50.0,
             final_logit_softcap=30.0,
             sandwich_norms=True,
+        )
+
+    @classmethod
+    def gpt_oss_20b(cls) -> "ModelConfig":
+        """GPT-OSS-20B (21B-A3.6B): GQA with learned per-head attention
+        sinks + biases on all projections, alternating sliding window,
+        untruncated yarn, fused-interleaved clamped-glu MoE with a biased
+        router and softmax-after-top-k."""
+        return cls(
+            vocab_size=201088,
+            hidden_size=2880,
+            intermediate_size=2880,
+            num_hidden_layers=24,
+            num_attention_heads=64,
+            num_key_value_heads=8,
+            max_position_embeddings=131072,
+            rms_norm_eps=1e-5,
+            rope_theta=150000.0,
+            head_dim_override=64,
+            sliding_window=128,
+            alternating_sliding_window=True,
+            attention_bias=True,
+            attention_out_bias=True,
+            learned_attention_sinks=True,
+            num_local_experts=32,
+            num_experts_per_tok=4,
+            moe_variant="gpt_oss",
+            moe_router_bias=True,
+            moe_softmax_after_topk=True,
+            rope_scaling_type="yarn",
+            rope_scaling_factor=32.0,
+            rope_scaling_beta_fast=32.0,
+            rope_scaling_beta_slow=1.0,
+            rope_scaling_truncate=False,
+            rope_scaling_original_max_position_embeddings=4096,
         )
 
     @classmethod

@@ -599,3 +599,66 @@ def test_gemma3_parity():
         dataclasses.replace(cfg, rope_local_theta=0.0), sd, toks
     )
     assert np.abs(wrong - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_gpt_oss_parity():
+    """GPT-OSS: learned per-head attention sinks (a trainable logit joining
+    every softmax, probability mass dropped), biases on all four attention
+    projections, alternating sliding window, untruncated yarn rope, and a
+    fused-interleaved clamped-glu MoE with biased router +
+    softmax-after-top-k. T=12 > window=4 so even layers' window bites."""
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    hf_cfg = GptOssConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-5,
+        rope_theta=150000.0, sliding_window=4,
+        num_local_experts=4, num_experts_per_tok=2,
+        rope_scaling={
+            "rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+            "beta_slow": 1.0, "truncate": False,
+            "original_max_position_embeddings": 8,
+        },
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(19)
+    hf = GptOssForCausalLM(hf_cfg).eval().float()
+    # Randomize the sinks so the sink path is actually exercised (init is
+    # already normal, but be explicit) and give biases real values.
+    sd = hf.state_dict()
+    g = torch.Generator().manual_seed(20)
+    for k in list(sd):
+        if k.endswith("sinks") or k.endswith("bias"):
+            sd[k].normal_(0.0, 0.5, generator=g)
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim_override=16, max_position_embeddings=64, rms_norm_eps=1e-5,
+        rope_theta=150000.0, sliding_window=4,
+        alternating_sliding_window=True,
+        attention_bias=True, attention_out_bias=True,
+        learned_attention_sinks=True,
+        num_local_experts=4, num_experts_per_tok=2,
+        moe_variant="gpt_oss", moe_router_bias=True,
+        moe_softmax_after_topk=True, expert_capacity_factor=8.0,
+        rope_scaling_type="yarn", rope_scaling_factor=4.0,
+        rope_scaling_beta_fast=32.0, rope_scaling_beta_slow=1.0,
+        rope_scaling_truncate=False,
+        rope_scaling_original_max_position_embeddings=8,
+    )
+    toks = _tokens(64, seed=19)
+    sdn = {k: v.numpy() for k, v in sd.items()}
+    ours = _logits_ours(cfg, sdn, toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=4e-4, atol=4e-4)
+
+    # Control: dropping the sinks changes the math.
+    import dataclasses
+
+    no_sinks = _logits_ours(
+        dataclasses.replace(cfg, learned_attention_sinks=False),
+        {k: v for k, v in sdn.items() if not k.endswith("sinks")}, toks,
+    )
+    assert np.abs(no_sinks - theirs).max() > 1e-3
