@@ -211,18 +211,16 @@ class Int8KVCache(_DenseSlotViews):
                           scale: float = 0.0, softcap: float = 0.0,
                           sink_logits=None):
         new = self.update(k, v, advance)
-        # Sliding-window / custom scaling / logit capping / learned sinks
-        # live in the XLA formulation; the Pallas flash kernel is
-        # full-causal head_dim^-0.5 only (a windowed variant would also want
-        # block skipping to realize the compute win — future work).
-        use_pallas = (
-            window == 0 and scale == 0.0 and softcap == 0.0
-            and sink_logits is None
-            and _resolve_attention_backend() == "pallas"
-        )
-        if use_pallas:
+        # The flash kernel covers every dense-cache attention variant:
+        # sliding window (with block skipping — windowed decode reads
+        # O(window) cache bytes, not O(S)), Gemma query scaling, Gemma-2
+        # softcap, GPT-OSS learned sinks. All exact vs the XLA formulation
+        # (tests/test_attention.py variant parametrization).
+        if _resolve_attention_backend() == "pallas":
             out = int8_kv_attention(
-                q, new.kq, new.ks, new.vq, new.vs, self.lengths
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths,
+                window=window, scale=scale, softcap=softcap,
+                sink_logits=sink_logits,
             )
         else:
             out = int8_kv_attention_xla(
@@ -351,11 +349,22 @@ class RingInt8KVCache(_DenseSlotViews):
             rot = jnp.where(rot >= self.sinks, rot, -1)
             k_pos = jnp.where(c < self.sinks, jnp.where(c < L, c, -1), rot)
         win = window if window > 0 else self.window
-        out = int8_kv_attention_xla(
-            q, new.kq, new.ks, new.vq, new.vs, self.lengths,
-            window=win, scale=scale, softcap=softcap, k_positions=k_pos,
-            sinks=self.sinks,
-        )
+        if _resolve_attention_backend() == "pallas":
+            # Ring variant of the flash kernel: per-column absolute
+            # positions drive the mask (no block skipping — ring capacity
+            # is already O(window)); StreamingLLM sink positions stay
+            # visible via the static `sinks` bound.
+            out = int8_kv_attention(
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths,
+                window=win, scale=scale, softcap=softcap,
+                k_positions=k_pos, sinks=self.sinks,
+            )
+        else:
+            out = int8_kv_attention_xla(
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths,
+                window=win, scale=scale, softcap=softcap, k_positions=k_pos,
+                sinks=self.sinks,
+            )
         return out, new
 
     def reset_slot(self, slot: jnp.ndarray):

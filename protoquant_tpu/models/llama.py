@@ -301,10 +301,10 @@ class Attention(nn.Module):
         # on even layers only (pattern 2); Gemma-3 makes every Nth layer
         # global (pattern N) and gives sliding layers their own UNSCALED
         # rope base (rope_local_theta). Gemma-2 additionally scales scores
-        # by query_pre_attn_scalar^-0.5 and soft-caps the logits. Any of
-        # these routes the int8 attends to the XLA formulation (the Pallas
-        # kernels are full-causal default-scaled only — see
-        # Int8KVCache.update_and_attend).
+        # by query_pre_attn_scalar^-0.5 and soft-caps the logits. All of
+        # these run the flash kernel on TPU (windowed variant block-skips,
+        # so decode reads O(window) cache bytes); dense/ring routing lives
+        # in Int8KVCache/RingInt8KVCache.update_and_attend.
         pattern = cfg.sliding_window_pattern or (
             2 if cfg.alternating_sliding_window else 0
         )

@@ -66,8 +66,9 @@ def _head_block(KV: int, TG: int, Dh: int, bs: int, budget: int = 12 << 20) -> i
 
 
 def _attn_kernel(
-    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, group, block_s, lane,
+    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, *rest,
+    group, block_s, lane, window, sm, softcap, has_sinks, has_positions,
+    static_sinks,
 ):
     """S-blocked flash attention over the int8 cache, HB kv-heads per
     program, online softmax across the S-block axis.
@@ -79,7 +80,29 @@ def _attn_kernel(
     ks_ref: (1, HB, 1, bs)   f32 key scales
     m/l:    VMEM (HB, >=8, 128) f32 scratch (running max / denom)
     acc:    VMEM (HB, >=8, Dh) f32 scratch
+
+    Static variants (all exact vs int8_kv_attention_xla):
+      window  > 0: sliding-window mask (Mistral/Gemma-2/3); blocks entirely
+                   below the window are skipped — DMA clamped away by the
+                   index map, math skipped by the pl.when guard — so windowed
+                   decode cost is O(window), not O(S).
+      sm:          static score multiplier (Gemma query scaling; default
+                   head_dim**-0.5).
+      softcap > 0: Gemma-2 logit soft-capping, applied pre-mask.
+      has_sinks:   GPT-OSS learned per-head sink logits join the softmax via
+                   the online-softmax initial state (m0 = sink, l0 = 1,
+                   acc0 = 0) — the sink holds denominator mass but no value.
+      has_positions: ring-buffer caches (RingInt8KVCache) — column c holds
+                   absolute position pos_ref[c] (negative = never written),
+                   so masking keys off positions instead of the column iota.
+                   No block skipping: ring capacity is already O(window).
+      static_sinks: StreamingLLM — positions < static_sinks stay visible
+                   to every query regardless of the sliding window.
     """
+    rest = list(rest)
+    sink_ref = rest.pop(0) if has_sinks else None
+    pos_ref = rest.pop(0) if has_positions else None
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     s = pl.program_id(2)
     HB, TG = q_ref.shape[1], q_ref.shape[2]
@@ -90,40 +113,75 @@ def _attn_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if has_sinks:
+            m_ref[:, :TG] = sink_ref[...]
+            l_ref[:, :TG] = jnp.ones_like(l_ref[:, :TG])
 
     length = len_ref[b, 0]
 
-    # Blocks entirely beyond the last valid column (len + t_max) contribute
-    # nothing — skip their math (their DMA was already clamped away).
-    @pl.when(s * block_s <= length + t_max)
+    # Blocks entirely beyond the last valid column (len + t_max) — or, for
+    # sliding-window, entirely before the earliest in-window column — hold
+    # nothing: skip their math (their DMA was already clamped away). Ring
+    # caches (has_positions) scatter positions across columns, so every
+    # block may hold live keys — but capacity is O(window), so nothing is
+    # lost by visiting all of them.
+    if has_positions:
+        active = s >= 0
+    else:
+        active = s * block_s <= length + t_max
+        if window > 0:
+            lo_col = jnp.maximum(length - window + 1, 0)
+            active &= (s + 1) * block_s > lo_col
+
+    @pl.when(active)
     def _():
         # MXU lanes: bf16 on TPU (native rate; exact for int8 values), f32 in
         # interpret mode off-TPU.
         q = q_ref[0].astype(lane)  # (HB, TG, Dh)
         k = k_ref[0].astype(lane)  # (HB, bs, Dh)
         ks = ks_ref[0]  # (HB, 1, bs)
-        dh = q.shape[-1]
 
         scores = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (HB, TG, bs)
-        scores = scores * ks * (1.0 / (dh**0.5))
+        scores = scores * ks * sm
+        if softcap > 0.0:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
 
         # Causal/length mask: query row r belongs to step t = r // group at
-        # absolute position len + t; key column c is valid iff c <= len + t.
-        cols = s * block_s + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        # absolute position len + t; key column c is valid iff its absolute
+        # position p_c <= len + t (and, windowed, p_c > len + t - window,
+        # except StreamingLLM sink positions p_c < static_sinks). Contiguous
+        # caches have p_c = c; ring caches supply per-column positions
+        # (negative = never written).
         t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
-        valid = cols <= (length + t_rows)
+        if has_positions:
+            pos = jnp.broadcast_to(
+                pos_ref[...].reshape(1, 1, block_s), scores.shape
+            )
+            valid = (pos >= 0) & (pos <= length + t_rows)
+        else:
+            pos = s * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 2
+            )
+            valid = pos <= (length + t_rows)
+        if window > 0:
+            in_window = pos > (length + t_rows - window)
+            if static_sinks > 0:
+                in_window |= pos < static_sinks
+            valid &= in_window
         scores = jnp.where(valid, scores, NEG_INF)
 
-        # Online-softmax update. Block 0 always holds a valid column for
-        # every row (col 0 <= len + t), so m leaves NEG_INF immediately and
-        # later fully-masked rows correctly contribute exp(NEG_INF - m) = 0.
+        # Online-softmax update. A row whose every column in this block is
+        # masked while m is still NEG_INF would see exp(NEG_INF - NEG_INF)
+        # = 1 — the `valid` guard on p zeroes those lanes exactly (this
+        # arises under sliding windows at T > 1, where different query rows
+        # have disjoint windows; full-causal block 0 never hits it).
         m_old = m_ref[:, :TG, :1]  # (HB, TG, 1)
         m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
         corr = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)  # (HB, TG, bs)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # (HB, TG, bs)
 
         vs = vs_ref[0]  # (HB, 1, bs)
         v = v_ref[0].astype(lane)  # (HB, bs, Dh)
@@ -144,8 +202,15 @@ def _attn_kernel(
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "t_q", "interpret", "out_dtype"))
-def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group", "t_q", "window", "scale", "softcap", "static_sinks",
+        "interpret", "out_dtype",
+    ),
+)
+def _attend(q, kq, ks, vq, vs, lengths, sink_rows, positions, *, group, t_q,
+            window, scale, softcap, static_sinks, interpret, out_dtype):
     B, KV, TG, Dh = q.shape
     S = kq.shape[2]
     bs = _flash_block_s(S)
@@ -154,26 +219,52 @@ def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
     vs4 = vs.reshape(B, KV, 1, S)
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
     t_max = (TG - 1) // group
+    sm = scale if scale > 0.0 else Dh**-0.5
+    ring = positions is not None
+
+    def s_eff(s, ln_b):
+        # Clamp past the last needed block — and, windowed, before the first
+        # needed block — so dead fetches are elided (repeat indices = no DMA).
+        # Ring caches scatter positions over columns: no clamping possible.
+        if ring:
+            return s
+        ln_b = jnp.maximum(ln_b, 0)
+        hi = (ln_b + t_max) // bs
+        if window > 0:
+            lo = jnp.maximum(ln_b - window + 1, 0) // bs
+            return jnp.clip(s, lo, hi)
+        return jnp.minimum(s, hi)
 
     def kv_index(b, h, s, ln):
-        # Clamp past the last needed block so dead fetches are elided.
-        s_eff = jnp.minimum(s, (jnp.maximum(ln[b, 0], 0) + t_max) // bs)
-        return (b, h, s_eff, 0)
+        return (b, h, s_eff(s, ln[b, 0]), 0)
 
     def kscale_index(b, h, s, ln):
-        s_eff = jnp.minimum(s, (jnp.maximum(ln[b, 0], 0) + t_max) // bs)
-        return (b, h, 0, s_eff)
+        return (b, h, 0, s_eff(s, ln[b, 0]))
+
+    in_specs = [
+        pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, bs, Dh), kv_index),
+        pl.BlockSpec((1, HB, 1, bs), kscale_index),
+        pl.BlockSpec((1, HB, bs, Dh), kv_index),
+        pl.BlockSpec((1, HB, 1, bs), kscale_index),
+    ]
+    operands = [lengths2, q, kq, ks4, vq, vs4]
+    if sink_rows is not None:
+        # (KV, TG, 128) f32 — per-query-row learned sink logit, lane-
+        # broadcast to match the m-scratch layout it initializes.
+        in_specs.append(pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
+        operands.append(sink_rows)
+    if ring:
+        # (B, 1, S) int32 — per-column absolute positions (ring caches).
+        in_specs.append(
+            pl.BlockSpec((1, 1, bs), lambda b, h, s, ln: (b, 0, s))
+        )
+        operands.append(positions.reshape(B, 1, S).astype(jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, KV // HB, S // bs),
-        in_specs=[
-            pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, HB, bs, Dh), kv_index),
-            pl.BlockSpec((1, HB, 1, bs), kscale_index),
-            pl.BlockSpec((1, HB, bs, Dh), kv_index),
-            pl.BlockSpec((1, HB, 1, bs), kscale_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
@@ -182,7 +273,11 @@ def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
         ],
     )
     lane = jnp.float32 if interpret else jnp.bfloat16
-    kernel = functools.partial(_attn_kernel, group=group, block_s=bs, lane=lane)
+    kernel = functools.partial(
+        _attn_kernel, group=group, block_s=bs, lane=lane, window=window,
+        sm=sm, softcap=softcap, has_sinks=sink_rows is not None,
+        has_positions=ring, static_sinks=static_sinks,
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -191,7 +286,7 @@ def _attend(q, kq, ks, vq, vs, lengths, *, group, t_q, interpret, out_dtype):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths2, q, kq, ks4, vq, vs4)
+    )(*operands)
 
 
 def int8_kv_attention(
@@ -202,6 +297,12 @@ def int8_kv_attention(
     vs: jnp.ndarray,  # [B, KV, S] f32
     lengths: jnp.ndarray,  # [B] int32 — cache length BEFORE this step's tokens
     *,
+    window: int = 0,
+    scale: float = 0.0,
+    softcap: float = 0.0,
+    sink_logits: jnp.ndarray | None = None,  # [H] learned sinks (GPT-OSS)
+    k_positions: jnp.ndarray | None = None,  # [B, S] ring-cache positions
+    sinks: int = 0,  # StreamingLLM: positions < sinks always visible
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [B, T, H, Dh] attention output in q.dtype."""
@@ -212,6 +313,13 @@ def int8_kv_attention(
     group = H // KV
     # [B, T, KV, group, Dh] -> [B, KV, T*group, Dh] with row = t*group + g
     qh = q.reshape(B, T, KV, group, Dh).transpose(0, 2, 1, 3, 4).reshape(B, KV, T * group, Dh)
+    sink_rows = None
+    if sink_logits is not None:
+        # Row r = t*group + g of kv-head kv reads q-head kv*group + g.
+        srow = jnp.broadcast_to(
+            sink_logits.astype(jnp.float32).reshape(KV, 1, group), (KV, T, group)
+        ).reshape(KV, T * group)
+        sink_rows = jnp.broadcast_to(srow[:, :, None], (KV, T * group, 128))
     out = _attend(
         qh,
         kq,
@@ -219,8 +327,14 @@ def int8_kv_attention(
         vq,
         vs,
         lengths,
+        sink_rows,
+        k_positions,
         group=group,
         t_q=T,
+        window=int(window),
+        scale=float(scale),
+        softcap=float(softcap),
+        static_sinks=int(sinks),
         interpret=interpret,
         out_dtype=q.dtype,
     )

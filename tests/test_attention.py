@@ -231,3 +231,91 @@ def test_kv_scatter_decode_drops_write_at_capacity():
     np.testing.assert_array_equal(np.asarray(vs2[0]), np.asarray(vs[0]))
     # Slot 1: written at position 3.
     np.testing.assert_array_equal(np.asarray(kq2[1, :, 3]), np.asarray(k8[1, :, 0]))
+
+
+@pytest.mark.parametrize(
+    "variant,t_q",
+    [
+        # Sliding window entirely inside the last S-block (lo-block skipping
+        # exercised on the long slot), decode and chunked-prefill queries.
+        ("window", 1),
+        ("window", 4),
+        # Window smaller than the query chunk: rows in one program have
+        # DISJOINT windows, exercising the masked-row guard in the online
+        # softmax (a block can be fully masked for row t=0 while live for
+        # t=3).
+        ("tiny_window", 4),
+        # Gemma query scaling / Gemma-2 softcap + window + scaling combined.
+        ("scale", 1),
+        ("gemma2", 4),
+        # GPT-OSS learned sinks via online-softmax initial state.
+        ("sinks", 1),
+        ("sinks", 4),
+    ],
+)
+def test_int8_flash_attention_variants_match_ref(variant, t_q):
+    """The flash kernel's window/scale/softcap/sink variants are exact vs
+    the XLA formulation (which is itself HF-parity-tested end to end).
+    S=1024 -> two 512-blocks, so windowed cases cross block boundaries."""
+    B, KV, G, S, Dh = 2, 2, 2, 1024, 64
+    H = KV * G
+    rng = np.random.default_rng(11)
+    q = rand((B, t_q, H, Dh), seed=12, scale=0.5)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, KV, S, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, KV, S, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, S)).astype(np.float32))
+    # One slot deep into block 1 (window start also in block 1 for
+    # window=200), one short slot whose window reaches position 0.
+    lengths = jnp.asarray([S - 30, 70], jnp.int32)
+
+    kw = {}
+    if variant == "window":
+        kw["window"] = 200
+    elif variant == "tiny_window":
+        kw["window"] = 2  # narrower than the t_q=4 chunk
+    elif variant == "scale":
+        kw["scale"] = 0.25
+    elif variant == "gemma2":
+        kw.update(window=300, scale=0.125, softcap=30.0)
+    elif variant == "sinks":
+        kw["sink_logits"] = jnp.asarray(
+            rng.uniform(-2.0, 2.0, (H,)).astype(np.float32)
+        )
+
+    out = int8_kv_attention(q, kq, ks, vq, vs, lengths, **kw)
+    ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("sinks,t_q", [(0, 1), (0, 4), (4, 1), (4, 4)])
+def test_int8_flash_attention_ring_positions_match_ref(sinks, t_q):
+    """Ring-cache variant: per-column absolute positions (scattered by the
+    ring modulus, negative = never written) drive the mask; StreamingLLM
+    sink positions stay visible past the window."""
+    B, KV, G, C, Dh, W = 2, 2, 2, 256, 64, 128
+    H = KV * G
+    rng = np.random.default_rng(21)
+    q = rand((B, t_q, H, Dh), seed=22, scale=0.5)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, KV, C, Dh), dtype=np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, KV, C, Dh), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, C)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, KV, C)).astype(np.float32))
+    # Slot 0: long stream (ring wrapped many times); slot 1: short (most
+    # columns never written -> negative positions).
+    lengths = jnp.asarray([1000, 30], jnp.int32)
+    L = lengths[:, None] + t_q
+    c = jnp.arange(C)[None, :]
+    if sinks == 0:
+        k_pos = (L - 1) - ((L - 1 - c) % C)
+    else:
+        R = C - sinks
+        m = c - sinks
+        rot = (L - 1) - ((L - 1 - sinks - m) % R)
+        rot = jnp.where(rot >= sinks, rot, -1)
+        k_pos = jnp.where(c < sinks, jnp.where(c < L, c, -1), rot)
+
+    kw = dict(window=W, k_positions=k_pos, sinks=sinks)
+    out = int8_kv_attention(q, kq, ks, vq, vs, lengths, **kw)
+    ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
