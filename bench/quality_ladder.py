@@ -123,8 +123,17 @@ def main():
         rows.append(row)
         print(json.dumps(row))
 
+    from protoquant_tpu.nn import awq_quantize
+
+    awq_int8 = awq_quantize(fp_model, params, calib, QuantConfig(mode="dynamic"))
+    awq_int4 = awq_quantize(
+        fp_model, params, calib,
+        QuantConfig(mode="weight_only_int4", int4_group=128),
+    )
+
     run("int8_dynamic", "dynamic", params)
     run("int8_dynamic+smooth", "dynamic", smoothed)
+    run("int8_dynamic+awq", "dynamic", awq_int8)
     run("int8_dynamic+int8kv", "dynamic", params, kv_dtype=jnp.int8)
     run("int8_weight_only", "weight_only", params)
     run("int8_weight_only+gptq", "weight_only", params, gptq=True)
@@ -134,6 +143,8 @@ def main():
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
     run("int4_weight_only_g128+gptq", "weight_only_int4", params,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True)
+    run("int4_weight_only_g128+awq", "weight_only_int4", awq_int4,
+        qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
 
     print(json.dumps({
         "scale": f"{args.layers}L-d{args.hidden} shaped logits, "

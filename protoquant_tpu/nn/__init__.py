@@ -1,3 +1,4 @@
+from .awq import awq_params, awq_quantize, collect_norm_outputs
 from .convert import dequantize_params, quantize_params, quantized_bytes
 from .fuse import fuse_projections
 from .gptq import collect_grams, gptq_params
@@ -29,6 +30,9 @@ __all__ = [
     "smoothquant",
     "collect_grams",
     "gptq_params",
+    "awq_quantize",
+    "awq_params",
+    "collect_norm_outputs",
     "attach_lora",
     "attach_lora_stack",
     "set_stack_adapter",

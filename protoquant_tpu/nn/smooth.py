@@ -129,19 +129,25 @@ def smooth_params(
             for n in names:
                 attn[n] = {**attn[n], "kernel": _scale_kernel(attn[n]["kernel"], s)}
 
-        # --- MLP group: post_attention_layernorm -> gate/up (or MoE) -------
-        if "post_attention_layernorm" not in lstats:
+        # --- MLP group: pre-MLP norm -> gate/up (or MoE). Sandwich-norm
+        # models (Gemma-2/3) feed the MLP from pre_feedforward_layernorm;
+        # there post_attention_layernorm normalizes the attention OUTPUT and
+        # folding into it would scale the residual stream (not an identity).
+        mnorm = (
+            "pre_feedforward_layernorm"
+            if "pre_feedforward_layernorm" in layer
+            else "post_attention_layernorm"
+        )
+        if mnorm not in lstats:
             continue
-        act = lstats["post_attention_layernorm"]
+        act = lstats[mnorm]
         if "mlp" in layer:
             mlp = layer["mlp"]
             names = [n for n in ("gate_proj", "up_proj", "gate_up_proj") if n in mlp]
             if not names:
                 continue
             s = _scale_vector(act, [mlp[n]["kernel"] for n in names], alpha, eps)
-            layer["post_attention_layernorm"] = _fold_into_norm(
-                layer["post_attention_layernorm"], s, unit_offset
-            )
+            layer[mnorm] = _fold_into_norm(layer[mnorm], s, unit_offset)
             for n in names:
                 mlp[n] = {**mlp[n], "kernel": _scale_kernel(mlp[n]["kernel"], s)}
         elif "block_sparse_moe" in layer:
@@ -150,9 +156,7 @@ def smooth_params(
             consumers = [moe["w1"]["kernel"], moe["w3"]["kernel"],
                          moe["gate"]["kernel"]]
             s = _scale_vector(act, consumers, alpha, eps)
-            layer["post_attention_layernorm"] = _fold_into_norm(
-                layer["post_attention_layernorm"], s, unit_offset
-            )
+            layer[mnorm] = _fold_into_norm(layer[mnorm], s, unit_offset)
             for n in ("w1", "w3", "gate"):
                 moe[n] = {**moe[n], "kernel": _scale_kernel(moe[n]["kernel"], s)}
 
