@@ -63,17 +63,19 @@ def import_hf_llama(
                         np.asarray(sd[f"{pre}.self_attn.q_a_layernorm.weight"], np.float32)
                     )
                 }
+        elif f"{pre}.self_attn.qkv_proj.weight" in sd:
+            # Phi-3: natively fused QKV ([q; k; v] rows — the same concat
+            # order as nn.fuse_projections). Build the model with fused=True.
+            self_attn = {
+                proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
+                for proj in ("qkv_proj", "o_proj")
+            }
         else:
             self_attn = {
                 proj: {"kernel": _kernel(sd, f"{pre}.self_attn.{proj}.weight")}
                 for proj in _PROJS_ATTN
             }
         layer: dict = {
-            "input_layernorm": {
-                "weight": jnp.asarray(
-                    np.asarray(sd[f"{pre}.input_layernorm.weight"], np.float32)
-                )
-            },
             "post_attention_layernorm": {
                 "weight": jnp.asarray(
                     np.asarray(sd[f"{pre}.post_attention_layernorm.weight"], np.float32)
@@ -81,6 +83,21 @@ def import_hf_llama(
             },
             "self_attn": self_attn,
         }
+        if cfg.post_norm:
+            # OLMo-2: no input norm; norms sit on the sublayer outputs.
+            layer["post_feedforward_layernorm"] = {
+                "weight": jnp.asarray(
+                    np.asarray(
+                        sd[f"{pre}.post_feedforward_layernorm.weight"], np.float32
+                    )
+                )
+            }
+        else:
+            layer["input_layernorm"] = {
+                "weight": jnp.asarray(
+                    np.asarray(sd[f"{pre}.input_layernorm.weight"], np.float32)
+                )
+            }
         if cfg.sandwich_norms:
             # Gemma-2: post_attention_layernorm already mapped above (it
             # normalizes the attention OUTPUT there); add the pre/post-FFN
@@ -184,6 +201,12 @@ def import_hf_llama(
                     }
                     for proj in _PROJS_MLP
                 }
+        elif f"{pre}.mlp.gate_up_proj.weight" in sd:
+            # Phi-3: natively fused [gate; up] MLP input projection.
+            layer["mlp"] = {
+                proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}
+                for proj in ("gate_up_proj", "down_proj")
+            }
         else:
             layer["mlp"] = {
                 proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}

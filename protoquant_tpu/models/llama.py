@@ -84,7 +84,8 @@ class RMSNorm(nn.Module):
         return (y * w).astype(self.dtype)
 
 
-def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
+def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None,
+                longrope_long: bool = False):
     """cos/sin tables [max_len, head_dim//2], f32.
 
     ``cfg`` (ModelConfig) enables RoPE scaling: "linear" position
@@ -100,6 +101,15 @@ def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
     )
     if cfg is not None and cfg.rope_scaling_type == "linear":
         inv_freq = inv_freq / cfg.rope_scaling_factor
+    elif cfg is not None and cfg.rope_scaling_type == "longrope":
+        # Phi-3: per-dim inv_freq divisors; the short/long choice is the
+        # caller's (Attention selects at runtime from the live positions).
+        ext = jnp.asarray(
+            cfg.rope_scaling_long_factor if longrope_long
+            else cfg.rope_scaling_short_factor,
+            jnp.float32,
+        )
+        inv_freq = inv_freq / ext
     elif cfg is not None and cfg.rope_scaling_type == "yarn":
         import math
 
@@ -148,7 +158,23 @@ def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None):
     if cfg is not None and cfg.rope_scaling_type == "yarn":
         cos = cos * yarn_attention_factor(cfg)
         sin = sin * yarn_attention_factor(cfg)
+    elif cfg is not None and cfg.rope_scaling_type == "longrope":
+        f = longrope_attention_factor(cfg)
+        cos, sin = cos * f, sin * f
     return cos, sin
+
+
+def longrope_attention_factor(cfg) -> float:
+    """Phi-3 longrope magnitude correction: sqrt(1 + ln(s)/ln(orig)) with
+    s = max_position_embeddings / original_max_position_embeddings (applied
+    to BOTH factor tables; transformers _compute_longrope_parameters)."""
+    import math
+
+    orig = cfg.rope_scaling_original_max_position_embeddings
+    s = cfg.max_position_embeddings / orig
+    if s <= 1.0:
+        return 1.0
+    return math.sqrt(1.0 + math.log(s) / math.log(orig))
 
 
 def yarn_mscale(scale: float, mscale: float = 1.0) -> float:
@@ -170,8 +196,17 @@ def yarn_attention_factor(cfg) -> float:
     return yarn_mscale(f)
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos, sin):
-    """x: [B, T, H, D]; positions: [B, T] absolute positions."""
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos, sin,
+               rot: int | None = None):
+    """x: [B, T, H, D]; positions: [B, T] absolute positions.
+
+    ``rot`` < D applies partial rotary (Phi-3-small/GLM): the first rot dims
+    rotate (half-split pairing within them), the rest pass through."""
+    if rot is not None and rot < x.shape[-1]:
+        xr, xp = x[..., :rot], x[..., rot:]
+        return jnp.concatenate(
+            [apply_rope(xr, positions, cos, sin), xp], axis=-1
+        )
     c = cos[positions][:, :, None, :]  # [B, T, 1, D/2]
     s = sin[positions][:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
@@ -288,7 +323,18 @@ class Attention(nn.Module):
             k = lin(KV * Dh, "k_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
             v = lin(KV * Dh, "v_proj")(x, preq, adapter_ids).reshape(B, T, KV, Dh)
 
-        if cfg.qk_norm:
+        if cfg.qk_norm and cfg.qk_norm_full:
+            # OLMo-2: RMSNorm over the FULL projection width (mean over
+            # H*Dh, weight [H*Dh]), before the head split. Under TP the
+            # mean would span shards — unsupported until needed.
+            assert self.tp == 1, "full-width qk-norm under TP unsupported"
+            q = RMSNorm(cfg.rms_norm_eps, self.dtype, name="q_norm")(
+                q.reshape(B, T, H * Dh)
+            ).reshape(B, T, H, Dh)
+            k = RMSNorm(cfg.rms_norm_eps, self.dtype, name="k_norm")(
+                k.reshape(B, T, KV * Dh)
+            ).reshape(B, T, KV, Dh)
+        elif cfg.qk_norm:
             # Qwen3 / Gemma-3: per-head RMSNorm over head_dim on q and k,
             # pre-RoPE (Gemma-3 stores these zero-centred like its other
             # norms — unit_offset follows the family flag).
@@ -313,16 +359,40 @@ class Attention(nn.Module):
         )
         win = cfg.sliding_window if is_sliding else 0
 
+        # Partial rotary (Phi-3-small/GLM): rope the first rot dims only.
+        rot = (
+            Dh if cfg.partial_rotary_factor >= 1.0
+            else int(Dh * cfg.partial_rotary_factor)
+        )
         if cfg.rope_local_theta > 0.0 and is_sliding:
             cos, sin = rope_tables(
-                Dh, cfg.max_position_embeddings, cfg.rope_local_theta, None
+                rot, cfg.max_position_embeddings, cfg.rope_local_theta, None
             )
+        elif cfg.rope_scaling_type == "longrope":
+            # Phi-3: short factors while every position fits the original
+            # training window, long factors beyond — selected at runtime
+            # from the live positions (transformers' dynamic rope update
+            # recomputes per forward from max(position_ids)+1).
+            cs, ss = rope_tables(
+                rot, cfg.max_position_embeddings, cfg.rope_theta, cfg,
+                longrope_long=False,
+            )
+            cl, sl = rope_tables(
+                rot, cfg.max_position_embeddings, cfg.rope_theta, cfg,
+                longrope_long=True,
+            )
+            is_long = (
+                jnp.max(positions) + 1
+                > cfg.rope_scaling_original_max_position_embeddings
+            )
+            cos = jnp.where(is_long, cl, cs)
+            sin = jnp.where(is_long, sl, ss)
         else:
             cos, sin = rope_tables(
-                Dh, cfg.max_position_embeddings, cfg.rope_theta, cfg
+                rot, cfg.max_position_embeddings, cfg.rope_theta, cfg
             )
-        q = apply_rope(q, positions, cos, sin)
-        k = apply_rope(k, positions, cos, sin)
+        q = apply_rope(q, positions, cos, sin, rot=rot)
+        k = apply_rope(k, positions, cos, sin, rot=rot)
         scale = (
             cfg.query_pre_attn_scalar**-0.5
             if cfg.query_pre_attn_scalar > 0.0
@@ -583,7 +653,13 @@ class DecoderLayer(nn.Module):
             return (xq.astype(jnp.float32) * sx[..., None]).astype(self.dtype)
 
         sandwich = self.cfg.sandwich_norms
-        if fq and not sandwich:
+        post = self.cfg.post_norm
+        if post:
+            # OLMo-2: no input norm — attention reads the raw residual
+            # stream; post_attention_layernorm applies to its OUTPUT below.
+            attn_preq = None
+            attn_in = x
+        elif fq and not sandwich:
             attn_preq = norm("input_layernorm", True)(x)
             attn_in = deq(attn_preq)  # stub; DCE'd (projections use the preq)
         else:
@@ -613,11 +689,15 @@ class DecoderLayer(nn.Module):
                 collective=self.collective, name="self_attn"
             )(attn_in, positions, cache, advance, preq=attn_preq,
               adapter_ids=adapter_ids)
-        if sandwich:
-            # Gemma-2: normalize the attention OUTPUT before the residual.
+        if sandwich or post:
+            # Gemma-2 sandwich / OLMo-2 post-norm: normalize the attention
+            # OUTPUT before the residual add.
             h = norm("post_attention_layernorm", False)(h)
         x = x + h
-        if sandwich:
+        if post:
+            mlp_preq = None
+            normed = x  # OLMo-2: the MLP reads the raw residual stream too
+        elif sandwich:
             mlp_preq = None
             normed = norm("pre_feedforward_layernorm", False)(x)
         elif fq and not self.cfg.is_moe:
@@ -646,7 +726,7 @@ class DecoderLayer(nn.Module):
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective, name="mlp",
             )(normed, preq=mlp_preq, adapter_ids=adapter_ids)
-        if sandwich:
+        if sandwich or post:
             h = norm("post_feedforward_layernorm", False)(h)
         return x + h, new_cache
 

@@ -152,6 +152,26 @@ class ModelConfig:
     rope_scaling_mscale_all_dim: float = 0.0  # 0 = unset; V3 sets 1.0
     # floor/ceil the yarn correction range (DeepSeek True, GPT-OSS False).
     rope_scaling_truncate: bool = True
+    # Phi-3 "longrope" (rope_scaling_type="longrope"): per-dim inv_freq
+    # divisors, len head_dim//2. Short factors apply while max position+1
+    # <= original_max_position_embeddings, long factors beyond (the switch
+    # is made at runtime from the live positions, matching transformers'
+    # dynamic rope update); both tables carry the same attention factor
+    # sqrt(1 + ln(max/original)/ln(original)).
+    rope_scaling_short_factor: tuple = ()
+    rope_scaling_long_factor: tuple = ()
+    # Rotary on the first partial_rotary_factor*head_dim dims only, the
+    # rest pass through unrotated (Phi-3-small / GLM / Nemotron). 1.0 =
+    # full rotary.
+    partial_rotary_factor: float = 1.0
+    # --- OLMo-2 ---
+    # Norms on sublayer OUTPUTS: x += post_attention_layernorm(attn(x));
+    # x += post_feedforward_layernorm(mlp(x)); no input norms. Mutually
+    # exclusive with sandwich_norms.
+    post_norm: bool = False
+    # qk_norm over the full projection width [H*Dh] before the head split
+    # (OLMo-2), instead of per-head over head_dim (Qwen3/Gemma-3).
+    qk_norm_full: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -465,6 +485,43 @@ class ModelConfig:
             rope_scaling_mscale=1.0,
             rope_scaling_mscale_all_dim=1.0,
             rope_scaling_original_max_position_embeddings=4096,
+        )
+
+    @classmethod
+    def phi3_mini(cls) -> "ModelConfig":
+        """Phi-3-mini-4k: Llama-shaped with NATIVELY fused qkv/gate_up
+        projections (build the model with fused=True; hf_import maps the
+        fused HF weights directly) and MHA (kv == heads)."""
+        return cls(
+            vocab_size=32064,
+            hidden_size=3072,
+            intermediate_size=8192,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=32,
+            max_position_embeddings=4096,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            sliding_window=2047,
+        )
+
+    @classmethod
+    def olmo2_7b(cls) -> "ModelConfig":
+        """OLMo-2-7B: post-norm layers (norms on sublayer outputs) +
+        full-width q/k RMSNorms, MHA, rope theta 5e5."""
+        return cls(
+            vocab_size=100352,
+            hidden_size=4096,
+            intermediate_size=11008,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=32,
+            max_position_embeddings=4096,
+            rms_norm_eps=1e-6,
+            rope_theta=500000.0,
+            post_norm=True,
+            qk_norm=True,
+            qk_norm_full=True,
         )
 
     @classmethod
