@@ -79,39 +79,54 @@ def cmd_convert(args):
         qparams = gptq_params(params, grams, qcfg)
     else:
         qparams = quantize_params(params, qcfg)
+    # Phi-3 ships natively fused qkv/gate_up projections; the restoring
+    # model must be built with fused=True, so record it in the meta.
+    layer0 = qparams.get("params", qparams).get("layers_0", {})
+    fused = "qkv_proj" in layer0.get("self_attn", {})
     save_checkpoint(
         args.out,
         qparams,
         json.dumps(
-            {"model": dataclasses.asdict(cfg), "quant": dataclasses.asdict(qcfg)}
+            {"model": dataclasses.asdict(cfg), "quant": dataclasses.asdict(qcfg),
+             "fused": fused}
         ),
     )
     print(f"wrote quantized checkpoint to {args.out}")
 
 
-def cmd_generate(args):
-    from .engine import Engine, EngineConfig
+def _restore_model(ckpt: str):
+    """Checkpoint dir -> (model, params): rebuild the LlamaModel with the
+    SAME quant layout + fusedness the checkpoint was written with, restore
+    the QTensor tree against a matching example."""
+    import jax
+
     from .models import LlamaModel
     from .nn import quantize_params
     from .utils.checkpoint import load_config, restore_checkpoint
     from .utils.config import ModelConfig, QuantConfig
 
-    meta = load_config(args.ckpt)
+    meta = load_config(ckpt)
     cfg = ModelConfig(**meta["model"])
     qcfg = QuantConfig(**meta["quant"])
+    fused = bool(meta.get("fused", False))
     # The model's int4 layout attributes must match the checkpoint's
     # QuantConfig, or flax rejects the restored payload shapes.
     model = LlamaModel(
-        cfg, mode=qcfg.mode,
+        cfg, mode=qcfg.mode, fused=fused,
         int4_group=qcfg.int4_group, int4_storage=qcfg.int4_storage,
     )
-    fp_model = LlamaModel(cfg, mode="fp")
+    fp_model = LlamaModel(cfg, mode="fp", fused=fused)
     example = quantize_params(
-        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
+        fp_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
         qcfg,
     )
-    params = restore_checkpoint(args.ckpt, example)
+    return model, restore_checkpoint(ckpt, example)
 
+
+def cmd_generate(args):
+    from .engine import Engine, EngineConfig
+
+    model, params = _restore_model(args.ckpt)
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         max_seq_len=args.max_seq,
@@ -131,26 +146,8 @@ def cmd_generate(args):
 
 def _load_engine(args):
     from .engine import Engine, EngineConfig
-    from .models import LlamaModel
-    from .nn import quantize_params
-    from .utils.checkpoint import load_config, restore_checkpoint
-    from .utils.config import ModelConfig, QuantConfig
 
-    meta = load_config(args.ckpt)
-    cfg = ModelConfig(**meta["model"])
-    qcfg = QuantConfig(**meta["quant"])
-    # The model's int4 layout attributes must match the checkpoint's
-    # QuantConfig, or flax rejects the restored payload shapes.
-    model = LlamaModel(
-        cfg, mode=qcfg.mode,
-        int4_group=qcfg.int4_group, int4_storage=qcfg.int4_storage,
-    )
-    fp_model = LlamaModel(cfg, mode="fp")
-    example = quantize_params(
-        fp_model.init(__import__("jax").random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)),
-        qcfg,
-    )
-    params = restore_checkpoint(args.ckpt, example)
+    model, params = _restore_model(args.ckpt)
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         max_seq_len=args.max_seq,

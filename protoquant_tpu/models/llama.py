@@ -328,10 +328,12 @@ class Attention(nn.Module):
             # H*Dh, weight [H*Dh]), before the head split. Under TP the
             # mean would span shards — unsupported until needed.
             assert self.tp == 1, "full-width qk-norm under TP unsupported"
-            q = RMSNorm(cfg.rms_norm_eps, self.dtype, name="q_norm")(
+            q = RMSNorm(cfg.rms_norm_eps, self.dtype,
+                        unit_offset=cfg.rmsnorm_unit_offset, name="q_norm")(
                 q.reshape(B, T, H * Dh)
             ).reshape(B, T, H, Dh)
-            k = RMSNorm(cfg.rms_norm_eps, self.dtype, name="k_norm")(
+            k = RMSNorm(cfg.rms_norm_eps, self.dtype,
+                        unit_offset=cfg.rmsnorm_unit_offset, name="k_norm")(
                 k.reshape(B, T, KV * Dh)
             ).reshape(B, T, KV, Dh)
         elif cfg.qk_norm:
@@ -360,9 +362,12 @@ class Attention(nn.Module):
         win = cfg.sliding_window if is_sliding else 0
 
         # Partial rotary (Phi-3-small/GLM): rope the first rot dims only.
+        # rot must be even: apply_rope splits the rotated slice in half and
+        # the rope tables are rot//2 wide (a fractional factor × odd Dh can
+        # otherwise yield an odd rot).
         rot = (
             Dh if cfg.partial_rotary_factor >= 1.0
-            else int(Dh * cfg.partial_rotary_factor)
+            else int(Dh * cfg.partial_rotary_factor) // 2 * 2
         )
         if cfg.rope_local_theta > 0.0 and is_sliding:
             cos, sin = rope_tables(

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import QuantConfig
-from .smooth import _fold_into_norm, _scale_kernel
+from .smooth import _fold_into_norm, _mlp_norm_name, _scale_kernel
 
 DEFAULT_GRID = 20
 
@@ -66,10 +66,17 @@ def collect_norm_outputs(model, params, tokens, max_tokens: int = 2048) -> dict:
         capture_intermediates=lambda mdl, method: isinstance(mdl, RMSNorm),
     )
     outs: dict = {}
+    # Only the norms awq_params consumes — materializing q_norm/k_norm/final
+    # norm outputs would cost max_tokens × width f32 host memory per unused
+    # norm per layer on large models.
+    used = ("input_layernorm", "post_attention_layernorm",
+            "pre_feedforward_layernorm")
 
     def walk(scope, node, layer_key):
         for name, sub in node.items():
             if name == "__call__":
+                if scope not in used:
+                    continue
                 x = np.asarray(sub[0], np.float32).reshape(-1, sub[0].shape[-1])
                 if x.shape[0] > max_tokens:
                     x = x[:: -(-x.shape[0] // max_tokens)]
@@ -156,15 +163,6 @@ def search_scale(X: np.ndarray, kernels: list, cfg: QuantConfig,
     return best_s, best_alpha
 
 
-def _mlp_norm_name(layer: dict) -> str:
-    # Sandwich-norm models (Gemma-2/3) feed the MLP from
-    # pre_feedforward_layernorm; post_attention_layernorm there normalizes
-    # the attention OUTPUT and is not the MLP group's producer.
-    return ("pre_feedforward_layernorm"
-            if "pre_feedforward_layernorm" in layer
-            else "post_attention_layernorm")
-
-
 def awq_params(params, norm_outputs: dict, cfg: QuantConfig | None = None,
                unit_offset: bool = False, n_grid: int = DEFAULT_GRID,
                max_experts: int = 4):
@@ -199,9 +197,9 @@ def awq_params(params, norm_outputs: dict, cfg: QuantConfig | None = None,
                 attn[n] = {**attn[n],
                            "kernel": _scale_kernel(attn[n]["kernel"], sj)}
 
-        # --- MLP group ------------------------------------------------------
+        # --- MLP group (None on post-norm layers: no foldable producer) -----
         mnorm = _mlp_norm_name(layer)
-        if mnorm not in louts:
+        if mnorm is None or mnorm not in louts:
             continue
         X = louts[mnorm]
         if "mlp" in layer:

@@ -100,6 +100,25 @@ def _scale_kernel(kern, s):
     return (kern.astype(jnp.float32) * s.reshape(shape)).astype(kern.dtype)
 
 
+def _mlp_norm_name(layer: dict):
+    """Name of the norm that PRODUCES the MLP input, or None if the layer
+    has no foldable producer.
+
+    Sandwich-norm models (Gemma-2/3) feed the MLP from
+    pre_feedforward_layernorm; post_attention_layernorm there normalizes the
+    attention OUTPUT. Post-norm models (OLMo-2) have NO pre-sublayer norms at
+    all — post_attention_layernorm normalizes the attention output and the
+    MLP reads the raw residual, so folding 1/s into it would scale the
+    residual stream (not an identity). Detect that case by the absence of
+    input_layernorm and skip the fold entirely.
+    """
+    if "pre_feedforward_layernorm" in layer:
+        return "pre_feedforward_layernorm"
+    if "input_layernorm" not in layer:
+        return None  # post-norm layer: nothing feeds the MLP but the residual
+    return "post_attention_layernorm"
+
+
 def smooth_params(
     params, stats: dict, alpha: float = 0.5, unit_offset: bool = False,
     eps: float = 1e-5,
@@ -129,16 +148,9 @@ def smooth_params(
             for n in names:
                 attn[n] = {**attn[n], "kernel": _scale_kernel(attn[n]["kernel"], s)}
 
-        # --- MLP group: pre-MLP norm -> gate/up (or MoE). Sandwich-norm
-        # models (Gemma-2/3) feed the MLP from pre_feedforward_layernorm;
-        # there post_attention_layernorm normalizes the attention OUTPUT and
-        # folding into it would scale the residual stream (not an identity).
-        mnorm = (
-            "pre_feedforward_layernorm"
-            if "pre_feedforward_layernorm" in layer
-            else "post_attention_layernorm"
-        )
-        if mnorm not in lstats:
+        # --- MLP group: pre-MLP norm -> gate/up (or MoE) -------------------
+        mnorm = _mlp_norm_name(layer)
+        if mnorm is None or mnorm not in lstats:
             continue
         act = lstats[mnorm]
         if "mlp" in layer:

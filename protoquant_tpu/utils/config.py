@@ -11,6 +11,22 @@ import json
 from typing import Any
 
 
+def _coerce_tuple_fields(obj) -> None:
+    """Convert list values back to tuples for every tuple-typed field.
+
+    JSON has no tuple type, so asdict→json→cls(**d) round-trips turn tuple
+    fields into lists — and a frozen dataclass holding lists is unhashable,
+    which breaks Flax module hashing downstream (engine jit). Called from
+    every config's __post_init__ so ALL construction paths (from_json, CLI
+    ``cls(**json.load(f))``, kwargs) normalize, with no per-field lists to
+    keep in sync.
+    """
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, list):
+            object.__setattr__(obj, f.name, tuple(v))
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
     """How to quantize a model."""
@@ -31,6 +47,7 @@ class QuantConfig:
     skip_patterns: tuple = ()
 
     def __post_init__(self):
+        _coerce_tuple_fields(self)
         if self.mode not in (
             "dynamic", "weight_only", "weight_only_int4", "weight_only_fp8", "fp"
         ):
@@ -153,7 +170,9 @@ class ModelConfig:
     # floor/ceil the yarn correction range (DeepSeek True, GPT-OSS False).
     rope_scaling_truncate: bool = True
     # Phi-3 "longrope" (rope_scaling_type="longrope"): per-dim inv_freq
-    # divisors, len head_dim//2. Short factors apply while max position+1
+    # divisors, len rotary_dim//2 (= head_dim//2 under full rotary; with
+    # partial_rotary_factor < 1 the tables cover only the rotated dims).
+    # Short factors apply while max position+1
     # <= original_max_position_embeddings, long factors beyond (the switch
     # is made at runtime from the live positions, matching transformers'
     # dynamic rope update); both tables carry the same attention factor
@@ -172,6 +191,9 @@ class ModelConfig:
     # qk_norm over the full projection width [H*Dh] before the head split
     # (OLMo-2), instead of per-head over head_dim (Qwen3/Gemma-3).
     qk_norm_full: bool = False
+
+    def __post_init__(self):
+        _coerce_tuple_fields(self)
 
     @property
     def head_dim(self) -> int:
@@ -546,6 +568,9 @@ class MeshConfig:
     tp: int = 1
     axis_names: tuple = ("data", "model")
 
+    def __post_init__(self):
+        _coerce_tuple_fields(self)
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
@@ -583,14 +608,14 @@ class EngineConfig:
     # recomputation.
     prefix_cache: bool = False
 
+    def __post_init__(self):
+        _coerce_tuple_fields(self)
+
 
 def to_json(cfg: Any) -> str:
     return json.dumps(dataclasses.asdict(cfg), indent=2)
 
 
 def from_json(cls, s: str):
-    d = json.loads(s)
-    for key in ("axis_names", "skip_patterns"):
-        if key in d and isinstance(d[key], list):
-            d[key] = tuple(d[key])
-    return cls(**d)
+    # Tuple coercion happens in each config's __post_init__.
+    return cls(**json.loads(s))

@@ -24,6 +24,9 @@ from protoquant_tpu.nn.awq import (
 )
 from protoquant_tpu.utils.config import ModelConfig, QuantConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=64,
     hidden_size=64,
@@ -161,6 +164,36 @@ def test_smooth_sandwich_norm_identity(calib_tokens):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_calibration_post_norm_is_noop(calib_tokens):
+    """Regression for the post-norm fold bug (ADVICE r2, high): on OLMo-2
+    shaped models post_attention_layernorm normalizes the attention OUTPUT
+    and the MLP reads the raw residual — there is no foldable producer, so
+    smoothquant/awq_quantize must leave the params untouched (previously
+    they folded MLP scales into post_attention_layernorm, silently corrupting
+    the model: fp logits diverged by max-abs ~2.75)."""
+    from protoquant_tpu.nn import smoothquant
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, post_norm=True, qk_norm=True,
+        qk_norm_full=True,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ref = model.apply(params, calib_tokens)
+    for fn in (
+        lambda: smoothquant(model, params, calib_tokens),
+        lambda: awq_quantize(model, params, calib_tokens, QuantConfig()),
+    ):
+        scaled = fn()
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(scaled)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out = model.apply(scaled, calib_tokens)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_awq_input_unchanged(calib_tokens):

@@ -67,6 +67,7 @@ def test_cli_bad_weights_extension(weights_and_config):
         main(["convert", "--weights", "w.pt", "--config", cpath, "--out", str(tmp / "x")])
 
 
+@pytest.mark.slow
 def test_cli_int4_native_convert_then_generate(weights_and_config, capsys):
     """Checkpoints record their int4 layout (group + storage); restore builds
     the model with the SAME layout — the regression here was a packed-layout
@@ -83,3 +84,54 @@ def test_cli_int4_native_convert_then_generate(weights_and_config, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rec["tokens"]) == 6
     assert all(0 <= t < 64 for t in rec["tokens"])
+
+
+@pytest.mark.slow
+def test_cli_longrope_fused_convert_then_generate(tmp_path, capsys):
+    """Phi-3-shaped round trip: longrope tuple fields survive the JSON
+    config (regression: frozen dataclasses holding lists were unhashable and
+    crashed the engine jit on every converted checkpoint), and natively
+    fused qkv/gate_up weights restore into a fused=True model."""
+    rng = np.random.default_rng(1)
+    D, I, V, L, H = 64, 128, 64, 2, 4
+    Dh = D // H
+    sd = {
+        "model.embed_tokens.weight": rng.standard_normal((V, D)).astype(np.float32),
+        "model.norm.weight": np.ones(D, np.float32),
+        "lm_head.weight": rng.standard_normal((V, D)).astype(np.float32),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        sd[f"{p}.self_attn.qkv_proj.weight"] = 0.05 * rng.standard_normal(
+            (3 * H * Dh, D)).astype(np.float32)
+        sd[f"{p}.self_attn.o_proj.weight"] = 0.05 * rng.standard_normal(
+            (D, D)).astype(np.float32)
+        sd[f"{p}.mlp.gate_up_proj.weight"] = 0.05 * rng.standard_normal(
+            (2 * I, D)).astype(np.float32)
+        sd[f"{p}.mlp.down_proj.weight"] = 0.05 * rng.standard_normal(
+            (D, I)).astype(np.float32)
+    wpath = tmp_path / "weights.npz"
+    np.savez(wpath, **sd)
+    cpath = tmp_path / "config.json"
+    cpath.write_text(json.dumps({
+        "vocab_size": V, "hidden_size": D, "intermediate_size": I,
+        "num_hidden_layers": L, "num_attention_heads": H,
+        "num_key_value_heads": H, "max_position_embeddings": 128,
+        "sliding_window": 5, "partial_rotary_factor": 0.5,
+        "rope_scaling_type": "longrope",
+        "rope_scaling_original_max_position_embeddings": 16,
+        "rope_scaling_short_factor": [1.0, 1.1, 1.3, 1.6],
+        "rope_scaling_long_factor": [2.0, 2.5, 3.0, 4.0],
+    }))
+    out = str(tmp_path / "ckpt")
+    main(["convert", "--weights", str(wpath), "--config", str(cpath),
+          "--mode", "dynamic", "--out", out])
+    capsys.readouterr()
+
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "8", "--max-seq", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 8
+    assert all(0 <= t < V for t in rec["tokens"])

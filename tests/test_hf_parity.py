@@ -19,6 +19,9 @@ from protoquant_tpu.models import LlamaModel
 from protoquant_tpu.models.hf_import import import_hf_llama
 from protoquant_tpu.utils.config import ModelConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
@@ -599,6 +602,126 @@ def test_gemma3_parity():
         dataclasses.replace(cfg, rope_local_theta=0.0), sd, toks
     )
     assert np.abs(wrong - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_phi3_longrope_parity():
+    """Phi-3: natively fused qkv/gate_up projections + longrope scaling
+    (per-dim inv_freq divisors, short/long switch at the original-max
+    boundary, sqrt(1+ln(s)/ln(orig)) attention factor) + partial rotary
+    (rot = head_dim * 0.5; the upper dims pass through unrotated) + sliding
+    window. T=12 > original_max=8 so the LONG factors are active; a second
+    T=6 forward pins the short branch."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf_cfg = Phi3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=8,
+        rms_norm_eps=1e-5, rope_theta=10000.0, partial_rotary_factor=0.5,
+        sliding_window=5, tie_word_embeddings=False, pad_token_id=0,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0, 1.1, 1.3, 1.6],
+            "long_factor": [2.0, 2.5, 3.0, 4.0],
+        },
+        attn_implementation="eager",
+    )
+    torch.manual_seed(21)
+    hf = Phi3ForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        sliding_window=5, partial_rotary_factor=0.5,
+        rope_scaling_type="longrope",
+        rope_scaling_original_max_position_embeddings=8,
+        rope_scaling_short_factor=(1.0, 1.1, 1.3, 1.6),
+        rope_scaling_long_factor=(2.0, 2.5, 3.0, 4.0),
+    )
+    sd = _state_dict_np(hf)
+
+    def ours_fused(c, toks):
+        model = LlamaModel(c, mode="fp", dtype=jnp.float32, fused=True)
+        return np.asarray(model.apply(import_hf_llama(sd, c), jnp.asarray(toks)))
+
+    toks = _tokens(64, seed=21)  # T=12 > 8: long factors
+    ours = ours_fused(cfg, toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+    # Short branch: every position fits the original window.
+    toks_s = _tokens(64, batch=2, t=6, seed=22)
+    ours_s = ours_fused(cfg, toks_s)
+    theirs_s = hf(torch.from_numpy(toks_s).long()).logits.numpy()
+    np.testing.assert_allclose(ours_s, theirs_s, rtol=3e-4, atol=3e-4)
+
+    import dataclasses
+
+    # Control 1: swapping in the short factors at T=12 changes the math
+    # (the runtime switch is load-bearing).
+    wrong = ours_fused(
+        dataclasses.replace(
+            cfg, rope_scaling_long_factor=(1.0, 1.1, 1.3, 1.6)
+        ),
+        toks,
+    )
+    assert np.abs(wrong - theirs).max() > 1e-3
+    # Control 2: full rotary is the wrong math for partial_rotary=0.5.
+    wrong2 = ours_fused(
+        dataclasses.replace(
+            cfg, partial_rotary_factor=1.0,
+            rope_scaling_short_factor=(1.0,) * 8,
+            rope_scaling_long_factor=(2.0,) * 8,
+        ),
+        toks,
+    )
+    assert np.abs(wrong2 - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_olmo2_parity():
+    """OLMo-2: post-norm layers (norms on sublayer OUTPUTS, no input norms)
+    + FULL-WIDTH q/k RMSNorms ([H*Dh]/[KV*Dh], before the head split)."""
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    hf_cfg = Olmo2Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=500000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(23)
+    hf = Olmo2ForCausalLM(hf_cfg).eval().float()
+    # Non-trivial norm weights so the full-width q/k-norm path is exercised.
+    sd = hf.state_dict()
+    for k in list(sd):
+        if k.endswith(("q_norm.weight", "k_norm.weight")):
+            sd[k].normal_(1.0, 0.2, generator=torch.Generator().manual_seed(24))
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=500000.0,
+        post_norm=True, qk_norm=True, qk_norm_full=True,
+    )
+    toks = _tokens(64, seed=23)
+    sdn = {k: v.numpy() for k, v in sd.items()}
+    ours = _logits_ours(cfg, sdn, toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Control: dropping the q/k norms changes the math (full-width weights
+    # are shape-incompatible with the per-head branch, so the meaningful
+    # ablation is norm vs no-norm).
+    import dataclasses
+
+    plain = _logits_ours(
+        dataclasses.replace(cfg, qk_norm=False, qk_norm_full=False),
+        {k: v for k, v in sdn.items()
+         if not k.endswith(("q_norm.weight", "k_norm.weight"))},
+        toks,
+    )
+    assert np.abs(plain - theirs).max() > 1e-3
 
 
 @torch.no_grad()

@@ -15,6 +15,11 @@ from protoquant_tpu.models import LlamaModel
 from protoquant_tpu.nn import fuse_projections, quantize_params
 from protoquant_tpu.utils.config import ModelConfig, QuantConfig
 
+import pytest
+
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 QWEN2_TINY = ModelConfig(
     vocab_size=64, hidden_size=64, intermediate_size=128,
     num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -309,3 +314,85 @@ def test_streaming_engine_small_window_bucket_slack():
     rid = eng.add_request(list(range(1, 20)), 30)
     out = eng.run()[rid]
     assert len(out) == 30
+
+
+PHI3_TINY = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=64, sliding_window=5, partial_rotary_factor=0.5,
+    rope_scaling_type="longrope",
+    # original_max >= max_seq here so the whole test runs on the SHORT
+    # branch: the short/long runtime switch (pinned vs transformers in
+    # test_hf_parity.py) intentionally re-ropes only NEW tokens, so scoring
+    # and incremental decode agree only within a single branch.
+    rope_scaling_original_max_position_embeddings=64,
+    rope_scaling_short_factor=(1.0, 1.1, 1.3, 1.6),
+    rope_scaling_long_factor=(2.0, 2.5, 3.0, 4.0),
+)
+OLMO2_TINY = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=64, rope_theta=500000.0,
+    post_norm=True, qk_norm=True, qk_norm_full=True,
+)
+
+
+def test_phi3_dynamic_quantization():
+    _check_dynamic_close(PHI3_TINY, seed=5)
+
+
+def test_olmo2_dynamic_quantization():
+    _check_dynamic_close(OLMO2_TINY, seed=6)
+
+
+def _check_cache_consistency(cfg, fused=False, seed=0):
+    """Cache-free scoring vs per-token cached decode (dense fp32 + int8)."""
+    from protoquant_tpu.models import init_cache
+
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32, fused=fused)
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(seed)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 12)), jnp.int32)
+    ref = np.asarray(model.apply(params, toks))
+    for kv_dtype in (jnp.float32, jnp.int8):
+        caches = init_cache(cfg, 1, 32, kv_dtype=kv_dtype)
+        outs = []
+        for t in range(toks.shape[1]):
+            logits, caches = model.apply(
+                params, toks[:, t : t + 1], jnp.asarray([[t]], jnp.int32),
+                caches,
+            )
+            outs.append(np.asarray(logits)[:, 0])
+        got = np.stack(outs, axis=1)
+        tol = 1e-4 if kv_dtype == jnp.float32 else 0.15
+        np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+        if kv_dtype == jnp.int8:
+            agree = np.mean(np.argmax(got, -1) == np.argmax(ref, -1))
+            assert agree >= 0.9, agree
+
+
+def test_phi3_cache_consistency():
+    """Phi-3 shape (fused qkv/gate_up + longrope + partial rotary + sliding
+    window) through every cache path."""
+    _check_cache_consistency(PHI3_TINY, fused=True, seed=7)
+
+
+def test_olmo2_cache_consistency():
+    """OLMo-2 shape (post-norm + full-width qk-norm) through every cache
+    path."""
+    _check_cache_consistency(OLMO2_TINY, seed=8)
+
+
+def test_olmo2_engine_decode():
+    """OLMo-2 shape end-to-end through the continuous-batching engine."""
+    model = LlamaModel(OLMO2_TINY, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(9), jnp.ones((1, 4), jnp.int32))
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=6),
+        kv_dtype=jnp.int8,
+    )
+    rid = eng.add_request([1, 2, 3], 6)
+    out = eng.run()[rid]
+    assert len(out) == 6 and all(0 <= t < OLMO2_TINY.vocab_size for t in out)
