@@ -123,14 +123,18 @@ class Engine:
         #            (model must be built via parallel.tp_model; params sharded)
         draft_model: "LlamaModel | None" = None,  # speculative decode mode
         draft_params=None,
-        gamma: int = 4,  # draft lookahead per tick (speculative modes)
+        gamma: int = 4,  # draft lookahead per tick (speculative modes);
+        #                  the CAP when adaptive_gamma is on
         prompt_lookup: int = 0,  # n-gram length for draft-free speculation
         #                          (0 = off): proposals are copied from the
         #                          request's own history where its trailing
-        #                          n-gram last occurred. Greedy acceptance
-        #                          keeps the stream exactly greedy whatever
-        #                          the proposal source, so this needs no
-        #                          draft model and no second KV cache.
+        #                          n-gram last occurred. Acceptance keeps the
+        #                          stream exactly greedy (temp 0) /
+        #                          distribution-exact (temp > 0) whatever the
+        #                          proposal source, so this needs no draft
+        #                          model and no second KV cache.
+        adaptive_gamma: bool = False,  # adapt lookahead in [1, gamma] from
+        #                                the measured per-tick acceptance rate
     ):
         self.model = model
         self.params = params
@@ -140,33 +144,31 @@ class Engine:
         self.draft_model = draft_model
         self.draft_params = draft_params
         self.gamma = gamma
+        self._gamma_cur = gamma
+        self.adaptive_gamma = adaptive_gamma
         self.prompt_lookup = prompt_lookup
-        if prompt_lookup:
-            if draft_model is not None:
-                raise ValueError("prompt_lookup and draft_model are exclusive")
-            if self.cfg.temperature != 0.0:
-                raise ValueError("prompt-lookup speculation is greedy-only")
-        if draft_model is not None:
-            if mesh is not None:
-                raise NotImplementedError("speculative mode + mesh: serve unsharded")
-            if self.cfg.temperature != 0.0:
-                raise ValueError(
-                    "speculative engine mode is greedy-only (temperature=0)"
-                )
+        if prompt_lookup and draft_model is not None:
+            raise ValueError("prompt_lookup and draft_model are exclusive")
         self.mesh = mesh
-        if prompt_lookup and mesh is not None:
-            raise NotImplementedError("prompt_lookup + mesh: serve unsharded")
+        if mesh is not None and (draft_model is not None or prompt_lookup):
+            # TP-only: the target's score-and-accept runs under shard_map
+            # (the draft stays replicated — it is small by design). dp>1
+            # would need a batch-sharded draft + per-replica windows.
+            from ..parallel.mesh import DATA_AXIS
+
+            if mesh.shape[DATA_AXIS] != 1:
+                raise NotImplementedError(
+                    "speculative modes + dp>1 mesh (serve TP-only)"
+                )
         B = self.cfg.max_batch_size
+        self._dp = 1
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
 
             dp = mesh.shape[DATA_AXIS]
-            if kv_layout == "paged" and dp != 1:
-                # A shared page pool written by batch-sharded replicas would
-                # diverge across the data axis; paged serving is TP-only.
-                raise NotImplementedError("paged layout requires dp=1 (TP-only mesh)")
             if B % dp:
                 raise ValueError(f"max_batch_size {B} must divide by dp={dp}")
+            self._dp = dp
             self._tp_fns = _build_tp_engine_fns(model, mesh)
         else:
             self._tp_fns = None
@@ -177,15 +179,28 @@ class Engine:
             # Paged INT8 layout: one pool sized for the full budget, requests
             # reserve only the pages they can use; the page free list is the
             # native C++ allocator (protoquant_tpu.native).
+            #
+            # Under dp>1 each batch-sharded replica owns an INDEPENDENT pool
+            # (pools shard over the data axis alongside the slots that write
+            # them — shardings.cache_pspecs): page-table entries are
+            # replica-LOCAL page ids, and the host keeps one allocator per
+            # replica. No page is ever shared across the data axis, so the
+            # divergence a shared pool would suffer cannot arise.
             from ..native import PageAllocator
             from .paged_kv import PagedInt8KVCache
 
             ps = self.cfg.page_size
             if self.cfg.max_seq_len % ps:
                 raise ValueError("max_seq_len must be a multiple of page_size")
-            # +1: the pool's last page is the reserved trash page (writes
-            # through unmapped table entries land there; see paged_kv.py).
-            num_pages = B * self.cfg.max_seq_len // ps + 1
+            if self.cfg.prefix_cache and self._dp != 1:
+                # Prefix pages would only be adoptable within one replica's
+                # pool; cross-replica hits are impossible by construction.
+                raise NotImplementedError("prefix_cache requires dp=1")
+            # +1 per replica: each pool's last page is its reserved trash
+            # page (writes through unmapped table entries land there).
+            pages_local = (B // self._dp) * self.cfg.max_seq_len // ps + 1
+            num_pages = self._dp * pages_local
+            self._pages_local = pages_local
             mcfg = model.cfg
             # Under a mesh the pools hold ALL kv heads and shard over the
             # model axis (model.tp describes the per-shard view inside
@@ -206,7 +221,11 @@ class Engine:
                 )
                 for _ in range(mcfg.num_hidden_layers)
             ]
-            self.allocator = PageAllocator(num_pages - 1)  # trash page excluded
+            # One free list per replica, each excluding its own trash page.
+            self.allocators = [
+                PageAllocator(pages_local - 1) for _ in range(self._dp)
+            ]
+            self.allocator = self.allocators[0]
             if self.cfg.prefix_cache:
                 if draft_model is not None:
                     # The draft's dense cache can't adopt shared pages, so a
@@ -254,11 +273,13 @@ class Engine:
                 for _ in range(mcfg.num_hidden_layers)
             ]
             self.allocator = None
+            self.allocators = None
         else:
             self.caches = init_cache(
                 model.cfg, B, self.cfg.max_seq_len, kv_dtype=kv_dtype,
             )
             self.allocator = None
+            self.allocators = None
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -281,8 +302,6 @@ class Engine:
         )
         spec_mode = draft_model is not None or bool(prompt_lookup)
         if self.cfg.repetition_penalty != 1.0:
-            if mesh is not None:
-                raise NotImplementedError("repetition_penalty + mesh serving")
             if spec_mode:
                 raise ValueError(
                     "repetition_penalty is unsupported in speculative modes "
@@ -380,11 +399,6 @@ class Engine:
             top_p=top_p,
             min_p=min_p,
         )
-        if temperature not in (None, 0.0) and (
-            self.draft_model is not None or self.prompt_lookup
-        ):
-            raise ValueError("speculative modes are greedy-only "
-                             "(per-request temperature must be 0)")
         if adapter_id and self.adapter_ids is None:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
@@ -427,6 +441,11 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.waiting) or bool(self.prefilling) or any(self.active)
 
+    def _slot_allocator(self, slot: int):
+        """The page allocator owning ``slot``'s replica pool (dp>1 shards
+        both slots and pools over the data axis; page ids are replica-local)."""
+        return self.allocators[slot // (self.cfg.max_batch_size // self._dp)]
+
     def _paged_window_pages(self, needed_tokens: int) -> int:
         """Smallest power-of-2 page count whose window covers
         ``needed_tokens`` (+1 for the incoming decode write)."""
@@ -466,7 +485,7 @@ class Engine:
                     need -= len(req.shared_pages)
                     pages = self.prefix.alloc(need)
                 else:
-                    pages = self.allocator.alloc(need)
+                    pages = self._slot_allocator(slot).alloc(need)
                 if pages is None:
                     if self.prefix is not None and req.shared_pages:
                         self.prefix.unref(req.shared_pages)
@@ -667,7 +686,7 @@ class Engine:
                 self.prefix.unref(held)
                 self.allocator.free([p for p in req.pages if p not in held_set])
             elif req.pages:
-                self.allocator.free(req.pages)
+                self._slot_allocator(slot).free(req.pages)
             req.pages, req.shared_pages, req.held_pages = [], [], []
 
     def step(self):
@@ -774,17 +793,25 @@ class Engine:
         import dataclasses
 
         active = jnp.asarray(self.active)
-        proposals, self.draft_caches = _draft_propose(
+        self._key, k_draft, k_accept = jax.random.split(self._key, 3)
+        proposals, draft_logits, self.draft_caches = _draft_propose(
             self.draft_model,
             self.draft_params,
             self.draft_caches,
             self.last_tokens,
             active,
-            self.gamma,
+            k_draft,
+            self.samp,
+            self._gamma_cur,
         )
         window = jnp.concatenate([self.last_tokens[:, None], proposals], axis=1)
-        greedy, accepted, self.caches = _spec_score_and_accept(
-            self.model, self.params, self.caches, window, active
+        score = (
+            self._tp_fns["spec_score"] if self._tp_fns is not None
+            else partial(_spec_score_and_accept, self.model)
+        )
+        corrections, accepted, self.caches = score(
+            self.params, self.caches, window, active, k_accept, self.samp,
+            draft_logits,
         )
         # Draft caches rewind to the committed frontier (pools beyond are
         # masked by length and overwritten by the next window). Each layer
@@ -796,7 +823,7 @@ class Engine:
             for c in self.draft_caches
         ]
 
-        self._commit_spec_results(window, greedy, accepted, t0)
+        self._commit_spec_results(window, corrections, accepted, t0)
 
     def _prompt_lookup_tick(self, t0: float):
         """Draft-free speculative tick: each active slot proposes gamma
@@ -809,30 +836,42 @@ class Engine:
 
         active = jnp.asarray(self.active)
         B = self.cfg.max_batch_size
-        props = _np.zeros((B, self.gamma), _np.int32)
+        g = self._gamma_cur
+        props = _np.zeros((B, g), _np.int32)
         for slot in range(B):
             req = self.slot_req[slot]
             if not self.active[slot] or req is None:
                 continue
             props[slot] = _ngram_propose(
-                req.prompt + req.out, self.prompt_lookup, self.gamma
+                req.prompt + req.out, self.prompt_lookup, g
             )
         window = jnp.concatenate(
             [self.last_tokens[:, None], jnp.asarray(props)], axis=1
         )
-        greedy, accepted, self.caches = _spec_score_and_accept(
-            self.model, self.params, self.caches, window, active
+        score = (
+            self._tp_fns["spec_score"] if self._tp_fns is not None
+            else partial(_spec_score_and_accept, self.model)
         )
-        self._commit_spec_results(window, greedy, accepted, t0)
+        self._key, k_accept = jax.random.split(self._key)
+        # draft_logits=None: point-mass proposals (q~ = one-hot).
+        corrections, accepted, self.caches = score(
+            self.params, self.caches, window, active, k_accept, self.samp,
+            None,
+        )
+        self._commit_spec_results(window, corrections, accepted, t0)
 
-    def _commit_spec_results(self, window, greedy, accepted, t0: float):
+    def _commit_spec_results(self, window, corrections, accepted, t0: float):
         """Shared tail of both speculative tick flavors: emit each active
-        slot's accepted prefix + 1 corrected token, advance bookkeeping."""
+        slot's accepted prefix + 1 correction token (the rejection draw /
+        bonus sample; target argmax on greedy rows), advance bookkeeping,
+        and adapt gamma from this tick's acceptance when enabled."""
         window_h = jax.device_get(window)
-        greedy_h = jax.device_get(greedy)
+        corr_h = jax.device_get(corrections)
         accepted_h = jax.device_get(accepted)
         import numpy as _np
 
+        g = self._gamma_cur
+        tick_prop = tick_acc = 0
         new_last = _np.array(jax.device_get(self.last_tokens))  # mutable copy
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
@@ -840,9 +879,11 @@ class Engine:
             req = self.slot_req[slot]
             a = int(accepted_h[slot])
             emitted = [int(t) for t in window_h[slot, 1 : 1 + a]]
-            emitted.append(int(greedy_h[slot, a]))
-            self.stats["spec_proposed"] += self.gamma
+            emitted.append(int(corr_h[slot, a]))
+            self.stats["spec_proposed"] += g
             self.stats["spec_accepted"] += a
+            tick_prop += g
+            tick_acc += a
             for tok in emitted:
                 req.out.append(tok)
                 if req.on_token is not None:
@@ -854,6 +895,16 @@ class Engine:
             if not req.done:
                 new_last[slot] = emitted[-1]
         self.last_tokens = jnp.asarray(new_last)
+        if self.adaptive_gamma and tick_prop:
+            # Acceptance-rate feedback: widen the lookahead while proposals
+            # mostly land (amortizing more tokens per target forward), shrink
+            # it when they mostly miss (wasted draft+score work). Compiles
+            # one program per gamma value — bounded by the [1, gamma] range.
+            rate = tick_acc / tick_prop
+            if rate >= 0.8 and self._gamma_cur < self.gamma:
+                self._gamma_cur += 1
+            elif rate <= 0.3 and self._gamma_cur > 1:
+                self._gamma_cur -= 1
         self.stats["steps"] += 1
         dt = time.perf_counter() - t0
         self.stats["step_times"].append(dt)
@@ -896,8 +947,8 @@ class Engine:
             "step_p99_ms": 1e3 * pct(0.99),
         }
         if self.allocator is not None:
-            out["kv_pages_free"] = self.allocator.num_free
-            out["kv_pages_total"] = self.allocator.num_pages
+            out["kv_pages_free"] = sum(a.num_free for a in self.allocators)
+            out["kv_pages_total"] = sum(a.num_pages for a in self.allocators)
         if self.prefix is not None:
             out["prefix_hit_tokens"] = self.prefix.hit_tokens
             out["prefix_cached_pages"] = self.prefix.cached_pages
@@ -949,39 +1000,79 @@ def _ngram_propose(hist: list, n: int, gamma: int) -> list:
 
 
 @partial(jax.jit, static_argnames=("model", "gamma"), donate_argnums=(2,))
-def _draft_propose(model, params, caches, last_tokens, active, gamma: int):
-    """Draft gamma greedy proposals per slot (batched), then one extra step
-    so the draft cache also holds K/V for the final proposal (needed when
-    all gamma tokens are accepted). Returns (proposals [B, gamma], caches)."""
+def _draft_propose(model, params, caches, last_tokens, active, key, samp,
+                   gamma: int):
+    """Draft gamma proposals per slot (batched), then one extra step so the
+    draft cache also holds K/V for the final proposal (needed when all gamma
+    tokens are accepted).
+
+    Greedy rows (samp temp 0) propose the argmax; sampling rows draw from
+    the draft's FILTERED distribution q~ (same temp/top-k/top-p/min-p chain
+    as plain decode — sampling.processed_logits), whose logits are returned
+    so the accept program can compute q~ filter-for-filter.
+    Returns (proposals [B, gamma], draft_logits [B, gamma, V], caches)."""
+    from .sampling import sample_batched
+
     advance = active.astype(jnp.int32)
     max_pos = model.cfg.max_position_embeddings - 1
 
-    def body(carry, _):
+    def body(carry, i):
         tok, caches = carry
         positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
         logits, caches = model.apply(
             params, tok[:, None], positions, caches, advance=advance
         )
-        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-        return (nxt, caches), nxt
+        last = logits[:, -1]
+        nxt = sample_batched(
+            last, jax.random.fold_in(key, i), samp["temps"], samp["top_ks"],
+            samp["top_ps"], samp["min_ps"],
+        )
+        return (nxt, caches), (nxt, last)
 
-    (last, caches), proposals = jax.lax.scan(
-        body, (last_tokens, caches), None, length=gamma
+    (last, caches), (proposals, dlogits) = jax.lax.scan(
+        body, (last_tokens, caches), jnp.arange(gamma)
     )
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
     _, caches = model.apply(params, last[:, None], positions, caches, advance=advance)
-    return proposals.T, caches  # scan stacks on axis 0 -> [B, gamma]
+    # scan stacks on axis 0 -> [B, gamma] / [B, gamma, V].
+    return proposals.T, jnp.swapaxes(dlogits, 0, 1), caches
 
 
-@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
-def _spec_score_and_accept(model, params, caches, window, active):
+def _spec_score_and_accept_body(model, params, caches, window, active, key,
+                                samp, draft_logits=None):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
-    models/speculative.py), computes per-slot greedy acceptance, and commits
-    accepted+1 positions per active slot."""
+    models/speculative.py), accepts a per-slot prefix, and commits
+    accepted+1 positions per active slot. Shared by the single-device jit
+    and the mesh shard_map wrapper (TP model: psums live in model.apply).
+
+    Acceptance per row:
+      * greedy rows (samp temp 0): proposal == target argmax — the stream is
+        EXACTLY plain greedy decoding.
+      * sampling rows: standard speculative rejection sampling (Leviathan et
+        al.) against the FILTERED target distribution p~ (same temperature/
+        top-k/top-p/min-p chain plain decode samples from): accept x_i with
+        prob min(1, p~(x_i)/q~(x_i)); on rejection emit a draw from
+        norm(max(p~-q~, 0)); if all gamma accepted, draw the bonus token
+        from p~ at the final position. This leaves every emitted token's
+        marginal exactly p~ — temperature>0 streams are distribution-
+        identical to plain sampling (distribution test in
+        tests/test_speculative_sampling.py).
+
+    ``draft_logits`` [B, gamma, V]: the draft's raw logits (q~ recomputed
+    here with the row's own filters). None => point-mass proposals
+    (prompt-lookup): q~ = one-hot, so acceptance prob is p~(x_i) and the
+    residual is p~ with x_i removed, renormalized.
+
+    Returns (corrections [B, T], accepted [B], caches): corrections[s, a] is
+    the token slot s emits after its ``a`` accepted proposals.
+    """
     import dataclasses
 
+    from .sampling import processed_logits
+
     B, T = window.shape
+    g = T - 1
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(
         caches[0].lengths[:, None] + jnp.arange(T)[None, :], max_pos
@@ -990,11 +1081,63 @@ def _spec_score_and_accept(model, params, caches, window, active):
         params, window, positions, caches, advance=jnp.zeros((B,), jnp.int32)
     )
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
-    match = (window[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
-    accepted = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in [0, gamma]
+    V = logits.shape[-1]
+    proposals = window[:, 1:]  # [B, g]
+
+    # Filtered target distribution p~ at every window position (each row's
+    # own sampling filters, broadcast along the window axis).
+    rep = lambda a, n: jnp.repeat(a, n, axis=0)
+    p_log = processed_logits(
+        logits.reshape(B * T, V), rep(samp["temps"], T),
+        rep(samp["top_ks"], T), rep(samp["top_ps"], T), rep(samp["min_ps"], T),
+    ).reshape(B, T, V)
+    p = jax.nn.softmax(p_log, axis=-1)
+    p_at = jnp.take_along_axis(p[:, :g], proposals[..., None], -1)[..., 0]
+
+    if draft_logits is None:
+        q = jax.nn.one_hot(proposals, V, dtype=p.dtype)  # [B, g, V]
+        q_at = jnp.ones_like(p_at)
+    else:
+        q_log = processed_logits(
+            draft_logits.reshape(B * g, V), rep(samp["temps"], g),
+            rep(samp["top_ks"], g), rep(samp["top_ps"], g),
+            rep(samp["min_ps"], g),
+        ).reshape(B, g, V)
+        q = jax.nn.softmax(q_log, axis=-1)
+        q_at = jnp.take_along_axis(q, proposals[..., None], -1)[..., 0]
+
+    k_u, k_r = jax.random.split(key)
+    u = jax.random.uniform(k_u, (B, g))
+    accept_sampling = u * jnp.maximum(q_at, 1e-20) < p_at  # u < p/q
+    accept_greedy = proposals == greedy[:, :g]
+    is_greedy = (samp["temps"] == 0.0)[:, None]
+    acc = jnp.where(is_greedy, accept_greedy, accept_sampling).astype(jnp.int32)
+    accepted = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # [B] in [0, g]
+
+    # Correction token for EVERY possible acceptance count a (the host picks
+    # corrections[s, accepted[s]]): a < g -> residual norm(max(p~-q~, 0))
+    # (nonzero whenever rejection can occur; p~ fallback covers the p~ == q~
+    # positions, which are always accepted and never read); a == g -> p~.
+    resid = jnp.maximum(p[:, :g] - q, 0.0)
+    rs = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(rs > 0, resid / rs, p[:, :g])
+    corr_dist = jnp.concatenate([resid, p[:, g:]], axis=1)  # [B, T, V]
+    corr_sampled = jax.random.categorical(
+        k_r, jnp.log(jnp.maximum(corr_dist, 1e-38)), axis=-1
+    ).astype(jnp.int32)
+    corrections = jnp.where(is_greedy, greedy, corr_sampled)
+
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
     caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
-    return greedy, accepted, caches
+    return corrections, accepted, caches
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _spec_score_and_accept(model, params, caches, window, active, key, samp,
+                           draft_logits=None):
+    return _spec_score_and_accept_body(
+        model, params, caches, window, active, key, samp, draft_logits
+    )
 
 
 def _build_tp_engine_fns(model: LlamaModel, mesh):
@@ -1058,21 +1201,23 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         params, caches, last_tokens, active, key, samp,
         penalty=1.0, counts=None, adapter_ids=None,
     ):
-        # penalty/counts/multi-LoRA are guarded at Engine init under a mesh.
-        assert penalty == 1.0 and counts is None and adapter_ids is None
+        # multi-LoRA is guarded at Engine init under a mesh.
+        assert adapter_ids is None
         pspecs, cspecs = _specs(params, caches)
         if "decode" not in state:
             samp_spec = {k: batch_spec for k in samp}
+            # counts [B, V] shards over data with the slots it tracks.
+            counts_spec = batch_spec if counts is None else P(*batch_spec, None)
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec),
-                out_specs=((batch_spec, batch_spec), cspecs),
+                          samp_spec, counts_spec),
+                out_specs=((batch_spec, batch_spec, counts_spec), cspecs),
                 check_vma=False,
             )
-            def _decode(params, caches, last_tokens, active, key, samp):
+            def _decode(params, caches, last_tokens, active, key, samp, counts):
                 from .sampling import sample_batched, token_logprob
 
                 max_pos = model.cfg.max_position_embeddings - 1
@@ -1088,19 +1233,56 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     key_r = key
                 next_tokens = sample_batched(
                     logits[:, -1], key_r, samp["temps"], samp["top_ks"],
-                    samp["top_ps"], samp["min_ps"],
+                    samp["top_ps"], samp["min_ps"], counts, penalty,
                 )
                 logprobs = token_logprob(logits[:, -1], next_tokens)
-                return (next_tokens, logprobs), caches
+                if counts is not None:
+                    b = jnp.arange(next_tokens.shape[0])
+                    counts = counts.at[b, next_tokens].add(
+                        active.astype(jnp.int32)
+                    )
+                return (next_tokens, logprobs, counts), caches
 
             state["decode"] = jax.jit(_decode, donate_argnums=(1,))
-        (next_tokens, logprobs), caches = state["decode"](
-            params, caches, last_tokens, active, key, samp
+        (next_tokens, logprobs, counts), caches = state["decode"](
+            params, caches, last_tokens, active, key, samp, counts
         )
-        return next_tokens, logprobs, None, caches
+        return next_tokens, logprobs, counts, caches
+
+    def spec_score(params, caches, window, active, key, samp, draft_logits):
+        """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
+        ticks on a TP-only mesh (dp>1 guarded at Engine init)."""
+        pspecs, cspecs = _specs(params, caches)
+        # Window width (gamma) can change under adaptive gamma; cache one
+        # wrapped program per width.
+        skey = ("spec_score", window.shape[1], draft_logits is None)
+        if skey not in state:
+            samp_spec = {k: batch_spec for k in samp}
+            dl_spec = batch_spec  # [B, g, V]; None pytree if prompt-lookup
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
+                          samp_spec, dl_spec),
+                out_specs=((batch_spec, batch_spec), cspecs),
+                check_vma=False,
+            )
+            def _score(params, caches, window, active, key, samp, dlogits):
+                corr, accepted, caches = _spec_score_and_accept_body(
+                    model, params, caches, window, active, key, samp, dlogits
+                )
+                return (corr, accepted), caches
+
+            state[skey] = jax.jit(_score, donate_argnums=(1,))
+        (corr, accepted), caches = state[skey](
+            params, caches, window, active, key, samp, draft_logits
+        )
+        return corr, accepted, caches
 
     fns["extend"] = extend_with_adapters
     fns["decode"] = decode
+    fns["spec_score"] = spec_score
     fns["state"] = state
     return fns
 

@@ -152,15 +152,17 @@ def cache_pspecs(caches) -> Any:
             )
         if isinstance(c, PagedInt8KVCache):
             # Page pools shard on the kv-head axis exactly like the dense
-            # cache; the page table and lengths are per-slot (batch) state.
-            # Pools stay replicated over ``data`` — paged serving is dp=1
-            # (the engine enforces it: a shared page pool with batch-sharded
-            # writers would diverge across replicas).
+            # cache, and on the PAGE axis over ``data``: each batch-sharded
+            # replica owns an independent pool (page-table entries are
+            # replica-local ids, the engine keeps one allocator per replica),
+            # so no page is ever written from two replicas. Inside shard_map
+            # every replica sees the familiar single-pool program — the
+            # local trash page is its last local page.
             return PagedInt8KVCache(
-                kq=P(None, MODEL_AXIS, None, None),
-                ks=P(None, MODEL_AXIS, None, None),
-                vq=P(None, MODEL_AXIS, None, None),
-                vs=P(None, MODEL_AXIS, None, None),
+                kq=P(DATA_AXIS, MODEL_AXIS, None, None),
+                ks=P(DATA_AXIS, MODEL_AXIS, None, None),
+                vq=P(DATA_AXIS, MODEL_AXIS, None, None),
+                vs=P(DATA_AXIS, MODEL_AXIS, None, None),
                 page_table=P(DATA_AXIS, None),
                 lengths=P(DATA_AXIS),
                 page_size=c.page_size,

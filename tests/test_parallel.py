@@ -22,6 +22,9 @@ from protoquant_tpu.parallel import (
 )
 from protoquant_tpu.utils.config import MeshConfig, ModelConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=128,
     hidden_size=64,
@@ -334,21 +337,40 @@ def test_paged_tp_engine_matches_single_device_paged(fp_setup):
 
 
 @needs_8dev
-def test_paged_dp_mesh_rejected(fp_setup):
-    """dp>1 + paged pools would diverge across replicas; the engine refuses."""
+def test_paged_dp_tp_engine_matches_single_device_paged(fp_setup):
+    """Paged int8 KV under a dp=2 x tp=4 mesh: each batch-sharded replica
+    owns an independent page pool (pools shard over data, table entries are
+    replica-local, one host allocator per replica) — outputs match the
+    single-device paged engine (VERDICT round-2 item 3a)."""
     from protoquant_tpu.engine import Engine, EngineConfig
 
-    _, params = fp_setup
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, page_size=8, prefill_chunk=16,
+        max_new_tokens=6, temperature=0.0,
+    )
+    rng = np.random.default_rng(13)
+    # 6 requests > 4 slots: slot recycling exercises per-replica free lists.
+    prompts = [
+        list(map(int, rng.integers(1, CFG.vocab_size, rng.integers(3, 10))))
+        for _ in range(6)
+    ]
+
+    ref_eng = Engine(single_model, params, ecfg, kv_layout="paged")
+    ref_rids = [ref_eng.add_request(p, 6) for p in prompts]
+    ref_outs = ref_eng.run()
+
     mesh = make_mesh(MeshConfig(dp=2, tp=4), jax.devices()[:8])
     model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
-    with pytest.raises(NotImplementedError, match="dp=1"):
-        Engine(
-            model_tp,
-            shard_params(params, mesh),
-            EngineConfig(max_batch_size=4, max_seq_len=32, page_size=8),
-            kv_layout="paged",
-            mesh=mesh,
-        )
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_layout="paged", mesh=mesh)
+        rids = [eng.add_request(p, 6) for p in prompts]
+        outs = eng.run()
+        # Every page freed back to its owning replica's pool.
+        assert eng.metrics()["kv_pages_free"] == eng.metrics()["kv_pages_total"]
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
 
 
 MLA_CFG = ModelConfig(
@@ -433,3 +455,128 @@ def test_tp_mla_dynamic_int8_close_to_single_device():
     assert cos > 0.995, cos
     agree = np.mean(np.argmax(ref, -1) == np.argmax(got, -1))
     assert agree > 0.85, agree
+
+
+@needs_8dev
+def test_repetition_penalty_dp_tp_engine_matches_single_device(fp_setup):
+    """Repetition penalty under a dp=2 x tp=2 mesh: the [B, V] count buffer
+    shards over data with its slots; greedy outputs match the single-device
+    penalized engine exactly (VERDICT round-2 mesh-hole list)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0, repetition_penalty=1.4,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    ref_eng = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    ref_rids = [ref_eng.add_request(p, 8) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh)
+        rids = [eng.add_request(p, 8) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+    # Control: the penalty changed the stream vs the unpenalized engine.
+    plain = Engine(
+        single_model, params,
+        EngineConfig(max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+                     max_new_tokens=8, temperature=0.0),
+        kv_dtype=jnp.float32,
+    )
+    pr = [plain.add_request(p, 8) for p in prompts]
+    pouts = plain.run()
+    assert any(pouts[a] != ref_outs[b] for a, b in zip(pr, ref_rids))
+
+
+@needs_8dev
+def test_speculative_tp_engine_matches_single_device(fp_setup):
+    """Draft-model speculation on a TP-only (dp=1, tp=4) mesh: the draft
+    stays replicated, the target's score-and-accept runs under shard_map —
+    outputs exactly equal the plain single-device greedy engine, and
+    speculation actually commits multi-token ticks (VERDICT round-2 item 3b)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11]]
+
+    plain = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        # Perfect draft = the single-device model on replicated params.
+        eng = Engine(
+            model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh,
+            draft_model=single_model, draft_params=params, gamma=3,
+        )
+        rids = [eng.add_request(p, 8) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    m = eng.metrics()
+    assert m["spec_acceptance_rate"] > 0.9, m
+    assert eng.stats["steps"] < eng.stats["tokens_generated"], eng.stats
+
+
+@needs_8dev
+def test_prompt_lookup_tp_engine_matches_single_device(fp_setup):
+    """Prompt-lookup speculation on a TP-only mesh == plain greedy engine."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=2, max_seq_len=32, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0,
+    )
+    # Repetitive prompts give the n-gram matcher something to copy.
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2]]
+
+    plain = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(
+            model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh,
+            prompt_lookup=3, gamma=3,
+        )
+        rids = [eng.add_request(p, 8) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_speculative_dp_mesh_rejected(fp_setup):
+    """dp>1 would need a batch-sharded draft; the engine refuses clearly."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    with pytest.raises(NotImplementedError, match="dp>1"):
+        Engine(
+            model_tp, shard_params(params, mesh),
+            EngineConfig(max_batch_size=4, max_seq_len=32),
+            kv_dtype=jnp.float32, mesh=mesh,
+            draft_model=single_model, draft_params=params,
+        )
