@@ -24,24 +24,19 @@ def apply_repetition_penalty(logits, counts, penalty: float):
     )
 
 
-def sample_batched(
+def processed_logits(
     logits: jnp.ndarray,  # [B, V] f32
-    key: jax.Array,
-    temps: jnp.ndarray,  # [B] f32 (0 => greedy for that row)
+    temps: jnp.ndarray,  # [B] f32
     top_ks: jnp.ndarray,  # [B] int32 (0 => no top-k)
     top_ps: jnp.ndarray,  # [B] f32 (1.0 => no nucleus truncation)
     min_ps: jnp.ndarray,  # [B] f32 (0.0 => no min-p truncation)
-    counts: jnp.ndarray | None = None,  # [B, V] int32 (repetition penalty)
-    penalty: float = 1.0,
 ) -> jnp.ndarray:
-    """Per-row sampling: every request in the batch can carry its own
-    temperature/top-k/top-p/min-p, all traced — ONE compiled program serves
-    heterogeneous sampling configs (and config changes never recompile).
-    Greedy rows (temp == 0) take the post-penalty argmax exactly."""
+    """The filtered sampling distribution as logits [B, V]: temperature,
+    top-k, top-p, min-p applied (masked entries -> -1e30). softmax of this
+    is the exact distribution sample_batched draws from for temp > 0 rows —
+    rejection-sampling speculation (engine._spec_score_and_accept_body)
+    reuses it so target-invariance holds filter-for-filter."""
     B, V = logits.shape
-    logits = apply_repetition_penalty(logits, counts, penalty)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
     t = jnp.maximum(temps, 1e-6)[:, None]
     scaled = logits / t
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
@@ -60,8 +55,26 @@ def sample_batched(
     # min-p: keep tokens with prob >= min_p x the top token's.
     probs = jax.nn.softmax(scaled, axis=-1)
     pmax = jnp.max(probs, axis=-1, keepdims=True)
-    scaled = jnp.where(probs < min_ps[:, None] * pmax, -1e30, scaled)
+    return jnp.where(probs < min_ps[:, None] * pmax, -1e30, scaled)
 
+
+def sample_batched(
+    logits: jnp.ndarray,  # [B, V] f32
+    key: jax.Array,
+    temps: jnp.ndarray,  # [B] f32 (0 => greedy for that row)
+    top_ks: jnp.ndarray,  # [B] int32 (0 => no top-k)
+    top_ps: jnp.ndarray,  # [B] f32 (1.0 => no nucleus truncation)
+    min_ps: jnp.ndarray,  # [B] f32 (0.0 => no min-p truncation)
+    counts: jnp.ndarray | None = None,  # [B, V] int32 (repetition penalty)
+    penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Per-row sampling: every request in the batch can carry its own
+    temperature/top-k/top-p/min-p, all traced — ONE compiled program serves
+    heterogeneous sampling configs (and config changes never recompile).
+    Greedy rows (temp == 0) take the post-penalty argmax exactly."""
+    logits = apply_repetition_penalty(logits, counts, penalty)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = processed_logits(logits, temps, top_ks, top_ps, min_ps)
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
 

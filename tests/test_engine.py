@@ -366,6 +366,7 @@ def test_http_server_oversized_prompt_returns_400(model_and_params):
         srv.stop()
 
 
+@pytest.mark.slow
 def test_engine_speculative_matches_plain_greedy(model_and_params):
     """Speculative engine mode (draft proposes, target verifies) must emit
     EXACTLY the plain greedy engine's streams — with a perfect draft (the
@@ -410,17 +411,26 @@ def test_engine_speculative_matches_plain_greedy(model_and_params):
         assert plain_outs[ra] == outs2[rb], (plain_outs[ra], outs2[rb])
 
 
-def test_engine_speculative_rejects_sampling():
+@pytest.mark.slow
+def test_engine_speculative_accepts_sampling():
+    """temperature > 0 + speculation is supported (rejection sampling keeps
+    the target distribution invariant — tests/test_speculative_sampling.py);
+    smoke: the engine runs and emits valid tokens."""
     model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
-    with pytest.raises(ValueError, match="greedy-only"):
-        Engine(
-            model, params,
-            EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
-            kv_dtype=jnp.float32, draft_model=model, draft_params=params,
-        )
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=6, temperature=0.5),
+        kv_dtype=jnp.float32, draft_model=model, draft_params=params, gamma=3,
+    )
+    rid = eng.add_request([3, 1, 4, 1, 5], 6)
+    out = eng.run()[rid]
+    assert len(out) == 6 and all(0 <= t < CFG.vocab_size for t in out)
+    assert eng.metrics()["spec_acceptance_rate"] > 0.5  # perfect draft
 
 
+@pytest.mark.slow
 def test_engine_speculative_with_paged_target(model_and_params):
     """Speculative mode composes with the paged target cache: the draft
     stays dense, the target's gamma+1-wide writes land in mapped pages (or
@@ -614,6 +624,7 @@ def test_engine_prompt_lookup_matches_greedy(model_and_params):
     assert eng.stats["spec_proposed"] > 0
 
 
+@pytest.mark.slow
 def test_engine_prompt_lookup_with_paged_prefix_cache(model_and_params):
     """Draft-free speculation has no second cache, so it composes with the
     paged layout AND prefix caching — exact greedy output, prefix hits."""
@@ -645,12 +656,6 @@ def test_engine_prompt_lookup_with_paged_prefix_cache(model_and_params):
 
 def test_engine_prompt_lookup_guards(model_and_params):
     model, params = model_and_params
-    with pytest.raises(ValueError, match="greedy-only"):
-        Engine(
-            model, params,
-            EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
-            kv_dtype=jnp.float32, prompt_lookup=2,
-        )
     with pytest.raises(ValueError, match="exclusive"):
         Engine(
             model, params,
