@@ -34,8 +34,13 @@ class Heartbeat:
         self._thread: threading.Thread | None = None
 
     def beat(self):
-        with open(self.path, "w") as f:
+        # Atomic replace: a monitor must never observe the truncated-but-
+        # unwritten intermediate state of a plain open(path, "w") — that
+        # reads as an empty file, which is_alive would misclassify as death.
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(time.time()))
+        os.replace(tmp, self.path)
 
     def start(self):
         def loop():
