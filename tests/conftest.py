@@ -34,6 +34,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: requires a real TPU chip (opt-in via RUN_TPU_TESTS=1)"
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (excluded from the fast tier: -m 'not slow')",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

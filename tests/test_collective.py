@@ -13,6 +13,9 @@ from protoquant_tpu.parallel.collective import (
     qmatmul_reduce_scatter,
 )
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 needs_8dev = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 (virtual) devices"
 )

@@ -16,6 +16,9 @@ from protoquant_tpu.parallel.context import (
     ulysses_attention,
 )
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 needs_8dev = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 (virtual) devices"
 )

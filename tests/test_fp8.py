@@ -17,6 +17,9 @@ from protoquant_tpu.models import LlamaModel, init_cache
 from protoquant_tpu.nn import dequantize_params, quantize_params
 from protoquant_tpu.utils.config import ModelConfig, QuantConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=64,
     hidden_size=64,

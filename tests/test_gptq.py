@@ -25,6 +25,9 @@ from protoquant_tpu.nn.gptq import (
 )
 from protoquant_tpu.utils.config import ModelConfig, QuantConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=64,
     hidden_size=64,

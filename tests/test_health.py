@@ -90,6 +90,7 @@ def test_engine_detects_injected_fault(model_and_params):
             eng.step()
 
 
+@pytest.mark.slow
 def test_sqnr_report(model_and_params):
     model, params = model_and_params
     q_model = LlamaModel(CFG, mode="dynamic", dtype=jnp.float32)

@@ -12,6 +12,9 @@ from protoquant_tpu.nn import QLinear, dequantize_params, quantize_params
 from protoquant_tpu.ops import weight_only_int4_matmul
 from protoquant_tpu.utils.config import QuantConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 def rand(shape, seed=0, scale=1.0):
     rng = np.random.default_rng(seed)

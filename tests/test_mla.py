@@ -20,6 +20,9 @@ from protoquant_tpu.models.mla import Int8MLACache, MLACache
 from protoquant_tpu.nn import quantize_params
 from protoquant_tpu.utils.config import ModelConfig, QuantConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 def _cfg(**kw):
     base = dict(

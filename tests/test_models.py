@@ -55,6 +55,7 @@ def test_toy_logit_match_config2(tiny_fp):
     assert agree > 0.85, f"top-1 agreement {agree}"
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full_forward(tiny_fp):
     """Incremental decode with cache == cache-free full forward (same params).
     This pins the cache/positions/masking logic."""
@@ -158,6 +159,7 @@ def test_hf_import_roundtrip():
     assert cos > 0.99
 
 
+@pytest.mark.slow
 def test_fused_projections_exact_match(tiny_fp):
     """Fused QKV / gate-up model == unfused model, bit-for-bit per mode
     (concat along N is exact for per-output-channel quantization)."""
@@ -181,6 +183,7 @@ def test_fused_projections_exact_match(tiny_fp):
         np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-5), mode
 
 
+@pytest.mark.slow
 def test_fused_quant_model_matches_unfused():
     """FUSED_QUANT=on (fused norm->int8 and swiglu->int8 producers) matches
     the unfused dynamic model to quantization-noise tolerance."""

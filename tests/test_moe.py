@@ -15,6 +15,9 @@ from protoquant_tpu.models.moe import MoEMLP, dispatch_combine, expert_capacity
 from protoquant_tpu.nn import quantize_params
 from protoquant_tpu.utils.config import ModelConfig, QuantConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=128, hidden_size=32, intermediate_size=48,
     num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,

@@ -13,6 +13,9 @@ from protoquant_tpu.models.kv_cache import Int8KVCache
 from protoquant_tpu.native import PageAllocator
 from protoquant_tpu.utils.config import ModelConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 def rand(shape, seed=0, scale=1.0):
     rng = np.random.default_rng(seed)

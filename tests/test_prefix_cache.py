@@ -16,6 +16,9 @@ from protoquant_tpu.engine import Engine, EngineConfig
 from protoquant_tpu.models import LlamaModel
 from protoquant_tpu.utils.config import ModelConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=64,
     hidden_size=64,

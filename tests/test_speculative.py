@@ -11,6 +11,9 @@ from protoquant_tpu.models import LlamaModel, greedy_generate
 from protoquant_tpu.models.speculative import speculative_generate
 from protoquant_tpu.utils.config import ModelConfig
 
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
 TARGET_CFG = ModelConfig(
     vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
     num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
