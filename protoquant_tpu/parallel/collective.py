@@ -28,6 +28,29 @@ import jax.numpy as jnp
 
 from .. import ops
 
+# Ring-tier selection (SURVEY.md §5.8 mechanism 2's two tiers):
+#   "ppermute" — lax.ppermute hops; XLA's async collective-permute +
+#                latency-hiding scheduler do the comm/compute overlap.
+#   "dma"      — ops/collective_matmul.py: ONE Pallas kernel drives the
+#                inter-chip copies with make_async_remote_copy; semaphores
+#                pin the schedule explicitly (dynamic-int8, non-SP path).
+#   "auto"     — resolves to "ppermute". Decision record: both tiers are
+#                integer-exact-matched on the simulated mesh; the explicit-
+#                DMA tier's advantage is a *guaranteed* overlap schedule,
+#                which can only be measured against XLA's scheduler on real
+#                multi-chip ICI — unavailable here (single tunneled chip).
+#                Until that profile exists, the XLA tier stays the default:
+#                it tiles large shapes through the normal matmul pipeline,
+#                while the DMA kernel is whole-operand VMEM (decode-shape
+#                scope). Flip with RING_BACKEND="dma" (env PQ_RING_BACKEND).
+import os as _os
+
+RING_BACKEND = _os.environ.get("PQ_RING_BACKEND", "auto")
+
+
+def resolve_ring_backend() -> str:
+    return "ppermute" if RING_BACKEND == "auto" else RING_BACKEND
+
 
 def _ring_perm(tp: int):
     return [(i, (i + 1) % tp) for i in range(tp)]
@@ -106,9 +129,27 @@ def dynamic_qlinear_collective(
       norm region. Returns [B, T/tp, N]. Requires T % tp == 0.
 
     Each ring step's ppermute hop rides ICI while the next chunk's matmul
-    runs on the MXU (async collective-permute + latency-hiding scheduler).
+    runs on the MXU (async collective-permute + latency-hiding scheduler) —
+    or, under RING_BACKEND="dma", a single Pallas kernel schedules the hops
+    itself with explicit remote DMAs (ops/collective_matmul.py).
     """
     from .. import ops
+
+    if resolve_ring_backend() == "dma" and not scatter_tokens:
+        from ..core import numerics
+        from ..ops.collective_matmul import qmatmul_reduce_scatter_dma
+
+        B, T, _ = x.shape
+        if ops.resolve_linear_backend() == "xla":
+            xq, s_x = numerics.quantize_rowwise(x)
+        else:
+            xq, s_x = ops.rowquant(x, interpret=interpret)
+        part = qmatmul_reduce_scatter_dma(
+            xq.reshape(B * T, -1), s_x.reshape(B * T), wq, s_w,
+            axis=axis, tp=tp, interpret=interpret,
+        ).reshape(B, T, -1)
+        out = jax.lax.all_gather(part, axis, axis=part.ndim - 1, tiled=True)
+        return out.astype(out_dtype)
 
     if ops.resolve_linear_backend() == "xla":
         from ..core import numerics

@@ -175,3 +175,131 @@ def test_tp_sp_model_collective_matches_psum_path():
         ref = np.asarray(build_tp_score(model_psum, mesh, qparams)(sparams, tokens))
         got = np.asarray(build_tp_score(model_coll, mesh, qparams)(sparams, tokens))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+# -- explicit-DMA Pallas ring (ops/collective_matmul.py; VERDICT r2 item 5) --
+
+
+@needs_8dev
+@pytest.mark.parametrize("tp", [2, 4])
+def test_dma_ring_integer_exact_vs_ppermute(tp):
+    """The explicit-DMA ring's integer arithmetic (schedule, DMA payloads,
+    accumulation order) is BITWISE identical to the ppermute tier: with unit
+    scales every value is an exactly-representable int32 sum, so any
+    scheduling or payload bug shows as a hard mismatch."""
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from protoquant_tpu.ops.collective_matmul import qmatmul_reduce_scatter_dma
+
+    rng = np.random.default_rng(1)
+    M, K, N = 8, 32 * tp, 32 * tp
+    xq = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    ones_m = jnp.ones((M,), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    ones_n = jnp.ones((N,), jnp.float32)
+    mesh = _mesh(tp)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, "model"), P(), P("model", None), P()),
+        out_specs=P(None, "model"), check_vma=False,
+    )
+    def dma_rs(xq, sx, wq, sw):
+        # detect_races=True: the interpreter additionally proves the
+        # credit-based flow control race-free.
+        return qmatmul_reduce_scatter_dma(
+            xq, sx, wq, sw, axis="model", tp=tp,
+            interpret=pltpu.InterpretParams(detect_races=True),
+        )
+
+    out = np.asarray(dma_rs(xq, ones_m, wq, ones_n))
+    ref = (
+        np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(out, ref)
+
+
+@needs_8dev
+def test_dma_ring_real_scales_matches_ppermute(tp=4):
+    """With real f32 scales the two tiers agree to FMA-contraction ulps
+    (separately-compiled programs may contract the epilogue multiply into
+    the ring add differently; the int32 ring itself is exact — see the
+    integer test above)."""
+    import functools
+
+    from protoquant_tpu import ops
+    from protoquant_tpu.ops.collective_matmul import qmatmul_reduce_scatter_dma
+
+    rng = np.random.default_rng(2)
+    M, K, N = 8, 16 * tp, 16 * tp
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    wq, s_w = numerics.quantize_channelwise(w, axis=0)
+    mesh = _mesh(tp)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, "model"), P("model", None), P()),
+        out_specs=P(None, "model"), check_vma=False,
+    )
+    def dma_rs(x, wq, sw):
+        xq, sx = ops.rowquant(x, interpret=True)
+        return qmatmul_reduce_scatter_dma(
+            xq, sx, wq, sw, axis="model", tp=tp, interpret=True
+        )
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, "model"), P("model", None), P()),
+        out_specs=P(None, "model"), check_vma=False,
+    )
+    def pp_rs(x, wq, sw):
+        return qmatmul_reduce_scatter(
+            x, wq, sw, "model", tp, out_dtype=jnp.float32, interpret=True
+        )
+
+    out = np.asarray(dma_rs(x, wq, s_w))
+    ref = np.asarray(pp_rs(x, wq, s_w))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+@needs_8dev
+def test_dma_ring_product_path_matches_ppermute(tp=4):
+    """RING_BACKEND='dma' routes QLinear's collective reduction through the
+    explicit-DMA kernel; the product-path wrapper (quantize + ring +
+    all_gather) must agree with the ppermute tier it replaces."""
+    import functools
+
+    from protoquant_tpu.parallel import collective as coll
+    from protoquant_tpu.parallel.collective import dynamic_qlinear_collective
+
+    rng = np.random.default_rng(3)
+    B, T, K, N = 2, 4, 16 * tp, 16 * tp
+    x = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.05)
+    wq, s_w = numerics.quantize_channelwise(w, axis=0)
+    mesh = _mesh(tp)
+
+    def run():
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(None, None, "model"), P("model", None), P()),
+            out_specs=P(), check_vma=False,
+        )
+        def f(x, wq, sw):
+            return dynamic_qlinear_collective(
+                x, wq, sw, "model", tp, out_dtype=jnp.float32, interpret=True
+            )
+
+        return np.asarray(f(x, wq, s_w))
+
+    old = coll.RING_BACKEND
+    try:
+        coll.RING_BACKEND = "dma"
+        out = run()
+    finally:
+        coll.RING_BACKEND = old
+    ref = run()
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
