@@ -94,10 +94,10 @@ def main():
     rows = []
 
     def run(label, mode, src_params, kv_dtype=jnp.float32, qcfg=None,
-            gptq=False):
+            gptq=False, use_grams=None):
         qcfg_eff = qcfg or QuantConfig(mode=mode)
         if gptq:
-            qp = gptq_params(src_params, grams, qcfg_eff)
+            qp = gptq_params(src_params, use_grams or grams, qcfg_eff)
         else:
             qp = quantize_params(src_params, qcfg_eff)
         qm = LlamaModel(cfg, mode=mode, int4_group=qcfg_eff.int4_group,
@@ -145,6 +145,13 @@ def main():
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True)
     run("int4_weight_only_g128+awq", "weight_only_int4", awq_int4,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
+    # AWQ x GPTQ composition: grid-searched migration first, then error-
+    # compensated rounding ON THE SCALED weights (grams re-collected on the
+    # scaled params — the Gram must describe the activations GPTQ will see).
+    grams_awq = collect_grams(fp_model, awq_int4, gptq_calib)
+    run("int4_weight_only_g128+awq+gptq", "weight_only_int4", awq_int4,
+        qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True,
+        use_grams=grams_awq)
 
     print(json.dumps({
         "scale": f"{args.layers}L-d{args.hidden} shaped logits, "
