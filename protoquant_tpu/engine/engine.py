@@ -256,15 +256,19 @@ class Engine:
                 )
             if kv_dtype != jnp.int8:
                 raise ValueError("ring layout is int8-only")
-            if mesh is not None:
-                raise NotImplementedError("ring layout + mesh serving")
             # Prefill pieces are padded to power-of-2 buckets with floor 16
             # (_bucket), so the ring's slack must cover the PADDED chunk.
             max_chunk = max(
                 _bucket(self.cfg.prefill_chunk, self.cfg.prefill_chunk),
                 gamma + 1,
             )
-            kv_heads = mcfg.num_key_value_heads // model.tp
+            # Under a mesh the ring holds ALL kv heads and shards over the
+            # model axis (cache_pspecs); single-chip rings are pre-divided.
+            kv_heads = (
+                mcfg.num_key_value_heads
+                if mesh is not None
+                else mcfg.num_key_value_heads // model.tp
+            )
             self.caches = [
                 RingInt8KVCache.init(
                     B, ring_window, max_chunk, kv_heads, mcfg.head_dim,
@@ -314,8 +318,6 @@ class Engine:
         if self.cfg.return_logprobs and spec_mode:
             raise ValueError("return_logprobs is unsupported in speculative modes")
         if getattr(model, "lora_stack", 0) > 0:
-            if mesh is not None:
-                raise NotImplementedError("multi-LoRA + mesh serving")
             if spec_mode:
                 raise ValueError(
                     "multi-LoRA is unsupported in speculative modes"
@@ -1172,59 +1174,59 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             state[key] = (params_pspecs(params), cache_pspecs(caches))
         return state[key]
 
-    def extend(params, caches, tokens, true_len, slot):
+    def extend_with_adapters(params, caches, tokens, true_len, slot, aid):
         pspecs, cspecs = _specs(params, caches)
-
-        if "extend" not in state:
-
+        ekey = ("extend", aid is None)
+        if ekey not in state:
+            # aid: [1] int32 multi-LoRA selection for the slot being
+            # prefilled — replicated (every shard gathers the same adapter
+            # row of its local lora_a/lora_b shards); None pytree when the
+            # model carries no adapter stack.
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, P(), P(), P()),
+                in_specs=(pspecs, cspecs, P(), P(), P(), P()),
                 out_specs=(P(), cspecs),
                 check_vma=False,
             )
-            def _extend(params, caches, tokens, true_len, slot):
+            def _extend(params, caches, tokens, true_len, slot, aid):
                 return _extend_slot_body(
                     model, params, caches, tokens, true_len, slot,
-                    data_axis=data_axis,
+                    data_axis=data_axis, adapter_ids=aid,
                 )
 
-            state["extend"] = jax.jit(_extend, donate_argnums=(1,))
-        return state["extend"](params, caches, tokens, true_len, slot)
-
-    def extend_with_adapters(params, caches, tokens, true_len, slot, aid):
-        assert aid is None  # multi-LoRA + mesh is guarded at Engine init
-        return extend(params, caches, tokens, true_len, slot)
+            state[ekey] = jax.jit(_extend, donate_argnums=(1,))
+        return state[ekey](params, caches, tokens, true_len, slot, aid)
 
     def decode(
         params, caches, last_tokens, active, key, samp,
         penalty=1.0, counts=None, adapter_ids=None,
     ):
-        # multi-LoRA is guarded at Engine init under a mesh.
-        assert adapter_ids is None
         pspecs, cspecs = _specs(params, caches)
-        if "decode" not in state:
+        dkey = ("decode", counts is None, adapter_ids is None)
+        if dkey not in state:
             samp_spec = {k: batch_spec for k in samp}
-            # counts [B, V] shards over data with the slots it tracks.
+            # counts [B, V] / adapter_ids [B] shard over data with their slots.
             counts_spec = batch_spec if counts is None else P(*batch_spec, None)
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, counts_spec),
+                          samp_spec, counts_spec, batch_spec),
                 out_specs=((batch_spec, batch_spec, counts_spec), cspecs),
                 check_vma=False,
             )
-            def _decode(params, caches, last_tokens, active, key, samp, counts):
+            def _decode(params, caches, last_tokens, active, key, samp,
+                        counts, adapter_ids):
                 from .sampling import sample_batched, token_logprob
 
                 max_pos = model.cfg.max_position_embeddings - 1
                 positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
                 advance = active.astype(jnp.int32)
                 logits, caches = model.apply(
-                    params, last_tokens[:, None], positions, caches, advance=advance
+                    params, last_tokens[:, None], positions, caches,
+                    advance=advance, adapter_ids=adapter_ids,
                 )
                 if data_axis is not None:
                     # Decorrelate sampling across batch-sharded replicas.
@@ -1243,9 +1245,10 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     )
                 return (next_tokens, logprobs, counts), caches
 
-            state["decode"] = jax.jit(_decode, donate_argnums=(1,))
-        (next_tokens, logprobs, counts), caches = state["decode"](
-            params, caches, last_tokens, active, key, samp, counts
+            state[dkey] = jax.jit(_decode, donate_argnums=(1,))
+        (next_tokens, logprobs, counts), caches = state[dkey](
+            params, caches, last_tokens, active, key, samp, counts,
+            adapter_ids,
         )
         return next_tokens, logprobs, counts, caches
 

@@ -89,9 +89,11 @@ def _param_spec(path, leaf) -> P:
         if is_bias:
             return P(MODEL_AXIS)  # bias follows the sharded output features
         if is_lora_a:
-            return P()  # [K, r]: K unsharded for column-parallel
+            return P()  # [(n,) K, r]: K unsharded for column-parallel
         if is_lora_b:
-            return P(None, MODEL_AXIS)  # [r, N]: shards with output features
+            # [r, N] / stacked [n, r, N]: shard the output features.
+            return (P(None, None, MODEL_AXIS) if ndim == 3
+                    else P(None, MODEL_AXIS))
         return P(None, MODEL_AXIS)  # kernel/qkernel.data [K, N] split N
     if any(f"/{p}/" in f"/{joined}/" for p in ROW_PARALLEL):
         if is_scale:
@@ -101,11 +103,13 @@ def _param_spec(path, leaf) -> P:
         if is_bias:
             return P()  # added after the all-reduce on the full output
         if is_lora_a:
-            # [K, r] shards with the contraction; the adapter partials join
-            # the base matmul's psum (added pre-reduce in QLinear).
-            return P(MODEL_AXIS, None)
+            # [K, r] / stacked [n, K, r] shards with the contraction; the
+            # adapter partials join the base matmul's psum (added pre-reduce
+            # in QLinear).
+            return (P(None, MODEL_AXIS, None) if ndim == 3
+                    else P(MODEL_AXIS, None))
         if is_lora_b:
-            return P()  # [r, N] replicated
+            return P()  # [(n,) r, N] replicated
         return P(MODEL_AXIS, None)  # [K, N] split K
     return P()  # embeddings, norms: replicated
 
@@ -135,6 +139,20 @@ def cache_pspecs(caches) -> Any:
                 cq=P(DATA_AXIS, None, None), cs=P(DATA_AXIS, None),
                 pq=P(DATA_AXIS, None, None), ps=P(DATA_AXIS, None),
                 lengths=P(DATA_AXIS),
+            )
+        from ..models.kv_cache import RingInt8KVCache
+
+        if isinstance(c, RingInt8KVCache):
+            # Same [B, KV, S(ring), Dh] layout as the dense int8 cache:
+            # batch over data, kv-heads over model; window/sinks are static.
+            return RingInt8KVCache(
+                kq=P(DATA_AXIS, MODEL_AXIS, None, None),
+                ks=P(DATA_AXIS, MODEL_AXIS, None),
+                vq=P(DATA_AXIS, MODEL_AXIS, None, None),
+                vs=P(DATA_AXIS, MODEL_AXIS, None),
+                lengths=P(DATA_AXIS),
+                window=c.window,
+                sinks=c.sinks,
             )
         if isinstance(c, Int8KVCache):
             return Int8KVCache(

@@ -33,6 +33,7 @@ def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False,
              int4_group: int = 128, collective: bool = False,
              lora_rank: int = 0, lora_alpha: float = 16.0,
              lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj"),
+             lora_stack: int = 0,
              ) -> LlamaModel:
     """The TP-aware model for a mesh: head/feature dims divided by tp.
     ``sp`` additionally token-shards the norm/elementwise regions between TP
@@ -48,6 +49,7 @@ def tp_model(cfg: ModelConfig, mode: str, mesh, dtype=None, sp: bool = False,
         cfg, mode=mode, dtype=dtype or jnp.bfloat16, tp=tp, tp_axis=MODEL_AXIS,
         sp=sp, int4_group=int4_group, collective=collective,
         lora_rank=lora_rank, lora_alpha=lora_alpha, lora_targets=lora_targets,
+        lora_stack=lora_stack,
     )
 
 

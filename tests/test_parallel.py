@@ -580,3 +580,99 @@ def test_speculative_dp_mesh_rejected(fp_setup):
             kv_dtype=jnp.float32, mesh=mesh,
             draft_model=single_model, draft_params=params,
         )
+
+
+@needs_8dev
+def test_ring_dp_tp_engine_matches_single_device(fp_setup):
+    """Ring-layout (StreamingLLM window + sinks) serving under a dp=2 x
+    tp=2 mesh: ring caches shard batch-over-data / heads-over-model like the
+    dense cache — outputs match the single-device ring engine exactly
+    (closes the last kv-layout mesh hole)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=64, prefill_chunk=8,
+        max_new_tokens=10, temperature=0.0,
+        stream_window=12, attention_sinks=4,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    ref_eng = Engine(single_model, params, ecfg, kv_dtype=jnp.int8,
+                     kv_layout="ring")
+    ref_rids = [ref_eng.add_request(p, 10) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.int8,
+                     kv_layout="ring", mesh=mesh)
+        rids = [eng.add_request(p, 10) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_multi_lora_dp_tp_engine_matches_single_device(fp_setup):
+    """Multi-LoRA serving under a dp=2 x tp=2 mesh: stacked adapters shard
+    adapter-axis-replicated / feature-axis-with-their-parallelism
+    (shardings.py lora rules), per-request adapter_ids thread through the
+    shard_map extend+decode batch-sharded — each stream matches the
+    single-device multi-LoRA engine exactly (closes the last mesh hole)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.nn.lora import (
+        attach_lora,
+        attach_lora_stack,
+        set_stack_adapter,
+    )
+
+    single_model, params = fp_setup
+    RANK, TARGETS = 4, ("q_proj", "v_proj", "o_proj", "down_proj")
+    rng_keyed = attach_lora(params, RANK, TARGETS, key=jax.random.PRNGKey(5))
+    # Randomize B so the adapter actually changes the math.
+    import numpy as _np
+
+    def _randomize_b(tree, seed):
+        r = _np.random.default_rng(seed)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.asarray(
+                r.normal(0, 0.2, a.shape).astype(_np.float32))
+            if any(getattr(p, "key", None) == "lora_b" for p in path) else a,
+            tree,
+        )
+
+    single1 = _randomize_b(rng_keyed, seed=31)
+    stacked = set_stack_adapter(
+        attach_lora_stack(params, RANK, 2, TARGETS), 1, single1
+    )
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0)
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10], [2, 4, 6]]
+    aids = [0, 1, 1, 0]
+
+    ref_model = LlamaModel(CFG, mode="fp", dtype=jnp.float32,
+                           lora_rank=RANK, lora_targets=TARGETS, lora_stack=2)
+    ref_eng = Engine(ref_model, stacked, ecfg, kv_dtype=jnp.float32)
+    ref_rids = [ref_eng.add_request(p, 6, adapter_id=a)
+                for p, a in zip(prompts, aids)]
+    ref_outs = ref_eng.run()
+    # The adapter changed the math vs base for the adapter-1 requests.
+    base_eng = Engine(LlamaModel(CFG, mode="fp", dtype=jnp.float32),
+                      params, ecfg, kv_dtype=jnp.float32)
+    b1 = base_eng.add_request(prompts[1], 6)
+    assert base_eng.run()[b1] != ref_outs[ref_rids[1]]
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32,
+                        lora_rank=RANK, lora_targets=TARGETS, lora_stack=2)
+    sparams = shard_params(stacked, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh)
+        rids = [eng.add_request(p, 6, adapter_id=a)
+                for p, a in zip(prompts, aids)]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
