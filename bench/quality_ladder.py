@@ -101,7 +101,7 @@ def main():
         else:
             qp = quantize_params(src_params, qcfg_eff)
         qm = LlamaModel(cfg, mode=mode, int4_group=qcfg_eff.int4_group,
-                        dtype=jnp.float32)
+                        fp8_group=qcfg_eff.fp8_group, dtype=jnp.float32)
         lq = np.asarray(qm.apply(qp, eval_toks))
         cos = float(
             np.sum(logits_fp * lq)
@@ -139,6 +139,8 @@ def main():
     run("int8_weight_only+gptq", "weight_only", params, gptq=True)
     run("fp8_weight_only", "weight_only_fp8", params,
         qcfg=QuantConfig(mode="weight_only_fp8"))
+    run("fp8_weight_only_g64", "weight_only_fp8", params,
+        qcfg=QuantConfig(mode="weight_only_fp8", fp8_group=64))
     run("int4_weight_only_g128", "weight_only_int4", params,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
     run("int4_weight_only_g128+gptq", "weight_only_int4", params,

@@ -41,6 +41,7 @@ def cmd_convert(args):
         mode=args.mode,
         int4_group=args.int4_group,
         int4_storage=args.int4_storage,
+        fp8_group=args.fp8_group,
     )
     sd = _load_state_dict(args.weights)
     params = import_hf_llama(sd, cfg)
@@ -114,6 +115,7 @@ def _restore_model(ckpt: str):
     model = LlamaModel(
         cfg, mode=qcfg.mode, fused=fused,
         int4_group=qcfg.int4_group, int4_storage=qcfg.int4_storage,
+        fp8_group=qcfg.fp8_group,
     )
     fp_model = LlamaModel(cfg, mode="fp", fused=fused)
     example = quantize_params(
@@ -194,6 +196,10 @@ def main(argv=None):
     c.add_argument(
         "--int4-storage", default="packed", choices=["packed", "native"],
         help="int4 payload layout: byte-packed (Pallas wo4 kernel) or native jnp.int4 (XLA s4)",
+    )
+    c.add_argument(
+        "--fp8-group", type=int, default=0,
+        help="fp8 scale granularity: 0 per-channel, g>0 per-(K-group, channel)",
     )
     c.add_argument("--out", required=True)
     c.add_argument(

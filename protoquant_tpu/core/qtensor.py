@@ -179,7 +179,7 @@ _E4M3_MAX = 448.0  # largest finite float8_e4m3fn value
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "scale"],
-    meta_fields=["axis", "orig_dtype_name"],
+    meta_fields=["axis", "orig_dtype_name", "group"],
 )
 @dataclasses.dataclass(frozen=True)
 class QTensorF8:
@@ -198,12 +198,33 @@ class QTensorF8:
     scale: jnp.ndarray
     axis: int
     orig_dtype_name: str = "float32"
+    # Contraction-group size: 0 = one scale per output channel (scale [N]);
+    # g > 0 = one scale per (K-group, channel) (scale [K/g, N]) — recovers
+    # mantissa resolution when a channel's amax is set by a few in-channel
+    # outliers (measured: ~2x rmse reduction at g=32 in that regime;
+    # Gaussian weights barely move — fp8 is mantissa-bound there).
+    group: int = 0
 
     @classmethod
-    def quantize(cls, x: jnp.ndarray, axis: int = 0) -> "QTensorF8":
-        """Per-channel scaling into the e4m3 representable range."""
+    def quantize(cls, x: jnp.ndarray, axis: int = 0, group: int = 0) -> "QTensorF8":
+        """Per-channel (group=0) or per-(K-group, channel) scaling into the
+        e4m3 representable range. Group-wise requires 2-D [K, N], axis=0."""
         axis = axis % x.ndim
         xf = x.astype(jnp.float32)
+        if group > 0:
+            if x.ndim != 2 or axis != 0:
+                raise ValueError("group-wise fp8 needs a 2-D [K, N] kernel")
+            K, N = xf.shape
+            if K % group:
+                raise ValueError(f"K={K} not divisible by fp8 group={group}")
+            wg = xf.reshape(K // group, group, N)
+            amax = jnp.max(jnp.abs(wg), axis=1)  # [K/g, N]
+            s = jnp.maximum(amax / _E4M3_MAX, 1e-12)
+            q = (wg / s[:, None, :]).astype(jnp.float8_e4m3fn).reshape(K, N)
+            return cls(
+                data=q, scale=s, axis=axis, group=group,
+                orig_dtype_name=jnp.dtype(x.dtype).name,
+            )
         amax = jnp.max(jnp.abs(xf), axis=axis)
         s = jnp.maximum(amax / _E4M3_MAX, 1e-12)
         q = (xf / jnp.expand_dims(s, axis)).astype(jnp.float8_e4m3fn)
@@ -221,7 +242,14 @@ class QTensorF8:
         return self.data.ndim
 
     def dequantize(self) -> jnp.ndarray:
-        w = self.data.astype(jnp.float32) * jnp.expand_dims(self.scale, self.axis)
+        if self.group > 0:
+            K, N = self.data.shape
+            wg = self.data.astype(jnp.float32).reshape(-1, self.group, N)
+            w = (wg * self.scale[:, None, :]).reshape(K, N)
+        else:
+            w = self.data.astype(jnp.float32) * jnp.expand_dims(
+                self.scale, self.axis
+            )
         return w.astype(jnp.dtype(self.orig_dtype_name))
 
     def nbytes(self) -> int:

@@ -252,6 +252,7 @@ class Attention(nn.Module):
     cp_axis: Any = None
     int4_group: int = 128
     int4_storage: str = "packed"
+    fp8_group: int = 0
     # LoRA adapters (nn/lora.py): rank 0 = off; targets = projection names
     # that carry an adapter (fused layers use their fused names).
     lora_rank: int = 0
@@ -292,7 +293,7 @@ class Attention(nn.Module):
         lin = lambda feats, name: QLinear(
             feats, mode=self.mode, use_bias=cfg.attention_bias,
             dtype=self.dtype,
-            int4_group=self.int4_group, int4_storage=self.int4_storage,
+            int4_group=self.int4_group, int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             lora_rank=_lr(name), lora_alpha=self.lora_alpha,
             lora_stack=self.lora_stack, name=name,
         )
@@ -452,7 +453,7 @@ class Attention(nn.Module):
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
-            int4_storage=self.int4_storage,
+            int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             lora_rank=_lr("o_proj"),
             lora_alpha=self.lora_alpha,
             lora_stack=self.lora_stack,
@@ -525,6 +526,7 @@ class MLP(nn.Module):
     sp: bool = False
     int4_group: int = 128
     int4_storage: str = "packed"
+    fp8_group: int = 0
     # LoRA adapters (nn/lora.py): rank 0 = off; targets = projection names
     # that carry an adapter (fused layers use their fused names).
     lora_rank: int = 0
@@ -544,7 +546,7 @@ class MLP(nn.Module):
         _lr = lambda n: self.lora_rank if n in self.lora_targets else 0
         lin = lambda feats, name: QLinear(
             feats, mode=self.mode, use_bias=False, dtype=self.dtype,
-            int4_group=self.int4_group, int4_storage=self.int4_storage,
+            int4_group=self.int4_group, int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             lora_rank=_lr(name), lora_alpha=self.lora_alpha,
             lora_stack=self.lora_stack, name=name,
         )
@@ -601,7 +603,7 @@ class MLP(nn.Module):
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
             int4_group=self.int4_group,
-            int4_storage=self.int4_storage,
+            int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             lora_rank=_lr("down_proj"),
             lora_alpha=self.lora_alpha,
             lora_stack=self.lora_stack,
@@ -624,6 +626,7 @@ class DecoderLayer(nn.Module):
     cp_axis: Any = None
     int4_group: int = 128
     int4_storage: str = "packed"
+    fp8_group: int = 0
     # LoRA adapters (nn/lora.py): rank 0 = off; targets = projection names
     # that carry an adapter (fused layers use their fused names).
     lora_rank: int = 0
@@ -680,7 +683,7 @@ class DecoderLayer(nn.Module):
             h, new_cache = MLAAttention(
                 self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
                 self.tp_axis, self.int4_group,
-                int4_storage=self.int4_storage,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
                 collective=self.collective, name="self_attn",
             )(attn_in, positions, cache, advance, preq=attn_preq)
         else:
@@ -688,7 +691,7 @@ class DecoderLayer(nn.Module):
                 self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
                 self.tp_axis, self.fused,
                 self.sp, self.cp, self.cp_axis, self.int4_group,
-                int4_storage=self.int4_storage,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective, name="self_attn"
@@ -726,7 +729,7 @@ class DecoderLayer(nn.Module):
             h = MLP(
                 self.cfg, self.mode, self.dtype, self.tp, self.tp_axis,
                 self.fused, self.sp, self.int4_group,
-                int4_storage=self.int4_storage,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective, name="mlp",
@@ -765,6 +768,7 @@ class LlamaModel(nn.Module):
     int4_group: int = 128
     # int4 payload layout (match QuantConfig.int4_storage at convert).
     int4_storage: str = "packed"
+    fp8_group: int = 0
     # LoRA adapters on the quantized base (nn/lora.py): 0 = off.
     lora_rank: int = 0
     lora_alpha: float = 16.0
@@ -811,7 +815,7 @@ class LlamaModel(nn.Module):
             x, nc = DecoderLayer(
                 cfg, self.mode, self.dtype, i, self.tp, self.tp_axis,
                 self.fused, self.sp, self.cp, self.cp_axis, self.int4_group,
-                int4_storage=self.int4_storage,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective,
@@ -836,7 +840,7 @@ class LlamaModel(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             int4_group=self.int4_group,
-            int4_storage=self.int4_storage,
+            int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             lora_rank=(self.lora_rank if "lm_head" in self.lora_targets else 0),
             lora_alpha=self.lora_alpha,
             lora_stack=self.lora_stack,

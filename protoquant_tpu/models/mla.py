@@ -300,6 +300,7 @@ class MLAAttention(nn.Module):
     tp_axis: Any = None
     int4_group: int = 128
     int4_storage: str = "packed"
+    fp8_group: int = 0
     collective: bool = False
 
     @nn.compact
@@ -326,7 +327,7 @@ class MLAAttention(nn.Module):
 
         lin = lambda feats, name: QLinear(
             feats, mode=self.mode, use_bias=False, dtype=self.dtype,
-            int4_group=self.int4_group, int4_storage=self.int4_storage,
+            int4_group=self.int4_group, int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             name=name,
         )
         # HF hardcodes the a-layernorm eps at the DeepseekV2RMSNorm default
@@ -411,7 +412,7 @@ class MLAAttention(nn.Module):
         o = QLinear(
             cfg.hidden_size, mode=self.mode, use_bias=False, dtype=self.dtype,
             psum_axis=self.tp_axis,
-            int4_group=self.int4_group, int4_storage=self.int4_storage,
+            int4_group=self.int4_group, int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             collective=self.collective, tp=self.tp, name="o_proj",
         )(out)
         return o, new_cache

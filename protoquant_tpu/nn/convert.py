@@ -69,7 +69,7 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
         elif cfg.mode == "weight_only_fp8":
             from ..core.qtensor import QTensorF8
 
-            out["qkernel"] = QTensorF8.quantize(w, axis=0)
+            out["qkernel"] = QTensorF8.quantize(w, axis=0, group=cfg.fp8_group)
         elif cfg.mode == "weight_only_int4":
             from ..core.qtensor import QTensor4
             from .qlinear import pick_int4_group

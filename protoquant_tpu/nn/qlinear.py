@@ -70,12 +70,13 @@ def _qtensor_init(kernel_init: Initializer, shape, param_dtype):
     return init
 
 
-def _qtensorf8_init(kernel_init: Initializer, shape, param_dtype):
+def _qtensorf8_init(kernel_init: Initializer, shape, param_dtype,
+                    group: int = 0):
     from ..core.qtensor import QTensorF8
 
     def init(key):
         w = kernel_init(key, shape, param_dtype)
-        return QTensorF8.quantize(w, axis=0)
+        return QTensorF8.quantize(w, axis=0, group=group)
 
     return init
 
@@ -114,6 +115,9 @@ class QLinear(nn.Module):
     # int4 payload layout (must match QuantConfig.int4_storage at convert):
     # "packed" bytes (Pallas wo4) or "native" XLA s4 (XLA backend only).
     int4_storage: str = "packed"
+    # fp8 scale granularity for mode="weight_only_fp8": 0 = per-channel,
+    # g > 0 = per-(K-group, channel) (must match QuantConfig.fp8_group).
+    fp8_group: int = 0
     # LoRA adapter on top of the (quantized) base weight: rank 0 = off.
     # y += (x @ A) @ B * (alpha / rank), A [K, r], B [r, N] fp32 — the
     # standard quantized-base + fp-adapter serving recipe (the base stays
@@ -240,12 +244,20 @@ class QLinear(nn.Module):
             qkernel = self.param(
                 "qkernel",
                 _qtensorf8_init(
-                    self.kernel_init, (in_features, self.features), self.param_dtype
+                    self.kernel_init, (in_features, self.features),
+                    self.param_dtype, self.fp8_group,
                 ),
             )
-            y = ops.weight_only_matmul_xla(
-                x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
-            )
+            if self.fp8_group > 0:
+                y = ops.weight_only_fp8_group_matmul_xla(
+                    x, qkernel.data, qkernel.scale, self.fp8_group,
+                    fused_bias, out_dtype=self.dtype,
+                )
+            else:
+                y = ops.weight_only_matmul_xla(
+                    x, qkernel.data, qkernel.scale, fused_bias,
+                    out_dtype=self.dtype,
+                )
         elif self.mode == "weight_only_int4":
             qkernel = self.param(
                 "qkernel",

@@ -9,6 +9,7 @@ from .wo4_matmul import weight_only_int4_matmul
 from .wo_matmul import weight_only_matmul
 from .xla_backend import (
     dynamic_qlinear_xla,
+    weight_only_fp8_group_matmul_xla,
     weight_only_int4_matmul_xla,
     weight_only_matmul_xla,
 )
@@ -78,4 +79,5 @@ __all__ = [
     "dynamic_qlinear_xla",
     "weight_only_matmul_xla",
     "weight_only_int4_matmul_xla",
+    "weight_only_fp8_group_matmul_xla",
 ]

@@ -55,6 +55,45 @@ def weight_only_matmul_xla(x, wq, s_w, bias=None, out_dtype=None):
     return y.astype(out_dtype)
 
 
+def weight_only_fp8_group_matmul_xla(x, w8, scales, group, bias=None,
+                                     out_dtype=None):
+    """fp8 e4m3 weights with per-(K-group, out-channel) scales.
+
+    Same factorization as the native-s4 path below: for decode-sized M the
+    group scales ride a [M, K/g, N] partial-sum einsum (e4m3 -> bf16 convert
+    is exact — 3 mantissa bits fit bf16 — and rides the dot operand); for
+    large M the materialized-dequant form wins compute-bound anyway."""
+    import jax
+
+    out_dtype = out_dtype or x.dtype
+    lane = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    k, n = w8.shape
+    m = x.reshape(-1, k).shape[0]
+    if m <= 64:
+        xg = x.reshape(-1, k // group, group)
+        wg = w8.reshape(k // group, group, n).astype(lane)
+        acc = jnp.einsum(
+            "mgk,gkn->mgn", xg.astype(lane), wg,
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.einsum("mgn,gn->mn", acc, scales)
+        y = y.reshape(*x.shape[:-1], n)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(out_dtype)
+    w = (
+        w8.astype(jnp.float32).reshape(k // group, group, n)
+        * scales[:, None, :]
+    ).reshape(k, n)
+    acc = jnp.matmul(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(out_dtype)
+
+
 def weight_only_int4_matmul_xla(x, packed, scales, group, bias=None, out_dtype=None):
     """int4 weights via XLA.
 

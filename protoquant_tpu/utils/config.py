@@ -43,6 +43,10 @@ class QuantConfig:
     # "native" (XLA s4 dtype — packed in HBM by XLA, unpack fused into the
     # dot; only the XLA backend consumes it).
     int4_storage: str = "packed"
+    # fp8 scale granularity: 0 = per-output-channel; g > 0 = per-(K-group,
+    # channel) [K/g, N] scales — recovers mantissa resolution on in-channel
+    # weight outliers (fp8's lane; see BASELINE.md quality ladder).
+    fp8_group: int = 0
     # Layers (by dot-path suffix) to keep in full precision.
     skip_patterns: tuple = ()
 

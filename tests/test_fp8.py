@@ -181,3 +181,71 @@ def test_fp8_checkpoint_roundtrip(tmp_path):
         np.asarray(b.data.astype(jnp.float32)),
     )
     np.testing.assert_array_equal(np.asarray(a.scale), np.asarray(b.scale))
+
+
+def test_fp8_group_scales_roundtrip():
+    """Group-wise fp8 (scale [K/g, N]): quantize->dequantize reconstruction
+    beats per-channel on in-channel outlier weights (fp8's lane), and the
+    group matmul matches the dequantized reference."""
+    from protoquant_tpu.core.qtensor import QTensorF8
+    from protoquant_tpu.ops import weight_only_fp8_group_matmul_xla
+
+    rng = np.random.default_rng(0)
+    K, N = 128, 64
+    W = (rng.standard_normal((K, N)) * 0.05 *
+         (1 + 19.0 * (rng.random((K, 1)) < 0.05))).astype(np.float32)
+    per_ch = QTensorF8.quantize(jnp.asarray(W), axis=0)
+    grouped = QTensorF8.quantize(jnp.asarray(W), axis=0, group=32)
+    err = lambda qt: float(np.sqrt(np.mean(
+        (np.asarray(qt.dequantize()) - W) ** 2)))
+    assert err(grouped) < err(per_ch), (err(grouped), err(per_ch))
+
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    y = weight_only_fp8_group_matmul_xla(
+        x, grouped.data, grouped.scale, 32, out_dtype=jnp.float32)
+    ref = x @ grouped.dequantize()
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # Large-M branch (materialized dequant) agrees with the grouped branch.
+    xb = jnp.asarray(rng.standard_normal((128, K)), jnp.float32)
+    yb = weight_only_fp8_group_matmul_xla(
+        xb, grouped.data, grouped.scale, 32, out_dtype=jnp.float32)
+    refb = xb @ grouped.dequantize()
+    # The large-M branch materializes the dequantized weight in bf16 (the
+    # dot rides bf16 lanes): ~0.4% relative, looser atol on small outputs.
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(refb),
+                               rtol=2e-2, atol=1e-1)
+
+
+def test_fp8_group_model_end_to_end():
+    """weight_only_fp8 with fp8_group: quantize_params -> model apply -> fp
+    logits tracked; greedy decode runs through the engine."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.utils.config import ModelConfig, QuantConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    fp_model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = fp_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(0, 64, (2, 10)), jnp.int32)
+    lfp = np.asarray(fp_model.apply(params, toks))
+
+    qp = quantize_params(params, QuantConfig(mode="weight_only_fp8",
+                                             fp8_group=32))
+    qm = LlamaModel(cfg, mode="weight_only_fp8", fp8_group=32,
+                    dtype=jnp.float32)
+    lq = np.asarray(qm.apply(qp, toks))
+    err = np.abs(lq - lfp).max() / (np.abs(lfp).max() + 1e-9)
+    assert err < 0.1, err
+
+    eng = Engine(qm, qp, EngineConfig(max_batch_size=2, max_seq_len=32,
+                                      prefill_chunk=16, max_new_tokens=5),
+                 kv_dtype=jnp.int8)
+    rid = eng.add_request([1, 2, 3], 5)
+    out = eng.run()[rid]
+    assert len(out) == 5 and all(0 <= t < 64 for t in out)
