@@ -6,7 +6,14 @@ from any number of client connections and batch together on the device.
 
   POST /generate   {"tokens": [1,2,3], "max_new_tokens": 32, "eos_id": null}
       -> {"request": rid, "tokens": [...], "cancelled": false}
-  (sampling temperature/top_k are engine-level EngineConfig settings)
+  (sampling temperature/top_k default from EngineConfig; per-request
+   overrides accepted in the body)
+  POST /generate   {..., "stream": true}
+      -> Server-Sent Events: one `data: {"request": rid, "token": t}` event
+         per generated token AS IT DECODES, then a final
+         `data: {"request": rid, "done": true, "tokens": [...], ...}`.
+         A client disconnect mid-stream cancels the request (its slot and
+         KV pages free on the next tick).
   POST /cancel     {"request": rid} -> {"request": rid, "cancelled": bool}
       (the /generate call waiting on rid returns its partial tokens)
   GET  /metrics    -> Engine.metrics() + health
@@ -16,10 +23,13 @@ from any number of client connections and batch together on the device.
 from __future__ import annotations
 
 import json
+import queue as _queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .engine import Engine
+
+_STREAM_DONE = object()  # sentinel closing a stream's token queue
 
 
 class EngineServer:
@@ -27,12 +37,16 @@ class EngineServer:
         self.engine = engine
         self._results: dict[int, list] = {}
         self._events: dict[int, threading.Event] = {}
+        self._streams: dict[int, _queue.Queue] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
 
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # Chunked transfer (the streaming path) requires HTTP/1.1.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -83,15 +97,21 @@ class EngineServer:
                     ]
                 except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
+                stream = bool(req.get("stream", False))
+                tok_q = _queue.Queue() if stream else None
                 try:
                     rid = outer.submit(
                         tokens, max_new, eos_id,
                         adapter_id=adapter_id,
-                        stop_sequences=stop_sequences, **samp,
+                        stop_sequences=stop_sequences, stream_queue=tok_q,
+                        **samp,
                     )
                 except ValueError as e:  # engine-side validation (length etc.)
                     return self._json(400, {"error": str(e)})
-                out = outer.wait(rid, timeout=float(req.get("timeout_s", 300)))
+                timeout = float(req.get("timeout_s", 300))
+                if stream:
+                    return self._stream(rid, tok_q, timeout)
+                out = outer.wait(rid, timeout=timeout)
                 if out is None:
                     return self._json(504, {"request": rid, "error": "timeout"})
                 tokens, cancelled, logprobs = out
@@ -105,6 +125,56 @@ class EngineServer:
                     },
                 )
 
+            def _stream(self, rid: int, tok_q, timeout: float):
+                """Server-Sent Events: one event per token as the engine
+                emits it (the engine thread feeds tok_q from the request's
+                on_token callback), then a final done event."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(obj) -> bool:
+                    payload = f"data: {json.dumps(obj)}\n\n".encode()
+                    try:
+                        self.wfile.write(
+                            f"{len(payload):x}\r\n".encode() + payload + b"\r\n"
+                        )
+                        self.wfile.flush()
+                        return True
+                    except (BrokenPipeError, ConnectionResetError):
+                        return False
+
+                import time
+
+                deadline = time.monotonic() + timeout
+                while True:
+                    try:
+                        item = tok_q.get(timeout=max(0.05, min(1.0, deadline - time.monotonic())))
+                    except _queue.Empty:
+                        if time.monotonic() > deadline:
+                            chunk({"request": rid, "error": "timeout"})
+                            outer.cancel(rid)
+                            break
+                        continue
+                    if item is _STREAM_DONE:
+                        tokens, cancelled, logprobs = outer.wait(rid, timeout=5)
+                        chunk({
+                            "request": rid, "done": True, "tokens": tokens,
+                            "cancelled": cancelled,
+                            **({"logprobs": logprobs} if logprobs else {}),
+                        })
+                        break
+                    if not chunk({"request": rid, "token": int(item)}):
+                        # Client went away: free the slot/pages immediately.
+                        outer.cancel(rid)
+                        break
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._http_thread = threading.Thread(
@@ -114,12 +184,19 @@ class EngineServer:
 
     # -- engine-side -------------------------------------------------------
 
-    def submit(self, tokens, max_new, eos_id=None, **request_kwargs) -> int:
+    def submit(self, tokens, max_new, eos_id=None, stream_queue=None,
+               **request_kwargs) -> int:
+        on_token = None
+        if stream_queue is not None:
+            on_token = lambda rid, tok: stream_queue.put(tok)
         with self._lock:
             rid = self.engine.add_request(
-                tokens, max_new, eos_id=eos_id, **request_kwargs
+                tokens, max_new, eos_id=eos_id, on_token=on_token,
+                **request_kwargs
             )
             self._events[rid] = threading.Event()
+            if stream_queue is not None:
+                self._streams[rid] = stream_queue
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -153,6 +230,9 @@ class EngineServer:
                                 req.out, req.cancelled, req.logprobs
                             )
                             self._events[req.rid].set()
+                        q = self._streams.pop(req.rid, None)
+                        if q is not None:
+                            q.put(_STREAM_DONE)
             if not has_work:
                 time.sleep(0.005)
 

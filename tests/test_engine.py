@@ -797,3 +797,56 @@ def test_engine_stop_sequences(model_and_params):
         k for k in range(len(stop), 9) if stream[k - len(stop):k] == stop
     )
     assert out == stream[:first], (out, stream, stop)
+
+
+def test_server_streaming_sse(model_and_params):
+    """POST /generate with stream=true emits one SSE event per token AS IT
+    DECODES (not after completion), then a done event whose token list
+    equals the non-streaming response for the same request."""
+    import http.client
+    import json as _json
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    eng = _engine(model, params, kv_dtype=jnp.float32)
+    srv = EngineServer(eng, port=0).start()
+    try:
+        body = _json.dumps({"tokens": [3, 1, 4], "max_new_tokens": 6,
+                            "stream": True})
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=120)
+        conn.request("POST", "/generate", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        events = []
+        buf = b""
+        while True:
+            chunk = resp.read(1)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n\n" in buf:
+                raw, buf = buf.split(b"\n\n", 1)
+                if raw.startswith(b"data: "):
+                    events.append(_json.loads(raw[len(b"data: "):]))
+            if events and events[-1].get("done"):
+                break
+        conn.close()
+        toks = [e["token"] for e in events if "token" in e]
+        done = events[-1]
+        assert done.get("done") is True
+        assert done["tokens"] == toks, (done, toks)
+        assert len(toks) == 6
+
+        # Non-streaming request for the same prompt agrees (greedy).
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=120)
+        conn.request("POST", "/generate",
+                     _json.dumps({"tokens": [3, 1, 4], "max_new_tokens": 6}),
+                     {"Content-Type": "application/json"})
+        r2 = _json.loads(conn.getresponse().read())
+        conn.close()
+        assert r2["tokens"] == toks
+    finally:
+        srv.stop()
