@@ -57,7 +57,9 @@ class Request:
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
+    t_enqueue: float = 0.0  # perf_counter at add_request (queue-wait timing)
     cancelled: bool = False  # retired early via Engine.cancel()
+    priority: int = 0  # admission priority (scheduler="priority")
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -135,6 +137,13 @@ class Engine:
         #                          model and no second KV cache.
         adaptive_gamma: bool = False,  # adapt lookahead in [1, gamma] from
         #                                the measured per-tick acceptance rate
+        scheduler: str = "fcfs",  # admission policy when slots free up:
+        #   "fcfs"     — arrival order (default; maximal fairness)
+        #   "priority" — higher Request.priority first, FIFO within a tier
+        #                (aging: +1 effective tier per 60s waited, so low
+        #                tiers cannot starve)
+        #   "sjf"      — shortest prompt first (maximizes slot turnover /
+        #                throughput under mixed lengths; FIFO tiebreak)
     ):
         self.model = model
         self.params = params
@@ -147,6 +156,9 @@ class Engine:
         self._gamma_cur = gamma
         self.adaptive_gamma = adaptive_gamma
         self.prompt_lookup = prompt_lookup
+        if scheduler not in ("fcfs", "priority", "sjf"):
+            raise ValueError(f"unknown scheduler {scheduler!r}")
+        self.scheduler = scheduler
         if prompt_lookup and draft_model is not None:
             raise ValueError("prompt_lookup and draft_model are exclusive")
         self.mesh = mesh
@@ -356,6 +368,7 @@ class Engine:
             "spec_accepted": 0,
             "step_times": deque(maxlen=256),
             "prefill_times": deque(maxlen=256),
+            "queue_waits": deque(maxlen=256),
         }
 
     # -- request API -------------------------------------------------------
@@ -372,6 +385,7 @@ class Engine:
         top_k: "int | None" = None,
         top_p: "float | None" = None,
         min_p: "float | None" = None,
+        priority: int = 0,  # scheduler="priority": higher admits first
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens."""
@@ -400,6 +414,8 @@ class Engine:
             top_k=top_k,
             top_p=top_p,
             min_p=min_p,
+            priority=priority,
+            t_enqueue=time.perf_counter(),
         )
         if adapter_id and self.adapter_ids is None:
             raise ValueError(
@@ -448,6 +464,27 @@ class Engine:
         both slots and pools over the data axis; page ids are replica-local)."""
         return self.allocators[slot // (self.cfg.max_batch_size // self._dp)]
 
+    def _pick_next(self) -> Request:
+        """Admission policy: which waiting request takes the freed slot.
+
+        fcfs: arrival order. priority: highest effective tier first, where
+        effective = Request.priority + seconds_waited/60 (aging — a tier-0
+        request eventually outranks a steady stream of tier-1 arrivals,
+        so no starvation), FIFO within a tier. sjf: shortest prompt first
+        (fastest slot turnover under mixed lengths), FIFO tiebreak.
+        Queue scan is O(waiting) per admission — negligible next to a
+        device step."""
+        if self.scheduler == "priority":
+            now = time.perf_counter()
+            return max(
+                self.waiting,
+                key=lambda r: (r.priority + (now - r.t_enqueue) / 60.0,
+                               -r.t_enqueue),
+            )
+        if self.scheduler == "sjf":
+            return min(self.waiting, key=lambda r: (len(r.prompt), r.t_enqueue))
+        return self.waiting[0]
+
     def _paged_window_pages(self, needed_tokens: int) -> int:
         """Smallest power-of-2 page count whose window covers
         ``needed_tokens`` (+1 for the incoming decode write)."""
@@ -469,7 +506,7 @@ class Engine:
         for slot in range(self.cfg.max_batch_size):
             if self.slot_req[slot] is not None or not self.waiting:
                 continue
-            req = self.waiting[0]
+            req = self._pick_next()
             if self.allocator is not None:
                 # Reserve exactly the pages this request can touch.
                 ps = self.cfg.page_size
@@ -502,9 +539,10 @@ class Engine:
                     c.map_slot(slot, chain, start_len=matched_tokens)
                     for c in self.caches
                 ]
-            self.waiting.popleft()
+            self.waiting.remove(req)
             req.slot = slot
             req.t_admit = time.perf_counter()
+            self.stats["queue_waits"].append(req.t_admit - req.t_enqueue)
             self.slot_req[slot] = req
             self.prefilling.append(req)
             if self.adapter_ids is not None:
@@ -948,6 +986,11 @@ class Engine:
             "step_p50_ms": 1e3 * pct(0.5),
             "step_p99_ms": 1e3 * pct(0.99),
         }
+        waits = sorted(self.stats["queue_waits"])
+        if waits:
+            wp = lambda p: waits[int(p * (len(waits) - 1))]
+            out["queue_wait_p50_ms"] = 1e3 * wp(0.5)
+            out["queue_wait_p99_ms"] = 1e3 * wp(0.99)
         if self.allocator is not None:
             out["kv_pages_free"] = sum(a.num_free for a in self.allocators)
             out["kv_pages_total"] = sum(a.num_pages for a in self.allocators)

@@ -850,3 +850,78 @@ def test_server_streaming_sse(model_and_params):
         assert r2["tokens"] == toks
     finally:
         srv.stop()
+
+
+def test_scheduler_priority_and_sjf(model_and_params):
+    """Admission policies: with 1 slot and a backlog, "priority" admits the
+    high-priority request next (FIFO among equals), "sjf" admits the
+    shortest prompt next, and "fcfs" preserves arrival order. Outputs stay
+    greedy-exact regardless of admission order."""
+    model, params = model_and_params
+
+    def run(scheduler, reqs):
+        eng = Engine(
+            model, params,
+            EngineConfig(max_batch_size=1, max_seq_len=64, prefill_chunk=16,
+                         max_new_tokens=4, temperature=0.0),
+            kv_dtype=jnp.float32, scheduler=scheduler,
+        )
+        order = []
+        rids = {}
+        for prompt, prio in reqs:
+            rid = eng.add_request(prompt, 4, priority=prio,
+                                  on_token=lambda r, t: (
+                                      order.append(r) if r not in order else None))
+            rids[rid] = prompt
+        outs = eng.run()
+        return order, rids, outs
+
+    reqs = [([5, 6, 7, 8, 9, 10], 0),   # long, low prio
+            ([1, 2, 3, 4, 5, 6, 7], 0),  # long, low prio
+            ([9, 9], 0),                 # short
+            ([4, 4, 4], 5)]              # high priority
+
+    # All four wait when the first admission happens (run() starts after
+    # every add), so the policies fully control the order.
+    order_f, _, outs_f = run("fcfs", reqs)
+    assert order_f == [0, 1, 2, 3]
+
+    order_p, _, outs_p = run("priority", reqs)
+    # Priority-5 jumps the whole tier-0 backlog; FIFO within tier 0.
+    assert order_p == [3, 0, 1, 2], order_p
+
+    order_s, _, outs_s = run("sjf", reqs)
+    # Shortest prompts first: len 2, 3, 6, 7.
+    assert order_s == [2, 3, 0, 1], order_s
+
+    # Admission order never changes the tokens (greedy exactness).
+    assert outs_f == outs_p == outs_s
+
+    m_metrics = Engine(model, params,
+                       EngineConfig(max_batch_size=1, max_seq_len=64,
+                                    prefill_chunk=16, max_new_tokens=2),
+                       kv_dtype=jnp.float32)
+    m_metrics.add_request([1, 2], 2)
+    m_metrics.run()
+    assert "queue_wait_p50_ms" in m_metrics.metrics()
+
+
+def test_scheduler_priority_aging_prevents_starvation(model_and_params):
+    """A tier-0 request that has waited long enough outranks a fresh tier-1
+    arrival (aging: +1 effective tier per 60s)."""
+    model, params = model_and_params
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=1, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=2, temperature=0.0),
+        kv_dtype=jnp.float32, scheduler="priority",
+    )
+    blocker = eng.add_request([1, 2, 3], 2)
+    old = eng.add_request([4, 5], 2, priority=0)
+    fresh = eng.add_request([6, 7], 2, priority=1)
+    # Simulate 2 minutes of waiting for the tier-0 request.
+    for r in eng.waiting:
+        if r.rid == old:
+            r.t_enqueue -= 120.0
+    picked = eng._pick_next()
+    assert picked.rid == old, (picked.rid, old, fresh)
