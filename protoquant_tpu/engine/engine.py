@@ -137,6 +137,12 @@ class Engine:
         #                          model and no second KV cache.
         adaptive_gamma: bool = False,  # adapt lookahead in [1, gamma] from
         #                                the measured per-tick acceptance rate
+        lookup_branches: int = 1,  # >1 turns prompt-lookup speculation into
+        #   TREE speculation (Medusa-style candidate trees, draft-free): up
+        #   to `lookup_branches` distinct n-gram continuations are scored in
+        #   ONE forward with an ancestor attention mask; the branch with the
+        #   longest accepted prefix commits (its K/V rows compact into chain
+        #   order — cache.reorder_tail). Greedy-only; dense caches only.
         scheduler: str = "fcfs",  # admission policy when slots free up:
         #   "fcfs"     — arrival order (default; maximal fairness)
         #   "priority" — higher Request.priority first, FIFO within a tier
@@ -156,6 +162,19 @@ class Engine:
         self._gamma_cur = gamma
         self.adaptive_gamma = adaptive_gamma
         self.prompt_lookup = prompt_lookup
+        self.lookup_branches = lookup_branches
+        if lookup_branches > 1:
+            if not prompt_lookup:
+                raise ValueError("lookup_branches needs prompt_lookup > 0")
+            if self.cfg.temperature != 0.0:
+                raise ValueError("tree speculation is greedy-only")
+            if kv_layout != "dense":
+                raise NotImplementedError(
+                    "tree speculation needs the dense kv layout "
+                    "(reorder_tail is unimplemented for paged/ring)"
+                )
+            if mesh is not None:
+                raise NotImplementedError("tree speculation + mesh serving")
         if scheduler not in ("fcfs", "priority", "sjf"):
             raise ValueError(f"unknown scheduler {scheduler!r}")
         self.scheduler = scheduler
@@ -421,6 +440,9 @@ class Engine:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
             )
+        if self.lookup_branches > 1 and temperature not in (None, 0.0):
+            raise ValueError("tree speculation is greedy-only "
+                             "(per-request temperature must be 0)")
         self.waiting.append(req)
         return rid
 
@@ -745,7 +767,10 @@ class Engine:
             self._spec_decode_tick(t0)
             return
         if self.prompt_lookup:
-            self._prompt_lookup_tick(t0)
+            if self.lookup_branches > 1:
+                self._tree_lookup_tick(t0)
+            else:
+                self._prompt_lookup_tick(t0)
             return
         active = jnp.asarray(self.active)
         self._key, sub = jax.random.split(self._key)
@@ -864,6 +889,63 @@ class Engine:
         ]
 
         self._commit_spec_results(window, corrections, accepted, t0)
+
+    def _tree_lookup_tick(self, t0: float):
+        """Tree-speculation tick (lookup_branches > 1): each active slot
+        proposes up to J distinct n-gram continuations; the target scores
+        the whole candidate tree in ONE forward (ancestor mask), the branch
+        with the longest greedy-accepted prefix commits — its K/V rows
+        compact into chain order so the cache is indistinguishable from
+        sequential decode. Exactly the plain greedy stream (tested)."""
+        import numpy as _np
+
+        active = jnp.asarray(self.active)
+        B = self.cfg.max_batch_size
+        J, d = self.lookup_branches, self._gamma_cur
+        props = _np.zeros((B, J, d), _np.int32)
+        for slot in range(B):
+            req = self.slot_req[slot]
+            if not self.active[slot] or req is None:
+                continue
+            props[slot] = _ngram_propose_branches(
+                req.prompt + req.out, self.prompt_lookup, d, J
+            )
+        window = jnp.concatenate(
+            [self.last_tokens[:, None], jnp.asarray(props).reshape(B, J * d)],
+            axis=1,
+        )
+        best, accepted, corrections, self.caches = _tree_score_and_accept(
+            self.model, self.params, self.caches, window, active,
+            branches=J, depth=d,
+        )
+        best_h = jax.device_get(best)
+        accepted_h = jax.device_get(accepted)
+        corr_h = jax.device_get(corrections)
+        new_last = _np.array(jax.device_get(self.last_tokens))
+        for slot in range(B):
+            if not self.active[slot]:
+                continue
+            req = self.slot_req[slot]
+            a = int(accepted_h[slot])
+            emitted = [int(t) for t in props[slot, int(best_h[slot]), :a]]
+            emitted.append(int(corr_h[slot]))
+            self.stats["spec_proposed"] += d
+            self.stats["spec_accepted"] += a
+            for tok in emitted:
+                req.out.append(tok)
+                if req.on_token is not None:
+                    req.on_token(req.rid, tok)
+                self.stats["tokens_generated"] += 1
+                self._maybe_finish(slot)
+                if req.done:
+                    break
+            if not req.done:
+                new_last[slot] = emitted[-1]
+        self.last_tokens = jnp.asarray(new_last)
+        self.stats["steps"] += 1
+        dt = time.perf_counter() - t0
+        self.stats["step_times"].append(dt)
+        self.watchdog.observe(dt)
 
     def _prompt_lookup_tick(self, t0: float):
         """Draft-free speculative tick: each active slot proposes gamma
@@ -1021,6 +1103,129 @@ def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot,
         model, params, caches, tokens, true_len, slot,
         adapter_ids=adapter_ids,
     )
+
+
+import functools as _functools
+
+
+@_functools.cache
+def _tree_topology(branches: int, depth: int):
+    """Static candidate-tree layout: node 0 = root (the last committed
+    token); branch b occupies node indices 1+b*depth .. (b+1)*depth as a
+    chain off the root. Returns (depths [T], ancestor mask [T, T] np.bool_)
+    with T = 1 + branches*depth. Cached per shape — one compiled scoring
+    program per (branches, depth)."""
+    import numpy as _np
+
+    T = 1 + branches * depth
+    parent = _np.zeros(T, _np.int32)
+    depths = _np.zeros(T, _np.int32)
+    for b in range(branches):
+        for k in range(depth):
+            i = 1 + b * depth + k
+            parent[i] = 0 if k == 0 else i - 1
+            depths[i] = k + 1
+    mask = _np.zeros((T, T), _np.bool_)
+    for i in range(T):
+        j = i
+        while True:
+            mask[i, j] = True
+            if j == 0:
+                break
+            j = parent[j]
+    return depths, mask
+
+
+def _ngram_propose_branches(hist: list, n: int, depth: int,
+                            branches: int):
+    """Up to ``branches`` candidate continuations of ``hist``: the most
+    recent occurrences of the trailing n-gram (backing off to shorter
+    n-grams), keeping continuations with DISTINCT first tokens (identical
+    first tokens share their fate under greedy acceptance — scoring them
+    twice wastes tree width). Returns [branches, depth] int32 (zero-filled
+    rows where fewer candidates exist — harmless: acceptance only commits
+    proposals matching the target's own greedy choice)."""
+    import numpy as _np
+
+    out = _np.zeros((branches, depth), _np.int32)
+    seen_first = set()
+    row = 0
+    for nn in range(min(n, len(hist) - 1), 0, -1):
+        if row >= branches:
+            break
+        pat = hist[-nn:]
+        for i in range(len(hist) - nn - 1, -1, -1):
+            if hist[i : i + nn] == pat:
+                cont = hist[i + nn : i + nn + depth]
+                if not cont or cont[0] in seen_first:
+                    continue
+                seen_first.add(cont[0])
+                out[row, : len(cont)] = cont
+                row += 1
+                if row >= branches:
+                    break
+        if row:
+            break  # same backoff semantics as _ngram_propose: first nn wins
+    return out
+
+
+@partial(jax.jit, static_argnames=("model", "branches", "depth"),
+         donate_argnums=(2,))
+def _tree_score_and_accept(model, params, caches, window, active,
+                           branches: int, depth: int):
+    """Score a [B, T=1+branches*depth] candidate tree in ONE forward
+    (ancestor attention mask, rope positions = frontier + node depth),
+    pick each slot's best branch by longest greedy-accepted prefix, compact
+    that branch's K/V rows into chain order (cache.reorder_tail) and commit
+    accepted+1 positions.
+
+    Returns (best [B], accepted [B], corrections [B], caches): the slot
+    emits window[1+best*depth : ...+accepted] then ``corrections`` (the
+    target's greedy token after the accepted prefix)."""
+    import numpy as _np
+
+    depths_np, mask_np = _tree_topology(branches, depth)
+    depths = jnp.asarray(depths_np)
+    tree_mask = jnp.asarray(mask_np)
+    B, T = window.shape
+    max_pos = model.cfg.max_position_embeddings - 1
+    positions = jnp.minimum(
+        caches[0].lengths[:, None] + depths[None, :], max_pos
+    )
+    logits, caches = model.apply(
+        params, window, positions, caches,
+        advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
+    )
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
+
+    idx = 1 + jnp.arange(branches)[:, None] * depth + jnp.arange(depth)[None, :]
+    # pred[b, j, k] = target's greedy choice at branch j's node k's PARENT.
+    parents = jnp.concatenate(
+        [jnp.zeros((branches, 1), jnp.int32), idx[:, :-1]], axis=1
+    )  # [J, d]
+    pred = greedy[:, parents]  # [B, J, d]
+    prop = window[:, idx]  # [B, J, d]
+    acc = jnp.cumprod((prop == pred).astype(jnp.int32), axis=2)
+    accepted_per = jnp.sum(acc, axis=2)  # [B, J]
+    best = jnp.argmax(accepted_per, axis=1).astype(jnp.int32)  # [B]
+    accepted = jnp.take_along_axis(accepted_per, best[:, None], 1)[:, 0]
+
+    # Correction token: greedy at the last accepted node (root when a=0).
+    best_idx = 1 + best[:, None] * depth + jnp.arange(depth)[None, :]  # [B, d]
+    corr_node = jnp.where(
+        accepted > 0,
+        jnp.take_along_axis(
+            best_idx, jnp.maximum(accepted - 1, 0)[:, None], 1
+        )[:, 0],
+        0,
+    )
+    corrections = jnp.take_along_axis(greedy, corr_node[:, None], 1)[:, 0]
+
+    # Compact the winning branch into chain slots, then advance lengths.
+    caches = [c.reorder_tail(best_idx) for c in caches]
+    adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
+    caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
+    return best, accepted, corrections, caches
 
 
 def _ngram_propose(hist: list, n: int, gamma: int) -> list:

@@ -81,14 +81,16 @@ class BF16KVCache(_DenseSlotViews):
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          sink_logits=None):
+                          sink_logits=None, tree_mask=None):
         """q: [B,T,H,Dh]; k/v: [B,T,KV,Dh] (post-RoPE). Returns (out, cache).
 
         ``advance`` [B] overrides how far each slot's length moves (defaults
         to T); the engine uses it for padded prefill and inactive slots.
         ``window`` > 0 applies sliding-window masking; ``scale``/``softcap``
         override score scaling / apply Gemma-2 logit capping;
-        ``sink_logits`` [H] joins GPT-OSS learned sinks to every softmax.
+        ``sink_logits`` [H] joins GPT-OSS learned sinks to every softmax;
+        ``tree_mask`` [T, T] replaces in-window causality with a candidate-
+        tree ancestor relation (tree speculation; see engine docstrings).
         """
         B, T = k.shape[:2]
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
@@ -103,9 +105,27 @@ class BF16KVCache(_DenseSlotViews):
 
         out = mha_attention(
             q, k_all, v_all, q_pos, key_pos, window=window, scale=scale,
-            softcap=softcap, sink_logits=sink_logits,
+            softcap=softcap, sink_logits=sink_logits, tree_mask=tree_mask,
         )
         return out, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit: copy the rows written for candidate
+        nodes ``node_idx`` [B, d] (at slots lengths + node_idx) into the
+        CONTIGUOUS slots lengths+1..lengths+d — the accepted branch becomes
+        an ordinary chain, exactly as if it had been decoded sequentially.
+        (Row at lengths+0 is the shared root and already in place.)"""
+        B, d = node_idx.shape
+        b_idx = jnp.arange(B)[:, None]
+        src = self.lengths[:, None] + node_idx
+        dst = self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        k_rows = self.k[b_idx, src]  # [B, d, KV, Dh]
+        v_rows = self.v[b_idx, src]
+        return dataclasses.replace(
+            self,
+            k=self.k.at[b_idx, dst].set(k_rows),
+            v=self.v.at[b_idx, dst].set(v_rows),
+        )
 
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
@@ -209,14 +229,16 @@ class Int8KVCache(_DenseSlotViews):
     # time.
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          sink_logits=None):
+                          sink_logits=None, tree_mask=None):
         new = self.update(k, v, advance)
         # The flash kernel covers every dense-cache attention variant:
         # sliding window (with block skipping — windowed decode reads
         # O(window) cache bytes, not O(S)), Gemma query scaling, Gemma-2
         # softcap, GPT-OSS learned sinks. All exact vs the XLA formulation
-        # (tests/test_attention.py variant parametrization).
-        if _resolve_attention_backend() == "pallas":
+        # (tests/test_attention.py variant parametrization). Tree-masked
+        # scoring (T = tree width, once per speculative tick) runs the XLA
+        # formulation; decode steps dominate and keep the kernel.
+        if tree_mask is None and _resolve_attention_backend() == "pallas":
             out = int8_kv_attention(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,
@@ -226,9 +248,33 @@ class Int8KVCache(_DenseSlotViews):
             out = int8_kv_attention_xla(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,
-                sink_logits=sink_logits,
+                sink_logits=sink_logits, tree_mask=tree_mask,
             )
         return out, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit (see BF16KVCache.reorder_tail): payloads
+        AND their per-token scales move together; layout [B, KV, S, Dh]."""
+        B, d = node_idx.shape
+        b_idx = jnp.arange(B)[:, None]
+        src = self.lengths[:, None] + node_idx  # [B, d]
+        dst = self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        tk = jnp.take_along_axis
+        kq_r = tk(self.kq, src[:, None, :, None], axis=2)  # [B, KV, d, Dh]
+        vq_r = tk(self.vq, src[:, None, :, None], axis=2)
+        ks_r = tk(self.ks, src[:, None, :], axis=2)  # [B, KV, d]
+        vs_r = tk(self.vs, src[:, None, :], axis=2)
+        kv = self.kq.shape[1]
+        kv_idx = jnp.arange(kv)[None, :, None]
+        b3 = jnp.arange(B)[:, None, None]
+        dst3 = dst[:, None, :]
+        return dataclasses.replace(
+            self,
+            kq=self.kq.at[b3, kv_idx, dst3].set(kq_r),
+            vq=self.vq.at[b3, kv_idx, dst3].set(vq_r),
+            ks=self.ks.at[b3, kv_idx, dst3].set(ks_r),
+            vs=self.vs.at[b3, kv_idx, dst3].set(vs_r),
+        )
 
     def reset_slot(self, slot: jnp.ndarray):
         """Zero one slot's length (the payload is masked by length anyway)."""

@@ -270,6 +270,7 @@ class Attention(nn.Module):
         advance=None,  # [B] per-slot length increment override (engine)
         preq=None,  # optional (xq int8, s_x) from a fused norm+quant producer
         adapter_ids=None,  # [B] int32 multi-LoRA adapter selection
+        tree_mask=None,  # [T, T] candidate-tree ancestor mask (spec scoring)
     ):
         cfg = self.cfg
         if self.sp:
@@ -419,6 +420,9 @@ class Attention(nn.Module):
             # Cache classes own update + masking + (for int8) the Pallas
             # in-kernel-dequant attention.
             kw = {} if sinks is None else {"sink_logits": sinks}
+            if tree_mask is not None:
+                assert win == 0, "tree speculation + sliding window unsupported"
+                kw["tree_mask"] = tree_mask
             out, new_cache = cache.update_and_attend(
                 q, k, v, advance, window=win, scale=scale, softcap=softcap,
                 **kw,
@@ -466,7 +470,7 @@ class Attention(nn.Module):
 
 def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
                   scale: float = 0.0, softcap: float = 0.0,
-                  sink_logits=None):
+                  sink_logits=None, tree_mask=None):
     """Grouped-query attention with absolute-position causal masking.
 
     q: [B, T, H, Dh]; k/v: [B, S, KV, Dh]; q_positions [B, T];
@@ -493,6 +497,21 @@ def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
     if softcap > 0.0:
         scores = softcap * jnp.tanh(scores / softcap)
     mask = k_positions[:, None, None, None, :] <= q_positions[:, None, None, :, None]
+    if tree_mask is not None:
+        # Tree speculation: queries are candidate-tree nodes whose K/V were
+        # written at key slots q_positions[:, 0] + node_index; replace the
+        # in-window causal relation with the ancestor relation (see
+        # ops/attention.py int8_kv_attention_xla for the full story).
+        base = q_positions[:, :1]  # [B, 1] frontier (root depth 0)
+        j = k_positions - base  # [B, S]
+        in_win = (j >= 0) & (j < tree_mask.shape[1])
+        tm = jnp.take(
+            tree_mask, jnp.clip(j, 0, tree_mask.shape[1] - 1), axis=1
+        )
+        tm = jnp.transpose(tm, (1, 0, 2))  # [B, T, S]
+        mask = jnp.where(
+            in_win[:, None, None, None, :], tm[:, None, None, :, :], mask
+        )
     if window > 0:
         mask &= (
             k_positions[:, None, None, None, :]
@@ -636,7 +655,8 @@ class DecoderLayer(nn.Module):
     collective: bool = False
 
     @nn.compact
-    def __call__(self, x, positions, cache, advance=None, adapter_ids=None):
+    def __call__(self, x, positions, cache, advance=None, adapter_ids=None,
+                 tree_mask=None):
         from .. import ops
 
         # Fused norm+quant producers (ops/fused_quant.py): the norm emits
@@ -680,6 +700,7 @@ class DecoderLayer(nn.Module):
             assert not (self.sp or self.fused or self.cp > 1), (
                 "MLA: sp/fused/cp unsupported"
             )
+            assert tree_mask is None, "tree speculation + MLA unsupported"
             h, new_cache = MLAAttention(
                 self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
                 self.tp_axis, self.int4_group,
@@ -696,7 +717,7 @@ class DecoderLayer(nn.Module):
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective, name="self_attn"
             )(attn_in, positions, cache, advance, preq=attn_preq,
-              adapter_ids=adapter_ids)
+              adapter_ids=adapter_ids, tree_mask=tree_mask)
         if sandwich or post:
             # Gemma-2 sandwich / OLMo-2 post-norm: normalize the attention
             # OUTPUT before the residual add.
@@ -786,6 +807,7 @@ class LlamaModel(nn.Module):
         caches: Optional[list] = None,
         advance: Optional[jnp.ndarray] = None,  # [B] engine override
         adapter_ids: Optional[jnp.ndarray] = None,  # [B] multi-LoRA ids
+        tree_mask: Optional[jnp.ndarray] = None,  # [T, T] spec-tree mask
     ):
         cfg = self.cfg
         B, T = tokens.shape
@@ -820,7 +842,8 @@ class LlamaModel(nn.Module):
                 lora_targets=self.lora_targets, lora_stack=self.lora_stack,
                 collective=self.collective,
                 name=f"layers_{i}",
-            )(x, positions, cache_i, advance, adapter_ids=adapter_ids)
+            )(x, positions, cache_i, advance, adapter_ids=adapter_ids,
+              tree_mask=tree_mask)
             new_caches.append(nc)
 
         x = RMSNorm(

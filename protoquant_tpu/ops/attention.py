@@ -344,7 +344,7 @@ def int8_kv_attention(
 def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
                           k_positions=None, sinks: int = 0,
-                          sink_logits=None):
+                          sink_logits=None, tree_mask=None):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -388,6 +388,24 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
         s_pos = k_positions
     mask = s_pos[:, None, None, None, :] <= t_pos[:, None, None, :, None]
     mask &= s_pos[:, None, None, None, :] >= 0
+    if tree_mask is not None:
+        # Tree speculation (SURVEY §3.4 ext): the T in-flight queries are
+        # nodes of a candidate TREE written at slots lengths..lengths+T-1.
+        # Inside that window the slot-causal relation is replaced by the
+        # ancestor relation tree_mask[t, j] (query node t may see node j);
+        # everything before the window stays fully visible (guaranteed by
+        # the base mask: those s_pos < lengths <= t_pos).
+        j = s_pos - lengths[:, None]  # [B, S] in-window node index
+        in_win = (j >= 0) & (j < tree_mask.shape[1])
+        tm = jnp.take(
+            tree_mask, jnp.clip(j, 0, tree_mask.shape[1] - 1), axis=1
+        )  # [T, B, S]
+        tm = jnp.transpose(tm, (1, 0, 2))  # [B, T, S]
+        mask = jnp.where(
+            in_win[:, None, None, None, :],
+            tm[:, None, None, :, :],
+            mask,
+        )
     if window > 0:
         # Sliding-window (Mistral): keys more than window-1 behind are out —
         # except the first `sinks` positions (StreamingLLM attention sinks),

@@ -1,0 +1,193 @@
+"""Tree-structured (Medusa-style) draft-free speculation.
+
+The defining invariant, exactly as for chain speculation: whatever the
+candidate tree proposes, the engine's output equals plain greedy decoding
+token-for-token — acceptance only ever commits proposals that match the
+target's own greedy choice, the rejected branches' K/V rows are dead by
+construction (the winning branch compacts into chain slots before lengths
+advance), and the correction token is the target's own pick.
+
+The compaction (cache.reorder_tail) is load-bearing: if a non-first branch
+ever wins and its rows were NOT moved into chain order, every subsequent
+token would attend to wrong K/V and the stream would diverge — so the
+engine-level exact-match over long generations is also the compaction test.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoquant_tpu.engine import Engine, EngineConfig
+from protoquant_tpu.engine.engine import (
+    _ngram_propose_branches,
+    _tree_topology,
+)
+from protoquant_tpu.models import LlamaModel
+from protoquant_tpu.utils.config import ModelConfig
+
+# Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
+pytestmark = pytest.mark.slow
+
+CFG = ModelConfig(
+    vocab_size=64,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    return model, params
+
+
+def test_tree_topology():
+    depths, mask = _tree_topology(branches=3, depth=2)
+    assert list(depths) == [0, 1, 2, 1, 2, 1, 2]
+    # Node 4 (branch 1, depth 2) sees itself, node 3, root — nothing else.
+    assert list(mask[4]) == [True, False, False, True, True, False, False]
+    # Root sees only itself.
+    assert list(mask[0]) == [True] + [False] * 6
+
+
+def test_ngram_branch_proposals_distinct_first_tokens():
+    hist = [1, 2, 9, 1, 2, 7, 5, 1, 2]
+    props = _ngram_propose_branches(hist, n=2, depth=2, branches=3)
+    firsts = [int(p[0]) for p in props if p[0] != 0]
+    # Both continuations of (1, 2) — most recent first — with distinct
+    # first tokens: 7 (from index 3) and 9 (from index 0).
+    assert firsts == [7, 9]
+    assert list(props[0]) == [7, 5]
+    assert list(props[1]) == [9, 1]
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_tree_engine_matches_plain_greedy(model_and_params, kv_dtype):
+    """Engine-level exact-match vs plain greedy across slot reuse + long
+    generations (compaction correctness rides on this — see module doc)."""
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=3, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=24, temperature=0.0)
+    # Repetitive prompts so the n-gram matcher proposes several branches.
+    rng = np.random.default_rng(3)
+    base = [int(t) for t in rng.integers(1, 8, 6)]
+    prompts = [base * 2, [5, 6, 7, 5, 6, 7, 5, 6], base + base[:3],
+               [9, 2, 9, 2, 9, 2, 9]]
+
+    plain = Engine(model, params, ecfg, kv_dtype=kv_dtype)
+    plain_rids = [plain.add_request(p, 24) for p in prompts]
+    plain_outs = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=kv_dtype,
+                 prompt_lookup=3, gamma=3, lookup_branches=3)
+    rids = [eng.add_request(p, 24) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    # Speculation actually committed multi-token ticks.
+    assert eng.stats["steps"] < eng.stats["tokens_generated"], eng.stats
+    assert eng.metrics()["spec_acceptance_rate"] > 0.0
+
+
+def test_tree_beats_or_matches_chain_acceptance(model_and_params):
+    """On self-repeating streams, J=3 branches accept at least as many
+    proposals as the single-chain lookup (same n, same depth) — the point
+    of paying for tree width."""
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=32, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2, 1]]
+
+    def run(branches):
+        eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                     prompt_lookup=3, gamma=3, lookup_branches=branches)
+        for p in prompts:
+            eng.add_request(p, 32)
+        eng.run()
+        return eng.metrics()["spec_acceptance_rate"]
+
+    chain, tree = run(1), run(3)
+    assert tree >= chain - 1e-9, (tree, chain)
+
+
+def test_tree_guards(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="greedy-only"):
+        Engine(model, params,
+               EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
+               kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=2)
+    with pytest.raises(ValueError, match="prompt_lookup"):
+        Engine(model, params,
+               EngineConfig(max_batch_size=2, max_seq_len=64),
+               kv_dtype=jnp.float32, lookup_branches=2)
+    with pytest.raises(NotImplementedError, match="dense"):
+        Engine(model, params,
+               EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16),
+               kv_dtype=jnp.int8, kv_layout="paged",
+               prompt_lookup=2, lookup_branches=2)
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_tree_nonfirst_branch_commit_compacts_cache(model_and_params,
+                                                    kv_dtype, monkeypatch):
+    """Force branch 1 (not 0) to hold the true greedy continuation every
+    tick: the engine must accept it fully, COMPACT its K/V rows from the
+    scattered tree slots into chain order, and keep producing the exact
+    greedy stream afterwards — the direct regression for
+    cache.reorder_tail (branch 0 commits are an identity move and cannot
+    catch a broken gather/scatter)."""
+    import protoquant_tpu.engine.engine as E
+    from protoquant_tpu.models import greedy_generate
+
+    model, params = model_and_params
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6]
+    N = 24
+    ref = list(np.asarray(greedy_generate(
+        model, params, jnp.asarray([prompt], jnp.int32), N, 96,
+        kv_dtype=kv_dtype))[0])
+
+    bests = []
+    real_score = E._tree_score_and_accept
+
+    def spy_score(model_, params_, caches, window, active, branches, depth):
+        best, accepted, corr, caches = real_score(
+            model_, params_, caches, window, active,
+            branches=branches, depth=depth)
+        bests.append((np.asarray(best).copy(), np.asarray(accepted).copy()))
+        return best, accepted, corr, caches
+
+    def rigged_propose(hist, n, depth, branches):
+        # Branch 0: junk the target will reject at node 1. Branch 1: the
+        # TRUE greedy continuation (read from the reference stream).
+        done = len(hist) - len(prompt)
+        future = ref[done : done + depth]
+        out = np.zeros((branches, depth), np.int32)
+        out[0, :] = 63  # vocab-edge junk
+        out[1, : len(future)] = future
+        return out
+
+    monkeypatch.setattr(E, "_ngram_propose_branches", rigged_propose)
+    monkeypatch.setattr(E, "_tree_score_and_accept", spy_score)
+
+    eng = Engine(model, params,
+                 EngineConfig(max_batch_size=1, max_seq_len=96,
+                              prefill_chunk=16, max_new_tokens=N,
+                              temperature=0.0),
+                 kv_dtype=kv_dtype, prompt_lookup=3, gamma=3,
+                 lookup_branches=3)
+    rid = eng.add_request(prompt, N)
+    out = eng.run()[rid]
+    assert out == ref, (out, ref)
+
+    b = np.concatenate([x[0] for x in bests])
+    a = np.concatenate([x[1] for x in bests])
+    # Branch 1 won with real acceptances (junk branch 0 lost) — the
+    # compaction path genuinely moved rows.
+    assert ((b == 1) & (a > 0)).sum() >= 3, (b.tolist(), a.tolist())
