@@ -223,10 +223,6 @@ class Engine:
             ps = self.cfg.page_size
             if self.cfg.max_seq_len % ps:
                 raise ValueError("max_seq_len must be a multiple of page_size")
-            if self.cfg.prefix_cache and self._dp != 1:
-                # Prefix pages would only be adoptable within one replica's
-                # pool; cross-replica hits are impossible by construction.
-                raise NotImplementedError("prefix_cache requires dp=1")
             # +1 per replica: each pool's last page is its reserved trash
             # page (writes through unmapped table entries land there).
             pages_local = (B // self._dp) * self.cfg.max_seq_len // ps + 1
@@ -265,7 +261,12 @@ class Engine:
                                      "speculative mode (dense draft cache)")
                 from .prefix_cache import PrefixCache
 
-                self.prefix = PrefixCache(self.allocator)
+                # One prefix store per replica pool (dp>1): hits are only
+                # possible within the replica that owns the pages, so a
+                # shared prompt admitted to different replicas therefore
+                # caches once per replica — correct, just fewer cross-hits.
+                self.prefixes = [PrefixCache(a) for a in self.allocators]
+                self.prefix = self.prefixes[0]
         elif kv_layout == "ring":
             # Ring-buffer sliding-window cache: O(window) device memory per
             # slot instead of O(max_seq) — the memory story for Mistral-class
@@ -486,6 +487,12 @@ class Engine:
         both slots and pools over the data axis; page ids are replica-local)."""
         return self.allocators[slot // (self.cfg.max_batch_size // self._dp)]
 
+    def _slot_prefix(self, slot: int):
+        """The replica-local prefix store for ``slot`` (None if disabled)."""
+        if self.prefix is None:
+            return None
+        return self.prefixes[slot // (self.cfg.max_batch_size // self._dp)]
+
     def _pick_next(self) -> Request:
         """Admission policy: which waiting request takes the freed slot.
 
@@ -537,25 +544,26 @@ class Engine:
                 )
                 need = -(-budget // ps)
                 matched_tokens = 0
-                if self.prefix is not None:
+                pfx = self._slot_prefix(slot)
+                if pfx is not None:
                     # Adopt the longest resident prefix chain; prefill only
                     # the tail (engine/prefix_cache.py invariants).
-                    req.shared_pages, matched_tokens = self.prefix.match(
+                    req.shared_pages, matched_tokens = pfx.match(
                         req.prompt, ps
                     )
                     need -= len(req.shared_pages)
-                    pages = self.prefix.alloc(need)
+                    pages = pfx.alloc(need)
                 else:
                     pages = self._slot_allocator(slot).alloc(need)
                 if pages is None:
-                    if self.prefix is not None and req.shared_pages:
-                        self.prefix.unref(req.shared_pages)
+                    if pfx is not None and req.shared_pages:
+                        pfx.unref(req.shared_pages)
                         req.shared_pages = []
                     break  # pool exhausted; retry after something finishes
                 req.pages = pages
                 req.prefill_off = matched_tokens
-                if self.prefix is not None:
-                    self.prefix.hit_tokens += matched_tokens
+                if pfx is not None:
+                    pfx.hit_tokens += matched_tokens
                 chain = req.shared_pages + pages
                 self.caches = [
                     c.map_slot(slot, chain, start_len=matched_tokens)
@@ -646,8 +654,9 @@ class Engine:
         # Prompt fully in KV: emit the first token and activate the slot.
         self.prefilling.popleft()
         if self.prefix is not None:
-            # Publish this prompt's full pages for future prefix hits.
-            req.held_pages = self.prefix.publish(
+            # Publish this prompt's full pages for future prefix hits
+            # (into the owning replica's store).
+            req.held_pages = self._slot_prefix(req.slot).publish(
                 req.prompt,
                 req.shared_pages + req.pages,
                 self.cfg.page_size,
@@ -745,8 +754,9 @@ class Engine:
                 # (decode tail, partial prompt page, publication-race losers).
                 held = req.held_pages or list(req.shared_pages)
                 held_set = set(held)
-                self.prefix.unref(held)
-                self.allocator.free([p for p in req.pages if p not in held_set])
+                self._slot_prefix(slot).unref(held)
+                self._slot_allocator(slot).free(
+                    [p for p in req.pages if p not in held_set])
             elif req.pages:
                 self._slot_allocator(slot).free(req.pages)
             req.pages, req.shared_pages, req.held_pages = [], [], []
@@ -1077,10 +1087,12 @@ class Engine:
             out["kv_pages_free"] = sum(a.num_free for a in self.allocators)
             out["kv_pages_total"] = sum(a.num_pages for a in self.allocators)
         if self.prefix is not None:
-            out["prefix_hit_tokens"] = self.prefix.hit_tokens
-            out["prefix_cached_pages"] = self.prefix.cached_pages
-            out["prefix_reusable_pages"] = self.prefix.reusable_pages
-            out["prefix_evictions"] = self.prefix.evictions
+            out["prefix_hit_tokens"] = sum(p.hit_tokens for p in self.prefixes)
+            out["prefix_cached_pages"] = sum(
+                p.cached_pages for p in self.prefixes)
+            out["prefix_reusable_pages"] = sum(
+                p.reusable_pages for p in self.prefixes)
+            out["prefix_evictions"] = sum(p.evictions for p in self.prefixes)
         if self.draft_caches is not None or self.prompt_lookup:
             out["spec_acceptance_rate"] = self.stats["spec_accepted"] / max(
                 1, self.stats["spec_proposed"]

@@ -676,3 +676,37 @@ def test_multi_lora_dp_tp_engine_matches_single_device(fp_setup):
         outs = eng.run()
     for ra, rb in zip(ref_rids, rids):
         assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_prefix_cache_dp_tp_engine(fp_setup):
+    """Prefix caching under a dp=2 x tp=2 mesh: one prefix store per
+    replica pool. Repeated prompts hit whenever they land on a replica
+    that has served the prefix before; outputs stay exact."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, page_size=8, prefill_chunk=8,
+        max_new_tokens=4, temperature=0.0, prefix_cache=True,
+    )
+    prompt = list(range(1, 18))  # 17 tokens: 2 publishable full pages
+
+    ref_eng = Engine(single_model, params, ecfg, kv_layout="paged")
+    r0 = ref_eng.add_request(prompt, 4)
+    ref = ref_eng.run()[r0]
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_layout="paged", mesh=mesh)
+        # Serve the same prompt 4 times sequentially: each replica serves it
+        # at least once, and repeats on the same replica hit the cache.
+        outs = []
+        for _ in range(4):
+            rid = eng.add_request(prompt, 4)
+            outs.append(eng.run()[rid])
+    assert all(o == ref for o in outs), (outs, ref)
+    m = eng.metrics()
+    assert m["prefix_hit_tokens"] > 0, m
