@@ -181,16 +181,12 @@ class Engine:
         if prompt_lookup and draft_model is not None:
             raise ValueError("prompt_lookup and draft_model are exclusive")
         self.mesh = mesh
-        if mesh is not None and (draft_model is not None or prompt_lookup):
-            # TP-only: the target's score-and-accept runs under shard_map
-            # (the draft stays replicated — it is small by design). dp>1
-            # would need a batch-sharded draft + per-replica windows.
-            from ..parallel.mesh import DATA_AXIS
-
-            if mesh.shape[DATA_AXIS] != 1:
-                raise NotImplementedError(
-                    "speculative modes + dp>1 mesh (serve TP-only)"
-                )
+        # Speculative modes under a mesh: the target's score-and-accept runs
+        # under shard_map (window/draft-logits batch-sharded over data); the
+        # draft stays REPLICATED and proposes for the full batch outside the
+        # mesh — mathematically identical everywhere, redundant draft compute
+        # per replica (the draft is small by design; a batch-sharded draft is
+        # a perf refinement, not a correctness need).
         B = self.cfg.max_batch_size
         self._dp = 1
         if mesh is not None:
@@ -1532,8 +1528,16 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits):
+                if data_axis is not None:
+                    # Decorrelate rejection/residual draws across the
+                    # batch-sharded replicas (same key, different slots).
+                    key_r = jax.random.fold_in(
+                        key, jax.lax.axis_index(data_axis))
+                else:
+                    key_r = key
                 corr, accepted, caches = _spec_score_and_accept_body(
-                    model, params, caches, window, active, key, samp, dlogits
+                    model, params, caches, window, active, key_r, samp,
+                    dlogits
                 )
                 return (corr, accepted), caches
 

@@ -566,20 +566,37 @@ def test_prompt_lookup_tp_engine_matches_single_device(fp_setup):
 
 
 @needs_8dev
-def test_speculative_dp_mesh_rejected(fp_setup):
-    """dp>1 would need a batch-sharded draft; the engine refuses clearly."""
+def test_speculative_dp_tp_engine_matches_single_device(fp_setup):
+    """Draft-model speculation under a dp=2 x tp=2 mesh: the draft stays
+    replicated (proposes for the full batch outside the mesh); the target's
+    score-and-accept runs batch-sharded — outputs exactly equal the plain
+    single-device greedy engine (the last speculative mesh hole)."""
     from protoquant_tpu.engine import Engine, EngineConfig
 
     single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    plain = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
     mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
     model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
-    with pytest.raises(NotImplementedError, match="dp>1"):
-        Engine(
-            model_tp, shard_params(params, mesh),
-            EngineConfig(max_batch_size=4, max_seq_len=32),
-            kv_dtype=jnp.float32, mesh=mesh,
-            draft_model=single_model, draft_params=params,
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(
+            model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh,
+            draft_model=single_model, draft_params=params, gamma=3,
         )
+        rids = [eng.add_request(p, 8) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    assert eng.metrics()["spec_acceptance_rate"] > 0.9, eng.metrics()
 
 
 @needs_8dev
