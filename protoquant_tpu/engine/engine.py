@@ -168,13 +168,18 @@ class Engine:
                 raise ValueError("lookup_branches needs prompt_lookup > 0")
             if self.cfg.temperature != 0.0:
                 raise ValueError("tree speculation is greedy-only")
-            if kv_layout != "dense":
+            if kv_layout == "ring":
                 raise NotImplementedError(
-                    "tree speculation needs the dense kv layout "
-                    "(reorder_tail is unimplemented for paged/ring)"
+                    "tree speculation + ring layout (reorder_tail through "
+                    "ring positions is unimplemented; trees also presume "
+                    "full-context attention)"
                 )
-            if mesh is not None:
-                raise NotImplementedError("tree speculation + mesh serving")
+            if self.cfg.prefix_cache:
+                raise ValueError(
+                    "tree speculation + prefix_cache: tree writes are "
+                    "transient garbage for losing branches, which must "
+                    "never publish into shared pages"
+                )
         if scheduler not in ("fcfs", "priority", "sjf"):
             raise ValueError(f"unknown scheduler {scheduler!r}")
         self.scheduler = scheduler
@@ -920,9 +925,12 @@ class Engine:
             [self.last_tokens[:, None], jnp.asarray(props).reshape(B, J * d)],
             axis=1,
         )
-        best, accepted, corrections, self.caches = _tree_score_and_accept(
-            self.model, self.params, self.caches, window, active,
-            branches=J, depth=d,
+        score = (
+            self._tp_fns["tree_score"] if self._tp_fns is not None
+            else partial(_tree_score_and_accept, self.model)
+        )
+        best, accepted, corrections, self.caches = score(
+            self.params, self.caches, window, active, branches=J, depth=d,
         )
         best_h = jax.device_get(best)
         accepted_h = jax.device_get(accepted)
@@ -1177,10 +1185,8 @@ def _ngram_propose_branches(hist: list, n: int, depth: int,
     return out
 
 
-@partial(jax.jit, static_argnames=("model", "branches", "depth"),
-         donate_argnums=(2,))
-def _tree_score_and_accept(model, params, caches, window, active,
-                           branches: int, depth: int):
+def _tree_score_and_accept_body(model, params, caches, window, active,
+                                branches: int, depth: int):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
     pick each slot's best branch by longest greedy-accepted prefix, compact
@@ -1234,6 +1240,15 @@ def _tree_score_and_accept(model, params, caches, window, active,
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
     caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
     return best, accepted, corrections, caches
+
+
+@partial(jax.jit, static_argnames=("model", "branches", "depth"),
+         donate_argnums=(2,))
+def _tree_score_and_accept(model, params, caches, window, active,
+                           branches: int, depth: int):
+    return _tree_score_and_accept_body(
+        model, params, caches, window, active, branches, depth
+    )
 
 
 def _ngram_propose(hist: list, n: int, gamma: int) -> list:
@@ -1547,9 +1562,37 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return corr, accepted, caches
 
+    def tree_score(params, caches, window, active, branches, depth):
+        """shard_map'd _tree_score_and_accept (tree speculation on a mesh):
+        window/outputs batch-sharded; the compaction (reorder_tail) runs on
+        each replica's local cache shard."""
+        pspecs, cspecs = _specs(params, caches)
+        tkey = ("tree_score", branches, depth)
+        if tkey not in state:
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec),
+                out_specs=((batch_spec, batch_spec, batch_spec), cspecs),
+                check_vma=False,
+            )
+            def _tscore(params, caches, window, active):
+                best, accepted, corr, caches = _tree_score_and_accept_body(
+                    model, params, caches, window, active, branches, depth
+                )
+                return (best, accepted, corr), caches
+
+            state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
+        (best, accepted, corr), caches = state[tkey](
+            params, caches, window, active
+        )
+        return best, accepted, corr, caches
+
     fns["extend"] = extend_with_adapters
     fns["decode"] = decode
     fns["spec_score"] = spec_score
+    fns["tree_score"] = tree_score
     fns["state"] = state
     return fns
 

@@ -145,12 +145,14 @@ class PagedInt8KVCache:
         return k, ks, v, vs
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
-                          scale: float = 0.0, softcap: float = 0.0):
+                          scale: float = 0.0, softcap: float = 0.0,
+                          tree_mask=None):
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)
         if (
-            q.shape[1] == 1
+            tree_mask is None
+            and q.shape[1] == 1
             and window == 0
             and scale == 0.0
             and softcap == 0.0
@@ -163,12 +165,52 @@ class PagedInt8KVCache:
                 q, new.kq, new.ks, new.vq, new.vs, new.page_table, self.lengths
             )
             return out, new
+        # Gathered keys index by absolute position (page i covers positions
+        # [i*ps, (i+1)*ps)), so the tree mask's in-window node indexing
+        # (s_pos - lengths) holds unchanged.
         kq, ks, vq, vs = new._gather_window()
         out = int8_kv_attention_xla(
             q, kq, ks, vq, vs, self.lengths, window=window, scale=scale,
-            softcap=softcap,
+            softcap=softcap, tree_mask=tree_mask,
         )
         return out, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit (see BF16KVCache.reorder_tail): move the
+        winning branch's rows — written at positions lengths + node_idx —
+        into the contiguous positions lengths+1..lengths+d, THROUGH the page
+        table (each position resolves to its mapped (page, offset); moves
+        past the mapped window land on the trash page, matching update()'s
+        write semantics). Gather-then-scatter, so src/dst aliasing (branch 0
+        commits are identity moves) is safe."""
+        B, d = node_idx.shape
+        ps = self.page_size
+        width = self.page_table.shape[1]
+        trash = self.kq.shape[0] - 1
+
+        def locate(pos):  # pos [B, d] absolute token positions
+            pi = pos // ps
+            page = jnp.take_along_axis(
+                self.page_table, jnp.minimum(pi, width - 1), axis=1
+            )
+            page = jnp.where((page < 0) | (pi >= width), trash, page)
+            return page, pos % ps
+
+        src_page, src_off = locate(self.lengths[:, None] + node_idx)
+        dst_page, dst_off = locate(
+            self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        )
+        kq_r = self.kq[src_page, :, src_off]  # [B, d, KV, Dh]
+        vq_r = self.vq[src_page, :, src_off]
+        ks_r = self.ks[src_page, :, 0, src_off]  # [B, d, KV]
+        vs_r = self.vs[src_page, :, 0, src_off]
+        return dataclasses.replace(
+            self,
+            kq=self.kq.at[dst_page, :, dst_off].set(kq_r),
+            vq=self.vq.at[dst_page, :, dst_off].set(vq_r),
+            ks=self.ks.at[dst_page, :, 0, dst_off].set(ks_r),
+            vs=self.vs.at[dst_page, :, 0, dst_off].set(vs_r),
+        )
 
     # -- host-side table management ---------------------------------------
 

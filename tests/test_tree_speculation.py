@@ -127,9 +127,16 @@ def test_tree_guards(model_and_params):
         Engine(model, params,
                EngineConfig(max_batch_size=2, max_seq_len=64),
                kv_dtype=jnp.float32, lookup_branches=2)
-    with pytest.raises(NotImplementedError, match="dense"):
+    with pytest.raises(NotImplementedError, match="ring"):
         Engine(model, params,
-               EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16),
+               EngineConfig(max_batch_size=2, max_seq_len=64,
+                            stream_window=16),
+               kv_dtype=jnp.int8, kv_layout="ring",
+               prompt_lookup=2, lookup_branches=2)
+    with pytest.raises(ValueError, match="prefix_cache"):
+        Engine(model, params,
+               EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16,
+                            prefix_cache=True),
                kv_dtype=jnp.int8, kv_layout="paged",
                prompt_lookup=2, lookup_branches=2)
 
@@ -191,3 +198,57 @@ def test_tree_nonfirst_branch_commit_compacts_cache(model_and_params,
     # Branch 1 won with real acceptances (junk branch 0 lost) — the
     # compaction path genuinely moved rows.
     assert ((b == 1) & (a > 0)).sum() >= 3, (b.tolist(), a.tolist())
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_tree_dp_tp_engine_matches_single_device(model_and_params):
+    """Tree speculation under a dp=2 x tp=2 mesh: scoring + branch
+    compaction run batch/head-sharded — outputs match the single-device
+    tree engine (and therefore plain greedy) exactly."""
+    from protoquant_tpu.parallel import make_mesh, shard_params, tp_model
+    from protoquant_tpu.utils.config import MeshConfig
+
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=16, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2, 1],
+               [9, 2, 9, 2, 9], [3, 3, 3, 3]]
+
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 16) for p in prompts]
+    plain_outs = plain.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32,
+                     mesh=mesh, prompt_lookup=3, gamma=3, lookup_branches=3)
+        rids = [eng.add_request(p, 16) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    assert eng.metrics()["spec_acceptance_rate"] > 0.0
+
+
+def test_tree_paged_engine_matches_plain_greedy(model_and_params):
+    """Tree speculation over the PAGED int8 layout: the branch compaction
+    routes through the page table (moves past the mapped window land on the
+    trash page) — outputs equal the plain greedy paged engine exactly."""
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=3, max_seq_len=96, page_size=16,
+                        prefill_chunk=16, max_new_tokens=24, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2, 1],
+               [9, 2, 9, 2, 9]]
+
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="paged")
+    plain_rids = [plain.add_request(p, 24) for p in prompts]
+    plain_outs = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="paged",
+                 prompt_lookup=3, gamma=3, lookup_branches=3)
+    rids = [eng.add_request(p, 24) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    assert eng.stats["steps"] < eng.stats["tokens_generated"], eng.stats
