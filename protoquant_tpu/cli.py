@@ -125,10 +125,25 @@ def _restore_model(ckpt: str):
     return model, restore_checkpoint(ckpt, example)
 
 
+def _load_tokenizer(args):
+    if getattr(args, "tokenizer", None):
+        from .tokenizer import Tokenizer
+
+        return Tokenizer.from_file(args.tokenizer)
+    return None
+
+
 def cmd_generate(args):
     from .engine import Engine, EngineConfig
 
     model, params = _restore_model(args.ckpt)
+    tok = _load_tokenizer(args)
+    if args.prompt is not None:
+        if tok is None:
+            raise SystemExit("--prompt needs --tokenizer (or use --prompt-tokens)")
+        prompt = tok.encode(args.prompt)
+    else:
+        prompt = [int(t) for t in args.prompt_tokens.split(",")]
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         max_seq_len=args.max_seq,
@@ -140,10 +155,12 @@ def cmd_generate(args):
         repetition_penalty=args.repetition_penalty,
     )
     eng = Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
-    prompt = [int(t) for t in args.prompt_tokens.split(",")]
     rid = eng.add_request(prompt, args.max_new)
     out = eng.run()[rid]
-    print(json.dumps({"request": rid, "tokens": out, "metrics": eng.metrics()}))
+    rec = {"request": rid, "tokens": out, "metrics": eng.metrics()}
+    if tok is not None:
+        rec["text"] = tok.decode(out)
+    print(json.dumps(rec))
 
 
 def _load_engine(args):
@@ -167,7 +184,9 @@ def cmd_serve(args):
     from .utils.logging import get_logger
 
     eng = _load_engine(args)
-    srv = EngineServer(eng, host=args.host, port=args.port).start()
+    srv = EngineServer(
+        eng, host=args.host, port=args.port, tokenizer=_load_tokenizer(args)
+    ).start()
     log = get_logger()
     log.info(f"serving on http://{args.host}:{srv.port} (POST /generate)")
     import time
@@ -218,7 +237,10 @@ def main(argv=None):
 
     g = sub.add_parser("generate", help="decode from a quantized checkpoint")
     g.add_argument("--ckpt", required=True)
-    g.add_argument("--prompt-tokens", required=True, help="comma-separated ids")
+    g.add_argument("--prompt-tokens", default=None, help="comma-separated ids")
+    g.add_argument("--prompt", default=None, help="text prompt (needs --tokenizer)")
+    g.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer.json path (text in/out)")
     g.add_argument("--max-new", type=int, default=32)
     g.add_argument("--max-seq", type=int, default=2048)
     g.add_argument("--batch", type=int, default=1)
@@ -232,6 +254,8 @@ def main(argv=None):
 
     sv = sub.add_parser("serve", help="HTTP serving frontend")
     sv.add_argument("--ckpt", required=True)
+    sv.add_argument("--tokenizer", default=None,
+                    help='HF tokenizer.json: accepts {"prompt": text} + returns "text"')
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8199)
     sv.add_argument("--batch", type=int, default=8)

@@ -33,8 +33,10 @@ _STREAM_DONE = object()  # sentinel closing a stream's token queue
 
 
 class EngineServer:
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8199):
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8199,
+                 tokenizer=None):
         self.engine = engine
+        self.tokenizer = tokenizer  # optional protoquant_tpu.tokenizer.Tokenizer
         self._results: dict[int, list] = {}
         self._events: dict[int, threading.Event] = {}
         self._streams: dict[int, _queue.Queue] = {}
@@ -80,7 +82,10 @@ class EngineServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    tokens = [int(t) for t in req["tokens"]]
+                    if "prompt" in req and outer.tokenizer is not None:
+                        tokens = outer.tokenizer.encode(str(req["prompt"]))
+                    else:
+                        tokens = [int(t) for t in req["tokens"]]
                     max_new = int(req.get("max_new_tokens", 32))
                     eos_id = req.get("eos_id")
                     samp = {
@@ -121,6 +126,8 @@ class EngineServer:
                         "request": rid,
                         "tokens": tokens,
                         "cancelled": cancelled,
+                        **({"text": outer.tokenizer.decode(tokens)}
+                           if outer.tokenizer is not None else {}),
                         **({"logprobs": logprobs} if logprobs else {}),
                     },
                 )
@@ -160,9 +167,14 @@ class EngineServer:
                         continue
                     if item is _STREAM_DONE:
                         tokens, cancelled, logprobs = outer.wait(rid, timeout=5)
+                        # Per-token events carry ids only (a byte-level token
+                        # can be a partial UTF-8 sequence); the done event
+                        # carries the fully-decoded text.
                         chunk({
                             "request": rid, "done": True, "tokens": tokens,
                             "cancelled": cancelled,
+                            **({"text": outer.tokenizer.decode(tokens)}
+                               if outer.tokenizer is not None else {}),
                             **({"logprobs": logprobs} if logprobs else {}),
                         })
                         break
