@@ -1196,8 +1196,6 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
     Returns (best [B], accepted [B], corrections [B], caches): the slot
     emits window[1+best*depth : ...+accepted] then ``corrections`` (the
     target's greedy token after the accepted prefix)."""
-    import numpy as _np
-
     depths_np, mask_np = _tree_topology(branches, depth)
     depths = jnp.asarray(depths_np)
     tree_mask = jnp.asarray(mask_np)
