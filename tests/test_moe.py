@@ -365,3 +365,39 @@ def test_moe_token_sharded_alltoall_matches_unsharded(mode):
 
     got = np.asarray(run(params, x))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_moe_engine_under_mesh_matches_single_device():
+    """MoE model served by the continuous-batching engine on a dp=2 x tp=2
+    mesh (experts sharded over the model axis = EP): token streams equal
+    the single-device MoE engine exactly."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.parallel import make_mesh, shard_params, tp_model
+    from protoquant_tpu.utils.config import MeshConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, num_local_experts=4,
+        num_experts_per_tok=2, expert_capacity_factor=8.0,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=32, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0)
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    ref_eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    ref_rids = [ref_eng.add_request(p, 6) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(cfg, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh)
+        rids = [eng.add_request(p, 6) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
