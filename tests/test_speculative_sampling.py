@@ -196,3 +196,22 @@ def test_adaptive_gamma(model_and_params):
     prid = plain.add_request(PROMPT, 24)
     pouts = plain.run()
     assert pouts[prid] == outs2[rid2]
+
+
+def test_spec_sampling_with_paged_target(model_and_params):
+    """Rejection-sampling speculation composes with the paged target cache
+    at temperature > 0: runs, fills, and keeps acceptance ~1 with a perfect
+    draft (the length-rewind rollback works the same on paged pools)."""
+    model, params = model_and_params
+    eng = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16,
+                     prefill_chunk=16, max_new_tokens=12, temperature=0.7,
+                     seed=3),
+        kv_dtype=jnp.int8, kv_layout="paged",
+        draft_model=model, draft_params=params, gamma=3,
+    )
+    rids = [eng.add_request(PROMPT, 12), eng.add_request([7, 8, 9], 12)]
+    outs = eng.run()
+    assert all(len(outs[r]) == 12 for r in rids)
+    assert eng.metrics()["spec_acceptance_rate"] > 0.9, eng.metrics()
