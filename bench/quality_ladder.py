@@ -135,6 +135,7 @@ def main():
     run("int8_dynamic+smooth", "dynamic", smoothed)
     run("int8_dynamic+awq", "dynamic", awq_int8)
     run("int8_dynamic+int8kv", "dynamic", params, kv_dtype=jnp.int8)
+    run("int8_dynamic+int4kv", "dynamic", params, kv_dtype=jnp.int4)
     run("int8_weight_only", "weight_only", params)
     run("int8_weight_only+gptq", "weight_only", params, gptq=True)
     run("fp8_weight_only", "weight_only_fp8", params,

@@ -281,6 +281,170 @@ class Int8KVCache(_DenseSlotViews):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
 
 
+
+
+def quantize_kv4(x: jnp.ndarray):
+    """Per-token/per-head symmetric int4: x [B, T, KV, Dh] ->
+    (nibbles as int8 in [-7, 7] — UNPACKED, packing is the cache's job —
+    and scale f32 [B, T, KV])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 7.0, SCALE_EPS)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
+    return q, scale
+
+
+def _pack_nib_pair(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """Two int8 nibble values in [-8, 7] -> one byte (lo in bits 0-3, hi in
+    bits 4-7; two's-complement nibbles)."""
+    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "ks", "vq", "vs", "lengths"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Int4KVCache(_DenseSlotViews):
+    """INT4 KV cache: kq/vq [B, KV, S/2, Dh] int8 bytes, packed row r
+    holding token 2r in the LOW nibble and 2r+1 in the HIGH nibble (token-
+    pair packing keeps the lane dim at Dh — a [.., Dh/2] layout would be
+    tile-padded back to int8 size in device memory). Scales ks/vs
+    [B, KV, 2, S/2] f32 in the same parity split (ks[:, :, p, r] = token
+    2r+p), so the kernel reads them without strided lane access.
+
+    Quality: 4-bit per-token-head symmetric quantization is lossier than
+    int8 (see BASELINE.md quality ladder int4-KV row); scope is full-causal
+    attention (window/softcap/sinks route int8).
+    """
+
+    kq: jnp.ndarray
+    ks: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+    lengths: jnp.ndarray
+
+    @classmethod
+    def init(cls, batch, max_seq, kv_heads, head_dim):
+        if max_seq % 2:
+            raise ValueError("int4 KV needs an even max_seq (token-pair packing)")
+        return cls(
+            kq=jnp.zeros((batch, kv_heads, max_seq // 2, head_dim), jnp.int8),
+            ks=jnp.full((batch, kv_heads, 2, max_seq // 2), SCALE_EPS, jnp.float32),
+            vq=jnp.zeros((batch, kv_heads, max_seq // 2, head_dim), jnp.int8),
+            vs=jnp.full((batch, kv_heads, 2, max_seq // 2), SCALE_EPS, jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.kq.shape[2] * 2
+
+    def _write_parity(self, kq, ks, k4, ks_new, pos_b, pos_t, parity):
+        """Merge this parity's tokens into the packed bytes + scale plane.
+
+        pos_b/pos_t: [B, T] write coordinates; only columns where
+        pos_t % 2 == parity write — the rest get an OUT-OF-BOUNDS row and
+        mode='drop' (a redirected in-bounds no-op write could race a real
+        write to the same row under .at's unordered-duplicate semantics)."""
+        S2 = kq.shape[2]
+        sel = (pos_t % 2) == parity
+        row = jnp.where(sel, pos_t // 2, S2)  # S2 = OOB -> dropped
+        safe = jnp.minimum(row, S2 - 1)
+        cur = kq[pos_b, :, safe]  # [B, T, KV, Dh] current bytes
+        if parity == 0:
+            merged = (cur & jnp.int8(~0x0F)) | (k4 & 0x0F)
+        else:
+            merged = (cur & jnp.int8(0x0F)) | jnp.left_shift(k4, 4)
+        kq = kq.at[pos_b, :, row].set(merged.astype(jnp.int8), mode="drop")
+        ks = ks.at[pos_b, :, parity, row].set(ks_new, mode="drop")
+        return kq, ks
+
+    def update(self, k, v, advance=None):
+        """Quantize to int4 and append at each slot's length. Even- and
+        odd-position tokens merge in two sequential passes: a prefill chunk
+        can land both nibbles of one byte, and two .at writes to the same
+        byte would each read the OLD value — sequencing makes the second
+        merge see the first."""
+        B, T = k.shape[:2]
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+        k4, ks_new = quantize_kv4(k)
+        v4, vs_new = quantize_kv4(v)
+        if T == 1 and _resolve_attention_backend() == "pallas":
+            # Decode: in-place aliased RMW scatter — the XLA .at merge below
+            # is correct but forces whole-cache defensive copies around the
+            # Pallas attend custom call (the round-2 int8 lesson; measured
+            # 2x step time here before this path, bench/int4kv_probe.py).
+            from ..ops._common import default_interpret
+            from ..ops.kv_scatter import kv4_scatter_decode
+
+            kq, ks, vq, vs = kv4_scatter_decode(
+                self.kq, self.ks, self.vq, self.vs, self.lengths,
+                jnp.swapaxes(k4, 1, 2), jnp.swapaxes(ks_new, 1, 2),
+                jnp.swapaxes(v4, 1, 2), jnp.swapaxes(vs_new, 1, 2),
+                interpret=default_interpret(),
+            )
+            return Int4KVCache(kq=kq, ks=ks, vq=vq, vs=vs,
+                               lengths=self.lengths + adv)
+        pos_t = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
+        pos_t = jnp.minimum(pos_t, self.max_seq - 1)
+        pos_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+        kq, ks, vq, vs = self.kq, self.ks, self.vq, self.vs
+        for parity in (0, 1):
+            kq, ks = self._write_parity(kq, ks, k4, ks_new, pos_b, pos_t, parity)
+            vq, vs = self._write_parity(vq, vs, v4, vs_new, pos_b, pos_t, parity)
+        return Int4KVCache(kq=kq, ks=ks, vq=vq, vs=vs,
+                           lengths=self.lengths + adv)
+
+    def _unpack(self):
+        """Packed bytes -> per-token int8 nibble values [B, KV, S, Dh] plus
+        [B, KV, S] scales (the XLA/oracle formulation; the Pallas kernel
+        unpacks per-block in VMEM instead)."""
+        B, KV, S2, Dh = self.kq.shape
+
+        def un(q, sc):
+            lo = jnp.left_shift(q, 4)
+            lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extended low nibble
+            hi = jnp.right_shift(q, 4)
+            # interleave tokens 2r (lo) and 2r+1 (hi) back into S order
+            full = jnp.stack([lo, hi], axis=3)  # [B, KV, S/2, 2, Dh]
+            full = full.reshape(B, KV, S2 * 2, Dh)
+            scales = jnp.swapaxes(sc, 2, 3).reshape(B, KV, S2 * 2)
+            return full, scales
+
+        k8, ks = un(self.kq, self.ks)
+        v8, vs = un(self.vq, self.vs)
+        return k8, ks, v8, vs
+
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0,
+                          sink_logits=None, tree_mask=None):
+        if window > 0 or softcap > 0.0 or sink_logits is not None:
+            raise NotImplementedError(
+                "int4 KV supports full-causal attention only "
+                "(windowed/softcap/sink models: use int8 KV)"
+            )
+        new = self.update(k, v, advance)
+        if tree_mask is None and _resolve_attention_backend() == "pallas":
+            from ..ops.attention import int4_kv_attention
+
+            out = int4_kv_attention(
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths,
+                scale=scale,
+            )
+        else:
+            k8, ks, v8, vs = new._unpack()
+            out = int8_kv_attention_xla(
+                q, k8, ks, v8, vs, self.lengths, scale=scale,
+                tree_mask=tree_mask,
+            )
+        return out, new
+
+    def reset_slot(self, slot: jnp.ndarray):
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["kq", "ks", "vq", "vs", "lengths"],

@@ -39,7 +39,12 @@ def init_cache(
 
         return init_mla_cache(cfg, batch, max_seq, kv_dtype)
     kv_heads = cfg.num_key_value_heads // tp
-    if kv_dtype == jnp.int8:
+    if kv_dtype == jnp.int4:
+        # Packed-nibble cache (quarter of bf16 bytes; full-causal only).
+        from .kv_cache import Int4KVCache
+
+        make = lambda: Int4KVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
+    elif kv_dtype == jnp.int8:
         make = lambda: Int8KVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
     else:
         make = lambda: BF16KVCache.init(

@@ -441,3 +441,179 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
 
 # Backward-compatible oracle alias
 int8_kv_attention_ref = int8_kv_attention_xla
+
+
+# -- INT4 KV flash attention (round 3) ---------------------------------------
+
+
+def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                  m_ref, l_ref, acc_ref, *, group, block_sp, lane, sm):
+    """Flash attention over the PACKED int4 cache (full-causal tier).
+
+    k_ref: (1, HB, bs_p, Dh) int8 bytes — packed row r holds token 2r (low
+    nibble) and 2r+1 (high), so one S-grid block covers 2*bs_p tokens.
+    ks_ref: (1, HB, 2, bs_p) f32 — parity-split per-token scales.
+    The block runs TWO online-softmax sub-updates (even tokens from the low
+    nibbles, odd from the high), each with its own position iota — no
+    in-kernel interleave/relayout, and the nibble extraction is the same
+    full-tile i32 shift trick as ops/wo4_matmul.py's split kernel.
+    """
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    HB, TG = q_ref.shape[1], q_ref.shape[2]
+    t_max = (TG - 1) // group
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b, 0]
+    active = s * 2 * block_sp <= length + t_max
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0].astype(lane)  # (HB, TG, Dh)
+        ku = k_ref[0].astype(jnp.int32)  # (HB, bs_p, Dh)
+        vu = v_ref[0].astype(jnp.int32)
+        # Full-tile nibble extraction (the wo4 split-kernel trick). The two
+        # parity halves are NEVER concatenated as (2*bs_p, Dh) tiles — that
+        # materializes ~1MB of i32 VMEM copies per program (measured 0.29
+        # HBM frac); instead each half gets its own dot, and only the SMALL
+        # (TG, bs_p) score tiles concatenate for one shared softmax update.
+        k_lo = ((ku << 28) >> 28).astype(lane)
+        k_hi = ((ku << 24) >> 28).astype(lane)
+        v_lo = ((vu << 28) >> 28).astype(lane)
+        v_hi = ((vu << 24) >> 28).astype(lane)
+        ks_e = ks_ref[0, :, 0, :].reshape(HB, 1, block_sp)
+        ks_o = ks_ref[0, :, 1, :].reshape(HB, 1, block_sp)
+        vs_e = vs_ref[0, :, 0, :].reshape(HB, 1, block_sp)
+        vs_o = vs_ref[0, :, 1, :].reshape(HB, 1, block_sp)
+
+        dims = (((2,), (2,)), ((0,), (0,)))
+        s_lo = jax.lax.dot_general(
+            q, k_lo, dims, preferred_element_type=jnp.float32) * ks_e
+        s_hi = jax.lax.dot_general(
+            q, k_hi, dims, preferred_element_type=jnp.float32) * ks_o
+        scores = jnp.concatenate([s_lo, s_hi], axis=-1) * sm  # (HB, TG, 2bs_p)
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
+        idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        # Column c < bs_p holds token 2*(s*bs_p + c); column bs_p + c holds
+        # 2*(s*bs_p + c) + 1.
+        pos = jnp.where(
+            idx < block_sp,
+            2 * (s * block_sp + idx),
+            2 * (s * block_sp + idx - block_sp) + 1,
+        )
+        valid = pos <= (length + t_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        m_old = m_ref[:, :TG, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        pdims = (((2,), (1,)), ((0,), (0,)))
+        pv = jax.lax.dot_general(
+            (p[:, :, :block_sp] * vs_e).astype(lane), v_lo, pdims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            (p[:, :, block_sp:] * vs_o).astype(lane), v_hi, pdims,
+            preferred_element_type=jnp.float32,
+        )
+        l_new = l_ref[:, :TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:, :TG] = acc_ref[:, :TG] * corr + pv
+        m_ref[:, :TG] = jnp.broadcast_to(m_new, (HB, TG, m_ref.shape[2]))
+        l_ref[:, :TG] = jnp.broadcast_to(l_new, (HB, TG, l_ref.shape[2]))
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (
+            acc_ref[:, :TG] / jnp.maximum(l_ref[:, :TG, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "t_q", "scale", "interpret", "out_dtype"),
+)
+def _attend4(q, kq, ks, vq, vs, lengths, *, group, t_q, scale, interpret,
+             out_dtype):
+    B, KV, TG, Dh = q.shape
+    S2 = kq.shape[2]  # packed rows = tokens / 2
+    bs_p = _flash_block_s(S2, want=256)
+    HB = _head_block(KV, TG, Dh, 2 * bs_p)
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    t_max = (TG - 1) // group
+    sm = scale if scale > 0.0 else Dh**-0.5
+
+    def s_eff(s, ln_b):
+        hi = (jnp.maximum(ln_b, 0) + t_max) // (2 * bs_p)
+        return jnp.minimum(s, hi)
+
+    def kv_index(b, h, s, ln):
+        return (b, h, s_eff(s, ln[b, 0]), 0)
+
+    def kscale_index(b, h, s, ln):
+        return (b, h, 0, s_eff(s, ln[b, 0]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV // HB, S2 // bs_p),
+        in_specs=[
+            pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+            pl.BlockSpec((1, HB, bs_p, Dh), kv_index),
+            pl.BlockSpec((1, HB, 2, bs_p), kscale_index),
+            pl.BlockSpec((1, HB, bs_p, Dh), kv_index),
+            pl.BlockSpec((1, HB, 2, bs_p), kscale_index),
+        ],
+        out_specs=pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), Dh), jnp.float32),
+        ],
+    )
+    lane = jnp.float32 if interpret else jnp.bfloat16
+    kernel = functools.partial(
+        _attn4_kernel, group=group, block_sp=bs_p, lane=lane, sm=sm,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, TG, Dh), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths2, q, kq, ks, vq, vs)
+
+
+def int4_kv_attention(
+    q: jnp.ndarray,  # [B, T, H, Dh] (post-RoPE)
+    kq: jnp.ndarray,  # [B, KV, S/2, Dh] int8 PACKED nibbles (Int4KVCache)
+    ks: jnp.ndarray,  # [B, KV, 2, S/2] f32 parity-split scales
+    vq: jnp.ndarray,
+    vs: jnp.ndarray,
+    lengths: jnp.ndarray,  # [B] int32 — length BEFORE this step's tokens
+    *,
+    scale: float = 0.0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Flash attention over the packed INT4 KV cache (full-causal only;
+    exact vs unpack + int8_kv_attention_xla on the same nibble values).
+    Returns [B, T, H, Dh] in q.dtype."""
+    if interpret is None:
+        interpret = default_interpret()
+    B, T, H, Dh = q.shape
+    KV = kq.shape[1]
+    group = H // KV
+    qh = q.reshape(B, T, KV, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, KV, T * group, Dh)
+    out = _attend4(
+        qh, kq, ks, vq, vs, lengths,
+        group=group, t_q=T, scale=float(scale), interpret=interpret,
+        out_dtype=q.dtype,
+    )
+    return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, T, H, Dh)

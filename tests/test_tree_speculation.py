@@ -205,6 +205,11 @@ def test_tree_dp_tp_engine_matches_single_device(model_and_params):
     """Tree speculation under a dp=2 x tp=2 mesh: scoring + branch
     compaction run batch/head-sharded — outputs match the single-device
     tree engine (and therefore plain greedy) exactly."""
+    # XLA:CPU's JIT segfaults compiling this test's mesh programs when the
+    # full suite's hundreds of compiled executables are still loaded
+    # (reproduced twice at exactly this test; fine standalone). Dropping
+    # the caches first releases that pressure.
+    jax.clear_caches()
     from protoquant_tpu.parallel import make_mesh, shard_params, tp_model
     from protoquant_tpu.utils.config import MeshConfig
 
