@@ -133,6 +133,13 @@ def _load_tokenizer(args):
     return None
 
 
+def _kv_dtype(args):
+    bits = getattr(args, "kv_bits", None)
+    if bits is None:
+        return jnp.int8 if args.int8_kv else jnp.bfloat16
+    return {4: jnp.int4, 8: jnp.int8, 16: jnp.bfloat16}[bits]
+
+
 def cmd_generate(args):
     from .engine import Engine, EngineConfig
 
@@ -154,7 +161,7 @@ def cmd_generate(args):
         min_p=args.min_p,
         repetition_penalty=args.repetition_penalty,
     )
-    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
+    eng = Engine(model, params, ecfg, kv_dtype=_kv_dtype(args))
     rid = eng.add_request(prompt, args.max_new)
     out = eng.run()[rid]
     rec = {"request": rid, "tokens": out, "metrics": eng.metrics()}
@@ -176,7 +183,7 @@ def _load_engine(args):
         min_p=args.min_p,
         repetition_penalty=args.repetition_penalty,
     )
-    return Engine(model, params, ecfg, kv_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
+    return Engine(model, params, ecfg, kv_dtype=_kv_dtype(args))
 
 
 def cmd_serve(args):
@@ -250,6 +257,9 @@ def main(argv=None):
     g.add_argument("--min-p", type=float, default=0.0)
     g.add_argument("--repetition-penalty", type=float, default=1.0)
     g.add_argument("--int8-kv", action="store_true", default=True)
+    g.add_argument("--kv-bits", type=int, default=None, choices=[4, 8, 16],
+                   help="KV storage: 8 int8 (default), 4 packed int4 "
+                        "(capacity tier), 16 bf16")
     g.set_defaults(fn=cmd_generate)
 
     sv = sub.add_parser("serve", help="HTTP serving frontend")
@@ -266,6 +276,8 @@ def main(argv=None):
     sv.add_argument("--min-p", type=float, default=0.0)
     sv.add_argument("--repetition-penalty", type=float, default=1.0)
     sv.add_argument("--int8-kv", action="store_true", default=True)
+    sv.add_argument("--kv-bits", type=int, default=None, choices=[4, 8, 16],
+                    help="KV storage: 8 int8 (default), 4 packed int4, 16 bf16")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -33,7 +33,9 @@ class QuantConfig:
 
     mode: str = "dynamic"
     # "dynamic" | "weight_only" | "weight_only_int4" | "weight_only_fp8" | "fp"
-    kv_bits: int = 8  # 8 (int8 KV cache) or 16 (bf16 KV cache)
+    # KV-cache storage: 8 (int8, the perf default), 4 (packed int4 — the
+    # capacity tier, full-causal models only; BASELINE.md), 16 (bf16).
+    kv_bits: int = 8
     clamp: int = 127
     int4_group: int = 128  # contraction-group size for int4 scales
     # int4 scale selection: "mse" (per-group clip search minimizing
@@ -56,8 +58,8 @@ class QuantConfig:
             "dynamic", "weight_only", "weight_only_int4", "weight_only_fp8", "fp"
         ):
             raise ValueError(f"unknown quant mode {self.mode!r}")
-        if self.kv_bits not in (8, 16):
-            raise ValueError("kv_bits must be 8 or 16")
+        if self.kv_bits not in (4, 8, 16):
+            raise ValueError("kv_bits must be 4, 8 or 16")
 
 
 @dataclasses.dataclass(frozen=True)
