@@ -35,7 +35,8 @@ def test_quant_config_validation():
     with pytest.raises(ValueError):
         QuantConfig(mode="int4")
     with pytest.raises(ValueError):
-        QuantConfig(kv_bits=4)
+        QuantConfig(kv_bits=3)
+    assert QuantConfig(kv_bits=4).kv_bits == 4
 
 
 def test_model_config_presets():
