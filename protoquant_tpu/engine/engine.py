@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.llama import LlamaModel, init_cache
 from ..utils.config import EngineConfig
@@ -143,6 +144,14 @@ class Engine:
         #   ONE forward with an ancestor attention mask; the branch with the
         #   longest accepted prefix commits (its K/V rows compact into chain
         #   order — cache.reorder_tail). Greedy-only; dense caches only.
+        medusa_heads=None,  # MedusaHeads module (models/medusa.py): TRAINED
+        #   drafting heads replace n-gram lookup as the tree's proposal
+        #   source. The scoring forward itself emits next tick's candidates
+        #   (heads on the hidden state at each slot's last accepted node), so
+        #   proposals cost zero extra forwards. Same constraints as tree
+        #   speculation; tree shape = lookup_branches x gamma, needing
+        #   heads.depth >= gamma.
+        medusa_params=None,
         scheduler: str = "fcfs",  # admission policy when slots free up:
         #   "fcfs"     — arrival order (default; maximal fairness)
         #   "priority" — higher Request.priority first, FIFO within a tier
@@ -163,9 +172,29 @@ class Engine:
         self.adaptive_gamma = adaptive_gamma
         self.prompt_lookup = prompt_lookup
         self.lookup_branches = lookup_branches
-        if lookup_branches > 1:
-            if not prompt_lookup:
-                raise ValueError("lookup_branches needs prompt_lookup > 0")
+        self.medusa_heads = medusa_heads
+        self.medusa_params = medusa_params
+        if (medusa_heads is None) != (medusa_params is None):
+            raise ValueError("medusa_heads and medusa_params go together")
+        if medusa_heads is not None:
+            if prompt_lookup or draft_model is not None:
+                raise ValueError(
+                    "medusa heads are exclusive with prompt_lookup / "
+                    "draft_model (one proposal source per engine)"
+                )
+            if medusa_heads.depth < gamma:
+                raise ValueError(
+                    f"medusa_heads.depth={medusa_heads.depth} < gamma={gamma}"
+                )
+            if adaptive_gamma:
+                raise ValueError(
+                    "adaptive_gamma is unsupported with medusa heads (tree "
+                    "shape is compiled into the scoring program)"
+                )
+        tree_mode = lookup_branches > 1 or medusa_heads is not None
+        if lookup_branches > 1 and not prompt_lookup and medusa_heads is None:
+            raise ValueError("lookup_branches needs prompt_lookup > 0")
+        if tree_mode:
             if self.cfg.temperature != 0.0:
                 raise ValueError("tree speculation is greedy-only")
             if kv_layout == "ring":
@@ -180,6 +209,7 @@ class Engine:
                     "transient garbage for losing branches, which must "
                     "never publish into shared pages"
                 )
+        self._tree_mode = tree_mode
         if scheduler not in ("fcfs", "priority", "sjf"):
             raise ValueError(f"unknown scheduler {scheduler!r}")
         self.scheduler = scheduler
@@ -369,6 +399,14 @@ class Engine:
             "min_ps": jnp.full((B,), self.cfg.min_p, jnp.float32),
         }
         self.last_tokens = jnp.zeros((B,), jnp.int32)
+        # Medusa tree mode: next tick's proposals, produced by the PREVIOUS
+        # tick's scoring forward (host copy — the engine edits rows on slot
+        # turnover). [B, branches, gamma] int32.
+        self._medusa_props = (
+            np.zeros((B, lookup_branches, gamma), np.int32)
+            if medusa_heads is not None
+            else None
+        )
         self.active = [False] * B
         self.slot_req: list[Optional[Request]] = [None] * B
         self.waiting: deque[Request] = deque()
@@ -442,7 +480,7 @@ class Engine:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
             )
-        if self.lookup_branches > 1 and temperature not in (None, 0.0):
+        if self._tree_mode and temperature not in (None, 0.0):
             raise ValueError("tree speculation is greedy-only "
                              "(per-request temperature must be 0)")
         self.waiting.append(req)
@@ -740,6 +778,10 @@ class Engine:
             self.token_counts = self.token_counts.at[slot].set(0)
         if self.adapter_ids is not None:
             self.adapter_ids = self.adapter_ids.at[slot].set(0)
+        if self._medusa_props is not None:
+            # Next tenant's first tree tick proposes nothing (zeros are
+            # harmless: greedy acceptance only commits matches).
+            self._medusa_props[slot] = 0
         if req in self.prefilling:
             self.prefilling.remove(req)
         # Free the slot: reset its cache length for the next tenant.
@@ -776,6 +818,9 @@ class Engine:
             return
         if self.draft_caches is not None:
             self._spec_decode_tick(t0)
+            return
+        if self.medusa_params is not None:
+            self._tree_medusa_tick(t0)
             return
         if self.prompt_lookup:
             if self.lookup_branches > 1:
@@ -932,11 +977,55 @@ class Engine:
         best, accepted, corrections, self.caches = score(
             self.params, self.caches, window, active, branches=J, depth=d,
         )
+        self._commit_tree_results(props, best, accepted, corrections, d, t0)
+
+    def _tree_medusa_tick(self, t0: float):
+        """Trained-drafting-heads tree tick (medusa_params set): candidates
+        come from the PREVIOUS tick's scoring forward (heads on the hidden
+        state at each slot's last accepted node — models/medusa.py), and
+        this tick's forward emits the next proposals in the same program.
+        Freshly admitted slots propose zeros for exactly one tick (greedy
+        acceptance makes that merely a 1-token tick, never a wrong one)."""
+        active = jnp.asarray(self.active)
+        B = self.cfg.max_batch_size
+        J, d = self.lookup_branches, self._gamma_cur
+        props = self._medusa_props.copy()
+        window = jnp.concatenate(
+            [self.last_tokens[:, None], jnp.asarray(props).reshape(B, J * d)],
+            axis=1,
+        )
+        if self._tp_fns is not None:
+            score = partial(
+                self._tp_fns["tree_score_heads"],
+                heads=self.medusa_heads, head_params=self.medusa_params,
+            )
+            best, accepted, corrections, next_props, self.caches = score(
+                self.params, self.caches, window, active,
+                branches=J, depth=d,
+            )
+        else:
+            best, accepted, corrections, next_props, self.caches = (
+                _tree_score_and_accept_heads(
+                    self.model, self.medusa_heads, self.params, self.caches,
+                    self.medusa_params, window, active, branches=J, depth=d,
+                )
+            )
+        # Publish next proposals BEFORE committing: _retire_slot zeroes the
+        # rows of any slot that finishes during emission.
+        self._medusa_props = np.array(jax.device_get(next_props))
+        self._commit_tree_results(props, best, accepted, corrections, d, t0)
+
+    def _commit_tree_results(self, props, best, accepted, corrections,
+                             d: int, t0: float):
+        """Shared tail of the tree-speculation tick flavors: emit each
+        active slot's accepted branch prefix + 1 correction token."""
+        import numpy as _np
+
         best_h = jax.device_get(best)
         accepted_h = jax.device_get(accepted)
         corr_h = jax.device_get(corrections)
         new_last = _np.array(jax.device_get(self.last_tokens))
-        for slot in range(B):
+        for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
                 continue
             req = self.slot_req[slot]
@@ -1097,7 +1186,8 @@ class Engine:
             out["prefix_reusable_pages"] = sum(
                 p.reusable_pages for p in self.prefixes)
             out["prefix_evictions"] = sum(p.evictions for p in self.prefixes)
-        if self.draft_caches is not None or self.prompt_lookup:
+        if (self.draft_caches is not None or self.prompt_lookup
+                or self.medusa_params is not None):
             out["spec_acceptance_rate"] = self.stats["spec_accepted"] / max(
                 1, self.stats["spec_proposed"]
             )
@@ -1186,7 +1276,8 @@ def _ngram_propose_branches(hist: list, n: int, depth: int,
 
 
 def _tree_score_and_accept_body(model, params, caches, window, active,
-                                branches: int, depth: int):
+                                branches: int, depth: int,
+                                heads=None, head_params=None):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
     pick each slot's best branch by longest greedy-accepted prefix, compact
@@ -1195,7 +1286,14 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
 
     Returns (best [B], accepted [B], corrections [B], caches): the slot
     emits window[1+best*depth : ...+accepted] then ``corrections`` (the
-    target's greedy token after the accepted prefix)."""
+    target's greedy token after the accepted prefix).
+
+    With trained drafting heads (``heads``/``head_params``,
+    models/medusa.py) the same program also returns ``next_props
+    [B, branches, depth]``: the heads run on the hidden state at each
+    slot's last accepted node — the node whose greedy token became the
+    committed correction, i.e. the state that PREDICTS the new frontier's
+    successors — so next tick's candidate tree costs zero extra forwards."""
     depths_np, mask_np = _tree_topology(branches, depth)
     depths = jnp.asarray(depths_np)
     tree_mask = jnp.asarray(mask_np)
@@ -1204,10 +1302,17 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
     positions = jnp.minimum(
         caches[0].lengths[:, None] + depths[None, :], max_pos
     )
-    logits, caches = model.apply(
-        params, window, positions, caches,
-        advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
-    )
+    if heads is not None:
+        logits, caches, hidden = model.apply(
+            params, window, positions, caches,
+            advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
+            return_hidden=True,
+        )
+    else:
+        logits, caches = model.apply(
+            params, window, positions, caches,
+            advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
+        )
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
 
     idx = 1 + jnp.arange(branches)[:, None] * depth + jnp.arange(depth)[None, :]
@@ -1233,10 +1338,24 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
     )
     corrections = jnp.take_along_axis(greedy, corr_node[:, None], 1)[:, 0]
 
+    next_props = None
+    if heads is not None:
+        from ..models.medusa import propose_from_heads
+
+        h_corr = jnp.take_along_axis(
+            hidden, corr_node[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]  # [B, D]
+        head_logits = heads.apply(head_params, h_corr)  # [B, heads, V]
+        next_props = propose_from_heads(
+            head_logits[:, :depth, :], branches
+        )  # [B, J, d]
+
     # Compact the winning branch into chain slots, then advance lengths.
     caches = [c.reorder_tail(best_idx) for c in caches]
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
     caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
+    if heads is not None:
+        return best, accepted, corrections, next_props, caches
     return best, accepted, corrections, caches
 
 
@@ -1246,6 +1365,16 @@ def _tree_score_and_accept(model, params, caches, window, active,
                            branches: int, depth: int):
     return _tree_score_and_accept_body(
         model, params, caches, window, active, branches, depth
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "heads", "branches", "depth"),
+         donate_argnums=(3,))
+def _tree_score_and_accept_heads(model, heads, params, caches, head_params,
+                                 window, active, branches: int, depth: int):
+    return _tree_score_and_accept_body(
+        model, params, caches, window, active, branches, depth,
+        heads=heads, head_params=head_params,
     )
 
 
@@ -1587,10 +1716,46 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return best, accepted, corr, caches
 
+    def tree_score_heads(params, caches, window, active, *, branches, depth,
+                         heads, head_params):
+        """tree_score with trained drafting heads: also returns next-tick
+        proposals [B, branches, depth] (batch-sharded like the window; head
+        params replicate — the heads are tiny next to the base)."""
+        pspecs, cspecs = _specs(params, caches)
+        tkey = ("tree_score_heads", branches, depth, id(heads))
+        if tkey not in state:
+            hspec = jax.tree_util.tree_map(lambda _: P(), head_params)
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, hspec, batch_spec, batch_spec),
+                out_specs=(
+                    (batch_spec, batch_spec, batch_spec, batch_spec),
+                    cspecs,
+                ),
+                check_vma=False,
+            )
+            def _tscore(params, caches, hp, window, active):
+                best, accepted, corr, nprops, caches = (
+                    _tree_score_and_accept_body(
+                        model, params, caches, window, active, branches,
+                        depth, heads=heads, head_params=hp,
+                    )
+                )
+                return (best, accepted, corr, nprops), caches
+
+            state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
+        (best, accepted, corr, nprops), caches = state[tkey](
+            params, caches, head_params, window, active
+        )
+        return best, accepted, corr, nprops, caches
+
     fns["extend"] = extend_with_adapters
     fns["decode"] = decode
     fns["spec_score"] = spec_score
     fns["tree_score"] = tree_score
+    fns["tree_score_heads"] = tree_score_heads
     fns["state"] = state
     return fns
 

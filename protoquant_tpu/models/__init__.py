@@ -1,6 +1,7 @@
 from .generate import greedy_generate, perplexity, score_tokens
 from .hf_import import import_hf_llama
 from .kv_cache import BF16KVCache, Int8KVCache
+from .medusa import MedusaHeads, init_medusa, train_medusa_heads
 from .speculative import speculative_generate
 from .llama import LlamaModel, init_cache
 
@@ -14,4 +15,7 @@ __all__ = [
     "score_tokens",
     "import_hf_llama",
     "speculative_generate",
+    "MedusaHeads",
+    "init_medusa",
+    "train_medusa_heads",
 ]

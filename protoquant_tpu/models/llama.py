@@ -813,6 +813,8 @@ class LlamaModel(nn.Module):
         advance: Optional[jnp.ndarray] = None,  # [B] engine override
         adapter_ids: Optional[jnp.ndarray] = None,  # [B] multi-LoRA ids
         tree_mask: Optional[jnp.ndarray] = None,  # [T, T] spec-tree mask
+        return_hidden: bool = False,  # also return the final-norm hidden
+        #   state [B, T, hidden] (drafting heads — models/medusa.py)
     ):
         cfg = self.cfg
         B, T = tokens.shape
@@ -860,6 +862,7 @@ class LlamaModel(nn.Module):
             # full sequence on every shard (it is vocab-sharded over the same
             # axis the tokens were sharded over).
             x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
+        hidden = x if return_hidden else None
         # Vocab-column-parallel LM head; logits all-gathered so sampling sees
         # the full vocabulary on every shard.
         logits = QLinear(
@@ -883,5 +886,7 @@ class LlamaModel(nn.Module):
             cap = cfg.final_logit_softcap
             logits = cap * jnp.tanh(logits / cap)
         if caches is None:
-            return logits
+            return (logits, hidden) if return_hidden else logits
+        if return_hidden:
+            return logits, new_caches, hidden
         return logits, new_caches

@@ -1,0 +1,182 @@
+"""Trained drafting heads (Medusa-style) for tree speculation.
+
+The round-3 tree-speculation machinery (engine/engine.py: ancestor masks,
+one-forward scoring, branch compaction via ``cache.reorder_tail``) is
+proposal-source-agnostic: greedy acceptance commits only tokens the target
+itself would have chosen, so ANY proposer preserves the exact greedy stream.
+This module supplies the trained proposer tier the ROADMAP named: small
+per-depth heads on the target's own final hidden state, self-distilled on
+text so their candidates actually get accepted (n-gram lookup only fires on
+repeated history; heads fire everywhere).
+
+Design (Medusa-1 shape, re-derived for this stack):
+
+- ``MedusaHeads``: head k (k = 1..depth) is one residual block
+  ``h + silu(W1_k h)`` followed by a vocab projection — it predicts the
+  token at position ``t + 1 + k`` from the hidden state that predicted
+  ``t + 1``. Heads are plain fp (bf16/f32) flax Dense stacks: they are tiny
+  next to the quantized base (2 * hidden * (hidden + vocab) params per
+  head) and train in minutes on the frozen base.
+- Training (``train_medusa_heads``): teacher-forced cross-entropy on text.
+  One frozen base forward per batch gives ``hidden [B, T, D]``; head k's
+  target at position t is ``tokens[t + 1 + k]``. Only head params train
+  (optax.adamw); the quantized base never changes, so serving quality is
+  untouched by construction.
+- Proposal rule (``propose_from_heads``): branch j of the candidate tree
+  takes the j-th best token from head 1 and the argmax of heads 2..depth.
+  First tokens are distinct across branches by construction — identical
+  first tokens share their fate under greedy acceptance, so scoring them
+  twice wastes tree width (the same dedup rationale as
+  ``engine._ngram_propose_branches``). Uncertainty concentrates at the
+  first predicted position, so spending the whole branch budget there is
+  the standard Medusa sparse-tree shape.
+
+Engine wiring (engine/engine.py ``medusa_params``): the tree-scoring
+forward already computes hidden states at every tree node; the heads run on
+the hidden at each slot's LAST ACCEPTED node (the node whose greedy token
+became the committed correction), producing the next tick's proposals in
+the same XLA program — zero extra forwards. The first tick after prefill
+proposes zeros (harmless: acceptance only commits matches).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .llama import LlamaModel
+
+
+class MedusaHeads(nn.Module):
+    """Per-depth drafting heads over the base model's final hidden state.
+
+    ``__call__(hidden [..., D]) -> logits [..., depth, vocab]``.
+    """
+
+    depth: int
+    vocab_size: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        D = hidden.shape[-1]
+        outs = []
+        h = hidden.astype(self.dtype)
+        for k in range(self.depth):
+            r = nn.Dense(
+                D, use_bias=True, dtype=self.dtype, name=f"res_{k}",
+                # Zero-init the residual branch: untrained heads start as
+                # plain linear probes of the hidden state, not noise.
+                kernel_init=nn.initializers.zeros,
+            )(h)
+            hk = h + nn.silu(r)
+            outs.append(
+                nn.Dense(
+                    self.vocab_size, use_bias=False, dtype=self.dtype,
+                    name=f"vocab_{k}",
+                )(hk)
+            )
+        return jnp.stack(outs, axis=-2).astype(jnp.float32)
+
+
+def init_medusa(model: LlamaModel, depth: int, rng=None,
+                dtype=jnp.bfloat16):
+    """(heads_module, head_params) for ``model``'s width/vocab."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    heads = MedusaHeads(depth=depth, vocab_size=model.cfg.vocab_size,
+                        dtype=dtype)
+    params = heads.init(rng, jnp.zeros((1, 1, model.cfg.hidden_size), dtype))
+    return heads, params
+
+
+def propose_from_heads(head_logits: jnp.ndarray, branches: int) -> jnp.ndarray:
+    """[..., depth, V] head logits -> [..., branches, depth] candidate tree.
+
+    Branch j = (j-th best of head 1, argmax of heads 2..depth). Matches the
+    chain topology of ``engine._tree_topology``.
+    """
+    first = jax.lax.top_k(head_logits[..., 0, :], branches)[1]  # [..., J]
+    rest = jnp.argmax(head_logits[..., 1:, :], axis=-1)  # [..., depth-1]
+    d = head_logits.shape[-2]
+    rest = jnp.broadcast_to(
+        rest[..., None, :], (*first.shape, d - 1)
+    )
+    return jnp.concatenate([first[..., None], rest], axis=-1).astype(jnp.int32)
+
+
+def _head_loss(heads, head_params, hidden, tokens, depth):
+    """Teacher-forced CE: head k at position t predicts tokens[t + 1 + k].
+
+    hidden [B, T, D] is the FROZEN base's final-norm output on ``tokens``;
+    position t's lm_head target is tokens[t+1], so head k's is tokens[t+1+k].
+    """
+    logits = heads.apply(head_params, hidden)  # [B, T, depth, V]
+    B, T = tokens.shape
+    total = jnp.float32(0)
+    count = jnp.float32(0)
+    for k in range(1, depth + 1):
+        n = T - 1 - k
+        if n <= 0:
+            continue
+        lg = logits[:, :n, k - 1, :]
+        tg = tokens[:, 1 + k : 1 + k + n]
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        picked = jnp.take_along_axis(lg, tg[..., None], axis=-1)[..., 0]
+        total = total + jnp.sum(lse - picked)
+        count = count + n * B
+    return total / jnp.maximum(count, 1.0)
+
+
+def train_medusa_heads(
+    model: LlamaModel,
+    params,
+    heads: MedusaHeads,
+    head_params,
+    token_batches,  # iterable of [B, T] int32 arrays (text corpus)
+    *,
+    steps: int | None = None,
+    lr: float = 1e-3,
+    weight_decay: float = 0.0,
+):
+    """Self-distill the heads on text with the base frozen.
+
+    Returns (trained head_params, list of per-step losses). One base forward
+    per batch (cache-less full-sequence scoring, ``return_hidden=True``);
+    the head train step is a separate jit so the expensive base forward is
+    reused across epochs over the same batch iterable if the caller loops.
+    """
+    import optax
+
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = opt.init(head_params)
+    depth = heads.depth
+
+    @partial(jax.jit, static_argnames=())
+    def base_hidden(p, tokens):
+        _, hidden = model.apply(p, tokens, return_hidden=True)
+        return jax.lax.stop_gradient(hidden)
+
+    @jax.jit
+    def train_step(hp, os_, hidden, tokens):
+        loss, grads = jax.value_and_grad(
+            lambda h: _head_loss(heads, h, hidden, tokens, depth)
+        )(hp)
+        updates, os_ = opt.update(grads, os_, hp)
+        return optax.apply_updates(hp, updates), os_, loss
+
+    losses = []
+    for i, tokens in enumerate(token_batches):
+        if steps is not None and i >= steps:
+            break
+        tokens = jnp.asarray(tokens, jnp.int32)
+        hidden = base_hidden(params, tokens)
+        head_params, opt_state, loss = train_step(
+            head_params, opt_state, hidden, tokens
+        )
+        losses.append(float(loss))
+    return head_params, losses
