@@ -125,6 +125,53 @@ def _restore_model(ckpt: str):
     return model, restore_checkpoint(ckpt, example)
 
 
+def cmd_medusa_train(args):
+    """Self-distill drafting heads on the quantized checkpoint's own greedy
+    streams (models/medusa.py): no labels, no extra data — the corpus is
+    what the engine will actually decode."""
+    import jax
+
+    from .models import greedy_generate
+    from .models.medusa import init_medusa, train_medusa_heads
+    from .utils.checkpoint import save_checkpoint
+
+    model, params = _restore_model(args.ckpt)
+    heads, hp = init_medusa(model, args.depth, jax.random.PRNGKey(args.seed))
+    if args.corpus:
+        corpus = jnp.asarray(np.load(args.corpus)["tokens"], jnp.int32)
+    else:
+        if not args.prompt_tokens:
+            raise SystemExit("medusa-train needs --corpus or --prompt-tokens")
+        prompts = jnp.asarray(
+            [[int(t) for t in args.prompt_tokens.split(",")]], jnp.int32
+        )
+        out = greedy_generate(
+            model, params, prompts, args.distill_len,
+            prompts.shape[1] + args.distill_len + 8,
+        )
+        corpus = jnp.concatenate([prompts, jnp.asarray(out, jnp.int32)], 1)
+    hp, losses = train_medusa_heads(
+        model, params, heads, hp, [corpus] * args.steps, lr=args.lr
+    )
+    save_checkpoint(args.out, hp, json.dumps({"depth": args.depth}))
+    print(json.dumps({"loss_first": losses[0], "loss_last": losses[-1],
+                      "out": args.out}))
+
+
+def _load_medusa(args, model):
+    """--medusa checkpoint dir -> (heads_module, head_params) or (None, None)."""
+    if not getattr(args, "medusa", None):
+        return None, None
+    import jax
+
+    from .models.medusa import init_medusa
+    from .utils.checkpoint import load_config, restore_checkpoint
+
+    depth = int(load_config(args.medusa)["depth"])
+    heads, example = init_medusa(model, depth, jax.random.PRNGKey(0))
+    return heads, restore_checkpoint(args.medusa, example)
+
+
 def _load_tokenizer(args):
     if getattr(args, "tokenizer", None):
         from .tokenizer import Tokenizer
@@ -161,7 +208,13 @@ def cmd_generate(args):
         min_p=args.min_p,
         repetition_penalty=args.repetition_penalty,
     )
-    eng = Engine(model, params, ecfg, kv_dtype=_kv_dtype(args))
+    heads, hparams = _load_medusa(args, model)
+    eng = Engine(
+        model, params, ecfg, kv_dtype=_kv_dtype(args),
+        medusa_heads=heads, medusa_params=hparams,
+        gamma=(heads.depth if heads is not None else 4),
+        lookup_branches=(args.medusa_branches if heads is not None else 1),
+    )
     rid = eng.add_request(prompt, args.max_new)
     out = eng.run()[rid]
     rec = {"request": rid, "tokens": out, "metrics": eng.metrics()}
@@ -183,7 +236,14 @@ def _load_engine(args):
         min_p=args.min_p,
         repetition_penalty=args.repetition_penalty,
     )
-    return Engine(model, params, ecfg, kv_dtype=_kv_dtype(args))
+    heads, hparams = _load_medusa(args, model)
+    return Engine(
+        model, params, ecfg, kv_dtype=_kv_dtype(args),
+        medusa_heads=heads, medusa_params=hparams,
+        gamma=(heads.depth if heads is not None else 4),
+        lookup_branches=(getattr(args, "medusa_branches", 4)
+                         if heads is not None else 1),
+    )
 
 
 def cmd_serve(args):
@@ -260,7 +320,28 @@ def main(argv=None):
     g.add_argument("--kv-bits", type=int, default=None, choices=[4, 8, 16],
                    help="KV storage: 8 int8 (default), 4 packed int4 "
                         "(capacity tier), 16 bf16")
+    g.add_argument("--medusa", default=None,
+                   help="drafting-heads checkpoint dir (medusa-train output)")
+    g.add_argument("--medusa-branches", type=int, default=4)
     g.set_defaults(fn=cmd_generate)
+
+    mt = sub.add_parser(
+        "medusa-train",
+        help="self-distill drafting heads for tree speculation",
+    )
+    mt.add_argument("--ckpt", required=True)
+    mt.add_argument("--out", required=True, help="heads checkpoint dir")
+    mt.add_argument("--depth", type=int, default=3)
+    mt.add_argument("--steps", type=int, default=200)
+    mt.add_argument("--lr", type=float, default=1e-3)
+    mt.add_argument("--seed", type=int, default=0)
+    mt.add_argument("--corpus", default=None,
+                    help=".npz with a [N, T] int32 'tokens' array")
+    mt.add_argument("--prompt-tokens", default=None,
+                    help="comma-separated seed ids for self-distillation")
+    mt.add_argument("--distill-len", type=int, default=128,
+                    help="greedy continuation length per self-distill prompt")
+    mt.set_defaults(fn=cmd_medusa_train)
 
     sv = sub.add_parser("serve", help="HTTP serving frontend")
     sv.add_argument("--ckpt", required=True)
@@ -278,6 +359,9 @@ def main(argv=None):
     sv.add_argument("--int8-kv", action="store_true", default=True)
     sv.add_argument("--kv-bits", type=int, default=None, choices=[4, 8, 16],
                     help="KV storage: 8 int8 (default), 4 packed int4, 16 bf16")
+    sv.add_argument("--medusa", default=None,
+                    help="drafting-heads checkpoint dir (medusa-train output)")
+    sv.add_argument("--medusa-branches", type=int, default=4)
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

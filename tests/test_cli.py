@@ -135,3 +135,33 @@ def test_cli_longrope_fused_convert_then_generate(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rec["tokens"]) == 8
     assert all(0 <= t < V for t in rec["tokens"])
+
+
+@pytest.mark.slow
+def test_cli_medusa_train_then_generate(weights_and_config, capsys):
+    """medusa-train self-distills heads from the checkpoint, and
+    generate --medusa serves through the trained-tree tick producing the
+    exact greedy stream (plain generate on the same checkpoint)."""
+    tmp, wpath, cpath = weights_and_config
+    ckpt = str(tmp / "ckpt_medusa_base")
+    main(["convert", "--weights", wpath, "--config", cpath, "--mode",
+          "dynamic", "--out", ckpt])
+    capsys.readouterr()
+
+    main(["generate", "--ckpt", ckpt, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "12", "--max-seq", "64"])
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    heads = str(tmp / "heads")
+    main(["medusa-train", "--ckpt", ckpt, "--out", heads, "--depth", "2",
+          "--steps", "25", "--lr", "3e-3", "--prompt-tokens", "5,9,2,7",
+          "--distill-len", "48"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["loss_last"] < rec["loss_first"]
+
+    main(["generate", "--ckpt", ckpt, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "12", "--max-seq", "64", "--medusa", heads,
+          "--medusa-branches", "3"])
+    spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert spec["tokens"] == plain["tokens"], (spec["tokens"], plain["tokens"])
+    assert spec["metrics"]["spec_acceptance_rate"] >= 0.0
