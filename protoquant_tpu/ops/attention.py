@@ -449,7 +449,7 @@ int8_kv_attention_ref = int8_kv_attention_xla
 # (widen-then-shift). Overridable for A/B probes (bench/int4kv_probe.py).
 import os as _os
 
-_INT4_UNPACK = _os.environ.get("PQ_INT4_UNPACK", "i8")
+_INT4_UNPACK = _os.environ.get("PQ_INT4_UNPACK", "i32")
 
 
 def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
