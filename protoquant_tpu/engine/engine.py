@@ -31,6 +31,8 @@ from ..utils.config import EngineConfig
 from .health import StepWatchdog, check_finite
 from .sampling import sample
 
+NEG_INF_LOGIT = -1e30  # guided-decoding mask value (matches sampling.py)
+
 
 @dataclasses.dataclass
 class Request:
@@ -61,6 +63,11 @@ class Request:
     t_enqueue: float = 0.0  # perf_counter at add_request (queue-wait timing)
     cancelled: bool = False  # retired early via Engine.cancel()
     priority: int = 0  # admission priority (scheduler="priority")
+    # Guided decoding: callable(tokens_so_far: list[int]) -> [V] bool
+    # (True = allowed). Called on the host each tick — the FSM/grammar
+    # state lives in the callable; the mask applies on-device before
+    # sampling. None = unconstrained.
+    logit_mask_fn: "object" = None
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -87,6 +94,7 @@ def _decode_step(
     penalty: float = 1.0,
     counts=None,  # [B, V] int32 occurrence counts (repetition penalty)
     adapter_ids=None,  # [B] int32 multi-LoRA selection
+    logit_mask=None,  # [B, V] bool, True = allowed (guided decoding)
 ):
     from .sampling import sample_batched, token_logprob
 
@@ -98,6 +106,11 @@ def _decode_step(
         adapter_ids=adapter_ids,
     )
     last = logits[:, -1]
+    if logit_mask is not None:
+        # Guided decoding: disallowed tokens are -inf BEFORE sampling, so
+        # greedy/top-k/top-p all draw from the constrained distribution and
+        # reported logprobs are the constrained ones.
+        last = jnp.where(logit_mask, last, NEG_INF_LOGIT)
     next_tokens = sample_batched(
         last, key, samp["temps"], samp["top_ks"], samp["top_ps"],
         samp["min_ps"], counts, penalty,
@@ -445,9 +458,17 @@ class Engine:
         top_p: "float | None" = None,
         min_p: "float | None" = None,
         priority: int = 0,  # scheduler="priority": higher admits first
+        logit_mask_fn=None,  # guided decoding: fn(tokens_so_far)->[V] bool
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
-        to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens."""
+        to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens.
+
+        ``logit_mask_fn`` constrains generation (structured output): called
+        on the host before every step with the request's tokens so far
+        (prompt + generated), it returns a [vocab] bool mask of allowed
+        next tokens; disallowed logits become -inf before sampling, so the
+        constraint is exact at any temperature. Unsupported in speculative
+        modes (the score-and-accept program commits whole windows)."""
         prompt = [int(t) for t in prompt_tokens]
         if not prompt:
             raise ValueError("empty prompt")
@@ -475,10 +496,18 @@ class Engine:
             min_p=min_p,
             priority=priority,
             t_enqueue=time.perf_counter(),
+            logit_mask_fn=logit_mask_fn,
         )
         if adapter_id and self.adapter_ids is None:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
+            )
+        if logit_mask_fn is not None and (
+            self.draft_caches is not None or self.prompt_lookup
+            or self.medusa_params is not None
+        ):
+            raise ValueError(
+                "logit_mask_fn is unsupported in speculative modes"
             )
         if self._tree_mode and temperature not in (None, 0.0):
             raise ValueError("tree speculation is greedy-only "
@@ -710,9 +739,16 @@ class Engine:
             )
             from .sampling import sample_batched
 
+            last_logits = req.last_logits
+            if req.logit_mask_fn is not None:
+                # The first generated token obeys the constraint too.
+                allow = jnp.asarray(
+                    np.asarray(req.logit_mask_fn(req.prompt), bool)
+                )
+                last_logits = jnp.where(allow, last_logits, NEG_INF_LOGIT)
             first_tok = int(
                 sample_batched(
-                    req.last_logits[None, :],
+                    last_logits[None, :],
                     sub,
                     self.samp["temps"][req.slot][None],
                     self.samp["top_ks"][req.slot][None],
@@ -728,7 +764,7 @@ class Engine:
                 req.logprobs.append(
                     float(
                         token_logprob(
-                            req.last_logits[None, :],
+                            last_logits[None, :],
                             jnp.asarray([first_tok], jnp.int32),
                         )[0]
                     )
@@ -861,6 +897,21 @@ class Engine:
                     dataclasses.replace(c, page_table=c.page_table[:, :W])
                     for c in self.caches
                 ]
+        logit_mask = None
+        if any(
+            r is not None and r.logit_mask_fn is not None and self.active[s]
+            for s, r in enumerate(self.slot_req)
+        ):
+            # Guided decoding: assemble this tick's [B, V] allowed mask on
+            # the host (the grammar/FSM state lives in each request's
+            # callable); unconstrained slots allow everything.
+            m = np.ones(
+                (self.cfg.max_batch_size, self.model.cfg.vocab_size), bool
+            )
+            for s, r in enumerate(self.slot_req):
+                if r is not None and r.logit_mask_fn is not None and self.active[s]:
+                    m[s] = np.asarray(r.logit_mask_fn(r.prompt + r.out), bool)
+            logit_mask = jnp.asarray(m)
         next_tokens, logprobs, new_counts, self.caches = decode(
             self.params,
             caches,
@@ -871,6 +922,7 @@ class Engine:
             penalty=self.cfg.repetition_penalty,
             counts=self.token_counts,
             adapter_ids=self.adapter_ids,
+            logit_mask=logit_mask,
         )
         if new_counts is not None:
             self.token_counts = new_counts
@@ -1598,25 +1650,30 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
     def decode(
         params, caches, last_tokens, active, key, samp,
-        penalty=1.0, counts=None, adapter_ids=None,
+        penalty=1.0, counts=None, adapter_ids=None, logit_mask=None,
     ):
         pspecs, cspecs = _specs(params, caches)
-        dkey = ("decode", counts is None, adapter_ids is None)
+        dkey = ("decode", counts is None, adapter_ids is None,
+                logit_mask is None)
         if dkey not in state:
             samp_spec = {k: batch_spec for k in samp}
-            # counts [B, V] / adapter_ids [B] shard over data with their slots.
+            # counts [B, V] / adapter_ids [B] / logit_mask [B, V] shard over
+            # data with their slots.
             counts_spec = batch_spec if counts is None else P(*batch_spec, None)
+            mask_spec = (
+                batch_spec if logit_mask is None else P(*batch_spec, None)
+            )
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, counts_spec, batch_spec),
+                          samp_spec, counts_spec, batch_spec, mask_spec),
                 out_specs=((batch_spec, batch_spec, counts_spec), cspecs),
                 check_vma=False,
             )
             def _decode(params, caches, last_tokens, active, key, samp,
-                        counts, adapter_ids):
+                        counts, adapter_ids, logit_mask):
                 from .sampling import sample_batched, token_logprob
 
                 max_pos = model.cfg.max_position_embeddings - 1
@@ -1631,11 +1688,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     key_r = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
                 else:
                     key_r = key
+                last = logits[:, -1]
+                if logit_mask is not None:
+                    last = jnp.where(logit_mask, last, NEG_INF_LOGIT)
                 next_tokens = sample_batched(
-                    logits[:, -1], key_r, samp["temps"], samp["top_ks"],
+                    last, key_r, samp["temps"], samp["top_ks"],
                     samp["top_ps"], samp["min_ps"], counts, penalty,
                 )
-                logprobs = token_logprob(logits[:, -1], next_tokens)
+                logprobs = token_logprob(last, next_tokens)
                 if counts is not None:
                     b = jnp.arange(next_tokens.shape[0])
                     counts = counts.at[b, next_tokens].add(
@@ -1646,7 +1706,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             state[dkey] = jax.jit(_decode, donate_argnums=(1,))
         (next_tokens, logprobs, counts), caches = state[dkey](
             params, caches, last_tokens, active, key, samp, counts,
-            adapter_ids,
+            adapter_ids, logit_mask,
         )
         return next_tokens, logprobs, counts, caches
 
