@@ -7,7 +7,9 @@ from any number of client connections and batch together on the device.
   POST /generate   {"tokens": [1,2,3], "max_new_tokens": 32, "eos_id": null}
       -> {"request": rid, "tokens": [...], "cancelled": false}
   (sampling temperature/top_k default from EngineConfig; per-request
-   overrides accepted in the body)
+   overrides accepted in the body; "allowed_tokens": [ids] constrains
+   every generated token to the set — the static slice of the engine's
+   guided-decoding mask)
   POST /generate   {..., "stream": true}
       -> Server-Sent Events: one `data: {"request": rid, "token": t}` event
          per generated token AS IT DECODES, then a final
@@ -100,7 +102,20 @@ class EngineServer:
                         [int(t) for t in seq]
                         for seq in (req.get("stop_sequences") or [])
                     ]
-                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+                    # Guided decoding over HTTP (the static-set slice of
+                    # Engine's logit_mask_fn): every generated token must
+                    # come from "allowed_tokens".
+                    logit_mask_fn = None
+                    if req.get("allowed_tokens"):
+                        import numpy as _np
+
+                        allow = _np.zeros(
+                            outer.engine.model.cfg.vocab_size, bool
+                        )
+                        allow[[int(t) for t in req["allowed_tokens"]]] = True
+                        logit_mask_fn = lambda toks, _m=allow: _m
+                except (KeyError, TypeError, ValueError, IndexError,
+                        json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 stream = bool(req.get("stream", False))
                 tok_q = _queue.Queue() if stream else None
@@ -109,6 +124,7 @@ class EngineServer:
                         tokens, max_new, eos_id,
                         adapter_id=adapter_id,
                         stop_sequences=stop_sequences, stream_queue=tok_q,
+                        logit_mask_fn=logit_mask_fn,
                         **samp,
                     )
                 except ValueError as e:  # engine-side validation (length etc.)

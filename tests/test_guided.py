@@ -187,3 +187,41 @@ def test_guided_dp_tp_engine(model_and_params):
         outs = eng.run()
     for ra, rb in zip(srids, rids):
         assert souts[ra] == outs[rb], (souts[ra], outs[rb])
+
+
+def test_guided_http_allowed_tokens(model_and_params):
+    """The HTTP slice of guided decoding: "allowed_tokens" constrains every
+    generated token; out-of-range ids are a 400, not a server crash."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    srv = EngineServer(eng, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        req = urllib.request.Request(
+            base + "/generate",
+            data=_json.dumps({"tokens": [5, 9, 2], "max_new_tokens": 6,
+                              "allowed_tokens": [3, 9, 12]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.load(r)["tokens"]
+        assert len(out) == 6 and all(t in (3, 9, 12) for t in out), out
+
+        bad = urllib.request.Request(
+            base + "/generate",
+            data=_json.dumps({"tokens": [5], "allowed_tokens": [9999]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=10)
+        assert e.value.code == 400
+    finally:
+        srv.stop()
