@@ -445,12 +445,6 @@ int8_kv_attention_ref = int8_kv_attention_xla
 
 # -- INT4 KV flash attention (round 3) ---------------------------------------
 
-# In-kernel nibble-unpack formulation: "i8" (int8-native shifts) or "i32"
-# (widen-then-shift). Overridable for A/B probes (bench/int4kv_probe.py).
-import os as _os
-
-_INT4_UNPACK = _os.environ.get("PQ_INT4_UNPACK", "i32")
-
 
 def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                   m_ref, l_ref, acc_ref, *, group, block_sp, lane, sm):
@@ -486,24 +480,16 @@ def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         # materializes ~1MB of i32 VMEM copies per program (measured 0.29
         # HBM frac); instead each half gets its own dot, and only the SMALL
         # (TG, bs_p) score tiles concatenate for one shared softmax update.
-        if _INT4_UNPACK == "i8":
-            # int8-native shifts: signed << wraps and >> is arithmetic, so
-            # (b << 4) >> 4 sign-extends the low nibble and b >> 4 the high
-            # — the VPU packs 4x int8 lanes per op vs the i32 formulation
-            # (A/B'd on-chip; see BASELINE.md int4 KV status).
-            ku = k_ref[0]  # (HB, bs_p, Dh) int8
-            vu = v_ref[0]
-            k_lo = ((ku << 4) >> 4).astype(lane)
-            k_hi = (ku >> 4).astype(lane)
-            v_lo = ((vu << 4) >> 4).astype(lane)
-            v_hi = (vu >> 4).astype(lane)
-        else:
-            ku = k_ref[0].astype(jnp.int32)  # (HB, bs_p, Dh)
-            vu = v_ref[0].astype(jnp.int32)
-            k_lo = ((ku << 28) >> 28).astype(lane)
-            k_hi = ((ku << 24) >> 28).astype(lane)
-            v_lo = ((vu << 28) >> 28).astype(lane)
-            v_hi = ((vu << 24) >> 28).astype(lane)
+        # i32 widen-then-shift is the ONLY formulation Mosaic compiles:
+        # int8-native shifts ((b << 4) >> 4 in i8, 4x VPU lanes/op) fail to
+        # legalize — `arith.shli : vector<...xi8>` has no TPU lowering
+        # (probed on-chip this round; see BASELINE.md int4 KV status).
+        ku = k_ref[0].astype(jnp.int32)  # (HB, bs_p, Dh)
+        vu = v_ref[0].astype(jnp.int32)
+        k_lo = ((ku << 28) >> 28).astype(lane)
+        k_hi = ((ku << 24) >> 28).astype(lane)
+        v_lo = ((vu << 28) >> 28).astype(lane)
+        v_hi = ((vu << 24) >> 28).astype(lane)
         ks_e = ks_ref[0, :, 0, :].reshape(HB, 1, block_sp)
         ks_o = ks_ref[0, :, 1, :].reshape(HB, 1, block_sp)
         vs_e = vs_ref[0, :, 0, :].reshape(HB, 1, block_sp)
