@@ -44,7 +44,12 @@ def cmd_convert(args):
         fp8_group=args.fp8_group,
     )
     sd = _load_state_dict(args.weights)
-    params = import_hf_llama(sd, cfg)
+    if any(k.startswith("gpt_neox.") for k in sd):
+        from .models.hf_import import import_hf_gpt_neox
+
+        params = import_hf_gpt_neox(sd, cfg)
+    else:
+        params = import_hf_llama(sd, cfg)
     if args.smooth_alpha is not None:
         # SmoothQuant calibration (nn/smooth.py): migrate activation
         # outliers into the weights before quantizing. Calibration tokens

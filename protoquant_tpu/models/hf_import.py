@@ -25,6 +25,82 @@ def _kernel(sd: Mapping[str, np.ndarray], name: str) -> jnp.ndarray:
     return jnp.asarray(np.asarray(sd[name]).astype(np.float32).T)
 
 
+def import_hf_gpt_neox(
+    sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
+) -> dict:
+    """HF GPT-NeoX/Pythia state dict -> fp flax params.
+
+    The NeoX namespace differs structurally from Llama's: a FUSED
+    query_key_value projection whose rows interleave per head as
+    [q_h; k_h; v_h] (HF GPTNeoXAttention reshapes to [..., H, 3*hd] and
+    splits on the last axis), `dense` for o_proj, a plain biased MLP
+    (dense_h_to_4h/dense_4h_to_h -> our up_proj/down_proj), biased
+    LayerNorms, embed_in/embed_out, final_layer_norm."""
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def _ln(prefix):
+        return {
+            "weight": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32)),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32)),
+        }
+
+    p: dict = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["gpt_neox.embed_in.weight"], np.float32)
+            )
+        }
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"gpt_neox.layers.{i}"
+        qkv_w = np.asarray(
+            sd[f"{pre}.attention.query_key_value.weight"], np.float32
+        ).reshape(H, 3, hd, cfg.hidden_size)
+        qkv_b = np.asarray(
+            sd[f"{pre}.attention.query_key_value.bias"], np.float32
+        ).reshape(H, 3, hd)
+        self_attn = {}
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            self_attn[name] = {
+                # torch [out, in] -> our kernel [in, out]
+                "kernel": jnp.asarray(qkv_w[:, j].reshape(H * hd, -1).T),
+                "bias": jnp.asarray(qkv_b[:, j].reshape(H * hd)),
+            }
+        self_attn["o_proj"] = {
+            "kernel": _kernel(sd, f"{pre}.attention.dense.weight"),
+            "bias": jnp.asarray(
+                np.asarray(sd[f"{pre}.attention.dense.bias"], np.float32)
+            ),
+        }
+        p[f"layers_{i}"] = {
+            "input_layernorm": _ln(f"{pre}.input_layernorm"),
+            "post_attention_layernorm": _ln(f"{pre}.post_attention_layernorm"),
+            "self_attn": self_attn,
+            "mlp": {
+                "up_proj": {
+                    "kernel": _kernel(sd, f"{pre}.mlp.dense_h_to_4h.weight"),
+                    "bias": jnp.asarray(
+                        np.asarray(sd[f"{pre}.mlp.dense_h_to_4h.bias"], np.float32)
+                    ),
+                },
+                "down_proj": {
+                    "kernel": _kernel(sd, f"{pre}.mlp.dense_4h_to_h.weight"),
+                    "bias": jnp.asarray(
+                        np.asarray(sd[f"{pre}.mlp.dense_4h_to_h.bias"], np.float32)
+                    ),
+                },
+            },
+        }
+    p["norm"] = _ln("gpt_neox.final_layer_norm")
+    lm = (
+        sd["gpt_neox.embed_in.weight"]
+        if cfg.tie_word_embeddings or "embed_out.weight" not in sd
+        else sd["embed_out.weight"]
+    )
+    p["lm_head"] = {"kernel": jnp.asarray(np.asarray(lm, np.float32).T)}
+    return {"params": p}
+
+
 def import_hf_llama(
     sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict:

@@ -89,6 +89,39 @@ class RMSNorm(nn.Module):
         return (y * w).astype(self.dtype)
 
 
+class LayerNorm(nn.Module):
+    """Mean-centred norm with weight + bias (GPT-NeoX/Pythia tier; fp32
+    math, output cast to the activation dtype like RMSNorm above)."""
+
+    eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros_init(), (x.shape[-1],), jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(self.dtype)
+
+
+def make_norm(cfg, dtype, name, quant_out=False):
+    """The model-wide norm family switch (cfg.norm_type)."""
+    if cfg.norm_type == "layernorm":
+        assert not quant_out, "fused norm+quant is RMSNorm-only"
+        return LayerNorm(cfg.rms_norm_eps, dtype, name=name)
+    return RMSNorm(
+        cfg.rms_norm_eps, dtype, unit_offset=cfg.rmsnorm_unit_offset,
+        quant_out=quant_out, name=name,
+    )
+
+
 def rope_tables(head_dim: int, max_len: int, theta: float, cfg=None,
                 longrope_long: bool = False):
     """cos/sin tables [max_len, head_dim//2], f32.
@@ -568,8 +601,9 @@ class MLP(nn.Module):
             else:
                 x = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
         _lr = lambda n: self.lora_rank if n in self.lora_targets else 0
+        bias = self.cfg.mlp_bias
         lin = lambda feats, name: QLinear(
-            feats, mode=self.mode, use_bias=False, dtype=self.dtype,
+            feats, mode=self.mode, use_bias=bias, dtype=self.dtype,
             int4_group=self.int4_group, int4_storage=self.int4_storage, fp8_group=self.fp8_group,
             lora_rank=_lr(name), lora_alpha=self.lora_alpha,
             lora_stack=self.lora_stack, name=name,
@@ -583,6 +617,33 @@ class MLP(nn.Module):
                 preq = numerics.quantize_rowwise(x.astype(self.dtype))
             else:
                 preq = ops.rowquant(x.astype(self.dtype))
+        if not self.cfg.mlp_gated:
+            # Plain 2-layer MLP (GPT-NeoX: dense_h_to_4h -> act ->
+            # dense_4h_to_h; imported as up_proj/down_proj).
+            assert not self.fused, "fused projections presume a gated MLP"
+            up = lin(inter, "up_proj")(x, preq, adapter_ids)
+            act = (
+                jax.nn.silu
+                if self.cfg.hidden_act == "silu"
+                else partial(jax.nn.gelu, approximate=True)
+            )
+            h = act(up.astype(jnp.float32)).astype(self.dtype)
+            return QLinear(
+                self.cfg.hidden_size,
+                mode=self.mode,
+                use_bias=bias,
+                dtype=self.dtype,
+                psum_axis=self.tp_axis,
+                scatter_tokens=self.sp,
+                int4_group=self.int4_group,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
+                lora_rank=_lr("down_proj"),
+                lora_alpha=self.lora_alpha,
+                lora_stack=self.lora_stack,
+                collective=self.collective,
+                tp=self.tp,
+                name="down_proj",
+            )(h, None, adapter_ids)
         if self.fused:
             assert self.tp == 1, "fused gate/up requires tp=1"
             gu = lin(2 * inter, "gate_up_proj")(x, preq, adapter_ids)
@@ -622,7 +683,7 @@ class MLP(nn.Module):
         return QLinear(
             self.cfg.hidden_size,
             mode=self.mode,
-            use_bias=False,
+            use_bias=bias,
             dtype=self.dtype,
             psum_axis=self.tp_axis,
             scatter_tokens=self.sp,
@@ -671,19 +732,46 @@ class DecoderLayer(nn.Module):
         fq = (
             self.mode == "dynamic"
             and not self.sp
+            and self.cfg.norm_type == "rmsnorm"
+            and not self.cfg.parallel_block
             and ops.resolve_fused_quant()
         )
 
         def norm(name, quant_out):
-            return RMSNorm(
-                self.cfg.rms_norm_eps, self.dtype,
-                unit_offset=self.cfg.rmsnorm_unit_offset,
-                quant_out=quant_out, name=name,
-            )
+            return make_norm(self.cfg, self.dtype, name, quant_out=quant_out)
 
         def deq(preq):
             xq, sx = preq
             return (xq.astype(jnp.float32) * sx[..., None]).astype(self.dtype)
+
+        if self.cfg.parallel_block:
+            # GPT-NeoX/Pythia parallel residual: attention and MLP both read
+            # norms of the SAME layer input; one residual add. (NeoX
+            # use_parallel_residual=True; HF GPTNeoXLayer.forward.)
+            assert not (self.cfg.is_mla or self.cfg.layer_is_moe(self.layer_idx)), (
+                "parallel_block: MLA/MoE unsupported"
+            )
+            a_in = norm("input_layernorm", False)(x)
+            m_in = norm("post_attention_layernorm", False)(x)
+            h_attn, new_cache = Attention(
+                self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
+                self.tp_axis, self.fused,
+                self.sp, self.cp, self.cp_axis, self.int4_group,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_targets=self.lora_targets, lora_stack=self.lora_stack,
+                collective=self.collective, name="self_attn",
+            )(a_in, positions, cache, advance, preq=None,
+              adapter_ids=adapter_ids, tree_mask=tree_mask)
+            h_mlp = MLP(
+                self.cfg, self.mode, self.dtype, self.tp, self.tp_axis,
+                self.fused, self.sp, self.int4_group,
+                int4_storage=self.int4_storage, fp8_group=self.fp8_group,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_targets=self.lora_targets, lora_stack=self.lora_stack,
+                collective=self.collective, name="mlp",
+            )(m_in, preq=None, adapter_ids=adapter_ids)
+            return x + h_attn + h_mlp, new_cache
 
         sandwich = self.cfg.sandwich_norms
         post = self.cfg.post_norm
@@ -853,10 +941,7 @@ class LlamaModel(nn.Module):
               tree_mask=tree_mask)
             new_caches.append(nc)
 
-        x = RMSNorm(
-            cfg.rms_norm_eps, self.dtype,
-            unit_offset=cfg.rmsnorm_unit_offset, name="norm",
-        )(x)
+        x = make_norm(cfg, self.dtype, "norm")(x)
         if self.sp:
             # The SP region ends here: the column-parallel lm_head needs the
             # full sequence on every shard (it is vocab-sharded over the same

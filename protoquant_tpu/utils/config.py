@@ -197,9 +197,27 @@ class ModelConfig:
     # qk_norm over the full projection width [H*Dh] before the head split
     # (OLMo-2), instead of per-head over head_dim (Qwen3/Gemma-3).
     qk_norm_full: bool = False
+    # GPT-NeoX/Pythia architecture axis:
+    # "layernorm" = mean-centred norm with a bias (vs the RMSNorm default).
+    norm_type: str = "rmsnorm"
+    # Parallel residual: x + attn(ln1(x)) + mlp(ln2(x)) — BOTH sublayers
+    # read norms of the SAME input; one residual add (NeoX
+    # use_parallel_residual).
+    parallel_block: bool = False
+    # False = plain 2-layer MLP (up -> act -> down; NeoX dense_h_to_4h /
+    # dense_4h_to_h), True = gated SwiGLU/GeGLU.
+    mlp_gated: bool = True
+    # Biases on the MLP projections (NeoX has them everywhere).
+    mlp_bias: bool = False
 
     def __post_init__(self):
         _coerce_tuple_fields(self)
+        if self.norm_type not in ("rmsnorm", "layernorm"):
+            raise ValueError("norm_type must be 'rmsnorm' or 'layernorm'")
+        if self.parallel_block and (self.post_norm or self.sandwich_norms):
+            raise ValueError(
+                "parallel_block is exclusive with post_norm/sandwich_norms"
+            )
 
     @property
     def head_dim(self) -> int:
@@ -550,6 +568,30 @@ class ModelConfig:
             post_norm=True,
             qk_norm=True,
             qk_norm_full=True,
+        )
+
+    @classmethod
+    def pythia_6_9b(cls) -> "ModelConfig":
+        """GPT-NeoX family (Pythia-6.9B): LayerNorm (biased), parallel
+        residual blocks, plain biased MLP, partial rotary (pct 0.25)."""
+        return cls(
+            vocab_size=50432,
+            hidden_size=4096,
+            intermediate_size=16384,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=32,
+            max_position_embeddings=2048,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            norm_type="layernorm",
+            parallel_block=True,
+            mlp_gated=False,
+            mlp_bias=True,
+            attention_bias=True,
+            attention_out_bias=True,
+            hidden_act="gelu",
+            partial_rotary_factor=0.25,
         )
 
     @classmethod

@@ -165,3 +165,40 @@ def test_cli_medusa_train_then_generate(weights_and_config, capsys):
     spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert spec["tokens"] == plain["tokens"], (spec["tokens"], plain["tokens"])
     assert spec["metrics"]["spec_acceptance_rate"] >= 0.0
+
+
+@pytest.mark.slow
+def test_cli_gpt_neox_convert_then_generate(tmp_path, capsys):
+    """convert auto-detects the gpt_neox.* namespace (fused interleaved
+    query_key_value, biased LayerNorms/MLP) and the restored engine decodes."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(0)
+    hf = GPTNeoXForCausalLM(GPTNeoXConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, rotary_pct=0.25,
+        use_parallel_residual=True, tie_word_embeddings=False,
+        hidden_act="gelu")).eval().float()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    wpath = tmp_path / "weights.npz"
+    np.savez(wpath, **sd)
+    cpath = tmp_path / "config.json"
+    cpath.write_text(json.dumps({
+        "vocab_size": 64, "hidden_size": 64, "intermediate_size": 256,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 4, "max_position_embeddings": 64,
+        "norm_type": "layernorm", "parallel_block": True,
+        "mlp_gated": False, "mlp_bias": True, "attention_bias": True,
+        "attention_out_bias": True, "hidden_act": "gelu",
+        "partial_rotary_factor": 0.25}))
+    out = str(tmp_path / "ckpt")
+    main(["convert", "--weights", str(wpath), "--config", str(cpath),
+          "--mode", "dynamic", "--out", out])
+    capsys.readouterr()
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2",
+          "--max-new", "8", "--max-seq", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 8 and all(0 <= t < 64 for t in rec["tokens"])

@@ -785,3 +785,53 @@ def test_gpt_oss_parity():
         {k: v for k, v in sdn.items() if not k.endswith("sinks")}, toks,
     )
     assert np.abs(no_sinks - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_gpt_neox_parity():
+    """GPT-NeoX/Pythia = a different architecture AXIS entirely: biased
+    LayerNorm (mean-centred), PARALLEL residual blocks (attn and mlp both
+    read norms of the same input), plain biased 2-layer gelu MLP, fused
+    interleaved query_key_value, partial rotary (pct 0.25), untied
+    embed_out — with a changed-math control on the parallel-residual flag."""
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    from protoquant_tpu.models.hf_import import import_hf_gpt_neox
+
+    hf_cfg = GPTNeoXConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, rotary_pct=0.25, rotary_emb_base=10000,
+        use_parallel_residual=True, layer_norm_eps=1e-5,
+        tie_word_embeddings=False, attention_bias=True,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(5)
+    hf = GPTNeoXForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        norm_type="layernorm", parallel_block=True, mlp_gated=False,
+        mlp_bias=True, attention_bias=True, attention_out_bias=True,
+        hidden_act="gelu", partial_rotary_factor=0.25,
+    )
+    toks = _tokens(64, seed=5)
+    sd = _state_dict_np(hf)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_gpt_neox(sd, cfg)
+    ours = np.asarray(model.apply(params, jnp.asarray(toks)))
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Changed-math control: a sequential-residual model must NOT match the
+    # parallel-residual reference (guards against the test passing vacuously).
+    import dataclasses as _dc
+
+    seq_cfg = _dc.replace(cfg, parallel_block=False)
+    seq = np.asarray(
+        LlamaModel(seq_cfg, mode="fp", dtype=jnp.float32).apply(
+            import_hf_gpt_neox(sd, seq_cfg), jnp.asarray(toks)
+        )
+    )
+    assert np.abs(seq - theirs).max() > 1e-2

@@ -212,3 +212,72 @@ def test_fused_quant_model_matches_unfused():
     cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.9999, cos
     np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+
+
+NEOX_CFG_KW = dict(
+    vocab_size=64, hidden_size=64, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=128, norm_type="layernorm", parallel_block=True,
+    mlp_gated=False, mlp_bias=True, attention_bias=True,
+    attention_out_bias=True, hidden_act="gelu", partial_rotary_factor=0.25,
+)
+
+
+@pytest.mark.slow
+def test_gpt_neox_cache_decode_matches_scoring():
+    """The NeoX architecture axis (layernorm / parallel block / plain MLP /
+    partial rotary) through the incremental cache path: prefill+decode
+    logits equal cache-free scoring."""
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.models.llama import init_cache
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(**NEOX_CFG_KW)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(3).integers(0, 64, (2, 10)),
+                       jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+    ref = model.apply(params, toks)
+
+    caches = init_cache(cfg, 2, 32, kv_dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9)[None], (2, 9))
+    lg_p, caches = model.apply(params, toks[:, :9], pos, caches)
+    lg_d, caches = model.apply(
+        params, toks[:, 9:], jnp.full((2, 1), 9, jnp.int32), caches
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_p), np.asarray(ref[:, :9]), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_d), np.asarray(ref[:, 9:]), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_gpt_neox_quantized_engine_serves():
+    """NeoX family end-to-end through quantize_params + the Engine (int8
+    dynamic incl. the biased plain MLP), batched == sequential."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(**NEOX_CFG_KW)
+    fp_model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    fp = fp_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    model = LlamaModel(cfg, mode="dynamic", dtype=jnp.float32)
+    params = quantize_params(fp)
+
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=10, temperature=0.0)
+    prompts = [[5, 9, 2, 7], [1, 2, 3]]
+    seq = []
+    for p in prompts:
+        e = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+        rid = e.add_request(p, 10)
+        seq.append(e.run()[rid])
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    rids = [eng.add_request(p, 10) for p in prompts]
+    outs = eng.run()
+    for ref, rid in zip(seq, rids):
+        assert outs[rid] == ref, (outs[rid], ref)
