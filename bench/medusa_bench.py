@@ -79,35 +79,38 @@ def main():
 
     active = jnp.ones((B,), bool)
 
-    def medusa_tick(carry, i):
+    def medusa_tick(carry, i, ps, hps):
         caches, last, props = carry
         window = jnp.concatenate(
             [(last + (i % 3))[:, None] % (V - 1), props.reshape(B, J * d)], 1)
         best, accepted, corr, nprops, caches = _tree_score_and_accept_body(
-            model, params, caches, window, active, J, d,
-            heads=heads, head_params=head_params,
+            model, ps, caches, window, active, J, d,
+            heads=heads, head_params=hps,
         )
         committed = jnp.minimum(
             caches[0].lengths * 0 + 64, S - J * d - 2)
         caches = [dataclasses.replace(c, lengths=committed) for c in caches]
         return (caches, corr, nprops), (accepted + 1).sum()
 
-    def plain_step(carry, i):
+    def plain_step(carry, i, ps, hps):
         caches, last, props = carry
         tok = (last + (i % 5))[:, None] % (V - 1) + 1
         pos = caches[0].lengths[:, None]
-        logits, caches = model.apply(params, tok, pos, caches)
+        logits, caches = model.apply(ps, tok, pos, caches)
         committed = jnp.minimum(caches[0].lengths * 0 + 64, S - 2)
         caches = [dataclasses.replace(c, lengths=committed) for c in caches]
         last = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
         return (caches, last, props), jnp.float32(1)
 
     def time_loop(name, body):
+        # params/head_params thread through as jit ARGUMENTS — closing over
+        # them bakes ~3GB of weights into the program as captured constants
+        # (measured; the head vocab projections dominate).
         def make_run(n):
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def run(carry, salt):
+            def run(carry, salt, ps, hps):
                 def wrapped(c, i):
-                    return body(c, i + salt)
+                    return body(c, i + salt, ps, hps)
 
                 carry, em = jax.lax.scan(wrapped, carry, jnp.arange(n))
                 return jnp.sum(em.astype(jnp.float32)) + carry[1].sum()
@@ -116,17 +119,17 @@ def main():
 
         lo, hi = 16, 80
         run_lo, run_hi = make_run(lo), make_run(hi)
-        float(run_lo(make_state(), jnp.int32(1)))
-        float(run_hi(make_state(), jnp.int32(1)))
+        float(run_lo(make_state(), jnp.int32(1), params, head_params))
+        float(run_hi(make_state(), jnp.int32(1), params, head_params))
         bl = bh = 1e9
         for j in range(2, 5):
             c = make_state()
             t0 = time.perf_counter()
-            float(run_lo(c, jnp.int32(j * 1009)))
+            float(run_lo(c, jnp.int32(j * 1009), params, head_params))
             bl = min(bl, time.perf_counter() - t0)
             c = make_state()
             t0 = time.perf_counter()
-            float(run_hi(c, jnp.int32(j * 2027)))
+            float(run_hi(c, jnp.int32(j * 2027), params, head_params))
             bh = min(bh, time.perf_counter() - t0)
         dt = max(bh - bl, 1e-9) / (hi - lo)
         print(json.dumps({"case": name, "us": round(dt * 1e6, 1)}), flush=True)

@@ -48,6 +48,10 @@ def cmd_convert(args):
         from .models.hf_import import import_hf_gpt_neox
 
         params = import_hf_gpt_neox(sd, cfg)
+    elif any(k.startswith("transformer.word_embeddings.") for k in sd):
+        from .models.hf_import import import_hf_falcon
+
+        params = import_hf_falcon(sd, cfg)
     else:
         params = import_hf_llama(sd, cfg)
     if args.smooth_alpha is not None:

@@ -101,6 +101,67 @@ def import_hf_gpt_neox(
     return {"params": p}
 
 
+def import_hf_falcon(
+    sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
+) -> dict:
+    """HF Falcon-7B-style state dict -> fp flax params.
+
+    Layout (multi_query + parallel_attn, new_decoder_architecture=False):
+    transformer.h.{i}.self_attention.query_key_value rows are
+    [H*hd queries; hd key; hd value] (HF FalconAttention._split_heads),
+    `dense` is o_proj, ONE biased input_layernorm feeds both sublayers
+    (cfg.parallel_block_single_norm), plain unbiased gelu MLP."""
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def _ln(prefix):
+        return {
+            "weight": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32)),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32)),
+        }
+
+    p: dict = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["transformer.word_embeddings.weight"], np.float32)
+            )
+        }
+    }
+    kvh = cfg.num_key_value_heads
+    for i in range(cfg.num_hidden_layers):
+        pre = f"transformer.h.{i}"
+        qkv = np.asarray(
+            sd[f"{pre}.self_attention.query_key_value.weight"], np.float32
+        )
+        q, k, v = np.split(qkv, [H * hd, H * hd + kvh * hd], axis=0)
+        p[f"layers_{i}"] = {
+            "input_layernorm": _ln(f"{pre}.input_layernorm"),
+            "self_attn": {
+                "q_proj": {"kernel": jnp.asarray(q.T)},
+                "k_proj": {"kernel": jnp.asarray(k.T)},
+                "v_proj": {"kernel": jnp.asarray(v.T)},
+                "o_proj": {
+                    "kernel": _kernel(sd, f"{pre}.self_attention.dense.weight")
+                },
+            },
+            "mlp": {
+                "up_proj": {
+                    "kernel": _kernel(sd, f"{pre}.mlp.dense_h_to_4h.weight")
+                },
+                "down_proj": {
+                    "kernel": _kernel(sd, f"{pre}.mlp.dense_4h_to_h.weight")
+                },
+            },
+        }
+    p["norm"] = _ln("transformer.ln_f")
+    lm = (
+        sd["transformer.word_embeddings.weight"]
+        if cfg.tie_word_embeddings or "lm_head.weight" not in sd
+        else sd["lm_head.weight"]
+    )
+    p["lm_head"] = {"kernel": jnp.asarray(np.asarray(lm, np.float32).T)}
+    return {"params": p}
+
+
 def import_hf_llama(
     sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict:

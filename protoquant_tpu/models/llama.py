@@ -752,7 +752,11 @@ class DecoderLayer(nn.Module):
                 "parallel_block: MLA/MoE unsupported"
             )
             a_in = norm("input_layernorm", False)(x)
-            m_in = norm("post_attention_layernorm", False)(x)
+            m_in = (
+                a_in  # Falcon-7B: one norm feeds both sublayers
+                if self.cfg.parallel_block_single_norm
+                else norm("post_attention_layernorm", False)(x)
+            )
             h_attn, new_cache = Attention(
                 self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
                 self.tp_axis, self.fused,

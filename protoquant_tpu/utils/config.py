@@ -207,6 +207,9 @@ class ModelConfig:
     # False = plain 2-layer MLP (up -> act -> down; NeoX dense_h_to_4h /
     # dense_4h_to_h), True = gated SwiGLU/GeGLU.
     mlp_gated: bool = True
+    # Falcon-7B flavor of parallel_block: ONE input_layernorm feeds BOTH
+    # sublayers (NeoX keeps a second norm for the MLP leg).
+    parallel_block_single_norm: bool = False
     # Biases on the MLP projections (NeoX has them everywhere).
     mlp_bias: bool = False
 
@@ -592,6 +595,28 @@ class ModelConfig:
             attention_out_bias=True,
             hidden_act="gelu",
             partial_rotary_factor=0.25,
+        )
+
+    @classmethod
+    def falcon_7b(cls) -> "ModelConfig":
+        """Falcon-7B: multi-query attention (kv_heads=1), parallel residual
+        with ONE shared input norm, plain unbiased gelu MLP, LayerNorm."""
+        return cls(
+            vocab_size=65024,
+            hidden_size=4544,
+            intermediate_size=4544 * 4,
+            num_hidden_layers=32,
+            num_attention_heads=71,
+            num_key_value_heads=1,
+            max_position_embeddings=2048,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            norm_type="layernorm",
+            parallel_block=True,
+            parallel_block_single_norm=True,
+            mlp_gated=False,
+            hidden_act="gelu",
+            tie_word_embeddings=True,
         )
 
     @classmethod

@@ -835,3 +835,61 @@ def test_gpt_neox_parity():
         )
     )
     assert np.abs(seq - theirs).max() > 1e-2
+
+
+@torch.no_grad()
+def test_falcon_parity():
+    """Falcon-7B style = parallel residual with ONE shared input norm +
+    multi-query attention (kv_heads=1) + plain unbiased gelu MLP +
+    LayerNorm — exercises parallel_block_single_norm and the MQA edge of
+    the GQA grouping."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    from protoquant_tpu.models.hf_import import import_hf_falcon
+
+    hf_cfg = FalconConfig(
+        vocab_size=64, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=False,
+        multi_query=True, parallel_attn=True, bias=False, alibi=False,
+        max_position_embeddings=64, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    hf = FalconForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        norm_type="layernorm", parallel_block=True,
+        parallel_block_single_norm=True, mlp_gated=False, hidden_act="gelu",
+    )
+    toks = _tokens(64, seed=9)
+    sd = _state_dict_np(hf)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_falcon(sd, cfg)
+    ours = np.asarray(model.apply(params, jnp.asarray(toks)))
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Changed-math control: the two-norm (NeoX-style) parallel block must
+    # NOT reproduce the shared-norm reference. The two-norm model has an
+    # extra post_attention_layernorm param; initialize it to the imported
+    # input norm so the comparison isolates the WIRING, not missing params.
+    import dataclasses as _dc
+
+    two_cfg = _dc.replace(cfg, parallel_block_single_norm=False)
+    two_params = import_hf_falcon(sd, two_cfg)
+    for i in range(cfg.num_hidden_layers):
+        layer = two_params["params"][f"layers_{i}"]
+        ln = dict(layer["input_layernorm"])
+        # Perturb so ln2(x) != ln1(x): the shared-norm model feeds BOTH legs
+        # from ln1; with a different ln2 the outputs must diverge.
+        layer["post_attention_layernorm"] = {
+            "weight": ln["weight"] * 1.5, "bias": ln["bias"] + 0.1,
+        }
+    two = np.asarray(
+        LlamaModel(two_cfg, mode="fp", dtype=jnp.float32).apply(
+            two_params, jnp.asarray(toks)
+        )
+    )
+    assert np.abs(two - theirs).max() > 1e-2
