@@ -168,17 +168,25 @@ def cmd_medusa_train(args):
 
 
 def _load_medusa(args, model):
-    """--medusa checkpoint dir -> (heads_module, head_params) or (None, None)."""
+    """--medusa checkpoint dir -> (heads_module, head_params) or (None, None).
+
+    Heads checkpoints store the trained fp layout; serving quantizes them on
+    load (--medusa-mode, default dynamic int8 — the head vocab projections
+    are the dominant HBM read of a medusa tick, bench/medusa_bench.py)."""
     if not getattr(args, "medusa", None):
         return None, None
     import jax
 
-    from .models.medusa import init_medusa
+    from .models.medusa import init_medusa, quantize_medusa
     from .utils.checkpoint import load_config, restore_checkpoint
 
     depth = int(load_config(args.medusa)["depth"])
     heads, example = init_medusa(model, depth, jax.random.PRNGKey(0))
-    return heads, restore_checkpoint(args.medusa, example)
+    params = restore_checkpoint(args.medusa, example)
+    mode = getattr(args, "medusa_mode", "dynamic")
+    if mode != "fp":
+        heads, params = quantize_medusa(heads, params, mode)
+    return heads, params
 
 
 def _load_tokenizer(args):
@@ -332,6 +340,9 @@ def main(argv=None):
     g.add_argument("--medusa", default=None,
                    help="drafting-heads checkpoint dir (medusa-train output)")
     g.add_argument("--medusa-branches", type=int, default=4)
+    g.add_argument("--medusa-mode", default="dynamic",
+                   choices=["fp", "dynamic", "weight_only"],
+                   help="drafting-head serving quantization")
     g.set_defaults(fn=cmd_generate)
 
     mt = sub.add_parser(
@@ -371,6 +382,9 @@ def main(argv=None):
     sv.add_argument("--medusa", default=None,
                     help="drafting-heads checkpoint dir (medusa-train output)")
     sv.add_argument("--medusa-branches", type=int, default=4)
+    sv.add_argument("--medusa-mode", default="dynamic",
+                    choices=["fp", "dynamic", "weight_only"],
+                    help="drafting-head serving quantization")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

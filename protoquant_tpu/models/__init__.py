@@ -1,7 +1,12 @@
 from .generate import greedy_generate, perplexity, score_tokens
 from .hf_import import import_hf_llama
 from .kv_cache import BF16KVCache, Int8KVCache
-from .medusa import MedusaHeads, init_medusa, train_medusa_heads
+from .medusa import (
+    MedusaHeads,
+    init_medusa,
+    quantize_medusa,
+    train_medusa_heads,
+)
 from .speculative import speculative_generate
 from .llama import LlamaModel, init_cache
 

@@ -176,6 +176,21 @@ def import_hf_llama(
             np.asarray(sd["model.embed_tokens.weight"], dtype=np.float32)
         )
     }
+
+    def _norm(prefix):
+        """Norm loader honoring the config's norm family: LayerNorm models
+        (StarCoder2) carry a bias alongside the weight."""
+        out = {
+            "weight": jnp.asarray(
+                np.asarray(sd[f"{prefix}.weight"], np.float32)
+            )
+        }
+        if cfg.norm_type == "layernorm":
+            out["bias"] = jnp.asarray(
+                np.asarray(sd[f"{prefix}.bias"], np.float32)
+            )
+        return out
+
     for i in range(cfg.num_hidden_layers):
         pre = f"model.layers.{i}"
         if cfg.is_mla:
@@ -213,28 +228,18 @@ def import_hf_llama(
                 for proj in _PROJS_ATTN
             }
         layer: dict = {
-            "post_attention_layernorm": {
-                "weight": jnp.asarray(
-                    np.asarray(sd[f"{pre}.post_attention_layernorm.weight"], np.float32)
-                )
-            },
+            "post_attention_layernorm": _norm(
+                f"{pre}.post_attention_layernorm"
+            ),
             "self_attn": self_attn,
         }
         if cfg.post_norm:
             # OLMo-2: no input norm; norms sit on the sublayer outputs.
-            layer["post_feedforward_layernorm"] = {
-                "weight": jnp.asarray(
-                    np.asarray(
-                        sd[f"{pre}.post_feedforward_layernorm.weight"], np.float32
-                    )
-                )
-            }
+            layer["post_feedforward_layernorm"] = _norm(
+                f"{pre}.post_feedforward_layernorm"
+            )
         else:
-            layer["input_layernorm"] = {
-                "weight": jnp.asarray(
-                    np.asarray(sd[f"{pre}.input_layernorm.weight"], np.float32)
-                )
-            }
+            layer["input_layernorm"] = _norm(f"{pre}.input_layernorm")
         if cfg.sandwich_norms:
             # Gemma-2: post_attention_layernorm already mapped above (it
             # normalizes the attention OUTPUT there); add the pre/post-FFN
@@ -344,15 +349,24 @@ def import_hf_llama(
                 proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}
                 for proj in ("gate_up_proj", "down_proj")
             }
+        elif not cfg.mlp_gated:
+            # Plain 2-layer MLP (StarCoder2: c_fc/c_proj) -> up/down.
+            layer["mlp"] = {
+                ours: {"kernel": _kernel(sd, f"{pre}.mlp.{theirs}.weight")}
+                for ours, theirs in (("up_proj", "c_fc"), ("down_proj", "c_proj"))
+            }
+            if cfg.mlp_bias:
+                for ours, theirs in (("up_proj", "c_fc"), ("down_proj", "c_proj")):
+                    layer["mlp"][ours]["bias"] = jnp.asarray(
+                        np.asarray(sd[f"{pre}.mlp.{theirs}.bias"], np.float32)
+                    )
         else:
             layer["mlp"] = {
                 proj: {"kernel": _kernel(sd, f"{pre}.mlp.{proj}.weight")}
                 for proj in _PROJS_MLP
             }
         p[f"layers_{i}"] = layer
-    p["norm"] = {
-        "weight": jnp.asarray(np.asarray(sd["model.norm.weight"], np.float32))
-    }
+    p["norm"] = _norm("model.norm")
     if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
         lm = sd["model.embed_tokens.weight"]
     else:

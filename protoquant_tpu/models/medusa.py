@@ -55,43 +55,81 @@ class MedusaHeads(nn.Module):
     """Per-depth drafting heads over the base model's final hidden state.
 
     ``__call__(hidden [..., D]) -> logits [..., depth, vocab]``.
+
+    Built on QLinear so the heads quantize with the framework's own
+    conversion: train at ``mode="fp"``, then
+    ``quantize_params(head_params)`` + ``mode="dynamic"`` for serving —
+    the head vocab projections are the dominant HBM read of a medusa tick
+    (depth x D x V weights; measured 2.17 plain-step tick cost at fp32,
+    bench/medusa_bench.py), so int8 heads cut the tick's weight traffic 4x.
     """
 
     depth: int
     vocab_size: int
     dtype: Any = jnp.bfloat16
+    mode: str = "fp"  # "fp" (training) | "dynamic"/"weight_only" (serving)
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        from ..nn.qlinear import QLinear
+
         D = hidden.shape[-1]
         outs = []
         h = hidden.astype(self.dtype)
+        lead = h.shape[:-1]
+        h2 = h.reshape(-1, D)  # QLinear wants [tokens, features]
         for k in range(self.depth):
-            r = nn.Dense(
-                D, use_bias=True, dtype=self.dtype, name=f"res_{k}",
+            r = QLinear(
+                D, mode=self.mode, use_bias=True, dtype=self.dtype,
+                name=f"res_{k}",
                 # Zero-init the residual branch: untrained heads start as
                 # plain linear probes of the hidden state, not noise.
                 kernel_init=nn.initializers.zeros,
-            )(h)
-            hk = h + nn.silu(r)
+            )(h2)
+            hk = h2 + nn.silu(r)
             outs.append(
-                nn.Dense(
-                    self.vocab_size, use_bias=False, dtype=self.dtype,
-                    name=f"vocab_{k}",
+                QLinear(
+                    self.vocab_size, mode=self.mode, use_bias=False,
+                    dtype=self.dtype, name=f"vocab_{k}",
                 )(hk)
             )
-        return jnp.stack(outs, axis=-2).astype(jnp.float32)
+        out = jnp.stack(outs, axis=-2).astype(jnp.float32)
+        return out.reshape(*lead, self.depth, self.vocab_size)
 
 
 def init_medusa(model: LlamaModel, depth: int, rng=None,
-                dtype=jnp.bfloat16):
+                dtype=jnp.bfloat16, mode: str = "fp"):
     """(heads_module, head_params) for ``model``'s width/vocab."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     heads = MedusaHeads(depth=depth, vocab_size=model.cfg.vocab_size,
-                        dtype=dtype)
+                        dtype=dtype, mode=mode)
+    if mode != "fp":
+        # Serving layout: init fp then convert (zero-init kernels quantize
+        # to exact zeros, preserving the linear-probe start).
+        from ..nn.convert import quantize_params
+        from ..utils.config import QuantConfig
+
+        fp_heads = MedusaHeads(depth=depth, vocab_size=model.cfg.vocab_size,
+                               dtype=dtype, mode="fp")
+        fp = fp_heads.init(
+            rng, jnp.zeros((1, 1, model.cfg.hidden_size), dtype)
+        )
+        return heads, quantize_params(fp, QuantConfig(mode=mode))
     params = heads.init(rng, jnp.zeros((1, 1, model.cfg.hidden_size), dtype))
     return heads, params
+
+
+def quantize_medusa(heads: MedusaHeads, head_params, mode: str = "dynamic"):
+    """Trained fp heads -> quantized serving heads (same scheme as the
+    base model's projections: per-channel int8 + dynamic per-token acts)."""
+    from ..nn.convert import quantize_params
+    from ..utils.config import QuantConfig
+
+    import dataclasses
+
+    q_heads = dataclasses.replace(heads, mode=mode)
+    return q_heads, quantize_params(head_params, QuantConfig(mode=mode))
 
 
 def propose_from_heads(head_logits: jnp.ndarray, branches: int) -> jnp.ndarray:

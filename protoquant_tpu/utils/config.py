@@ -620,6 +620,29 @@ class ModelConfig:
         )
 
     @classmethod
+    def starcoder2_7b(cls) -> "ModelConfig":
+        """StarCoder2-7B: biased LayerNorm, plain biased gelu MLP
+        (c_fc/c_proj), GQA, sliding-window attention, high rope theta."""
+        return cls(
+            vocab_size=49152,
+            hidden_size=4608,
+            intermediate_size=18432,
+            num_hidden_layers=32,
+            num_attention_heads=36,
+            num_key_value_heads=4,
+            max_position_embeddings=16384,
+            rms_norm_eps=1e-5,
+            rope_theta=1e6,
+            norm_type="layernorm",
+            mlp_gated=False,
+            mlp_bias=True,
+            attention_bias=True,
+            attention_out_bias=True,
+            hidden_act="gelu",
+            sliding_window=4096,
+        )
+
+    @classmethod
     def tiny(cls, vocab_size: int = 256) -> "ModelConfig":
         """2-layer d=512 toy config (acceptance config 2, BASELINE.json:8)."""
         return cls(

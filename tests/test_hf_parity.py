@@ -893,3 +893,38 @@ def test_falcon_parity():
         )
     )
     assert np.abs(two - theirs).max() > 1e-2
+
+
+@torch.no_grad()
+def test_starcoder2_parity():
+    """StarCoder2 = the Llama namespace with biased LayerNorms, a plain
+    biased gelu MLP (c_fc/c_proj), GQA and biases on every projection —
+    the sequential-residual LayerNorm point of the new architecture axis."""
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    hf_cfg = Starcoder2Config(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=None,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(11)
+    hf = Starcoder2ForCausalLM(hf_cfg).eval().float()
+    # Bias inits are zeros; randomize so the bias paths are exercised.
+    sd = hf.state_dict()
+    g = torch.Generator().manual_seed(13)
+    for k in list(sd):
+        if k.endswith(".bias"):
+            sd[k].normal_(0.0, 0.05, generator=g)
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        norm_type="layernorm", mlp_gated=False, mlp_bias=True,
+        attention_bias=True, attention_out_bias=True, hidden_act="gelu",
+    )
+    toks = _tokens(64, seed=11)
+    ours = _logits_ours(cfg, _state_dict_np(hf), toks)
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)

@@ -203,3 +203,37 @@ def test_medusa_dp_tp_engine_matches_single_device(model_and_params):
         outs = eng.run()
     for ra, rb in zip(plain_rids, rids):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+
+
+def test_quantized_heads_keep_exact_greedy_and_accept(model_and_params):
+    """Serving flow: train fp heads -> quantize_medusa -> int8-dynamic heads
+    in the engine. Greedy-exactness is proposal-independent (still holds);
+    the quantized heads' acceptance stays above the untrained floor."""
+    from protoquant_tpu.models.medusa import quantize_medusa
+
+    model, params = model_and_params
+    corpus = _self_distill_corpus(model, params)
+    heads, hp0 = init_medusa(model, depth=2, rng=jax.random.PRNGKey(8),
+                             dtype=jnp.float32)
+    hp, _ = train_medusa_heads(model, params, heads, hp0, [corpus] * 60,
+                               lr=3e-3)
+    q_heads, q_hp = quantize_medusa(heads, hp, "dynamic")
+
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=24, temperature=0.0)
+    # Prompts from the training distribution, so acceptance is meaningful.
+    rng = np.random.default_rng(11)
+    prompts = [[int(t) for t in rng.integers(1, CFG.vocab_size, 8)]
+               for _ in range(2)]
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 24) for p in prompts]
+    plain_outs = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 medusa_heads=q_heads, medusa_params=q_hp,
+                 gamma=2, lookup_branches=3)
+    rids = [eng.add_request(p, 24) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+    assert eng.metrics()["spec_acceptance_rate"] > 0.05
