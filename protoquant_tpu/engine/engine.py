@@ -57,6 +57,8 @@ class Request:
     top_k: "int | None" = None
     top_p: "float | None" = None
     min_p: "float | None" = None
+    presence_penalty: "float | None" = None
+    frequency_penalty: "float | None" = None
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
@@ -114,6 +116,7 @@ def _decode_step(
     next_tokens = sample_batched(
         last, key, samp["temps"], samp["top_ks"], samp["top_ps"],
         samp["min_ps"], counts, penalty,
+        pres=samp.get("pres_pens"), freq=samp.get("freq_pens"),
     )
     logprobs = token_logprob(last, next_tokens)
     if counts is not None:
@@ -380,12 +383,19 @@ class Engine:
             if draft_model is not None
             else None
         )
-        spec_mode = draft_model is not None or bool(prompt_lookup)
-        if self.cfg.repetition_penalty != 1.0:
+        spec_mode = (draft_model is not None or bool(prompt_lookup)
+                     or medusa_heads is not None)
+        penalties_on = (
+            self.cfg.repetition_penalty != 1.0
+            or self.cfg.presence_penalty != 0.0
+            or self.cfg.frequency_penalty != 0.0
+        )
+        if penalties_on:
             if spec_mode:
                 raise ValueError(
-                    "repetition_penalty is unsupported in speculative modes "
-                    "(the score-and-accept program rescores whole windows)"
+                    "repetition_penalty / presence / frequency penalties are "
+                    "unsupported in speculative modes (the score-and-accept "
+                    "program rescores whole windows)"
                 )
             # On-device occurrence counts over prompt + generated tokens.
             self.token_counts = jnp.zeros((B, model.cfg.vocab_size), jnp.int32)
@@ -410,6 +420,10 @@ class Engine:
             "top_ks": jnp.full((B,), self.cfg.top_k, jnp.int32),
             "top_ps": jnp.full((B,), self.cfg.top_p, jnp.float32),
             "min_ps": jnp.full((B,), self.cfg.min_p, jnp.float32),
+            "pres_pens": jnp.full(
+                (B,), self.cfg.presence_penalty, jnp.float32),
+            "freq_pens": jnp.full(
+                (B,), self.cfg.frequency_penalty, jnp.float32),
         }
         self.last_tokens = jnp.zeros((B,), jnp.int32)
         # Medusa tree mode: next tick's proposals, produced by the PREVIOUS
@@ -457,6 +471,9 @@ class Engine:
         top_k: "int | None" = None,
         top_p: "float | None" = None,
         min_p: "float | None" = None,
+        presence_penalty: "float | None" = None,  # OpenAI-style; needs the
+        #   count buffer (any engine-level penalty config nonzero)
+        frequency_penalty: "float | None" = None,
         priority: int = 0,  # scheduler="priority": higher admits first
         logit_mask_fn=None,  # guided decoding: fn(tokens_so_far)->[V] bool
     ) -> int:
@@ -494,10 +511,18 @@ class Engine:
             top_k=top_k,
             top_p=top_p,
             min_p=min_p,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
             priority=priority,
             t_enqueue=time.perf_counter(),
             logit_mask_fn=logit_mask_fn,
         )
+        if (presence_penalty or frequency_penalty) and self.token_counts is None:
+            raise ValueError(
+                "per-request presence/frequency penalties need the count "
+                "buffer: set any of EngineConfig.repetition_penalty/"
+                "presence_penalty/frequency_penalty nonzero at engine build"
+            )
         if adapter_id and self.adapter_ids is None:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
@@ -653,6 +678,10 @@ class Engine:
                 ("top_ks", req.top_k, c.top_k, jnp.int32),
                 ("top_ps", req.top_p, c.top_p, jnp.float32),
                 ("min_ps", req.min_p, c.min_p, jnp.float32),
+                ("pres_pens", req.presence_penalty, c.presence_penalty,
+                 jnp.float32),
+                ("freq_pens", req.frequency_penalty, c.frequency_penalty,
+                 jnp.float32),
             )
             for name, override, default, dt in eff:
                 v = default if override is None else override
@@ -756,6 +785,8 @@ class Engine:
                     self.samp["min_ps"][req.slot][None],
                     counts_row,
                     self.cfg.repetition_penalty,
+                    pres=self.samp["pres_pens"][req.slot][None],
+                    freq=self.samp["freq_pens"][req.slot][None],
                 )[0]
             )
             if self.cfg.return_logprobs:
@@ -1694,6 +1725,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 next_tokens = sample_batched(
                     last, key_r, samp["temps"], samp["top_ks"],
                     samp["top_ps"], samp["min_ps"], counts, penalty,
+                    pres=samp.get("pres_pens"), freq=samp.get("freq_pens"),
                 )
                 logprobs = token_logprob(last, next_tokens)
                 if counts is not None:

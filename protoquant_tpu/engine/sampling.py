@@ -24,6 +24,25 @@ def apply_repetition_penalty(logits, counts, penalty: float):
     )
 
 
+def apply_presence_frequency(logits, counts, pres, freq):
+    """OpenAI-style additive penalties over the [B, V] occurrence counts
+    (prompt + generated, the same counts the repetition penalty uses):
+
+        logits -= frequency_penalty * count + presence_penalty * (count > 0)
+
+    pres/freq: [B] f32 per-request strengths (0 = off). Applied before
+    filtering AND before the greedy argmax, so they reshape greedy rows too."""
+    if counts is None or (pres is None and freq is None):
+        return logits
+    c = counts.astype(jnp.float32)
+    out = logits
+    if freq is not None:
+        out = out - freq[:, None] * c
+    if pres is not None:
+        out = out - pres[:, None] * (c > 0).astype(jnp.float32)
+    return out
+
+
 def processed_logits(
     logits: jnp.ndarray,  # [B, V] f32
     temps: jnp.ndarray,  # [B] f32
@@ -67,12 +86,16 @@ def sample_batched(
     min_ps: jnp.ndarray,  # [B] f32 (0.0 => no min-p truncation)
     counts: jnp.ndarray | None = None,  # [B, V] int32 (repetition penalty)
     penalty: float = 1.0,
+    pres: jnp.ndarray | None = None,  # [B] f32 presence penalties
+    freq: jnp.ndarray | None = None,  # [B] f32 frequency penalties
 ) -> jnp.ndarray:
     """Per-row sampling: every request in the batch can carry its own
-    temperature/top-k/top-p/min-p, all traced — ONE compiled program serves
-    heterogeneous sampling configs (and config changes never recompile).
-    Greedy rows (temp == 0) take the post-penalty argmax exactly."""
+    temperature/top-k/top-p/min-p (and presence/frequency penalties), all
+    traced — ONE compiled program serves heterogeneous sampling configs
+    (and config changes never recompile). Greedy rows (temp == 0) take the
+    post-penalty argmax exactly."""
     logits = apply_repetition_penalty(logits, counts, penalty)
+    logits = apply_presence_frequency(logits, counts, pres, freq)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = processed_logits(logits, temps, top_ks, top_ps, min_ps)
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

@@ -95,6 +95,8 @@ class EngineServer:
                         for k, cast in (
                             ("temperature", float), ("top_k", int),
                             ("top_p", float), ("min_p", float),
+                            ("presence_penalty", float),
+                            ("frequency_penalty", float),
                         )
                     }
                     adapter_id = int(req.get("adapter_id", 0))

@@ -688,6 +688,13 @@ class EngineConfig:
     # HF-semantics repetition penalty over prompt + generated tokens
     # (1.0 => disabled; maintained as an on-device [B, V] count buffer).
     repetition_penalty: float = 1.0
+    # OpenAI-style additive penalties over the same counts (0 => disabled):
+    # logits -= frequency_penalty * count + presence_penalty * (count > 0).
+    # Engine defaults; per-request overrides via add_request — which need
+    # the count buffer, so enable counts by setting either nonzero here
+    # (or repetition_penalty != 1).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # Record each generated token's log-probability (pre-truncation) in
     # Request.logprobs / the HTTP response.
     return_logprobs: bool = False
