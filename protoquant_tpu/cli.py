@@ -52,6 +52,10 @@ def cmd_convert(args):
         from .models.hf_import import import_hf_falcon
 
         params = import_hf_falcon(sd, cfg)
+    elif any(k.startswith("transformer.wte.") for k in sd):
+        from .models.hf_import import import_hf_gpt2
+
+        params = import_hf_gpt2(sd, cfg)
     else:
         params = import_hf_llama(sd, cfg)
     if args.smooth_alpha is not None:

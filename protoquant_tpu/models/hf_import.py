@@ -162,6 +162,80 @@ def import_hf_falcon(
     return {"params": p}
 
 
+def import_hf_gpt2(
+    sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
+) -> dict:
+    """HF GPT-2 state dict -> fp flax params.
+
+    GPT-2 uses Conv1D modules whose weights are ALREADY [in, out] (no
+    transpose, unlike nn.Linear), a fused c_attn = [q; k; v] along the
+    output axis (plain column split, not per-head interleave), learned
+    position table wpe (-> embed_positions), ln_1/ln_2 biased LayerNorms,
+    tied lm_head."""
+
+    def _ln(prefix):
+        return {
+            "weight": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32)),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32)),
+        }
+
+    def _conv(name):  # Conv1D: [in, out] as-is
+        return jnp.asarray(np.asarray(sd[name], np.float32))
+
+    def _b(name):
+        return jnp.asarray(np.asarray(sd[name], np.float32))
+
+    D = cfg.hidden_size
+    p: dict = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["transformer.wte.weight"], np.float32)
+            )
+        },
+        "embed_positions": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["transformer.wpe.weight"], np.float32)
+            )
+        },
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"transformer.h.{i}"
+        ca_w = _conv(f"{pre}.attn.c_attn.weight")  # [D, 3D]
+        ca_b = _b(f"{pre}.attn.c_attn.bias")  # [3D]
+        self_attn = {}
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            self_attn[name] = {
+                "kernel": ca_w[:, j * D : (j + 1) * D],
+                "bias": ca_b[j * D : (j + 1) * D],
+            }
+        self_attn["o_proj"] = {
+            "kernel": _conv(f"{pre}.attn.c_proj.weight"),
+            "bias": _b(f"{pre}.attn.c_proj.bias"),
+        }
+        p[f"layers_{i}"] = {
+            "input_layernorm": _ln(f"{pre}.ln_1"),
+            "post_attention_layernorm": _ln(f"{pre}.ln_2"),
+            "self_attn": self_attn,
+            "mlp": {
+                "up_proj": {
+                    "kernel": _conv(f"{pre}.mlp.c_fc.weight"),
+                    "bias": _b(f"{pre}.mlp.c_fc.bias"),
+                },
+                "down_proj": {
+                    "kernel": _conv(f"{pre}.mlp.c_proj.weight"),
+                    "bias": _b(f"{pre}.mlp.c_proj.bias"),
+                },
+            },
+        }
+    p["norm"] = _ln("transformer.ln_f")
+    p["lm_head"] = {
+        "kernel": jnp.asarray(
+            np.asarray(sd["transformer.wte.weight"], np.float32).T
+        )
+    }
+    return {"params": p}
+
+
 def import_hf_llama(
     sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict:

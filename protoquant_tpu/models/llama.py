@@ -409,7 +409,11 @@ class Attention(nn.Module):
             Dh if cfg.partial_rotary_factor >= 1.0
             else int(Dh * cfg.partial_rotary_factor) // 2 * 2
         )
-        if cfg.rope_local_theta > 0.0 and is_sliding:
+        if cfg.position_embedding == "learned":
+            # GPT-2-class: positions enter once through the learned
+            # embedding table at the model root; attention is rope-free.
+            pass
+        elif cfg.rope_local_theta > 0.0 and is_sliding:
             cos, sin = rope_tables(
                 rot, cfg.max_position_embeddings, cfg.rope_local_theta, None
             )
@@ -436,8 +440,9 @@ class Attention(nn.Module):
             cos, sin = rope_tables(
                 rot, cfg.max_position_embeddings, cfg.rope_theta, cfg
             )
-        q = apply_rope(q, positions, cos, sin, rot=rot)
-        k = apply_rope(k, positions, cos, sin, rot=rot)
+        if cfg.position_embedding != "learned":
+            q = apply_rope(q, positions, cos, sin, rot=rot)
+            k = apply_rope(k, positions, cos, sin, rot=rot)
         scale = (
             cfg.query_pre_attn_scalar**-0.5
             if cfg.query_pre_attn_scalar > 0.0
@@ -923,6 +928,16 @@ class LlamaModel(nn.Module):
         if cfg.scale_embeddings:
             # Gemma normalizer, applied in the activation dtype like HF does.
             x = x * jnp.asarray(cfg.hidden_size**0.5, self.dtype)
+        if cfg.position_embedding == "learned":
+            # GPT-2-class absolute positions: one learned table added to the
+            # token embedding; attention layers are rope-free.
+            x = x + nn.Embed(
+                cfg.max_position_embeddings,
+                cfg.hidden_size,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="embed_positions",
+            )(jnp.minimum(positions, cfg.max_position_embeddings - 1))
 
         if self.sp:
             # Enter the token-sharded region: each shard keeps its T/tp slice.

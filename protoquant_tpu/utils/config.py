@@ -210,6 +210,9 @@ class ModelConfig:
     # Falcon-7B flavor of parallel_block: ONE input_layernorm feeds BOTH
     # sublayers (NeoX keeps a second norm for the MLP leg).
     parallel_block_single_norm: bool = False
+    # "rope" (default) | "learned" (GPT-2-class absolute position table
+    # added to the token embedding; attention is rope-free).
+    position_embedding: str = "rope"
     # Biases on the MLP projections (NeoX has them everywhere).
     mlp_bias: bool = False
 
@@ -217,6 +220,10 @@ class ModelConfig:
         _coerce_tuple_fields(self)
         if self.norm_type not in ("rmsnorm", "layernorm"):
             raise ValueError("norm_type must be 'rmsnorm' or 'layernorm'")
+        if self.position_embedding not in ("rope", "learned"):
+            raise ValueError(
+                "position_embedding must be 'rope' or 'learned'"
+            )
         if self.parallel_block and (self.post_norm or self.sandwich_norms):
             raise ValueError(
                 "parallel_block is exclusive with post_norm/sandwich_norms"
@@ -640,6 +647,29 @@ class ModelConfig:
             attention_out_bias=True,
             hidden_act="gelu",
             sliding_window=4096,
+        )
+
+    @classmethod
+    def gpt2(cls) -> "ModelConfig":
+        """GPT-2 (124M): learned absolute positions, biased LayerNorm,
+        plain biased gelu MLP, MHA, tied lm_head."""
+        return cls(
+            vocab_size=50257,
+            hidden_size=768,
+            intermediate_size=3072,
+            num_hidden_layers=12,
+            num_attention_heads=12,
+            num_key_value_heads=12,
+            max_position_embeddings=1024,
+            rms_norm_eps=1e-5,
+            norm_type="layernorm",
+            position_embedding="learned",
+            mlp_gated=False,
+            mlp_bias=True,
+            attention_bias=True,
+            attention_out_bias=True,
+            hidden_act="gelu",
+            tie_word_embeddings=True,
         )
 
     @classmethod

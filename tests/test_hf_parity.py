@@ -928,3 +928,48 @@ def test_starcoder2_parity():
     ours = _logits_ours(cfg, _state_dict_np(hf), toks)
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_gpt2_parity():
+    """GPT-2 = LEARNED absolute positions (no rope at all) + biased
+    LayerNorm + plain biased gelu MLP + Conv1D ([in, out]) weights + tied
+    lm_head — the learned-position point of the position-embedding axis,
+    with a changed-math control on the position table."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from protoquant_tpu.models.hf_import import import_hf_gpt2
+
+    hf_cfg = GPT2Config(
+        vocab_size=64, n_embd=64, n_layer=2, n_head=4, n_positions=64,
+        n_inner=256, activation_function="gelu_new",
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(15)
+    hf = GPT2LMHeadModel(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        norm_type="layernorm", position_embedding="learned",
+        mlp_gated=False, mlp_bias=True, attention_bias=True,
+        attention_out_bias=True, hidden_act="gelu",
+        tie_word_embeddings=True,
+    )
+    toks = _tokens(64, seed=15)
+    sd = _state_dict_np(hf)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_gpt2(sd, cfg)
+    ours = np.asarray(model.apply(params, jnp.asarray(toks)))
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Changed-math control: zeroing the learned position table must change
+    # the logits (guards against positions silently not entering at all...
+    # which would ALSO fail parity above, but cheap belt-and-braces).
+    params0 = import_hf_gpt2(sd, cfg)
+    params0["params"]["embed_positions"]["embedding"] = (
+        params0["params"]["embed_positions"]["embedding"] * 0.0
+    )
+    zeroed = np.asarray(model.apply(params0, jnp.asarray(toks)))
+    assert np.abs(zeroed - theirs).max() > 1e-2

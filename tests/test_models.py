@@ -281,3 +281,54 @@ def test_gpt_neox_quantized_engine_serves():
     outs = eng.run()
     for ref, rid in zip(seq, rids):
         assert outs[rid] == ref, (outs[rid], ref)
+
+
+@pytest.mark.slow
+def test_gpt2_style_cache_decode_and_engine():
+    """Learned-position models through the incremental cache (decode
+    positions come from cache lengths, indexing the learned table) and the
+    quantized engine (batched == sequential)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.models.llama import init_cache
+    from protoquant_tpu.nn import quantize_params
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, norm_type="layernorm",
+        position_embedding="learned", mlp_gated=False, mlp_bias=True,
+        attention_bias=True, attention_out_bias=True, hidden_act="gelu",
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(4).integers(0, 64, (2, 10)),
+                       jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+    ref = model.apply(params, toks)
+    caches = init_cache(cfg, 2, 32, kv_dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9)[None], (2, 9))
+    lg_p, caches = model.apply(params, toks[:, :9], pos, caches)
+    lg_d, _ = model.apply(
+        params, toks[:, 9:], jnp.full((2, 1), 9, jnp.int32), caches
+    )
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(ref[:, :9]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lg_d), np.asarray(ref[:, 9:]),
+                               rtol=2e-4, atol=2e-4)
+
+    qmodel = LlamaModel(cfg, mode="dynamic", dtype=jnp.float32)
+    qparams = quantize_params(params)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    prompts = [[5, 9, 2, 7], [1, 2, 3]]
+    seq = []
+    for p in prompts:
+        e = Engine(qmodel, qparams, ecfg, kv_dtype=jnp.int8)
+        rid = e.add_request(p, 8)
+        seq.append(e.run()[rid])
+    eng = Engine(qmodel, qparams, ecfg, kv_dtype=jnp.int8)
+    rids = [eng.add_request(p, 8) for p in prompts]
+    outs = eng.run()
+    for ref_out, rid in zip(seq, rids):
+        assert outs[rid] == ref_out
