@@ -70,6 +70,9 @@ class Request:
     # state lives in the callable; the mask applies on-device before
     # sampling. None = unconstrained.
     logit_mask_fn: "object" = None
+    # OpenAI-style logit_bias: {token_id: delta} added to the logits before
+    # sampling on every step. Composes with logit_mask_fn.
+    logit_bias: "dict | None" = None
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -96,7 +99,8 @@ def _decode_step(
     penalty: float = 1.0,
     counts=None,  # [B, V] int32 occurrence counts (repetition penalty)
     adapter_ids=None,  # [B] int32 multi-LoRA selection
-    logit_mask=None,  # [B, V] bool, True = allowed (guided decoding)
+    logit_bias=None,  # [B, V] f32 added pre-sampling (guided decoding:
+    #                   masks are -1e30 entries; logit_bias dicts are deltas)
 ):
     from .sampling import sample_batched, token_logprob
 
@@ -108,11 +112,11 @@ def _decode_step(
         adapter_ids=adapter_ids,
     )
     last = logits[:, -1]
-    if logit_mask is not None:
-        # Guided decoding: disallowed tokens are -inf BEFORE sampling, so
-        # greedy/top-k/top-p all draw from the constrained distribution and
-        # reported logprobs are the constrained ones.
-        last = jnp.where(logit_mask, last, NEG_INF_LOGIT)
+    if logit_bias is not None:
+        # Guided decoding: applied BEFORE sampling, so greedy/top-k/top-p
+        # all draw from the constrained distribution and reported logprobs
+        # are the constrained ones.
+        last = last + logit_bias
     next_tokens = sample_batched(
         last, key, samp["temps"], samp["top_ks"], samp["top_ps"],
         samp["min_ps"], counts, penalty,
@@ -476,6 +480,7 @@ class Engine:
         frequency_penalty: "float | None" = None,
         priority: int = 0,  # scheduler="priority": higher admits first
         logit_mask_fn=None,  # guided decoding: fn(tokens_so_far)->[V] bool
+        logit_bias=None,  # {token_id: delta} added pre-sampling each step
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens.
@@ -516,6 +521,10 @@ class Engine:
             priority=priority,
             t_enqueue=time.perf_counter(),
             logit_mask_fn=logit_mask_fn,
+            logit_bias=(
+                {int(k): float(v) for k, v in logit_bias.items()}
+                if logit_bias else None
+            ),
         )
         if (presence_penalty or frequency_penalty) and self.token_counts is None:
             raise ValueError(
@@ -527,12 +536,12 @@ class Engine:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
             )
-        if logit_mask_fn is not None and (
+        if (logit_mask_fn is not None or logit_bias) and (
             self.draft_caches is not None or self.prompt_lookup
             or self.medusa_params is not None
         ):
             raise ValueError(
-                "logit_mask_fn is unsupported in speculative modes"
+                "logit_mask_fn/logit_bias are unsupported in speculative modes"
             )
         if self._tree_mode and temperature not in (None, 0.0):
             raise ValueError("tree speculation is greedy-only "
@@ -775,6 +784,11 @@ class Engine:
                     np.asarray(req.logit_mask_fn(req.prompt), bool)
                 )
                 last_logits = jnp.where(allow, last_logits, NEG_INF_LOGIT)
+            if req.logit_bias:
+                row = np.zeros(self.model.cfg.vocab_size, np.float32)
+                for t, v in req.logit_bias.items():
+                    row[t] += v
+                last_logits = last_logits + jnp.asarray(row)
             first_tok = int(
                 sample_batched(
                     last_logits[None, :],
@@ -871,6 +885,31 @@ class Engine:
                 self._slot_allocator(slot).free(req.pages)
             req.pages, req.shared_pages, req.held_pages = [], [], []
 
+    def _assemble_logit_bias(self):
+        """This tick's [B, V] f32 pre-sampling additive bias, or None when
+        no active slot is constrained. Guided masks contribute -1e30 on
+        disallowed tokens (the grammar/FSM state lives in each request's
+        host callable); logit_bias dicts contribute their deltas; both
+        compose per slot."""
+        slots = [
+            (s, r) for s, r in enumerate(self.slot_req)
+            if r is not None and self.active[s]
+            and (r.logit_mask_fn is not None or r.logit_bias)
+        ]
+        if not slots:
+            return None
+        bias = np.zeros(
+            (self.cfg.max_batch_size, self.model.cfg.vocab_size), np.float32
+        )
+        for s, r in slots:
+            if r.logit_mask_fn is not None:
+                allow = np.asarray(r.logit_mask_fn(r.prompt + r.out), bool)
+                bias[s] = np.where(allow, 0.0, NEG_INF_LOGIT)
+            if r.logit_bias:
+                for t, v in r.logit_bias.items():
+                    bias[s, t] += v
+        return jnp.asarray(bias)
+
     def step(self):
         """One engine tick: assign slots, run at most ONE prefill chunk, then
         one batched decode for every active slot. Prefill work and decode
@@ -928,21 +967,7 @@ class Engine:
                     dataclasses.replace(c, page_table=c.page_table[:, :W])
                     for c in self.caches
                 ]
-        logit_mask = None
-        if any(
-            r is not None and r.logit_mask_fn is not None and self.active[s]
-            for s, r in enumerate(self.slot_req)
-        ):
-            # Guided decoding: assemble this tick's [B, V] allowed mask on
-            # the host (the grammar/FSM state lives in each request's
-            # callable); unconstrained slots allow everything.
-            m = np.ones(
-                (self.cfg.max_batch_size, self.model.cfg.vocab_size), bool
-            )
-            for s, r in enumerate(self.slot_req):
-                if r is not None and r.logit_mask_fn is not None and self.active[s]:
-                    m[s] = np.asarray(r.logit_mask_fn(r.prompt + r.out), bool)
-            logit_mask = jnp.asarray(m)
+        logit_bias = self._assemble_logit_bias()
         next_tokens, logprobs, new_counts, self.caches = decode(
             self.params,
             caches,
@@ -953,7 +978,7 @@ class Engine:
             penalty=self.cfg.repetition_penalty,
             counts=self.token_counts,
             adapter_ids=self.adapter_ids,
-            logit_mask=logit_mask,
+            logit_bias=logit_bias,
         )
         if new_counts is not None:
             self.token_counts = new_counts
@@ -1681,18 +1706,18 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
     def decode(
         params, caches, last_tokens, active, key, samp,
-        penalty=1.0, counts=None, adapter_ids=None, logit_mask=None,
+        penalty=1.0, counts=None, adapter_ids=None, logit_bias=None,
     ):
         pspecs, cspecs = _specs(params, caches)
         dkey = ("decode", counts is None, adapter_ids is None,
-                logit_mask is None)
+                logit_bias is None)
         if dkey not in state:
             samp_spec = {k: batch_spec for k in samp}
-            # counts [B, V] / adapter_ids [B] / logit_mask [B, V] shard over
+            # counts [B, V] / adapter_ids [B] / logit_bias [B, V] shard over
             # data with their slots.
             counts_spec = batch_spec if counts is None else P(*batch_spec, None)
             mask_spec = (
-                batch_spec if logit_mask is None else P(*batch_spec, None)
+                batch_spec if logit_bias is None else P(*batch_spec, None)
             )
 
             @partial(
@@ -1704,7 +1729,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 check_vma=False,
             )
             def _decode(params, caches, last_tokens, active, key, samp,
-                        counts, adapter_ids, logit_mask):
+                        counts, adapter_ids, logit_bias):
                 from .sampling import sample_batched, token_logprob
 
                 max_pos = model.cfg.max_position_embeddings - 1
@@ -1720,8 +1745,8 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 else:
                     key_r = key
                 last = logits[:, -1]
-                if logit_mask is not None:
-                    last = jnp.where(logit_mask, last, NEG_INF_LOGIT)
+                if logit_bias is not None:
+                    last = last + logit_bias
                 next_tokens = sample_batched(
                     last, key_r, samp["temps"], samp["top_ks"],
                     samp["top_ps"], samp["min_ps"], counts, penalty,
@@ -1738,7 +1763,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             state[dkey] = jax.jit(_decode, donate_argnums=(1,))
         (next_tokens, logprobs, counts), caches = state[dkey](
             params, caches, last_tokens, active, key, samp, counts,
-            adapter_ids, logit_mask,
+            adapter_ids, logit_bias,
         )
         return next_tokens, logprobs, counts, caches
 

@@ -116,6 +116,12 @@ class EngineServer:
                         )
                         allow[[int(t) for t in req["allowed_tokens"]]] = True
                         logit_mask_fn = lambda toks, _m=allow: _m
+                    # OpenAI-style logit_bias: {token_id: delta}.
+                    logit_bias = (
+                        {int(k): float(v)
+                         for k, v in req["logit_bias"].items()}
+                        if req.get("logit_bias") else None
+                    )
                 except (KeyError, TypeError, ValueError, IndexError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
@@ -126,7 +132,7 @@ class EngineServer:
                         tokens, max_new, eos_id,
                         adapter_id=adapter_id,
                         stop_sequences=stop_sequences, stream_queue=tok_q,
-                        logit_mask_fn=logit_mask_fn,
+                        logit_mask_fn=logit_mask_fn, logit_bias=logit_bias,
                         **samp,
                     )
                 except ValueError as e:  # engine-side validation (length etc.)

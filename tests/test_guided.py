@@ -225,3 +225,55 @@ def test_guided_http_allowed_tokens(model_and_params):
         assert e.value.code == 400
     finally:
         srv.stop()
+
+
+def test_logit_bias_forces_and_avoids(model_and_params):
+    """A huge positive bias forces its token every step; a huge negative
+    bias on the greedy token changes the stream away from it. Composes with
+    the mask and binds from the first generated token."""
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0)
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    rid = eng.add_request([5, 9, 2], 6, logit_bias={41: 1e9})
+    assert eng.run()[rid] == [41] * 6
+
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    pr = plain.add_request([5, 9, 2], 6)
+    p_out = plain.run()[pr]
+
+    eng2 = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    r2 = eng2.add_request([5, 9, 2], 6, logit_bias={p_out[0]: -1e9})
+    out2 = eng2.run()[r2]
+    assert p_out[0] not in out2, (p_out, out2)
+
+    # Compose with a mask: allowed {3, 9}, bias pushes 9 over 3.
+    eng3 = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    r3 = eng3.add_request([5, 9, 2], 6, logit_mask_fn=_subset_mask({3, 9}),
+                          logit_bias={9: 1e9})
+    assert eng3.run()[r3] == [9] * 6
+
+
+def test_logit_bias_http(model_and_params):
+    import json as _json
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    srv = EngineServer(eng, port=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=_json.dumps({"tokens": [5, 9, 2], "max_new_tokens": 5,
+                              "logit_bias": {"17": 1e9}}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert _json.load(r)["tokens"] == [17] * 5
+    finally:
+        srv.stop()
