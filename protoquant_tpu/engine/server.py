@@ -126,35 +126,61 @@ class EngineServer:
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 stream = bool(req.get("stream", False))
+                n = int(req.get("n", 1))
+                if n < 1:
+                    return self._json(400, {"error": "n must be >= 1"})
+                if n > 1 and stream:
+                    return self._json(
+                        400, {"error": "n > 1 cannot stream (one SSE "
+                                       "stream per completion; issue n "
+                                       "streaming requests instead)"}
+                    )
                 tok_q = _queue.Queue() if stream else None
                 try:
-                    rid = outer.submit(
-                        tokens, max_new, eos_id,
-                        adapter_id=adapter_id,
-                        stop_sequences=stop_sequences, stream_queue=tok_q,
-                        logit_mask_fn=logit_mask_fn, logit_bias=logit_bias,
-                        **samp,
-                    )
+                    # n > 1: admit n copies — they batch together on the
+                    # device and sample independently (the categorical draw
+                    # uses fresh noise per slot), OpenAI `n` semantics.
+                    # Deterministic greedy copies would be identical, which
+                    # is also the OpenAI behavior at temperature 0.
+                    rids = [
+                        outer.submit(
+                            tokens, max_new, eos_id,
+                            adapter_id=adapter_id,
+                            stop_sequences=stop_sequences,
+                            stream_queue=tok_q,
+                            logit_mask_fn=logit_mask_fn,
+                            logit_bias=logit_bias,
+                            **samp,
+                        )
+                        for _ in range(n)
+                    ]
+                    rid = rids[0]
                 except ValueError as e:  # engine-side validation (length etc.)
                     return self._json(400, {"error": str(e)})
                 timeout = float(req.get("timeout_s", 300))
                 if stream:
                     return self._stream(rid, tok_q, timeout)
-                out = outer.wait(rid, timeout=timeout)
-                if out is None:
-                    return self._json(504, {"request": rid, "error": "timeout"})
-                tokens, cancelled, logprobs = out
-                return self._json(
-                    200,
-                    {
-                        "request": rid,
-                        "tokens": tokens,
+
+                def body(r):
+                    out = outer.wait(r, timeout=timeout)
+                    if out is None:
+                        return None
+                    toks, cancelled, logprobs = out
+                    return {
+                        "request": r,
+                        "tokens": toks,
                         "cancelled": cancelled,
-                        **({"text": outer.tokenizer.decode(tokens)}
+                        **({"text": outer.tokenizer.decode(toks)}
                            if outer.tokenizer is not None else {}),
                         **({"logprobs": logprobs} if logprobs else {}),
-                    },
-                )
+                    }
+
+                results = [body(r) for r in rids]
+                if any(r is None for r in results):
+                    return self._json(504, {"request": rid, "error": "timeout"})
+                if n == 1:
+                    return self._json(200, results[0])
+                return self._json(200, {"choices": results})
 
             def _stream(self, rid: int, tok_q, timeout: float):
                 """Server-Sent Events: one event per token as the engine

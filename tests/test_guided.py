@@ -277,3 +277,33 @@ def test_logit_bias_http(model_and_params):
             assert _json.load(r)["tokens"] == [17] * 5
     finally:
         srv.stop()
+
+
+def test_http_n_completions(model_and_params):
+    """OpenAI-style n: one POST admits n batched requests; at temperature>0
+    the samples differ (independent noise per slot), greedy copies agree."""
+    import json as _json
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=12, temperature=1.2, seed=3)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    srv = EngineServer(eng, port=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=_json.dumps({"tokens": [5, 9, 2], "max_new_tokens": 12,
+                              "n": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            choices = _json.load(r)["choices"]
+        assert len(choices) == 3
+        streams = [tuple(c["tokens"]) for c in choices]
+        assert all(len(s) == 12 for s in streams)
+        assert len(set(streams)) > 1, streams  # sampling actually diverged
+    finally:
+        srv.stop()
