@@ -145,11 +145,12 @@ def cmd_medusa_train(args):
     import jax
 
     from .models import greedy_generate
-    from .models.medusa import init_medusa, train_medusa_heads
+    from .models.medusa import init_hydra, init_medusa, train_medusa_heads
     from .utils.checkpoint import save_checkpoint
 
     model, params = _restore_model(args.ckpt)
-    heads, hp = init_medusa(model, args.depth, jax.random.PRNGKey(args.seed))
+    init = init_hydra if args.style == "hydra" else init_medusa
+    heads, hp = init(model, args.depth, jax.random.PRNGKey(args.seed))
     if args.corpus:
         corpus = jnp.asarray(np.load(args.corpus)["tokens"], jnp.int32)
     else:
@@ -166,7 +167,9 @@ def cmd_medusa_train(args):
     hp, losses = train_medusa_heads(
         model, params, heads, hp, [corpus] * args.steps, lr=args.lr
     )
-    save_checkpoint(args.out, hp, json.dumps({"depth": args.depth}))
+    save_checkpoint(
+        args.out, hp, json.dumps({"depth": args.depth, "style": args.style})
+    )
     print(json.dumps({"loss_first": losses[0], "loss_last": losses[-1],
                       "out": args.out}))
 
@@ -181,11 +184,13 @@ def _load_medusa(args, model):
         return None, None
     import jax
 
-    from .models.medusa import init_medusa, quantize_medusa
+    from .models.medusa import init_hydra, init_medusa, quantize_medusa
     from .utils.checkpoint import load_config, restore_checkpoint
 
-    depth = int(load_config(args.medusa)["depth"])
-    heads, example = init_medusa(model, depth, jax.random.PRNGKey(0))
+    meta = load_config(args.medusa)
+    depth = int(meta["depth"])
+    init = init_hydra if meta.get("style") == "hydra" else init_medusa
+    heads, example = init(model, depth, jax.random.PRNGKey(0))
     params = restore_checkpoint(args.medusa, example)
     mode = getattr(args, "medusa_mode", "dynamic")
     if mode != "fp":
@@ -356,6 +361,9 @@ def main(argv=None):
     mt.add_argument("--ckpt", required=True)
     mt.add_argument("--out", required=True, help="heads checkpoint dir")
     mt.add_argument("--depth", type=int, default=3)
+    mt.add_argument("--style", default="medusa", choices=["medusa", "hydra"],
+                    help="medusa: independent per-depth heads; hydra: "
+                         "sequential heads conditioning on proposed tokens")
     mt.add_argument("--steps", type=int, default=200)
     mt.add_argument("--lr", type=float, default=1e-3)
     mt.add_argument("--seed", type=int, default=0)

@@ -1448,15 +1448,24 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
 
     next_props = None
     if heads is not None:
-        from ..models.medusa import propose_from_heads
+        from ..models.medusa import HydraHeads, propose_from_heads
 
         h_corr = jnp.take_along_axis(
             hidden, corr_node[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]  # [B, D]
-        head_logits = heads.apply(head_params, h_corr)  # [B, heads, V]
-        next_props = propose_from_heads(
-            head_logits[:, :depth, :], branches
-        )  # [B, J, d]
+        if isinstance(heads, HydraHeads):
+            # Sequential (Hydra) heads chain on the proposed tokens; the
+            # base model's (replicated) embedding table feeds the chain.
+            emb = params.get("params", params)["embed_tokens"]["embedding"]
+            next_props = heads.apply(
+                head_params, h_corr, corrections, emb, branches,
+                method=HydraHeads.propose,
+            )[:, :, :depth]
+        else:
+            head_logits = heads.apply(head_params, h_corr)  # [B, heads, V]
+            next_props = propose_from_heads(
+                head_logits[:, :depth, :], branches
+            )  # [B, J, d]
 
     # Compact the winning branch into chain slots, then advance lengths.
     caches = [c.reorder_tail(best_idx) for c in caches]

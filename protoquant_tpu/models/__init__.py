@@ -2,7 +2,9 @@ from .generate import greedy_generate, perplexity, score_tokens
 from .hf_import import import_hf_llama
 from .kv_cache import BF16KVCache, Int8KVCache
 from .medusa import (
+    HydraHeads,
     MedusaHeads,
+    init_hydra,
     init_medusa,
     quantize_medusa,
     train_medusa_heads,

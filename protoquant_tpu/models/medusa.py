@@ -147,6 +147,144 @@ def propose_from_heads(head_logits: jnp.ndarray, branches: int) -> jnp.ndarray:
     return jnp.concatenate([first[..., None], rest], axis=-1).astype(jnp.int32)
 
 
+class HydraHeads(nn.Module):
+    """SEQUENTIAL drafting heads (Hydra-style): head k conditions on the
+    embedding of the (k-1)-th PROPOSED token, not just the base hidden —
+    the known Medusa weakness is that deeper heads are unconditioned, so
+    their acceptance collapses once the first prediction is uncertain.
+
+    State chain: s_0 = hidden; s_k = s_{k-1} + silu(W_k [s_{k-1}; e_k])
+    where e_k embeds the k-th chain token (the BASE model's embedding
+    table, passed in — no duplicate table in the head params); head k's
+    logits = V_k s_k. Same QLinear construction as MedusaHeads, so
+    quantize_medusa applies unchanged.
+
+    Two entry points over the same params:
+    - ``__call__(hidden [N,D], chain_embeds [N,depth,D])`` teacher-forced
+      logits [N, depth, V] (training).
+    - ``propose(hidden [B,D], emb_table [V,D], branches)`` -> candidates
+      [B, branches, depth]: top-``branches`` from head 1, then each branch
+      chains argmax proposals conditioned on ITS OWN tokens (per-branch
+      deep proposals — unlike Medusa's shared argmax tail).
+    """
+
+    depth: int
+    vocab_size: int
+    hidden_size: int
+    dtype: Any = jnp.bfloat16
+    mode: str = "fp"
+
+    def setup(self):
+        from ..nn.qlinear import QLinear
+
+        self.res = [
+            QLinear(self.hidden_size, mode=self.mode, use_bias=True,
+                    dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                    name=f"res_{k}")
+            for k in range(self.depth)
+        ]
+        self.vocab = [
+            QLinear(self.vocab_size, mode=self.mode, use_bias=False,
+                    dtype=self.dtype, name=f"vocab_{k}")
+            for k in range(self.depth)
+        ]
+
+    def _step(self, s, e, k):
+        # The residual block maps [s; e] (2D wide) -> D.
+        x = jnp.concatenate([s, e.astype(s.dtype)], axis=-1)
+        s_next = s + nn.silu(self.res[k](x))
+        return s_next, self.vocab[k](s_next).astype(jnp.float32)
+
+    def __call__(self, hidden, chain_embeds):
+        lead = hidden.shape[:-1]
+        D = hidden.shape[-1]
+        s = hidden.reshape(-1, D).astype(self.dtype)
+        ce = chain_embeds.reshape(-1, self.depth, D)
+        outs = []
+        for k in range(self.depth):
+            s, lg = self._step(s, ce[:, k], k)
+            outs.append(lg)
+        out = jnp.stack(outs, axis=-2)
+        return out.reshape(*lead, self.depth, self.vocab_size)
+
+    def propose(self, hidden, root_tokens, emb_table, branches: int):
+        """[B, D] hidden (the state that PREDICTED the root token) +
+        [B] root tokens -> [B, branches, depth] candidates.
+
+        Head 0 conditions on the root's embedding and yields the top-J
+        distinct depth-1 candidates; each branch then chains: head k
+        conditions on THAT branch's depth-k candidate. All branches share
+        the depth-1 state (common root prefix)."""
+        B, D = hidden.shape
+        emb = emb_table.astype(self.dtype)
+        s, lg = self._step(hidden.astype(self.dtype), emb[root_tokens], 0)
+        first = jax.lax.top_k(lg, branches)[1].astype(jnp.int32)  # [B, J]
+        cols = [first]
+        sj = jnp.broadcast_to(s[:, None, :], (B, branches, D)).reshape(-1, D)
+        tok = first.reshape(-1)
+        for k in range(1, self.depth):
+            sj, lgk = self._step(sj, emb[tok], k)
+            tok = jnp.argmax(lgk, axis=-1).astype(jnp.int32)
+            cols.append(tok.reshape(B, branches))
+        return jnp.stack(cols, axis=-1)  # [B, J, depth]
+
+
+def init_hydra(model: LlamaModel, depth: int, rng=None,
+               dtype=jnp.bfloat16, mode: str = "fp"):
+    """(HydraHeads module, head_params) for ``model``'s width/vocab."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    D = model.cfg.hidden_size
+    heads = HydraHeads(depth=depth, vocab_size=model.cfg.vocab_size,
+                       hidden_size=D, dtype=dtype, mode=mode)
+    if mode != "fp":
+        from ..nn.convert import quantize_params
+        from ..utils.config import QuantConfig
+
+        fp = HydraHeads(depth=depth, vocab_size=model.cfg.vocab_size,
+                        hidden_size=D, dtype=dtype, mode="fp").init(
+            rng, jnp.zeros((1, D), dtype), jnp.zeros((1, depth, D), dtype)
+        )
+        return heads, quantize_params(fp, QuantConfig(mode=mode))
+    params = heads.init(
+        rng, jnp.zeros((1, D), dtype), jnp.zeros((1, depth, D), dtype)
+    )
+    return heads, params
+
+
+def _chain_embeds(tokens, emb_table, depth):
+    """[B, T] tokens -> [B, T, depth, D] teacher-forced chain embeddings:
+    head k (0-based) at position t conditions on token t+1+k (zero-padded
+    out-of-range — those positions are masked out of the loss)."""
+    B, T = tokens.shape
+    cols = []
+    for k in range(depth):
+        ids = jnp.pad(tokens[:, 1 + k :], ((0, 0), (0, min(1 + k, T))))[:, :T]
+        cols.append(emb_table[ids])
+    return jnp.stack(cols, axis=2)
+
+
+def _hydra_loss(heads, head_params, hidden, tokens, emb_table, depth):
+    """Teacher-forced CE for sequential heads: head k (0-based) at
+    position t conditions on the TRUE token t+1+k and predicts t+2+k."""
+    ce = _chain_embeds(tokens, emb_table, depth)
+    logits = heads.apply(head_params, hidden, ce)  # [B, T, depth, V]
+    B, T = tokens.shape
+    total = jnp.float32(0)
+    count = jnp.float32(0)
+    for k in range(depth):
+        n = T - 2 - k
+        if n <= 0:
+            continue
+        lg = logits[:, :n, k, :]
+        tg = tokens[:, 2 + k : 2 + k + n]
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        picked = jnp.take_along_axis(lg, tg[..., None], axis=-1)[..., 0]
+        total = total + jnp.sum(lse - picked)
+        count = count + n * B
+    return total / jnp.maximum(count, 1.0)
+
+
 def _head_loss(heads, head_params, hidden, tokens, depth):
     """Teacher-forced CE: head k at position t predicts tokens[t + 1 + k].
 
@@ -194,6 +332,12 @@ def train_medusa_heads(
     opt_state = opt.init(head_params)
     depth = heads.depth
 
+    is_hydra = isinstance(heads, HydraHeads)
+    emb_table = (
+        params.get("params", params)["embed_tokens"]["embedding"]
+        if is_hydra else None
+    )
+
     @partial(jax.jit, static_argnames=())
     def base_hidden(p, tokens):
         _, hidden = model.apply(p, tokens, return_hidden=True)
@@ -201,9 +345,12 @@ def train_medusa_heads(
 
     @jax.jit
     def train_step(hp, os_, hidden, tokens):
-        loss, grads = jax.value_and_grad(
-            lambda h: _head_loss(heads, h, hidden, tokens, depth)
-        )(hp)
+        def loss_fn(h):
+            if is_hydra:
+                return _hydra_loss(heads, h, hidden, tokens, emb_table, depth)
+            return _head_loss(heads, h, hidden, tokens, depth)
+
+        loss, grads = jax.value_and_grad(loss_fn)(hp)
         updates, os_ = opt.update(grads, os_, hp)
         return optax.apply_updates(hp, updates), os_, loss
 

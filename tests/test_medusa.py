@@ -237,3 +237,126 @@ def test_quantized_heads_keep_exact_greedy_and_accept(model_and_params):
     for ra, rb in zip(plain_rids, rids):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
     assert eng.metrics()["spec_acceptance_rate"] > 0.05
+
+
+# -- Hydra (sequential) drafting heads ----------------------------------------
+
+
+def test_hydra_shapes_and_training(model_and_params):
+    from protoquant_tpu.models.medusa import init_hydra
+
+    model, params = model_and_params
+    heads, hp = init_hydra(model, depth=2, rng=jax.random.PRNGKey(6),
+                           dtype=jnp.float32)
+    corpus = _self_distill_corpus(model, params)
+    hp2, losses = train_medusa_heads(model, params, heads, hp,
+                                     [corpus] * 30, lr=3e-3)
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+    # propose: distinct first tokens per branch; shape [B, J, depth].
+    emb = params["params"]["embed_tokens"]["embedding"]
+    h = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, CFG.hidden_size)),
+        jnp.float32)
+    roots = jnp.asarray([1, 2, 3], jnp.int32)
+    props = heads.apply(hp2, h, roots, emb, 4,
+                        method=heads.propose)
+    assert props.shape == (3, 4, 2)
+    for b in range(3):
+        firsts = [int(t) for t in props[b, :, 0]]
+        assert len(set(firsts)) == 4
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_hydra_engine_matches_plain_greedy(model_and_params, kv_dtype):
+    from protoquant_tpu.models.medusa import init_hydra
+
+    model, params = model_and_params
+    heads, hp = init_hydra(model, depth=3, rng=jax.random.PRNGKey(7))
+    ecfg = EngineConfig(max_batch_size=3, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=24, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2, 1],
+               [9, 2, 9, 2, 9], [3, 3, 3, 3]]
+    plain = Engine(model, params, ecfg, kv_dtype=kv_dtype)
+    plain_rids = [plain.add_request(p, 24) for p in prompts]
+    plain_outs = plain.run()
+    eng = Engine(model, params, ecfg, kv_dtype=kv_dtype,
+                 medusa_heads=heads, medusa_params=hp,
+                 gamma=3, lookup_branches=3)
+    rids = [eng.add_request(p, 24) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+
+
+def test_hydra_trained_raises_acceptance_and_quantizes(model_and_params):
+    """Trained sequential heads out-accept untrained; quantize_medusa
+    applies unchanged (same QLinear construction) and keeps exactness."""
+    from protoquant_tpu.models.medusa import init_hydra, quantize_medusa
+
+    model, params = model_and_params
+    corpus = _self_distill_corpus(model, params)
+    heads, hp0 = init_hydra(model, depth=2, rng=jax.random.PRNGKey(9),
+                            dtype=jnp.float32)
+    hp1, _ = train_medusa_heads(model, params, heads, hp0, [corpus] * 60,
+                                lr=3e-3)
+
+    def run(heads_, hp_):
+        ecfg = EngineConfig(max_batch_size=2, max_seq_len=96,
+                            prefill_chunk=16, max_new_tokens=32,
+                            temperature=0.0)
+        eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                     medusa_heads=heads_, medusa_params=hp_,
+                     gamma=2, lookup_branches=3)
+        rng = np.random.default_rng(11)
+        for _ in range(2):
+            eng.add_request(
+                [int(t) for t in rng.integers(1, CFG.vocab_size, 8)], 32)
+        eng.run()
+        return eng.metrics()["spec_acceptance_rate"]
+
+    untrained, trained = run(heads, hp0), run(heads, hp1)
+    assert trained > untrained, (trained, untrained)
+    assert trained > 0.1, trained
+
+    q_heads, q_hp = quantize_medusa(heads, hp1, "dynamic")
+    ecfg = EngineConfig(max_batch_size=1, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=16, temperature=0.0)
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    pr = plain.add_request([5, 9, 2, 7], 16)
+    ref = plain.run()[pr]
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 medusa_heads=q_heads, medusa_params=q_hp,
+                 gamma=2, lookup_branches=3)
+    rid = eng.add_request([5, 9, 2, 7], 16)
+    assert eng.run()[rid] == ref
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_hydra_dp_tp_engine_matches_single_device(model_and_params):
+    from protoquant_tpu.models.medusa import init_hydra
+
+    jax.clear_caches()
+    from protoquant_tpu.parallel import make_mesh, shard_params, tp_model
+    from protoquant_tpu.utils.config import MeshConfig
+
+    model, params = model_and_params
+    heads, hp = init_hydra(model, depth=3, rng=jax.random.PRNGKey(10))
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=16, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 1, 2, 1, 2, 1],
+               [9, 2, 9, 2, 9], [3, 3, 3, 3]]
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 16) for p in prompts]
+    plain_outs = plain.run()
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32,
+                     mesh=mesh, medusa_heads=heads, medusa_params=hp,
+                     gamma=3, lookup_branches=3)
+        rids = [eng.add_request(p, 16) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
