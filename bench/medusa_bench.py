@@ -61,13 +61,20 @@ def main():
     )
 
     heads_mode = os.environ.get("SPEC_HEADS_MODE", "fp")
+    heads_style = os.environ.get("SPEC_HEADS_STYLE", "medusa")
     model = LlamaModel(cfg, mode="dynamic", dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
         fp = LlamaModel(cfg, mode="fp", dtype=jnp.bfloat16).init(
             jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
         params = quantize_params(fp, QuantConfig(mode="dynamic"))
-        heads, head_params = init_medusa(
-            model, d, jax.random.PRNGKey(1), mode=heads_mode)
+        if heads_style == "hydra":
+            from protoquant_tpu.models.medusa import init_hydra
+
+            heads, head_params = init_hydra(
+                model, d, jax.random.PRNGKey(1), mode=heads_mode)
+        else:
+            heads, head_params = init_medusa(
+                model, d, jax.random.PRNGKey(1), mode=heads_mode)
     params = jax.device_put(params, jax.devices()[0])
     head_params = jax.device_put(head_params, jax.devices()[0])
 
@@ -143,7 +150,7 @@ def main():
     breakeven = max(0.0, (need - 1.0) / d)
     print(json.dumps({
         "metric": "medusa_mechanics", "branches": J, "depth": d, "batch": B,
-        "heads_mode": heads_mode,
+        "heads_mode": heads_mode, "heads_style": heads_style,
         "t_tick_us": round(t_tick * 1e6, 1),
         "t_plain_us": round(t_plain * 1e6, 1),
         "tick_cost_in_plain_steps": round(need, 3),

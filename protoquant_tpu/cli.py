@@ -214,9 +214,6 @@ def _kv_dtype(args):
 
 
 def cmd_generate(args):
-    from .engine import Engine, EngineConfig
-
-    model, params = _restore_model(args.ckpt)
     tok = _load_tokenizer(args)
     if args.prompt is not None:
         if tok is None:
@@ -224,23 +221,7 @@ def cmd_generate(args):
         prompt = tok.encode(args.prompt)
     else:
         prompt = [int(t) for t in args.prompt_tokens.split(",")]
-    ecfg = EngineConfig(
-        max_batch_size=args.batch,
-        max_seq_len=args.max_seq,
-        max_new_tokens=args.max_new,
-        temperature=args.temperature,
-        top_k=args.top_k,
-        top_p=args.top_p,
-        min_p=args.min_p,
-        repetition_penalty=args.repetition_penalty,
-    )
-    heads, hparams = _load_medusa(args, model)
-    eng = Engine(
-        model, params, ecfg, kv_dtype=_kv_dtype(args),
-        medusa_heads=heads, medusa_params=hparams,
-        gamma=(heads.depth if heads is not None else 4),
-        lookup_branches=(args.medusa_branches if heads is not None else 1),
-    )
+    eng = _load_engine(args, max_new_tokens=args.max_new)
     rid = eng.add_request(prompt, args.max_new)
     out = eng.run()[rid]
     rec = {"request": rid, "tokens": out, "metrics": eng.metrics()}
@@ -249,7 +230,9 @@ def cmd_generate(args):
     print(json.dumps(rec))
 
 
-def _load_engine(args):
+def _load_engine(args, **ecfg_extra):
+    """The ONE engine constructor behind both `generate` and `serve` —
+    every engine kwarg (medusa wiring included) lives here exactly once."""
     from .engine import Engine, EngineConfig
 
     model, params = _restore_model(args.ckpt)
@@ -261,14 +244,14 @@ def _load_engine(args):
         top_p=args.top_p,
         min_p=args.min_p,
         repetition_penalty=args.repetition_penalty,
+        **ecfg_extra,
     )
     heads, hparams = _load_medusa(args, model)
     return Engine(
         model, params, ecfg, kv_dtype=_kv_dtype(args),
         medusa_heads=heads, medusa_params=hparams,
         gamma=(heads.depth if heads is not None else 4),
-        lookup_branches=(getattr(args, "medusa_branches", 4)
-                         if heads is not None else 1),
+        lookup_branches=(args.medusa_branches if heads is not None else 1),
     )
 
 

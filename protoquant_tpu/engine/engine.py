@@ -73,6 +73,7 @@ class Request:
     # OpenAI-style logit_bias: {token_id: delta} added to the logits before
     # sampling on every step. Composes with logit_mask_fn.
     logit_bias: "dict | None" = None
+    _bias_row: "object" = None  # cached dense [V] row built from logit_bias
 
 
 def _bucket(n: int, chunk: int, lo: int = 16) -> int:
@@ -217,6 +218,12 @@ class Engine:
         if tree_mode:
             if self.cfg.temperature != 0.0:
                 raise ValueError("tree speculation is greedy-only")
+            if kv_dtype == jnp.int4:
+                raise NotImplementedError(
+                    "tree speculation + int4 KV: the packed-nibble cache "
+                    "has no reorder_tail (branch compaction would rewrite "
+                    "merged nibbles); use kv_bits=8"
+                )
             if kv_layout == "ring":
                 raise NotImplementedError(
                     "tree speculation + ring layout (reorder_tail through "
@@ -543,6 +550,15 @@ class Engine:
             raise ValueError(
                 "logit_mask_fn/logit_bias are unsupported in speculative modes"
             )
+        if req.logit_bias:
+            # Range-check HERE, not on the engine thread: a bad id raising
+            # inside Engine.step() would kill serving for every client.
+            V = self.model.cfg.vocab_size
+            bad = [t for t in req.logit_bias if not 0 <= t < V]
+            if bad:
+                raise ValueError(
+                    f"logit_bias token ids out of range [0, {V}): {bad[:5]}"
+                )
         if self._tree_mode and temperature not in (None, 0.0):
             raise ValueError("tree speculation is greedy-only "
                              "(per-request temperature must be 0)")
@@ -903,11 +919,24 @@ class Engine:
         )
         for s, r in slots:
             if r.logit_mask_fn is not None:
-                allow = np.asarray(r.logit_mask_fn(r.prompt + r.out), bool)
-                bias[s] = np.where(allow, 0.0, NEG_INF_LOGIT)
+                # Static masks (e.g. HTTP allowed_tokens) carry a
+                # precomputed row on the callable; stateful FSMs
+                # re-evaluate per tick (their state is the point).
+                row = getattr(r.logit_mask_fn, "static_row", None)
+                if row is None:
+                    allow = np.asarray(
+                        r.logit_mask_fn(r.prompt + r.out), bool
+                    )
+                    row = np.where(allow, 0.0, NEG_INF_LOGIT)
+                bias[s] = row
             if r.logit_bias:
-                for t, v in r.logit_bias.items():
-                    bias[s, t] += v
+                if r._bias_row is None:
+                    r._bias_row = np.zeros(
+                        self.model.cfg.vocab_size, np.float32
+                    )
+                    for t, v in r.logit_bias.items():
+                        r._bias_row[t] += v
+                bias[s] += r._bias_row
         return jnp.asarray(bias)
 
     def step(self):

@@ -111,24 +111,34 @@ class EngineServer:
                     if req.get("allowed_tokens"):
                         import numpy as _np
 
-                        allow = _np.zeros(
-                            outer.engine.model.cfg.vocab_size, bool
-                        )
-                        allow[[int(t) for t in req["allowed_tokens"]]] = True
+                        V = outer.engine.model.cfg.vocab_size
+                        ids = [int(t) for t in req["allowed_tokens"]]
+                        if any(not 0 <= t < V for t in ids):
+                            raise ValueError(
+                                f"allowed_tokens ids out of range [0, {V})"
+                            )
+                        allow = _np.zeros(V, bool)
+                        allow[ids] = True
                         logit_mask_fn = lambda toks, _m=allow: _m
-                    # OpenAI-style logit_bias: {token_id: delta}.
+                        # Static set: the engine skips the per-tick
+                        # re-evaluation + full-vocab where().
+                        logit_mask_fn.static_row = _np.where(
+                            allow, 0.0, -1e30
+                        ).astype(_np.float32)
+                    # OpenAI-style logit_bias: {token_id: delta}
+                    # (range-checked by Engine.add_request).
                     logit_bias = (
                         {int(k): float(v)
                          for k, v in req["logit_bias"].items()}
                         if req.get("logit_bias") else None
                     )
+                    stream = bool(req.get("stream", False))
+                    n = int(req.get("n", 1))
+                    if n < 1:
+                        raise ValueError("n must be >= 1")
                 except (KeyError, TypeError, ValueError, IndexError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
-                stream = bool(req.get("stream", False))
-                n = int(req.get("n", 1))
-                if n < 1:
-                    return self._json(400, {"error": "n must be >= 1"})
                 if n > 1 and stream:
                     return self._json(
                         400, {"error": "n > 1 cannot stream (one SSE "
@@ -160,9 +170,16 @@ class EngineServer:
                 timeout = float(req.get("timeout_s", 300))
                 if stream:
                     return self._stream(rid, tok_q, timeout)
+                import time as _time
+
+                # One shared deadline across the n completions (NOT n full
+                # timeouts in series — they decode concurrently anyway).
+                deadline = _time.monotonic() + timeout
 
                 def body(r):
-                    out = outer.wait(r, timeout=timeout)
+                    out = outer.wait(
+                        r, timeout=max(0.0, deadline - _time.monotonic())
+                    )
                     if out is None:
                         return None
                     toks, cancelled, logprobs = out

@@ -89,6 +89,18 @@ class RMSNorm(nn.Module):
         return (y * w).astype(self.dtype)
 
 
+def _act_fn(hidden_act: str):
+    """silu | gelu (tanh approximation — HF gelu_pytorch_tanh/gelu_new:
+    Gemma, GPT-2, StarCoder2) | gelu_exact (erf — HF plain F.gelu:
+    GPT-NeoX/Pythia, Falcon)."""
+    if hidden_act == "silu":
+        return jax.nn.silu
+    if hidden_act == "gelu_exact":
+        return partial(jax.nn.gelu, approximate=False)
+    return partial(jax.nn.gelu, approximate=True)
+
+
+
 class LayerNorm(nn.Module):
     """Mean-centred norm with weight + bias (GPT-NeoX/Pythia tier; fp32
     math, output cast to the activation dtype like RMSNorm above)."""
@@ -627,11 +639,7 @@ class MLP(nn.Module):
             # dense_4h_to_h; imported as up_proj/down_proj).
             assert not self.fused, "fused projections presume a gated MLP"
             up = lin(inter, "up_proj")(x, preq, adapter_ids)
-            act = (
-                jax.nn.silu
-                if self.cfg.hidden_act == "silu"
-                else partial(jax.nn.gelu, approximate=True)
-            )
+            act = _act_fn(self.cfg.hidden_act)
             h = act(up.astype(jnp.float32)).astype(self.dtype)
             return QLinear(
                 self.cfg.hidden_size,
@@ -678,11 +686,7 @@ class MLP(nn.Module):
             # and XLA dead-code-eliminates this reconstruction.
             h = (hq.astype(jnp.float32) * sh[..., None]).astype(self.dtype)
         else:
-            act = (
-                jax.nn.silu
-                if self.cfg.hidden_act == "silu"
-                else partial(jax.nn.gelu, approximate=True)
-            )
+            act = _act_fn(self.cfg.hidden_act)
             h = act(gate.astype(jnp.float32)).astype(self.dtype) * up
         # Row-parallel down projection: all-reduce (or reduce-scatter under SP).
         return QLinear(

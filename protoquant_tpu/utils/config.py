@@ -600,7 +600,7 @@ class ModelConfig:
             mlp_bias=True,
             attention_bias=True,
             attention_out_bias=True,
-            hidden_act="gelu",
+            hidden_act="gelu_exact",
             partial_rotary_factor=0.25,
         )
 
@@ -622,7 +622,7 @@ class ModelConfig:
             parallel_block=True,
             parallel_block_single_norm=True,
             mlp_gated=False,
-            hidden_act="gelu",
+            hidden_act="gelu_exact",
             tie_word_embeddings=True,
         )
 

@@ -307,3 +307,43 @@ def test_http_n_completions(model_and_params):
         assert len(set(streams)) > 1, streams  # sampling actually diverged
     finally:
         srv.stop()
+
+
+def test_logit_bias_validation(model_and_params):
+    """Out-of-range logit_bias ids fail at add_request (NOT on the engine
+    thread, where an IndexError would kill serving for every client); over
+    HTTP that surfaces as a 400."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.add_request([1, 2], 4, logit_bias={999999: 1.0})
+    with pytest.raises(ValueError, match="out of range"):
+        eng.add_request([1, 2], 4, logit_bias={-1: 1.0})
+
+    srv = EngineServer(eng, port=0).start()
+    try:
+        for body in ({"tokens": [1], "logit_bias": {"999999": 1.0}},
+                     {"tokens": [1], "allowed_tokens": [-1]},
+                     {"tokens": [1], "n": "two"}):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/generate",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 400, body
+        # The engine thread survived all of it.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health", timeout=10
+        ) as r:
+            assert _json.load(r)["ok"]
+    finally:
+        srv.stop()

@@ -814,7 +814,7 @@ def test_gpt_neox_parity():
         max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
         norm_type="layernorm", parallel_block=True, mlp_gated=False,
         mlp_bias=True, attention_bias=True, attention_out_bias=True,
-        hidden_act="gelu", partial_rotary_factor=0.25,
+        hidden_act="gelu_exact", partial_rotary_factor=0.25,
     )
     toks = _tokens(64, seed=5)
     sd = _state_dict_np(hf)
@@ -861,7 +861,8 @@ def test_falcon_parity():
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
         max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
         norm_type="layernorm", parallel_block=True,
-        parallel_block_single_norm=True, mlp_gated=False, hidden_act="gelu",
+        parallel_block_single_norm=True, mlp_gated=False,
+        hidden_act="gelu_exact",
     )
     toks = _tokens(64, seed=9)
     sd = _state_dict_np(hf)

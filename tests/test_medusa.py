@@ -360,3 +360,15 @@ def test_hydra_dp_tp_engine_matches_single_device(model_and_params):
         outs = eng.run()
     for ra, rb in zip(plain_rids, rids):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+
+
+def test_tree_mode_rejects_int4_kv(model_and_params):
+    """Constructor-time guard: the packed-nibble cache has no reorder_tail,
+    so tree/medusa modes must refuse it clearly (not AttributeError mid-jit)."""
+    model, params = model_and_params
+    heads, hp = init_medusa(model, depth=2)
+    with pytest.raises(NotImplementedError, match="int4"):
+        Engine(model, params,
+               EngineConfig(max_batch_size=2, max_seq_len=64),
+               kv_dtype=jnp.int4, medusa_heads=heads, medusa_params=hp,
+               gamma=2)
