@@ -232,7 +232,7 @@ def cmd_generate(args):
 
 def _load_engine(args, **ecfg_extra):
     """The ONE engine constructor behind both `generate` and `serve` —
-    every engine kwarg (medusa wiring included) lives here exactly once."""
+    every engine kwarg (speculation wiring included) lives here exactly once."""
     from .engine import Engine, EngineConfig
 
     model, params = _restore_model(args.ckpt)
@@ -247,11 +247,25 @@ def _load_engine(args, **ecfg_extra):
         **ecfg_extra,
     )
     heads, hparams = _load_medusa(args, model)
+    draft_model = draft_params = None
+    if getattr(args, "draft_ckpt", None):
+        # Draft-model speculation: a second (smaller) quantized checkpoint
+        # proposes; acceptance keeps the stream exact (greedy) /
+        # distribution-exact (sampling).
+        draft_model, draft_params = _restore_model(args.draft_ckpt)
+    prompt_lookup = getattr(args, "prompt_lookup", 0)
     return Engine(
         model, params, ecfg, kv_dtype=_kv_dtype(args),
         medusa_heads=heads, medusa_params=hparams,
-        gamma=(heads.depth if heads is not None else 4),
-        lookup_branches=(args.medusa_branches if heads is not None else 1),
+        draft_model=draft_model, draft_params=draft_params,
+        prompt_lookup=prompt_lookup,
+        gamma=(heads.depth if heads is not None
+               else getattr(args, "gamma", 4)),
+        adaptive_gamma=getattr(args, "adaptive_gamma", False),
+        lookup_branches=(
+            args.medusa_branches if heads is not None
+            else getattr(args, "lookup_branches", 1)
+        ),
     )
 
 
@@ -332,6 +346,17 @@ def main(argv=None):
     g.add_argument("--medusa", default=None,
                    help="drafting-heads checkpoint dir (medusa-train output)")
     g.add_argument("--medusa-branches", type=int, default=4)
+    g.add_argument("--draft-ckpt", default=None,
+                    help="smaller quantized checkpoint for draft-model "
+                         "speculation (exact/distribution-exact acceptance)")
+    g.add_argument("--prompt-lookup", type=int, default=0,
+                    help="n-gram length for draft-free speculation (0=off)")
+    g.add_argument("--lookup-branches", type=int, default=1,
+                    help=">1 = tree speculation over n-gram candidates")
+    g.add_argument("--gamma", type=int, default=4,
+                    help="speculation lookahead per tick")
+    g.add_argument("--adaptive-gamma", action="store_true",
+                    help="adapt lookahead from measured acceptance")
     g.add_argument("--medusa-mode", default="dynamic",
                    choices=["fp", "dynamic", "weight_only"],
                    help="drafting-head serving quantization")
@@ -377,6 +402,17 @@ def main(argv=None):
     sv.add_argument("--medusa", default=None,
                     help="drafting-heads checkpoint dir (medusa-train output)")
     sv.add_argument("--medusa-branches", type=int, default=4)
+    sv.add_argument("--draft-ckpt", default=None,
+                    help="smaller quantized checkpoint for draft-model "
+                         "speculation (exact/distribution-exact acceptance)")
+    sv.add_argument("--prompt-lookup", type=int, default=0,
+                    help="n-gram length for draft-free speculation (0=off)")
+    sv.add_argument("--lookup-branches", type=int, default=1,
+                    help=">1 = tree speculation over n-gram candidates")
+    sv.add_argument("--gamma", type=int, default=4,
+                    help="speculation lookahead per tick")
+    sv.add_argument("--adaptive-gamma", action="store_true",
+                    help="adapt lookahead from measured acceptance")
     sv.add_argument("--medusa-mode", default="dynamic",
                     choices=["fp", "dynamic", "weight_only"],
                     help="drafting-head serving quantization")

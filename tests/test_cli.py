@@ -202,3 +202,24 @@ def test_cli_gpt_neox_convert_then_generate(tmp_path, capsys):
           "--max-new", "8", "--max-seq", "64"])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rec["tokens"]) == 8 and all(0 <= t < 64 for t in rec["tokens"])
+
+
+@pytest.mark.slow
+def test_cli_draft_ckpt_speculation_exact(weights_and_config, capsys):
+    """generate --draft-ckpt produces the exact plain greedy stream
+    (speculation plumbing through the CLI surface)."""
+    tmp, wpath, cpath = weights_and_config
+    ck = str(tmp / "spec_target")
+    main(["convert", "--weights", wpath, "--config", cpath, "--out", ck])
+    capsys.readouterr()
+
+    main(["generate", "--ckpt", ck, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "10", "--max-seq", "64"])
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["generate", "--ckpt", ck, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "10", "--max-seq", "64", "--draft-ckpt", ck,
+          "--gamma", "3"])
+    spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert spec["tokens"] == plain["tokens"]
+    # Self-draft accepts everything: far fewer engine steps.
+    assert spec["metrics"]["spec_acceptance_rate"] > 0.9
