@@ -299,7 +299,8 @@ def main(argv=None):
     c.add_argument(
         "--mode",
         default="dynamic",
-        choices=["dynamic", "weight_only", "weight_only_int4", "weight_only_fp8"],
+        choices=["dynamic", "weight_only", "weight_only_int4", "dynamic_int4",
+                 "weight_only_fp8"],
     )
     c.add_argument("--int4-group", type=int, default=128)
     c.add_argument(

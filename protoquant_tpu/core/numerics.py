@@ -216,6 +216,31 @@ def weight_only_int4_linear_ref(x, packed, scales, group, bias=None, out_dtype=N
     return y.astype(out_dtype)
 
 
+def dynamic_int4_linear_ref(x, packed, scales, group, bias=None,
+                            out_dtype=None):
+    """Reference W4A8 linear: dynamic per-row int8 activations x group-wise
+    int4 weights, integer dots per group, f32 scale-after-dot —
+    y[m, n] = s_x[m] * sum_g s_w[g, n] * (xq[m, g] . q4[g, n]) + bias.
+    The ops/w4a8_matmul.py Pallas kernel implements exactly this contract
+    (int8 x int4 products are exact in int32; only the f32 group
+    accumulation rounds)."""
+    out_dtype = out_dtype or x.dtype
+    xq, s_x = quantize_rowwise(x)
+    q = unpack_int4(packed, group)  # [K, N] int in [-8, 7]
+    k, n = q.shape
+    m = xq.reshape(-1, k).shape[0]
+    acc = jnp.einsum(
+        "mgk,gkn->mgn",
+        xq.reshape(-1, k).astype(jnp.int32).reshape(m, k // group, group),
+        q.astype(jnp.int32).reshape(k // group, group, n),
+    )  # [M, G, N] int32, exact
+    y = jnp.sum(acc.astype(jnp.float32) * scales[None, :, :], axis=1)
+    y = y * s_x.reshape(-1)[:, None]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.reshape(*x.shape[:-1], n).astype(out_dtype)
+
+
 def weight_only_linear_ref(
     x: jnp.ndarray,
     wq: jnp.ndarray,

@@ -352,7 +352,7 @@ class Attention(nn.Module):
         # Shared dynamic rowquant: q/k/v read the same normed activation, so
         # quantize it once and feed all three int8 matmuls (unless the SP
         # gather above already produced the quantized pair).
-        if self.mode == "dynamic" and preq is None:
+        if self.mode in ("dynamic", "dynamic_int4") and preq is None:
             from .. import ops
             from ..core import numerics
 
@@ -626,7 +626,7 @@ class MLP(nn.Module):
             lora_stack=self.lora_stack, name=name,
         )
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
-        if self.mode == "dynamic" and preq is None:
+        if self.mode in ("dynamic", "dynamic_int4") and preq is None:
             from .. import ops
             from ..core import numerics
 

@@ -70,13 +70,18 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
             from ..core.qtensor import QTensorF8
 
             out["qkernel"] = QTensorF8.quantize(w, axis=0, group=cfg.fp8_group)
-        elif cfg.mode == "weight_only_int4":
+        elif cfg.mode in ("weight_only_int4", "dynamic_int4"):
             from ..core.qtensor import QTensor4
             from .qlinear import pick_int4_group
 
             group = pick_int4_group(w.shape[0], cfg.int4_group)
+            # dynamic_int4 (W4A8) consumes the byte-packed layout only (the
+            # int8-MXU kernel unpacks nibbles in VMEM).
+            storage = (
+                "packed" if cfg.mode == "dynamic_int4" else cfg.int4_storage
+            )
             out["qkernel"] = QTensor4.quantize(
-                w, group=group, storage=cfg.int4_storage, clip=cfg.int4_clip
+                w, group=group, storage=storage, clip=cfg.int4_clip
             )
         else:
             out["qkernel"] = QTensor.quantize(w, axis=0)

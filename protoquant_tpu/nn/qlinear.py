@@ -287,6 +287,36 @@ class QLinear(nn.Module):
                 bias=fused_bias,
                 out_dtype=self.dtype,
             )
+        elif self.mode == "dynamic_int4":
+            # W4A8: packed int4 weights (quarter bytes) x dynamic int8
+            # activations on the INT8 MXU (2x the bf16 rate the wo4 path
+            # uses) — ops/w4a8_matmul.py. Packed storage only: the kernel
+            # unpacks nibbles to exact int8 values in VMEM.
+            qkernel = self.param(
+                "qkernel",
+                _qtensor4_init(
+                    self.kernel_init,
+                    (in_features, self.features),
+                    self.param_dtype,
+                    self.int4_group,
+                    "packed",
+                ),
+            )
+            if prequantized is not None:
+                xq, s_x = prequantized
+            else:
+                from ..core import numerics
+
+                if ops.resolve_linear_backend(
+                    x.size // in_features, in_features, self.features
+                ) == "xla":
+                    xq, s_x = numerics.quantize_rowwise(x)
+                else:
+                    xq, s_x = ops.rowquant(x)
+            y = ops.w4a8_matmul(
+                xq, s_x, qkernel.data, qkernel.scale,
+                group=qkernel.group, bias=fused_bias, out_dtype=self.dtype,
+            )
         else:
             raise ValueError(f"unknown mode {self.mode!r}")
 

@@ -5,6 +5,7 @@ MXU/VPU programs on TPU and run in interpret mode on CPU (test path)."""
 from .dequant import dequant
 from .qmatmul import dynamic_qlinear, qmatmul
 from .rowquant import rowquant
+from .w4a8_matmul import w4a8_matmul
 from .wo4_matmul import weight_only_int4_matmul
 from .wo_matmul import weight_only_matmul
 from .xla_backend import (
@@ -74,6 +75,7 @@ __all__ = [
     "qmatmul",
     "dynamic_qlinear",
     "weight_only_matmul",
+    "w4a8_matmul",
     "weight_only_int4_matmul",
     "dequant",
     "dynamic_qlinear_xla",

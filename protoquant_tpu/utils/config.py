@@ -32,7 +32,9 @@ class QuantConfig:
     """How to quantize a model."""
 
     mode: str = "dynamic"
-    # "dynamic" | "weight_only" | "weight_only_int4" | "weight_only_fp8" | "fp"
+    # "dynamic" | "weight_only" | "weight_only_int4" | "dynamic_int4" (W4A8:
+    # int4 weights x dynamic int8 acts on the int8 MXU) | "weight_only_fp8"
+    # | "fp"
     # KV-cache storage: 8 (int8, the perf default), 4 (packed int4 — the
     # capacity tier, full-causal models only; BASELINE.md), 16 (bf16).
     kv_bits: int = 8
@@ -55,7 +57,8 @@ class QuantConfig:
     def __post_init__(self):
         _coerce_tuple_fields(self)
         if self.mode not in (
-            "dynamic", "weight_only", "weight_only_int4", "weight_only_fp8", "fp"
+            "dynamic", "weight_only", "weight_only_int4", "dynamic_int4",
+            "weight_only_fp8", "fp",
         ):
             raise ValueError(f"unknown quant mode {self.mode!r}")
         if self.kv_bits not in (4, 8, 16):
