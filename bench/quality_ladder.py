@@ -144,6 +144,11 @@ def main():
         qcfg=QuantConfig(mode="weight_only_fp8", fp8_group=64))
     run("int4_weight_only_g128", "weight_only_int4", params,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
+    # W4A8: same int4 weights + dynamic int8 activations (the int8-MXU
+    # prefill formulation, ops/w4a8_matmul.py) — the delta vs the
+    # weight-only row above isolates the activation-quantization cost.
+    run("int4_w4a8_g128", "dynamic_int4", params,
+        qcfg=QuantConfig(mode="dynamic_int4", int4_group=128))
     run("int4_weight_only_g128+gptq", "weight_only_int4", params,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True)
     run("int4_weight_only_g128+awq", "weight_only_int4", awq_int4,

@@ -70,8 +70,11 @@ def main():
         )
 
     def wo4(p):
+        # Decode-tuned default blocks (bm 256 x bn 2048) blow VMEM at
+        # M=512; halve bn for the prefill regime.
         return weight_only_int4_matmul(
             x, p, scales, group=G, interpret=False, formulation="split",
+            block_n=1024 if M >= 256 else 2048,
         ).astype(jnp.bfloat16)
 
     def int8_dyn(w):

@@ -1,10 +1,12 @@
 """Pallas kernel: int8 x int8 -> int32 MXU matmul with fused fp32 epilogue.
 
 TPU-native equivalent of the reference's CUTLASS int8 GEMM + fused dequant
-epilogue (`fused_dq_addmm`, SURVEY.md §2.1 R6+R7). This kernel is
-load-bearing: XLA's own integer-accumulate `dot_general` hangs in compile on
-this platform (SURVEY.md §0.3 probe matrix), so every int8 GEMM in the
-framework routes here.
+epilogue (`fused_dq_addmm`, SURVEY.md §2.1 R6+R7). This kernel is the
+bit-exact int32 CONTRACT path; the round-1 claim that XLA's
+integer-accumulate dot was unusable was an artifact and is corrected in
+SURVEY.md §0.3 / BASELINE.md's formulation probe — the product linears
+route through ops.LINEAR_BACKEND="auto" (XLA), while this kernel remains
+the exactness oracle and the base for the rowquant-fused variants.
 
 Design:
   grid = (M/bm, N/bn, K/bk), k innermost ("arbitrary" semantics).
