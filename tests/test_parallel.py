@@ -216,6 +216,37 @@ def test_tp_int4_weight_only_matches_single_device(fp_setup):
 
 
 @needs_8dev
+def test_tp_w4a8_matches_single_device(fp_setup):
+    """dynamic_int4 (W4A8) + TP: the packed payload and group-wise scales
+    shard like wo4's; per-row activation scales recompute per shard."""
+    from protoquant_tpu.utils.config import QuantConfig
+
+    single_model, fp_params = fp_setup
+    qparams = quantize_params(
+        fp_params, QuantConfig(mode="dynamic_int4", int4_group=16)
+    )
+    tokens = jnp.asarray(
+        np.random.default_rng(14).integers(0, CFG.vocab_size, (2, 8)),
+        jnp.int32,
+    )
+    ref = np.asarray(
+        LlamaModel(CFG, mode="dynamic_int4", dtype=jnp.float32,
+                   int4_group=16).apply(qparams, tokens)
+    )
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+    model_tp = tp_model(CFG, "dynamic_int4", mesh, dtype=jnp.float32,
+                        int4_group=16)
+    sparams = shard_params(qparams, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, qparams)(sparams, tokens))
+    # Dynamic activation scales differ between the sharded row-parallel
+    # halves and the single-device contraction, so this is close, not exact.
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-12)
+    assert cos > 0.999, cos
+
+
+@needs_8dev
 @pytest.mark.parametrize("mode", ["fp", "weight_only"])
 def test_pipeline_parallel_score_matches_single_device(mode):
     """GPipe-style 2-stage pipeline (stacked-layer stages, microbatch ring)
