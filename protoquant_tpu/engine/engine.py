@@ -52,6 +52,8 @@ class Request:
     # Stop sequences: token-id lists; generation retires when the output's
     # suffix matches any of them (multi-token analogue of eos_id).
     stop_sequences: list = dataclasses.field(default_factory=list)
+    # eos/stop-sequences are ignored until this many tokens generated.
+    min_new_tokens: int = 0
     # Per-request sampling overrides (None = engine-config default).
     temperature: "float | None" = None
     top_k: "int | None" = None
@@ -478,6 +480,7 @@ class Engine:
         on_token=None,
         adapter_id: int = 0,
         stop_sequences=None,  # list of token-id lists (suffix match retires)
+        min_new_tokens: int = 0,  # eos/stop ignored below this floor
         temperature: "float | None" = None,
         top_k: "int | None" = None,
         top_p: "float | None" = None,
@@ -519,6 +522,7 @@ class Engine:
             stop_sequences=[
                 [int(t) for t in seq] for seq in (stop_sequences or [])
             ],
+            min_new_tokens=int(min_new_tokens),
             temperature=temperature,
             top_k=top_k,
             top_p=top_p,
@@ -855,6 +859,13 @@ class Engine:
             len(req.out) >= len(seq) and req.out[-len(seq):] == seq
             for seq in req.stop_sequences
         )
+        if len(req.out) < req.min_new_tokens:
+            # min_new_tokens: eos/stop-sequences don't retire the request
+            # before the floor (the tokens still stream; OpenAI min_tokens
+            # semantics). Hard limits below still apply.
+            stopped = False
+            if eos is not None and tok == eos:
+                tok = None
         if (
             len(req.out) >= req.max_new_tokens
             or (eos is not None and tok == eos)

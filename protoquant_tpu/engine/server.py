@@ -104,6 +104,21 @@ class EngineServer:
                         [int(t) for t in seq]
                         for seq in (req.get("stop_sequences") or [])
                     ]
+                    # Text-level stops (need a tokenizer): each string is
+                    # encoded and matched as a token-suffix stop sequence.
+                    if req.get("stop"):
+                        if outer.tokenizer is None:
+                            raise ValueError(
+                                '"stop" strings need a server tokenizer '
+                                '(use "stop_sequences" token ids instead)'
+                            )
+                        stops = req["stop"]
+                        if isinstance(stops, str):
+                            stops = [stops]
+                        stop_sequences += [
+                            outer.tokenizer.encode(str(t)) for t in stops
+                        ]
+                    min_new = int(req.get("min_new_tokens", 0))
                     # Guided decoding over HTTP (the static-set slice of
                     # Engine's logit_mask_fn): every generated token must
                     # come from "allowed_tokens".
@@ -157,6 +172,7 @@ class EngineServer:
                             tokens, max_new, eos_id,
                             adapter_id=adapter_id,
                             stop_sequences=stop_sequences,
+                            min_new_tokens=min_new,
                             stream_queue=tok_q,
                             logit_mask_fn=logit_mask_fn,
                             logit_bias=logit_bias,

@@ -1013,3 +1013,28 @@ def test_engine_per_request_penalty_overrides(model_and_params):
     no_counts = _engine(model, params, kv_dtype=jnp.float32)
     with pytest.raises(ValueError, match="count buffer"):
         no_counts.add_request(prompts[0], 4, presence_penalty=0.5)
+
+
+def test_engine_min_new_tokens(model_and_params):
+    """eos/stop-sequences are ignored below the min_new_tokens floor; the
+    stream continues and the hard max still applies."""
+    model, params = model_and_params
+    # Find the plain greedy stream, pick its 2nd token as eos.
+    probe = _engine(model, params, kv_dtype=jnp.float32, max_new_tokens=12)
+    rid = probe.add_request([3, 17, 5, 9], 12)
+    ref = probe.run()[rid]
+    eos = ref[1]
+
+    # Without the floor: retires at the eos.
+    e1 = _engine(model, params, kv_dtype=jnp.float32, max_new_tokens=12)
+    r1 = e1.add_request([3, 17, 5, 9], 12, eos_id=eos)
+    out1 = e1.run()[r1]
+    assert out1[-1] == eos and len(out1) == 2
+
+    # With min_new_tokens=6: the early eos passes through, generation
+    # continues to at least 6 (greedy stream unchanged => same prefix).
+    e2 = _engine(model, params, kv_dtype=jnp.float32, max_new_tokens=12)
+    r2 = e2.add_request([3, 17, 5, 9], 12, eos_id=eos, min_new_tokens=6)
+    out2 = e2.run()[r2]
+    assert len(out2) >= 6
+    assert out2[:2] == ref[:2]

@@ -196,3 +196,69 @@ def test_server_text_roundtrip(tmp_path):
         assert rec["text"] == tok.decode(rec["tokens"])
     finally:
         srv.stop()
+
+
+def test_server_text_stop_strings(tmp_path):
+    """"stop": [strings] encode through the server tokenizer into
+    token-suffix stop sequences; without a tokenizer it is a 400."""
+    import http.client
+
+    import jax
+    import jax.numpy as jnp
+
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.engine.server import EngineServer
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.utils.config import ModelConfig
+
+    hf, path = _train_byte_level(tmp_path)
+    tok = Tokenizer.from_file(path)
+    cfg = ModelConfig(
+        vocab_size=len(tok.vocab) + len(tok.added),
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+
+    def run_server(with_tok):
+        eng = Engine(model, params,
+                     EngineConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_chunk=16, max_new_tokens=12),
+                     kv_dtype=jnp.float32)
+        return EngineServer(eng, port=0,
+                            tokenizer=tok if with_tok else None).start()
+
+    srv = run_server(True)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=120)
+        conn.request("POST", "/generate",
+                     json.dumps({"prompt": "hello world",
+                                 "max_new_tokens": 12}),
+                     {"Content-Type": "application/json"})
+        base = json.loads(conn.getresponse().read())
+        # Use the decoded text of the first 2 generated tokens as the stop
+        # string: generation must retire right after producing it.
+        stop_text = tok.decode(base["tokens"][:2])
+        conn.request("POST", "/generate",
+                     json.dumps({"prompt": "hello world",
+                                 "max_new_tokens": 12,
+                                 "stop": stop_text}),
+                     {"Content-Type": "application/json"})
+        rec = json.loads(conn.getresponse().read())
+        conn.close()
+        assert len(rec["tokens"]) < 12, rec
+    finally:
+        srv.stop()
+
+    srv = run_server(False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("POST", "/generate",
+                     json.dumps({"tokens": [1, 2], "stop": ["x"]}),
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        srv.stop()
