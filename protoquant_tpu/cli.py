@@ -210,7 +210,8 @@ def _kv_dtype(args):
     bits = getattr(args, "kv_bits", None)
     if bits is None:
         return jnp.int8 if args.int8_kv else jnp.bfloat16
-    return {4: jnp.int4, 8: jnp.int8, 16: jnp.bfloat16}[bits]
+    # 6 = the K8V4 mixed tier (int8 keys + packed-int4 values).
+    return {4: jnp.int4, 6: "k8v4", 8: jnp.int8, 16: jnp.bfloat16}[bits]
 
 
 def cmd_generate(args):
@@ -341,8 +342,9 @@ def main(argv=None):
     g.add_argument("--min-p", type=float, default=0.0)
     g.add_argument("--repetition-penalty", type=float, default=1.0)
     g.add_argument("--int8-kv", action="store_true", default=True)
-    g.add_argument("--kv-bits", type=int, default=None, choices=[4, 8, 16],
-                   help="KV storage: 8 int8 (default), 4 packed int4 "
+    g.add_argument("--kv-bits", type=int, default=None, choices=[4, 6, 8, 16],
+                   help="KV storage: 8 int8 (default), 6 K8V4 mixed "
+                        "(int8 keys + int4 values), 4 packed int4 "
                         "(capacity tier), 16 bf16")
     g.add_argument("--medusa", default=None,
                    help="drafting-heads checkpoint dir (medusa-train output)")
@@ -398,8 +400,9 @@ def main(argv=None):
     sv.add_argument("--min-p", type=float, default=0.0)
     sv.add_argument("--repetition-penalty", type=float, default=1.0)
     sv.add_argument("--int8-kv", action="store_true", default=True)
-    sv.add_argument("--kv-bits", type=int, default=None, choices=[4, 8, 16],
-                    help="KV storage: 8 int8 (default), 4 packed int4, 16 bf16")
+    sv.add_argument("--kv-bits", type=int, default=None, choices=[4, 6, 8, 16],
+                    help="KV storage: 8 int8 (default), 6 K8V4 mixed, "
+                         "4 packed int4, 16 bf16")
     sv.add_argument("--medusa", default=None,
                     help="drafting-heads checkpoint dir (medusa-train output)")
     sv.add_argument("--medusa-branches", type=int, default=4)

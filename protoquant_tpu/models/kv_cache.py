@@ -579,3 +579,130 @@ class RingInt8KVCache(_DenseSlotViews):
 
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "ks", "vq", "vs", "lengths"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class MixedKVCache(_DenseSlotViews):
+    """K8V4 mixed cache: K int8 per-token (Int8KVCache layout — attention
+    LOGITS see full int8 keys, where 4-bit noise hurts most), V packed int4
+    (Int4KVCache layout — the byte saving lands on the value read, where
+    the softmax average forgives coarser steps). 1.33x the context per HBM
+    byte vs int8 at a fraction of full-int4's quality cost (quality
+    ladder row int8K_int4V; BASELINE.md).
+
+    kq [B, KV, S, Dh] int8 + ks [B, KV, S] f32;
+    vq [B, KV, S/2, Dh] int8 packed + vs [B, KV, 2, S/2] f32 parity-split.
+    Scope: full-causal attention only (like Int4KVCache).
+    """
+
+    kq: jnp.ndarray
+    ks: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+    lengths: jnp.ndarray
+
+    @classmethod
+    def init(cls, batch, max_seq, kv_heads, head_dim):
+        if max_seq % 2:
+            raise ValueError("mixed KV needs an even max_seq (V pair packing)")
+        return cls(
+            kq=jnp.zeros((batch, kv_heads, max_seq, head_dim), jnp.int8),
+            ks=jnp.full((batch, kv_heads, max_seq), SCALE_EPS, jnp.float32),
+            vq=jnp.zeros((batch, kv_heads, max_seq // 2, head_dim), jnp.int8),
+            vs=jnp.full(
+                (batch, kv_heads, 2, max_seq // 2), SCALE_EPS, jnp.float32
+            ),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.kq.shape[2]
+
+    def _write_v_parity(self, vq, vs, v4, vs_new, pos_b, pos_t, parity):
+        """Int4KVCache._write_parity for the V arrays (same semantics)."""
+        S2 = vq.shape[2]
+        sel = (pos_t % 2) == parity
+        row = jnp.where(sel, pos_t // 2, S2)  # S2 = OOB -> dropped
+        safe = jnp.minimum(row, S2 - 1)
+        cur = vq[pos_b, :, safe]  # [B, T, KV, Dh]
+        if parity == 0:
+            merged = (cur & jnp.int8(~0x0F)) | (v4 & 0x0F)
+        else:
+            merged = (cur & jnp.int8(0x0F)) | jnp.left_shift(v4, 4)
+        vq = vq.at[pos_b, :, row].set(merged.astype(jnp.int8), mode="drop")
+        vs = vs.at[pos_b, :, parity, row].set(vs_new, mode="drop")
+        return vq, vs
+
+    def update(self, k, v, advance=None):
+        """Quantize (K int8, V int4) and append at each slot's length."""
+        B, T = k.shape[:2]
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+        k8, ks_new = quantize_kv(k)
+        v4, vs_new = quantize_kv4(v)
+        if T == 1 and _resolve_attention_backend() == "pallas":
+            from ..ops._common import default_interpret
+            from ..ops.kv_scatter import kv_mixed_scatter_decode
+
+            kq, ks, vq, vs = kv_mixed_scatter_decode(
+                self.kq, self.ks, self.vq, self.vs, self.lengths,
+                jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks_new, 1, 2),
+                jnp.swapaxes(v4, 1, 2), jnp.swapaxes(vs_new, 1, 2),
+                interpret=default_interpret(),
+            )
+            return MixedKVCache(kq=kq, ks=ks, vq=vq, vs=vs,
+                                lengths=self.lengths + adv)
+        # Prefill / off-TPU: XLA writes — K like Int8KVCache, V via the
+        # two sequential parity merges (Int4KVCache.update's rationale).
+        b_idx, s_idx = _write_positions(self.lengths, T)
+        kq = self.kq.at[b_idx, :, s_idx].set(k8)
+        ks = self.ks.at[b_idx, :, s_idx].set(ks_new)
+        pos_t = jnp.minimum(s_idx, self.max_seq - 1)
+        pos_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+        vq, vs = self.vq, self.vs
+        for parity in (0, 1):
+            vq, vs = self._write_v_parity(vq, vs, v4, vs_new, pos_b, pos_t,
+                                          parity)
+        return MixedKVCache(kq=kq, ks=ks, vq=vq, vs=vs,
+                            lengths=self.lengths + adv)
+
+    def _unpack_v(self):
+        """Packed V -> per-token int8 nibble values + scales (XLA/oracle
+        formulation)."""
+        B, KV, S2, Dh = self.vq.shape
+        lo = jnp.right_shift(jnp.left_shift(self.vq, 4), 4)
+        hi = jnp.right_shift(self.vq, 4)
+        full = jnp.stack([lo, hi], axis=3).reshape(B, KV, S2 * 2, Dh)
+        scales = jnp.swapaxes(self.vs, 2, 3).reshape(B, KV, S2 * 2)
+        return full, scales
+
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0,
+                          sink_logits=None, tree_mask=None):
+        if window > 0 or softcap > 0.0 or sink_logits is not None:
+            raise NotImplementedError(
+                "mixed K8V4 KV supports full-causal attention only "
+                "(windowed/softcap/sink models: use int8 KV)"
+            )
+        new = self.update(k, v, advance)
+        if tree_mask is None and _resolve_attention_backend() == "pallas":
+            from ..ops.attention import mixed_kv_attention
+
+            out = mixed_kv_attention(
+                q, new.kq, new.ks, new.vq, new.vs, self.lengths, scale=scale,
+            )
+        else:
+            v8, vs8 = new._unpack_v()
+            out = int8_kv_attention_xla(
+                q, new.kq, new.ks, v8, vs8, self.lengths, scale=scale,
+                tree_mask=tree_mask,
+            )
+        return out, new
+
+    def reset_slot(self, slot: jnp.ndarray):
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))

@@ -39,7 +39,13 @@ def init_cache(
 
         return init_mla_cache(cfg, batch, max_seq, kv_dtype)
     kv_heads = cfg.num_key_value_heads // tp
-    if kv_dtype == jnp.int4:
+    if isinstance(kv_dtype, str) and kv_dtype == "k8v4":
+        # Mixed tier: int8 keys + packed-int4 values (6 bits/elem average;
+        # full-causal only; the quality/capacity middle point).
+        from .kv_cache import MixedKVCache
+
+        make = lambda: MixedKVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
+    elif kv_dtype == jnp.int4:
         # Packed-nibble cache (quarter of bf16 bytes; full-causal only).
         from .kv_cache import Int4KVCache
 

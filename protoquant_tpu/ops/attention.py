@@ -621,3 +621,186 @@ def int4_kv_attention(
     )
     return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
         B, T, H, Dh)
+
+
+# -- MIXED K8V4 KV flash attention (round 3) ----------------------------------
+
+
+def _attn_mixed_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                       m_ref, l_ref, acc_ref, *, group, block_s, lane, sm):
+    """Flash attention over the MIXED cache: K int8 per-token (score
+    fidelity — attention logits see full int8 keys), V packed int4
+    (token-pair nibbles — the byte saving lands on the value read).
+
+    k_ref:  (1, HB, bs, Dh) int8, natural token order
+    ks_ref: (1, HB, 1, bs) f32
+    v_ref:  (1, HB, bs/2, Dh) int8 packed (row r = tokens 2r lo / 2r+1 hi,
+            block-local)
+    vs_ref: (1, HB, 2, bs/2) f32 parity-split value scales
+
+    Scores and the online softmax run in the int8 kernel's natural token
+    order; the probability tile splits into even/odd token columns via two
+    CONSTANT 0/1 selection matrices on the MXU (exact permutation — no
+    strided lane ops, which Mosaic cannot legalize), then each parity half
+    dots against its nibble plane exactly as the int4 kernel does."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    HB, TG = q_ref.shape[1], q_ref.shape[2]
+    t_max = (TG - 1) // group
+    half = block_s // 2
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b, 0]
+    active = s * block_s <= length + t_max
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0].astype(lane)  # (HB, TG, Dh)
+        k = k_ref[0].astype(lane)  # (HB, bs, Dh)
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * ks_ref[0] * sm  # (HB, TG, bs)
+
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
+        pos = s * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 2
+        )
+        valid = pos <= (length + t_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        m_old = m_ref[:, :TG, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # (HB, TG, bs)
+
+        # Exact even/odd token selection as f32 MXU dots with constant 0/1
+        # matrices: E[c, r] = (c == 2r), O[c, r] = (c == 2r + 1).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_s, half), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_s, half), 1)
+        sel_e = (rows == 2 * cols).astype(jnp.float32)
+        sel_o = (rows == 2 * cols + 1).astype(jnp.float32)
+        pdims = (((2,), (0,)), ((), ()))
+        pe = jax.lax.dot_general(
+            p, sel_e, pdims, preferred_element_type=jnp.float32
+        )  # (HB, TG, half)
+        po = jax.lax.dot_general(
+            p, sel_o, pdims, preferred_element_type=jnp.float32
+        )
+
+        # Nibble unpack (i32 widen-then-shift — the only Mosaic-legal form).
+        vu = v_ref[0].astype(jnp.int32)  # (HB, half, Dh)
+        v_lo = ((vu << 28) >> 28).astype(lane)
+        v_hi = ((vu << 24) >> 28).astype(lane)
+        vs_e = vs_ref[0, :, 0, :].reshape(HB, 1, half)
+        vs_o = vs_ref[0, :, 1, :].reshape(HB, 1, half)
+        vdims = (((2,), (1,)), ((0,), (0,)))
+        pv = jax.lax.dot_general(
+            (pe * vs_e).astype(lane), v_lo, vdims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            (po * vs_o).astype(lane), v_hi, vdims,
+            preferred_element_type=jnp.float32,
+        )
+
+        l_new = l_ref[:, :TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:, :TG] = acc_ref[:, :TG] * corr + pv
+        m_ref[:, :TG] = jnp.broadcast_to(m_new, (HB, TG, m_ref.shape[2]))
+        l_ref[:, :TG] = jnp.broadcast_to(l_new, (HB, TG, l_ref.shape[2]))
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (
+            acc_ref[:, :TG] / jnp.maximum(l_ref[:, :TG, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "t_q", "scale", "interpret", "out_dtype"),
+)
+def _attend_mixed(q, kq, ks, vq, vs, lengths, *, group, t_q, scale,
+                  interpret, out_dtype):
+    B, KV, TG, Dh = q.shape
+    S = kq.shape[2]
+    bs = _flash_block_s(S)
+    HB = _head_block(KV, TG, Dh, bs)
+    ks4 = ks.reshape(B, KV, 1, S)
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    t_max = (TG - 1) // group
+    sm = scale if scale > 0.0 else Dh**-0.5
+
+    def s_eff(s, ln_b):
+        return jnp.minimum(s, (jnp.maximum(ln_b, 0) + t_max) // bs)
+
+    def kv_index(b, h, s, ln):
+        return (b, h, s_eff(s, ln[b, 0]), 0)
+
+    def kscale_index(b, h, s, ln):
+        return (b, h, 0, s_eff(s, ln[b, 0]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV // HB, S // bs),
+        in_specs=[
+            pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+            pl.BlockSpec((1, HB, bs, Dh), kv_index),
+            pl.BlockSpec((1, HB, 1, bs), kscale_index),
+            pl.BlockSpec((1, HB, bs // 2, Dh), kv_index),
+            pl.BlockSpec((1, HB, 2, bs // 2), kscale_index),
+        ],
+        out_specs=pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), Dh), jnp.float32),
+        ],
+    )
+    lane = jnp.float32 if interpret else jnp.bfloat16
+    kernel = functools.partial(
+        _attn_mixed_kernel, group=group, block_s=bs, lane=lane, sm=sm,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, TG, Dh), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths2, q, kq, ks4, vq, vs)
+
+
+def mixed_kv_attention(
+    q: jnp.ndarray,  # [B, T, H, Dh] (post-RoPE)
+    kq: jnp.ndarray,  # [B, KV, S, Dh] int8 keys
+    ks: jnp.ndarray,  # [B, KV, S] f32
+    vq: jnp.ndarray,  # [B, KV, S/2, Dh] int8 PACKED values (Int4 layout)
+    vs: jnp.ndarray,  # [B, KV, 2, S/2] f32 parity-split value scales
+    lengths: jnp.ndarray,  # [B] int32 — length BEFORE this step's tokens
+    *,
+    scale: float = 0.0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Flash attention over the K8V4 mixed cache (full-causal only; exact
+    vs int8 K + unpacked-V int8_kv_attention_xla on the same nibble
+    values). Returns [B, T, H, Dh] in q.dtype."""
+    if interpret is None:
+        interpret = default_interpret()
+    B, T, H, Dh = q.shape
+    KV = kq.shape[1]
+    group = H // KV
+    qh = q.reshape(B, T, KV, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, KV, T * group, Dh)
+    out = _attend_mixed(
+        qh, kq, ks, vq, vs, lengths,
+        group=group, t_q=T, scale=float(scale), interpret=interpret,
+        out_dtype=q.dtype,
+    )
+    return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, T, H, Dh)

@@ -293,3 +293,113 @@ def kv4_scatter_decode(kq, ks, vq, vs, lengths, k4, ks_new, v4, vs_new,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
     )(lengths2, k4, ks_new, v4, vs_new, kq, ks, vq, vs)
+
+
+def _scatter_mixed_kernel(len_ref, k8_ref, ksn_ref, v4_ref, vsn_ref,
+                          kq_in, ks_in, vq_in, vs_in,
+                          kq_out, ks_out, vq_out, vs_out, *, max_seq):
+    """MIXED K8V4 variant: K-side = the int8 insert (_scatter_kernel),
+    V-side = the packed-nibble RMW merge (_scatter4_kernel)."""
+    b = pl.program_id(0)
+    ln = jnp.maximum(len_ref[b, 0], 0)
+    valid = ln < max_seq
+    # K (int8, natural order)
+    row8 = ln % _SBLK
+    row128 = ln % _SBLK_SCALE
+
+    def _insert(blk, new, axis, row):
+        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
+        return jnp.where((rows == row) & valid,
+                         jnp.broadcast_to(new, blk.shape), blk)
+
+    kq_out[...] = _insert(kq_in[...], k8_ref[...], 2, row8)
+    ks_out[...] = _insert(ks_in[...], ksn_ref[...], 2, row128)
+
+    # V (packed nibbles, token-pair order)
+    parity = ln % 2
+    vrow8 = (ln // 2) % _SBLK
+    vcol = (ln // 2) % _SBLK_SCALE
+
+    def _merge(blk, nib):
+        cur = blk.astype(jnp.int32)
+        n = nib.astype(jnp.int32) & 0x0F
+        lo_merge = (cur & ~0x0F) | n
+        hi_merge = (cur & 0x0F) | (n << 4)
+        return jnp.where(parity == 0, lo_merge, hi_merge).astype(jnp.int8)
+
+    rows_v = jax.lax.broadcasted_iota(jnp.int32, vq_in.shape, 2)
+    vq_out[...] = jnp.where(
+        (rows_v == vrow8) & valid,
+        _merge(vq_in[...], jnp.broadcast_to(v4_ref[...], vq_in.shape)),
+        vq_in[...],
+    )
+    planes = jax.lax.broadcasted_iota(jnp.int32, vs_in.shape, 2)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, vs_in.shape, 3)
+    sel = (planes == parity) & (lanes == vcol) & valid
+    vs_out[...] = jnp.where(
+        sel, jnp.broadcast_to(vsn_ref[...][..., None], vs_in.shape),
+        vs_in[...],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_mixed_scatter_decode(kq, ks, vq, vs, lengths, k8, ks_new, v4, vs_new,
+                            *, interpret: bool = False):
+    """Write one decode token per batch row into the K8V4 mixed cache, in
+    place (same defensive-copy rationale as kv_scatter_decode).
+
+    kq: [B, KV, S, Dh] int8;     ks: [B, KV, S] f32
+    vq: [B, KV, S/2, Dh] int8 packed;  vs: [B, KV, 2, S/2] f32
+    k8: [B, KV, 1, Dh] int8;  v4: [B, KV, 1, Dh] int8 nibbles in [-7, 7]
+    ks_new/vs_new: [B, KV, 1] f32;  lengths: [B] int32.
+    """
+    B, KV, S, Dh = kq.shape
+    S2 = vq.shape[2]
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+
+    def _ln8(ref, b):
+        return jnp.clip(ref[b, 0], 0, S - 1) // _SBLK
+
+    def _ln128(ref, b):
+        return jnp.clip(ref[b, 0], 0, S - 1) // _SBLK_SCALE
+
+    def _vr8(ref, b):
+        return jnp.clip(ref[b, 0] // 2, 0, S2 - 1) // _SBLK
+
+    def _vr128(ref, b):
+        return jnp.clip(ref[b, 0] // 2, 0, S2 - 1) // _SBLK_SCALE
+
+    payload_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, ln: (b, 0, 0, 0))
+    scale_blk = pl.BlockSpec((1, KV, 1), lambda b, ln: (b, 0, 0))
+    k_payload_blk = pl.BlockSpec(
+        (1, KV, _SBLK, Dh), lambda b, ln: (b, 0, _ln8(ln, b), 0))
+    k_scale_blk = pl.BlockSpec(
+        (1, KV, _SBLK_SCALE), lambda b, ln: (b, 0, _ln128(ln, b)))
+    v_payload_blk = pl.BlockSpec(
+        (1, KV, _SBLK, Dh), lambda b, ln: (b, 0, _vr8(ln, b), 0))
+    v_scale_blk = pl.BlockSpec(
+        (1, KV, 2, _SBLK_SCALE), lambda b, ln: (b, 0, 0, _vr128(ln, b)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            payload_blk, scale_blk, payload_blk, scale_blk,
+            k_payload_blk, k_scale_blk, v_payload_blk, v_scale_blk,
+        ],
+        out_specs=[
+            k_payload_blk, k_scale_blk, v_payload_blk, v_scale_blk,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_mixed_kernel, max_seq=S),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(lengths2, k8, ks_new, v4, vs_new, kq, ks, vq, vs)

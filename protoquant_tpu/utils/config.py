@@ -35,8 +35,10 @@ class QuantConfig:
     # "dynamic" | "weight_only" | "weight_only_int4" | "dynamic_int4" (W4A8:
     # int4 weights x dynamic int8 acts on the int8 MXU) | "weight_only_fp8"
     # | "fp"
-    # KV-cache storage: 8 (int8, the perf default), 4 (packed int4 — the
-    # capacity tier, full-causal models only; BASELINE.md), 16 (bf16).
+    # KV-cache storage: 8 (int8, the perf default), 6 (K8V4 mixed: int8
+    # keys + packed-int4 values — the quality/capacity middle tier), 4
+    # (packed int4 — the capacity tier; full-causal models only;
+    # BASELINE.md), 16 (bf16).
     kv_bits: int = 8
     clamp: int = 127
     int4_group: int = 128  # contraction-group size for int4 scales
@@ -61,8 +63,8 @@ class QuantConfig:
             "weight_only_fp8", "fp",
         ):
             raise ValueError(f"unknown quant mode {self.mode!r}")
-        if self.kv_bits not in (4, 8, 16):
-            raise ValueError("kv_bits must be 4, 8 or 16")
+        if self.kv_bits not in (4, 6, 8, 16):
+            raise ValueError("kv_bits must be 4, 6 (K8V4 mixed), 8 or 16")
 
 
 @dataclasses.dataclass(frozen=True)
