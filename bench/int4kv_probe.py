@@ -68,7 +68,10 @@ def main():
 
     for name, cls, payload in (
         ("int8_kv", Int8KVCache, 2 * B * KV * S * (Dh + 4)),
-        ("int4_kv", Int4KVCache, 2 * B * KV * (S * Dh // 2 + S * 4)),
+        # KIVI layout: packed K/V payloads + chunk-channel K scales (G=64)
+        # + per-token V scales (tails are O(G), negligible at S=2048).
+        ("int4_kv", Int4KVCache,
+         B * KV * (S * Dh + (S // 64) * Dh * 4 + S * 4)),
     ):
         lo, hi = 64, 320
         run_lo, run_hi = make_run(cls, lo), make_run(cls, hi)

@@ -7,7 +7,15 @@ weight-only — all against the same fp32 weights, with the shaped lm_head
 and injected activation outliers (a few boosted norm channels — the regime
 trained LLMs live in and the one SmoothQuant exists for).
 
-Usage: python bench/quality_ladder.py [--cpu] [--layers 4] [--hidden 512]
+Ladder v2 (round 4, VERDICT r3 item 3): the v1 defaults (4L-d512) were
+chaos-dominated — every 4-bit row saturated at ~0 greedy match and 80-97%
+ppl delta, so 4-bit decisions were unmeasurable. v2 defaults to a deeper
+proxy (12L, d=1024, 16q/8kv GQA) with MULTIPLE prompts and longer
+generations, and adds a prefix-match metric (fraction decoded before first
+divergence — positional match over-penalizes a single early flip). The v1
+table is kept in BASELINE.md for contrast.
+
+Usage: python bench/quality_ladder.py [--cpu] [--layers 12] [--hidden 1024]
 Prints one JSON object per mode plus a summary table.
 """
 
@@ -24,10 +32,11 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--hidden", type=int, default=512)
-    ap.add_argument("--vocab", type=int, default=1024)
-    ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--vocab", type=int, default=2048)
+    ap.add_argument("--new-tokens", type=int, default=48)
+    ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--outlier-boost", type=float, default=30.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -71,7 +80,7 @@ def main():
             w = layer[norm]["weight"]
             layer[norm]["weight"] = w.at[:n_out].mul(args.outlier_boost)
 
-    prompt = jnp.asarray(rng.integers(0, V, (1, 16)), jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, V, (args.prompts, 16)), jnp.int32)
     g_fp = np.asarray(
         greedy_generate(fp_model, params, prompt, args.new_tokens, 128,
                         kv_dtype=jnp.float32)
@@ -112,12 +121,20 @@ def main():
             greedy_generate(qm, qp, prompt, args.new_tokens, 128, kv_dtype=kv_dtype)
         )
         gm = float(np.mean(g_fp == g_q))
+        # Prefix match: fraction decoded before the first divergence, per
+        # prompt — positional match over-penalizes one early flip.
+        div = (g_fp != g_q)
+        first = np.where(
+            div.any(axis=1), div.argmax(axis=1), g_fp.shape[1]
+        )
+        prefix = float(np.mean(first / g_fp.shape[1]))
         ppl_q = perplexity(qm, qp, eval_toks)
         row = {
             "mode": label,
             "logit_cosine": round(cos, 6),
             "top1_agreement": round(top1, 4),
             "greedy_match": round(gm, 4),
+            "prefix_match": round(prefix, 4),
             "ppl_rel_delta": round(abs(float(ppl_q - ppl_fp)) / float(ppl_fp), 5),
         }
         rows.append(row)
@@ -136,6 +153,7 @@ def main():
     run("int8_dynamic+awq", "dynamic", awq_int8)
     run("int8_dynamic+int8kv", "dynamic", params, kv_dtype=jnp.int8)
     run("int8_dynamic+int4kv", "dynamic", params, kv_dtype=jnp.int4)
+    run("int8_dynamic+k8v4kv", "dynamic", params, kv_dtype="k8v4")
     run("int8_weight_only", "weight_only", params)
     run("int8_weight_only+gptq", "weight_only", params, gptq=True)
     run("fp8_weight_only", "weight_only_fp8", params,

@@ -1507,10 +1507,11 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
                 head_logits[:, :depth, :], branches
             )  # [B, J, d]
 
-    # Compact the winning branch into chain slots, then advance lengths.
+    # Compact the winning branch into chain slots, then advance lengths
+    # (cache.advance: a length bump, plus chunk flushes on the int4 tier).
     caches = [c.reorder_tail(best_idx) for c in caches]
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
-    caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
+    caches = [c.advance(adv) for c in caches]
     if heads is not None:
         return best, accepted, corrections, next_props, caches
     return best, accepted, corrections, caches
@@ -1685,7 +1686,9 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
     corrections = jnp.where(is_greedy, greedy, corr_sampled)
 
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
-    caches = [dataclasses.replace(c, lengths=c.lengths + adv) for c in caches]
+    # cache.advance = length bump + (int4 tier) flush of chunks the commit
+    # completes — the scoring forward wrote the window with advance=0.
+    caches = [c.advance(adv) for c in caches]
     return corrections, accepted, caches
 
 

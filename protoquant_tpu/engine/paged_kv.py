@@ -227,6 +227,12 @@ class PagedInt8KVCache:
             lengths=self.lengths.at[slot].set(start_len),
         )
 
+    def advance(self, adv):
+        """Speculative commit: pure length bump (the scoring forward wrote
+        the window's K/V into the mapped pages with advance=0); mirrors
+        kv_cache._DenseSlotViews.advance."""
+        return dataclasses.replace(self, lengths=self.lengths + adv)
+
     def reset_slot(self, slot):
         """Retire a slot: zero its length AND unmap its page chain (the pages
         are about to be freed and reallocated — a stale table entry would let

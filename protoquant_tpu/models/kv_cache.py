@@ -52,6 +52,13 @@ class _DenseSlotViews:
             small,
         )
 
+    def advance(self, adv):
+        """Commit ``adv`` [B] already-written positions (speculative
+        acceptance): for most caches a pure length bump — the K/V rows were
+        written by the scoring forward with advance=0. Int4KVCache overrides
+        this to also flush any chunk the commit completes."""
+        return dataclasses.replace(self, lengths=self.lengths + adv)
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -286,7 +293,8 @@ class Int8KVCache(_DenseSlotViews):
 def quantize_kv4(x: jnp.ndarray):
     """Per-token/per-head symmetric int4: x [B, T, KV, Dh] ->
     (nibbles as int8 in [-7, 7] — UNPACKED, packing is the cache's job —
-    and scale f32 [B, T, KV])."""
+    and scale f32 [B, T, KV]). Used by MixedKVCache's V side; the KIVI
+    Int4KVCache below quantizes K per-(chunk, channel) instead."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scale = jnp.maximum(amax / 7.0, SCALE_EPS)
@@ -300,143 +308,385 @@ def _pack_nib_pair(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
 
 
+# Default KIVI chunk size (tokens per per-channel K scale group). 64 matches
+# the KIVI paper's quality sweet spot and keeps scale overhead at 12.5% of
+# payload (f32 Dh per 64 tokens x Dh/2 bytes). Tests lower it to force chunk
+# boundaries on tiny caches.
+INT4_KV_GROUP = 64
+
+
+def kivi_chunk_quantize(k8c, ksc, v8c, vsc):
+    """Requantize one complete G-token chunk from its int8 tail values:
+    K per-(chunk, channel), V per-token; pack token-pair nibbles.
+
+    k8c/v8c: [B, KV, G, Dh] int8;  ksc/vsc: [B, KV, G] f32.
+    Returns (packed_k [B, KV, G/2, Dh] int8, s_ch [B, KV, Dh] f32,
+             packed_v, s_v [B, KV, G] f32).
+
+    SHARED by the prefill (XLA scatter) and decode (aliased Pallas writer)
+    paths — with optimization barriers between the dequant products, the
+    amax, and the requant division, so XLA cannot reassociate the constant
+    /7 into the products differently per surrounding program (observed: a
+    1-ulp scale drift between the jitted decode path and the eager prefill
+    path that would break prefill==decode bit-equality)."""
+    barrier = jax.lax.optimization_barrier
+    kf = k8c.astype(jnp.float32) * ksc[..., None]  # [B, KV, G, Dh]
+    vf = v8c.astype(jnp.float32) * vsc[..., None]
+    kf, vf = barrier((kf, vf))
+    # amax * (1/7), NOT amax / 7: XLA:CPU rewrites division by a scalar
+    # constant into a reciprocal multiply under jit but not in eager ops —
+    # a 1-ulp scale drift that broke prefill==decode bit-equality (probed
+    # this round). An explicit reciprocal-constant multiply is deterministic
+    # in every program context. Tensor-by-tensor division (below) is not
+    # rewritten and stays exact.
+    inv7 = jnp.float32(1.0 / 7.0)
+    s_ch = jnp.maximum(jnp.max(jnp.abs(kf), axis=2) * inv7, SCALE_EPS)
+    s_v = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1) * inv7, SCALE_EPS)
+    s_ch, s_v = barrier((s_ch, s_v))
+    k_nib = jnp.clip(jnp.round(kf / s_ch[:, :, None]), -7, 7).astype(jnp.int32)
+    v_nib = jnp.clip(jnp.round(vf / s_v[..., None]), -7, 7).astype(jnp.int32)
+    packed_k = _pack_nib_pair(k_nib[:, :, 0::2], k_nib[:, :, 1::2])
+    packed_v = _pack_nib_pair(v_nib[:, :, 0::2], v_nib[:, :, 1::2])
+    return packed_k, s_ch, packed_v, s_v
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["kq", "ks", "vq", "vs", "lengths"],
-    meta_fields=[],
+    data_fields=["kq", "kchs", "vq", "vs", "ktail", "kts", "vtail", "vts",
+                 "lengths"],
+    meta_fields=["group"],
 )
 @dataclasses.dataclass(frozen=True)
 class Int4KVCache(_DenseSlotViews):
-    """INT4 KV cache: kq/vq [B, KV, S/2, Dh] int8 bytes, packed row r
-    holding token 2r in the LOW nibble and 2r+1 in the HIGH nibble (token-
-    pair packing keeps the lane dim at Dh — a [.., Dh/2] layout would be
-    tile-padded back to int8 size in device memory). Scales ks/vs
-    [B, KV, 2, S/2] f32 in the same parity split (ks[:, :, p, r] = token
-    2r+p), so the kernel reads them without strided lane access.
+    """KIVI-style INT4 KV cache (round 4 — replaces the round-3 per-token
+    K-scale scheme whose greedy-match collapsed; VERDICT r3 item 1).
 
-    Quality: 4-bit per-token-head symmetric quantization is lossier than
-    int8 (see BASELINE.md quality ladder int4-KV row); scope is full-causal
-    attention (window/softcap/sinks route int8).
+    Keys are quantized per-(token-chunk, channel): channel magnitudes are
+    consistent across tokens (the K outlier channels every KIVI-family paper
+    measures), so a per-channel scale over a G-token chunk loses far less
+    signal than a per-token scale across Dh channels. Values stay per-token
+    (the softmax average forgives coarse value steps; per-token is the
+    KIVI-recommended V axis). Both K and V keep the most recent tokens in an
+    INT8 per-token TAIL — the unquantized residual: recent tokens carry the
+    highest attention weights, and chunk scales can only be computed once
+    the chunk is complete.
+
+    Layout (G = ``group`` tokens per chunk; F = (length // G) * G):
+      kq    [B, KV, S/2, Dh] int8 — packed K nibbles of COMPLETED chunks
+            (row r: token 2r low nibble, 2r+1 high; positions < F)
+      kchs  [B, KV, S/G, Dh] f32 — per-chunk per-CHANNEL K scales
+      vq    [B, KV, S/2, Dh] int8 — packed V nibbles (positions < F)
+      vs    [B, KV, 2, S/2] f32 — per-token V scales, parity-split
+      ktail/vtail [B, KV, 2G, Dh] int8 — tail row j holds the latest token
+            with position ≡ j (mod 2G); live rows are [F, length) at
+            contiguous rows starting from F % 2G (which is 0 or G)
+      kts/vts     [B, KV, 2G] f32 — per-token tail scales
+
+    The tail is TWO chunks deep so a speculative rollback of up to G tokens
+    is always safe: a flush never erases tail rows (they persist until a
+    token G..2G positions later reuses them), so rewinding ``lengths`` past
+    a flushed boundary re-exposes correct int8 data and the stale chunk
+    re-flushes bit-identically when positions re-advance.
+
+    Every incoming token is first quantized to per-token int8 and appended
+    to the tail; when a chunk completes, its G tokens are re-quantized FROM
+    the int8 tail values (K: per-channel amax over the chunk; V: per-token)
+    and packed — so chunked prefill and token-by-token decode produce
+    bit-identical cache state for the same history. Rollbacks (speculative
+    decoding) are free: tail rows persist after a flush, so rewinding
+    ``lengths`` re-exposes the correct int8 tail data and the stale chunk is
+    re-flushed when positions re-advance.
+
+    Attention: the flash kernel (ops/attention.py int4_kv_attention)
+    dequantizes K blocks in VMEM with the chunk-channel scales and merges
+    the int8 tail as a final online-softmax block. Supports sliding window /
+    softcap / learned sinks like the int8 kernel.
     """
 
     kq: jnp.ndarray
-    ks: jnp.ndarray
+    kchs: jnp.ndarray
     vq: jnp.ndarray
     vs: jnp.ndarray
+    ktail: jnp.ndarray
+    kts: jnp.ndarray
+    vtail: jnp.ndarray
+    vts: jnp.ndarray
     lengths: jnp.ndarray
+    group: int = 64
 
     @classmethod
-    def init(cls, batch, max_seq, kv_heads, head_dim):
-        if max_seq % 2:
-            raise ValueError("int4 KV needs an even max_seq (token-pair packing)")
+    def init(cls, batch, max_seq, kv_heads, head_dim, group: int | None = None):
+        if group is None:
+            group = INT4_KV_GROUP
+        group = min(group, max_seq)
+        if max_seq % group or group % 2:
+            raise ValueError(
+                f"int4 KV needs max_seq % group == 0 and even group "
+                f"(max_seq={max_seq}, group={group})"
+            )
         return cls(
             kq=jnp.zeros((batch, kv_heads, max_seq // 2, head_dim), jnp.int8),
-            ks=jnp.full((batch, kv_heads, 2, max_seq // 2), SCALE_EPS, jnp.float32),
+            kchs=jnp.full((batch, kv_heads, max_seq // group, head_dim),
+                          SCALE_EPS, jnp.float32),
             vq=jnp.zeros((batch, kv_heads, max_seq // 2, head_dim), jnp.int8),
-            vs=jnp.full((batch, kv_heads, 2, max_seq // 2), SCALE_EPS, jnp.float32),
+            vs=jnp.full((batch, kv_heads, 2, max_seq // 2), SCALE_EPS,
+                        jnp.float32),
+            ktail=jnp.zeros((batch, kv_heads, 2 * group, head_dim), jnp.int8),
+            kts=jnp.full((batch, kv_heads, 2 * group), SCALE_EPS,
+                         jnp.float32),
+            vtail=jnp.zeros((batch, kv_heads, 2 * group, head_dim), jnp.int8),
+            vts=jnp.full((batch, kv_heads, 2 * group), SCALE_EPS,
+                         jnp.float32),
             lengths=jnp.zeros((batch,), jnp.int32),
+            group=group,
         )
 
     @property
     def max_seq(self) -> int:
         return self.kq.shape[2] * 2
 
-    def _write_parity(self, kq, ks, k4, ks_new, pos_b, pos_t, parity):
-        """Merge this parity's tokens into the packed bytes + scale plane.
-
-        pos_b/pos_t: [B, T] write coordinates; only columns where
-        pos_t % 2 == parity write — the rest get an OUT-OF-BOUNDS row and
-        mode='drop' (a redirected in-bounds no-op write could race a real
-        write to the same row under .at's unordered-duplicate semantics)."""
-        S2 = kq.shape[2]
-        sel = (pos_t % 2) == parity
-        row = jnp.where(sel, pos_t // 2, S2)  # S2 = OOB -> dropped
-        safe = jnp.minimum(row, S2 - 1)
-        cur = kq[pos_b, :, safe]  # [B, T, KV, Dh] current bytes
-        if parity == 0:
-            merged = (cur & jnp.int8(~0x0F)) | (k4 & 0x0F)
-        else:
-            merged = (cur & jnp.int8(0x0F)) | jnp.left_shift(k4, 4)
-        kq = kq.at[pos_b, :, row].set(merged.astype(jnp.int8), mode="drop")
-        ks = ks.at[pos_b, :, parity, row].set(ks_new, mode="drop")
-        return kq, ks
-
     def update(self, k, v, advance=None):
-        """Quantize to int4 and append at each slot's length. Even- and
-        odd-position tokens merge in two sequential passes: a prefill chunk
-        can land both nibbles of one byte, and two .at writes to the same
-        byte would each read the OLD value — sequencing makes the second
-        merge see the first."""
+        """Quantize k/v [B, T, KV, Dh] to per-token int8, append to the
+        tails at each slot's length, and flush any chunk the update
+        completes into the packed int4 store (K per-channel, V per-token).
+        ``advance`` [B] overrides the per-slot increment (padded prefill)."""
         B, T = k.shape[:2]
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
-        k4, ks_new = quantize_kv4(k)
-        v4, vs_new = quantize_kv4(v)
+        k8, ks8 = quantize_kv(k)  # [B, T, KV, Dh] int8, [B, T, KV] f32
+        v8, vs8 = quantize_kv(v)
         if T == 1 and _resolve_attention_backend() == "pallas":
-            # Decode: in-place aliased RMW scatter — the XLA .at merge below
-            # is correct but forces whole-cache defensive copies around the
-            # Pallas attend custom call (the round-2 int8 lesson; measured
-            # 2x step time here before this path, bench/int4kv_probe.py).
+            # Decode: single aliased Pallas kernel does the tail insert AND
+            # the (masked) chunk flush in place — an XLA scatter into the
+            # packed store would wrap the whole cache in defensive copies
+            # around the Pallas attend (the round-2 int8 lesson).
             from ..ops._common import default_interpret
-            from ..ops.kv_scatter import kv4_scatter_decode
+            from ..ops.kv_scatter import kivi4_decode_update
 
-            kq, ks, vq, vs = kv4_scatter_decode(
-                self.kq, self.ks, self.vq, self.vs, self.lengths,
-                jnp.swapaxes(k4, 1, 2), jnp.swapaxes(ks_new, 1, 2),
-                jnp.swapaxes(v4, 1, 2), jnp.swapaxes(vs_new, 1, 2),
-                interpret=default_interpret(),
+            arrs = kivi4_decode_update(
+                self.kq, self.kchs, self.vq, self.vs,
+                self.ktail, self.kts, self.vtail, self.vts, self.lengths,
+                jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks8, 1, 2),
+                jnp.swapaxes(v8, 1, 2), jnp.swapaxes(vs8, 1, 2),
+                group=self.group, adv=adv, interpret=default_interpret(),
             )
-            return Int4KVCache(kq=kq, ks=ks, vq=vq, vs=vs,
-                               lengths=self.lengths + adv)
-        pos_t = self.lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
-        pos_t = jnp.minimum(pos_t, self.max_seq - 1)
-        pos_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
-        kq, ks, vq, vs = self.kq, self.ks, self.vq, self.vs
-        for parity in (0, 1):
-            kq, ks = self._write_parity(kq, ks, k4, ks_new, pos_b, pos_t, parity)
-            vq, vs = self._write_parity(vq, vs, v4, vs_new, pos_b, pos_t, parity)
-        return Int4KVCache(kq=kq, ks=ks, vq=vq, vs=vs,
-                           lengths=self.lengths + adv)
+            return dataclasses.replace(
+                self, kq=arrs[0], kchs=arrs[1], vq=arrs[2], vs=arrs[3],
+                ktail=arrs[4], kts=arrs[5], vtail=arrs[6], vts=arrs[7],
+                lengths=self.lengths + adv,
+            )
+        return self._xla_update(k8, ks8, v8, vs8, adv)
 
-    def _unpack(self):
-        """Packed bytes -> per-token int8 nibble values [B, KV, S, Dh] plus
-        [B, KV, S] scales (the XLA/oracle formulation; the Pallas kernel
-        unpacks per-block in VMEM instead)."""
+    def _xla_update(self, k8, ks8, v8, vs8, adv):
+        """Prefill / off-TPU path: tail writes + up to (G-1+T)//G chunk
+        flushes as masked XLA scatters (prefill amortizes the defensive
+        copies over the whole chunk, matching the int8 cache's split)."""
+        B, T = k8.shape[:2]
+        G = self.group
+        TC = 2 * G  # tail capacity (rollback depth, class docstring)
+        S2 = self.kq.shape[2]
+        NC = self.kchs.shape[2]
+        L_old = self.lengths
+        L_new = jnp.minimum(L_old + adv, self.max_seq)
+        j = jnp.arange(G)[None, :]  # [1, G]
+
+        # Old tails in token-major layout for uniform where/gather.
+        old_kt = jnp.swapaxes(self.ktail, 1, 2)  # [B, 2G, KV, Dh]
+        old_kts = jnp.swapaxes(self.kts, 1, 2)  # [B, 2G, KV]
+        old_vt = jnp.swapaxes(self.vtail, 1, 2)
+        old_vts = jnp.swapaxes(self.vts, 1, 2)
+
+        def gather_t(x8, xs8, pos):
+            """New-token rows for absolute positions ``pos`` [B, n]."""
+            idx = jnp.clip(pos - L_old[:, None], 0, T - 1)
+            g8 = jnp.take_along_axis(x8, idx[..., None, None], axis=1)
+            gs = jnp.take_along_axis(xs8, idx[..., None], axis=1)
+            return g8, gs  # [B, n, KV, Dh], [B, n, KV]
+
+        def gather_tail(t8, ts, pos):
+            """Tail rows for absolute positions ``pos`` [B, n]."""
+            row = jnp.mod(pos, TC)
+            g8 = jnp.take_along_axis(t8, row[..., None, None], axis=1)
+            gs = jnp.take_along_axis(ts, row[..., None], axis=1)
+            return g8, gs
+
+        # ---- chunk flushes -------------------------------------------------
+        kq, kchs, vq, vs = self.kq, self.kchs, self.vq, self.vs
+        b_idx = jnp.arange(B)[:, None]
+        n_flush = (G - 1 + T) // G
+        for f in range(n_flush):
+            c = L_old // G + f  # [B] chunk index
+            valid_f = (c + 1) * G <= L_new  # [B]
+            pos = c[:, None] * G + j  # [B, G] chunk token positions
+            use_tail = pos < L_old[:, None]
+            gk8, gks = gather_t(k8, ks8, pos)
+            gv8, gvs = gather_t(v8, vs8, pos)
+            tk8, tks = gather_tail(old_kt, old_kts, pos)
+            tv8, tvs = gather_tail(old_vt, old_vts, pos)
+            ck8 = jnp.where(use_tail[..., None, None], tk8, gk8)
+            cks = jnp.where(use_tail[..., None], tks, gks)
+            cv8 = jnp.where(use_tail[..., None, None], tv8, gv8)
+            cvs = jnp.where(use_tail[..., None], tvs, gvs)
+            packed_k, s_ch, packed_v, s_v = kivi_chunk_quantize(
+                jnp.swapaxes(ck8, 1, 2), jnp.swapaxes(cks, 1, 2),
+                jnp.swapaxes(cv8, 1, 2), jnp.swapaxes(cvs, 1, 2),
+            )  # [B, KV, G/2, Dh], [B, KV, Dh], -, [B, KV, G]
+            rows = jnp.where(
+                valid_f[:, None], c[:, None] * (G // 2) + jnp.arange(G // 2),
+                S2,
+            )  # [B, G/2]; OOB -> dropped
+            kq = kq.at[b_idx, :, rows].set(
+                jnp.swapaxes(packed_k, 1, 2), mode="drop")
+            vq = vq.at[b_idx, :, rows].set(
+                jnp.swapaxes(packed_v, 1, 2), mode="drop")
+            c_safe = jnp.where(valid_f, c, NC)[:, None]  # [B, 1]
+            kchs = kchs.at[b_idx, :, c_safe].set(s_ch[:, None], mode="drop")
+            vs = vs.at[b_idx, :, 0, rows].set(
+                jnp.swapaxes(s_v[:, :, 0::2], 1, 2), mode="drop")
+            vs = vs.at[b_idx, :, 1, rows].set(
+                jnp.swapaxes(s_v[:, :, 1::2], 1, 2), mode="drop")
+
+        # ---- new tails -----------------------------------------------------
+        # Invariant: tail row j holds the LATEST written token with
+        # position ≡ j (mod 2G) — also for tokens this update flushed into a
+        # chunk. Rows persist after a flush, so rewinding ``lengths``
+        # (speculative rollback, depth <= G) re-exposes correct int8 data
+        # and the stale chunk re-flushes when positions re-advance; the
+        # decode kernel's insert-at-(pos % 2G) maintains the same invariant.
+        # Writes anchor at [L_old, L_old + T) — NOT L_new: speculative
+        # scoring passes advance=0 and still needs the window's K/V written
+        # (masked until lengths advance; SURVEY §2.3 A3 spec contract).
+        j2 = jnp.arange(TC)[None, :]
+        W_end = L_old[:, None] + T  # one past the last written position
+        p_j = (W_end - 1) - jnp.mod(W_end - 1 - j2, TC)
+        fresh = p_j >= L_old[:, None]  # [B, 2G]: a new token maps to row j
+        gk8, gks = gather_t(k8, ks8, p_j)
+        gv8, gvs = gather_t(v8, vs8, p_j)
+        nkt = jnp.where(fresh[..., None, None], gk8, old_kt)
+        nkts = jnp.where(fresh[..., None], gks, old_kts)
+        nvt = jnp.where(fresh[..., None, None], gv8, old_vt)
+        nvts = jnp.where(fresh[..., None], gvs, old_vts)
+        # lengths keep counting past capacity (writes drop) — matching the
+        # int8 cache's out-of-bounds semantics.
+        return dataclasses.replace(
+            self, kq=kq, kchs=kchs, vq=vq, vs=vs,
+            ktail=jnp.swapaxes(nkt, 1, 2), kts=jnp.swapaxes(nkts, 1, 2),
+            vtail=jnp.swapaxes(nvt, 1, 2), vts=jnp.swapaxes(nvts, 1, 2),
+            lengths=self.lengths + adv,
+        )
+
+    def dequant_fp(self, lane=None):
+        """Reconstruct per-token fp K/V [B, KV, S, Dh] (oracle / XLA
+        formulation; the Pallas kernel dequantizes per-block in VMEM).
+        ``lane`` mirrors the kernel's cast order (bf16 on TPU)."""
+        if lane is None:
+            lane = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
         B, KV, S2, Dh = self.kq.shape
+        S, G = S2 * 2, self.group
 
-        def un(q, sc):
-            lo = jnp.left_shift(q, 4)
-            lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extended low nibble
+        def un_nib(q):
+            lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
             hi = jnp.right_shift(q, 4)
-            # interleave tokens 2r (lo) and 2r+1 (hi) back into S order
-            full = jnp.stack([lo, hi], axis=3)  # [B, KV, S/2, 2, Dh]
-            full = full.reshape(B, KV, S2 * 2, Dh)
-            scales = jnp.swapaxes(sc, 2, 3).reshape(B, KV, S2 * 2)
-            return full, scales
+            return jnp.stack([lo, hi], axis=3).reshape(B, KV, S, Dh)
 
-        k8, ks = un(self.kq, self.ks)
-        v8, vs = un(self.vq, self.vs)
-        return k8, ks, v8, vs
+        pos = jnp.arange(S)
+        # K: chunk-channel scales, expanded per token.
+        k_nib = un_nib(self.kq)
+        ksc = jnp.take(self.kchs, pos // G, axis=2)  # [B, KV, S, Dh]
+        k_q = (k_nib.astype(lane) * ksc.astype(lane)).astype(lane)
+        # V: per-token scales from the parity-split layout.
+        v_nib = un_nib(self.vq)
+        vsc = jnp.swapaxes(self.vs, 2, 3).reshape(B, KV, S)
+        v_q = (v_nib.astype(lane) * vsc[..., None].astype(lane)).astype(lane)
+        # Tails overlay positions [F, F+2G) at rows pos % 2G: everything at
+        # or past the frontier — including speculative windows written with
+        # advance=0 beyond ``lengths`` — lives in the tail; rows beyond the
+        # last written position hold stale data that the attention masks
+        # (pos <= length + t). Valid because writes never run more than 2G
+        # past the committed frontier (speculation depth <= G).
+        F = (self.lengths // G) * G  # [B]
+        rel = pos[None, :] - F[:, None]  # [B, S]
+        in_tail = (rel >= 0) & (rel < 2 * G)
+        row_c = jnp.mod(pos[None, :], 2 * G) * jnp.ones(
+            (self.lengths.shape[0], 1), jnp.int32)
+        kt = jnp.take_along_axis(
+            self.ktail, row_c[:, None, :, None], axis=2
+        ).astype(lane)
+        kts = jnp.take_along_axis(self.kts, row_c[:, None, :], axis=2)
+        vt = jnp.take_along_axis(
+            self.vtail, row_c[:, None, :, None], axis=2
+        ).astype(lane)
+        vts = jnp.take_along_axis(self.vts, row_c[:, None, :], axis=2)
+        k_t = (kt * kts[..., None].astype(lane)).astype(lane)
+        v_t = (vt * vts[..., None].astype(lane)).astype(lane)
+        m = in_tail[:, None, :, None]
+        return jnp.where(m, k_t, k_q), jnp.where(m, v_t, v_q)
+
+    def advance(self, adv):
+        """Speculative commit: bump lengths by ``adv`` [B] AND flush any
+        chunk the bump completes — the scoring forward wrote the window's
+        K/V into the tails with advance=0, so an ordinary length bump would
+        leave a completed chunk permanently unflushed (the attention
+        frontier would then read never-written packed rows). Sources come
+        from the tails (the 2G tail always holds the last <= 2G positions).
+        Commit depth must be <= G (the engine's speculation windows are)."""
+        G = self.group
+        TC = 2 * G
+        S2 = self.kq.shape[2]
+        NC = self.kchs.shape[2]
+        L_old = self.lengths
+        L_new = jnp.minimum(L_old + adv, self.max_seq)
+        kq, kchs, vq, vs = self.kq, self.kchs, self.vq, self.vs
+        B = L_old.shape[0]
+        b_idx = jnp.arange(B)[:, None]
+        j = jnp.arange(G)[None, :]
+        for f in range(2):  # adv <= 2G boundaries, one chunk per crossing
+            c = L_old // G + f
+            valid_f = ((c + 1) * G <= L_new) & ((c + 1) * G > L_old)
+            crow = jnp.mod(c[:, None] * G + j, TC)  # [B, G] tail rows
+            ck8 = jnp.take_along_axis(self.ktail, crow[:, None, :, None], 2)
+            cks = jnp.take_along_axis(self.kts, crow[:, None, :], 2)
+            cv8 = jnp.take_along_axis(self.vtail, crow[:, None, :, None], 2)
+            cvs = jnp.take_along_axis(self.vts, crow[:, None, :], 2)
+            packed_k, s_ch, packed_v, s_v = kivi_chunk_quantize(
+                ck8, cks, cv8, cvs)
+            rows = jnp.where(
+                valid_f[:, None], c[:, None] * (G // 2) + jnp.arange(G // 2),
+                S2,
+            )
+            kq = kq.at[b_idx, :, rows].set(
+                jnp.swapaxes(packed_k, 1, 2), mode="drop")
+            vq = vq.at[b_idx, :, rows].set(
+                jnp.swapaxes(packed_v, 1, 2), mode="drop")
+            c_safe = jnp.where(valid_f, c, NC)[:, None]
+            kchs = kchs.at[b_idx, :, c_safe].set(s_ch[:, None], mode="drop")
+            vs = vs.at[b_idx, :, 0, rows].set(
+                jnp.swapaxes(s_v[:, :, 0::2], 1, 2), mode="drop")
+            vs = vs.at[b_idx, :, 1, rows].set(
+                jnp.swapaxes(s_v[:, :, 1::2], 1, 2), mode="drop")
+        return dataclasses.replace(
+            self, kq=kq, kchs=kchs, vq=vq, vs=vs, lengths=self.lengths + adv)
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
                           sink_logits=None, tree_mask=None):
-        if window > 0 or softcap > 0.0 or sink_logits is not None:
-            raise NotImplementedError(
-                "int4 KV supports full-causal attention only "
-                "(windowed/softcap/sink models: use int8 KV)"
-            )
         new = self.update(k, v, advance)
         if tree_mask is None and _resolve_attention_backend() == "pallas":
             from ..ops.attention import int4_kv_attention
 
             out = int4_kv_attention(
-                q, new.kq, new.ks, new.vq, new.vs, self.lengths,
-                scale=scale,
+                q, new.kq, new.kchs, new.vq, new.vs,
+                new.ktail, new.kts, new.vtail, new.vts,
+                self.lengths, new.lengths, group=self.group,
+                window=window, scale=scale, softcap=softcap,
+                sink_logits=sink_logits,
             )
         else:
-            k8, ks, v8, vs = new._unpack()
+            k_fp, v_fp = new.dequant_fp()
+            ones = jnp.ones(k_fp.shape[:3], jnp.float32)
             out = int8_kv_attention_xla(
-                q, k8, ks, v8, vs, self.lengths, scale=scale,
+                q, k_fp, ones, v_fp, ones, self.lengths, window=window,
+                scale=scale, softcap=softcap, sink_logits=sink_logits,
                 tree_mask=tree_mask,
             )
         return out, new

@@ -58,7 +58,7 @@ def _score_window(model, params, window, caches):
 def _advance(model, caches, n):
     import dataclasses
 
-    return [dataclasses.replace(c, lengths=c.lengths + n) for c in caches]
+    return [c.advance(n) for c in caches]
 
 
 def speculative_generate(

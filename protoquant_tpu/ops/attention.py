@@ -443,24 +443,40 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
 int8_kv_attention_ref = int8_kv_attention_xla
 
 
-# -- INT4 KV flash attention (round 3) ---------------------------------------
+# -- INT4 KV flash attention (KIVI scheme, round 4) ---------------------------
 
 
-def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
-                  m_ref, l_ref, acc_ref, *, group, block_sp, lane, sm):
-    """Flash attention over the PACKED int4 cache (full-causal tier).
+def _attn4_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
+                  kt_ref, kts_ref, vt_ref, vts_ref, *rest,
+                  group, chunk, block_sp, lane, window, sm, softcap,
+                  has_sinks, static_sinks, max_seq):
+    """Flash attention over the KIVI int4 cache (models/kv_cache.py
+    Int4KVCache): packed K/V nibbles for completed G-token chunks, K
+    dequantized in VMEM with per-(chunk, channel) scales, V with per-token
+    parity-split scales, plus an INT8 per-token TAIL holding positions
+    [F, length) merged as one final online-softmax block.
 
-    k_ref: (1, HB, bs_p, Dh) int8 bytes — packed row r holds token 2r (low
-    nibble) and 2r+1 (high), so one S-grid block covers 2*bs_p tokens.
-    ks_ref: (1, HB, 2, bs_p) f32 — parity-split per-token scales.
-    The block runs TWO online-softmax sub-updates (even tokens from the low
-    nibbles, odd from the high), each with its own position iota — no
-    in-kernel interleave/relayout, and the nibble extraction is the same
-    full-tile i32 shift trick as ops/wo4_matmul.py's split kernel.
+    k_ref:   (1, HB, bs_p, Dh) int8 bytes — packed row r holds token 2r (low
+             nibble) / 2r+1 (high); one S-grid block covers 2*bs_p tokens.
+    kch_ref: (1, HB, n_g, Dh) f32 — the block's chunk-channel K scales
+             (n_g = 2*bs_p / G). Expanded to a per-packed-row (bs_p, Dh)
+             scale tile by a constant 0/1 selection dot, then multiplied
+             into the extracted nibbles (per-channel scales cannot factor
+             out of the Dh contraction the way per-token scales do).
+    vs_ref:  (1, HB, 2, bs_p) f32 — parity-split per-token V scales.
+    kt/vt:   (1, HB, G, Dh) int8 tails; kts/vts (1, HB, 1, G) f32 scales.
+
+    i32 widen-then-shift nibble extraction is the only Mosaic-legal form
+    (int8-vector shifts don't legalize; probed on-chip round 3).
+    Variants (window / softcap / learned sinks) mirror _attn_kernel.
     """
+    rest = list(rest)
+    sink_ref = rest.pop(0) if has_sinks else None
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     s = pl.program_id(2)
     HB, TG = q_ref.shape[1], q_ref.shape[2]
+    G = chunk
     t_max = (TG - 1) // group
 
     @pl.when(s == 0)
@@ -468,39 +484,77 @@ def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if has_sinks:
+            m_ref[:, :TG] = sink_ref[...]
+            l_ref[:, :TG] = jnp.ones_like(l_ref[:, :TG])
 
     length = len_ref[b, 0]
-    active = s * 2 * block_sp <= length + t_max
+    new_len = jnp.clip(len_ref[b, 1], 0, max_seq)
+    frontier = (new_len // G) * G  # tokens >= frontier live in the tail
+
+    def _online_update(scores, valid, p_scaled_halves, v_halves):
+        """Shared online-softmax step: mask, rescale, accumulate."""
+        scores = jnp.where(valid, scores, NEG_INF)
+        m_old = m_ref[:, :TG, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        pdims = (((2,), (1,)), ((0,), (0,)))
+        pv = None
+        for (lo, hi), vv in zip(p_scaled_halves(p), v_halves):
+            term = jax.lax.dot_general(
+                (lo * hi).astype(lane), vv, pdims,
+                preferred_element_type=jnp.float32,
+            )
+            pv = term if pv is None else pv + term
+        l_new = l_ref[:, :TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:, :TG] = acc_ref[:, :TG] * corr + pv
+        m_ref[:, :TG] = jnp.broadcast_to(m_new, (HB, TG, m_ref.shape[2]))
+        l_ref[:, :TG] = jnp.broadcast_to(l_new, (HB, TG, l_ref.shape[2]))
+
+    # Quantized-region block: any packed token < frontier (and, windowed,
+    # not entirely before the window).
+    base = s * 2 * block_sp
+    active = base < frontier
+    if window > 0:
+        lo_col = jnp.maximum(length - window + 1, 0)
+        active &= (base + 2 * block_sp) > lo_col
 
     @pl.when(active)
     def _():
         q = q_ref[0].astype(lane)  # (HB, TG, Dh)
-        # Full-tile nibble extraction (the wo4 split-kernel trick). The two
-        # parity halves are NEVER concatenated as (2*bs_p, Dh) tiles — that
-        # materializes ~1MB of i32 VMEM copies per program (measured 0.29
-        # HBM frac); instead each half gets its own dot, and only the SMALL
-        # (TG, bs_p) score tiles concatenate for one shared softmax update.
-        # i32 widen-then-shift is the ONLY formulation Mosaic compiles:
-        # int8-native shifts ((b << 4) >> 4 in i8, 4x VPU lanes/op) fail to
-        # legalize — `arith.shli : vector<...xi8>` has no TPU lowering
-        # (probed on-chip this round; see BASELINE.md int4 KV status).
         ku = k_ref[0].astype(jnp.int32)  # (HB, bs_p, Dh)
         vu = v_ref[0].astype(jnp.int32)
         k_lo = ((ku << 28) >> 28).astype(lane)
         k_hi = ((ku << 24) >> 28).astype(lane)
         v_lo = ((vu << 28) >> 28).astype(lane)
         v_hi = ((vu << 24) >> 28).astype(lane)
-        ks_e = ks_ref[0, :, 0, :].reshape(HB, 1, block_sp)
-        ks_o = ks_ref[0, :, 1, :].reshape(HB, 1, block_sp)
+        # Chunk-channel K scale tile: packed row r covers tokens 2r, 2r+1 —
+        # both in block-local chunk r // (G/2); expand the n_g scale rows to
+        # a (bs_p, Dh) tile with one constant selection dot (exact copy).
+        n_g = kch_ref.shape[2]
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (HB, block_sp, n_g), 1)
+        g_io = jax.lax.broadcasted_iota(jnp.int32, (HB, block_sp, n_g), 2)
+        sel = (r_io // (G // 2) == g_io).astype(jnp.float32)
+        s_tile = jax.lax.dot_general(
+            sel, kch_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(lane)  # (HB, bs_p, Dh) — HIGHEST keeps the scale-row
+        # copies exact (single-pass MXU f32 rounds to ~bf16)
+        kd_lo = k_lo * s_tile
+        kd_hi = k_hi * s_tile
         vs_e = vs_ref[0, :, 0, :].reshape(HB, 1, block_sp)
         vs_o = vs_ref[0, :, 1, :].reshape(HB, 1, block_sp)
 
         dims = (((2,), (2,)), ((0,), (0,)))
         s_lo = jax.lax.dot_general(
-            q, k_lo, dims, preferred_element_type=jnp.float32) * ks_e
+            q, kd_lo, dims, preferred_element_type=jnp.float32)
         s_hi = jax.lax.dot_general(
-            q, k_hi, dims, preferred_element_type=jnp.float32) * ks_o
+            q, kd_hi, dims, preferred_element_type=jnp.float32)
         scores = jnp.concatenate([s_lo, s_hi], axis=-1) * sm  # (HB, TG, 2bs_p)
+        if softcap > 0.0:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
         idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
         # Column c < bs_p holds token 2*(s*bs_p + c); column bs_p + c holds
@@ -510,67 +564,143 @@ def _attn4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
             2 * (s * block_sp + idx),
             2 * (s * block_sp + idx - block_sp) + 1,
         )
-        valid = pos <= (length + t_rows)
-        scores = jnp.where(valid, scores, NEG_INF)
-
-        m_old = m_ref[:, :TG, :1]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-        corr = jnp.exp(m_old - m_new)
-        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
-        pdims = (((2,), (1,)), ((0,), (0,)))
-        pv = jax.lax.dot_general(
-            (p[:, :, :block_sp] * vs_e).astype(lane), v_lo, pdims,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            (p[:, :, block_sp:] * vs_o).astype(lane), v_hi, pdims,
-            preferred_element_type=jnp.float32,
+        valid = (pos <= (length + t_rows)) & (pos < frontier)
+        if window > 0:
+            in_win = pos > (length + t_rows - window)
+            if static_sinks > 0:
+                in_win |= pos < static_sinks
+            valid &= in_win
+        _online_update(
+            scores, valid,
+            lambda p: [(p[:, :, :block_sp], vs_e), (p[:, :, block_sp:], vs_o)],
+            [v_lo, v_hi],
         )
-        l_new = l_ref[:, :TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:, :TG] = acc_ref[:, :TG] * corr + pv
-        m_ref[:, :TG] = jnp.broadcast_to(m_new, (HB, TG, m_ref.shape[2]))
-        l_ref[:, :TG] = jnp.broadcast_to(l_new, (HB, TG, l_ref.shape[2]))
 
+    # INT8 tail block — the 2G-row tail holds row j = latest position
+    # ≡ j (mod 2G). Each query row reconstructs, per column, the largest
+    # position <= its own horizon (length + t) congruent to that column:
+    # that position is guaranteed written-and-latest because writes never
+    # run more than 2G past the committed frontier (speculation depth <= G),
+    # and positions below the frontier are served by the quantized region
+    # (masked here to avoid double counting).
     @pl.when(s == pl.num_programs(2) - 1)
     def _():
+        q = q_ref[0].astype(lane)
+        kt = kt_ref[0].astype(lane)  # (HB, 2G, Dh) int8 values, exact lanes
+        kts = kts_ref[0]  # (HB, 1, 2G)
+        vts = vts_ref[0]
+        dims = (((2,), (2,)), ((0,), (0,)))
+        scores = jax.lax.dot_general(
+            q, kt, dims, preferred_element_type=jnp.float32) * kts * sm
+        if softcap > 0.0:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        horizon = length + t_rows
+        pos = horizon - jnp.mod(horizon - col, 2 * G)
+        valid = pos >= frontier
+        if window > 0:
+            in_win = pos > (length + t_rows - window)
+            if static_sinks > 0:
+                in_win |= pos < static_sinks
+            valid &= in_win
+        _online_update(
+            scores, valid,
+            lambda p: [(p, vts)],
+            [vt_ref[0].astype(lane)],
+        )
         o_ref[0] = (
             acc_ref[:, :TG] / jnp.maximum(l_ref[:, :TG, :1], 1e-30)
         ).astype(o_ref.dtype)
 
 
+def _block4(S2: int, G: int, want: int = 256) -> int:
+    """Largest S2-dividing packed block whose 2*bs_p token span is a
+    multiple of the chunk size G."""
+    for bs in (want, 128, 64, 32):
+        if S2 % bs == 0 and bs <= S2 and (2 * bs) % G == 0:
+            return bs
+    return S2  # whole plane; 2*S2 = max_seq is a multiple of G by init
+
+
+def _head_block4(KV: int, TG: int, Dh: int, bs_p: int, G: int,
+                 budget: int = 10 << 20) -> int:
+    """Largest divisor HB of KV fitting the KIVI kernel's VMEM footprint
+    (dominated by the i32 nibble extracts and the f32/lane scale tile:
+    ~16 bytes per packed (bs_p, Dh) element, plus tails and scores)."""
+    for hb in range(KV, 0, -1):
+        if KV % hb:
+            continue
+        tg8 = max(TG, 8)
+        per = hb * (
+            bs_p * Dh * 20          # packed k/v + i32 extracts + scale tile
+            + 2 * G * Dh * 6        # tails int8 + lane copies
+            + TG * Dh * 2           # q
+            + 2 * TG * (2 * bs_p + G) * 4  # score/prob tiles
+            + tg8 * (256 + Dh) * 4  # m/l/acc scratch
+        )
+        if 2 * per <= budget:
+            return hb
+    return 1
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "t_q", "scale", "interpret", "out_dtype"),
+    static_argnames=("group", "chunk", "t_q", "window", "scale", "softcap",
+                     "interpret", "out_dtype"),
 )
-def _attend4(q, kq, ks, vq, vs, lengths, *, group, t_q, scale, interpret,
-             out_dtype):
+def _attend4(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows, *,
+             group, chunk, t_q, window, scale, softcap, interpret, out_dtype):
     B, KV, TG, Dh = q.shape
     S2 = kq.shape[2]  # packed rows = tokens / 2
-    bs_p = _flash_block_s(S2, want=256)
-    HB = _head_block(KV, TG, Dh, 2 * bs_p)
-    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
-    t_max = (TG - 1) // group
+    G = chunk
+    bs_p = _block4(S2, G)
+    HB = _head_block4(KV, TG, Dh, bs_p, G)
+    n_g = (2 * bs_p) // G
     sm = scale if scale > 0.0 else Dh**-0.5
 
-    def s_eff(s, ln_b):
-        hi = (jnp.maximum(ln_b, 0) + t_max) // (2 * bs_p)
+    def s_eff(s, ln, b):
+        # Quantized blocks only matter below the frontier (and, windowed,
+        # above the window's first block): clamp dead fetches away.
+        f = (jnp.clip(ln[b, 1], 0, 2 * S2) // G) * G
+        hi = jnp.maximum(f - 1, 0) // (2 * bs_p)
+        if window > 0:
+            lo = jnp.maximum(ln[b, 0] - window + 1, 0) // (2 * bs_p)
+            return jnp.clip(s, jnp.minimum(lo, hi), hi)
         return jnp.minimum(s, hi)
 
     def kv_index(b, h, s, ln):
-        return (b, h, s_eff(s, ln[b, 0]), 0)
+        return (b, h, s_eff(s, ln, b), 0)
 
-    def kscale_index(b, h, s, ln):
-        return (b, h, 0, s_eff(s, ln[b, 0]))
+    def kch_index(b, h, s, ln):
+        return (b, h, s_eff(s, ln, b), 0)
+
+    def vscale_index(b, h, s, ln):
+        return (b, h, 0, s_eff(s, ln, b))
+
+    in_specs = [
+        pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, bs_p, Dh), kv_index),
+        pl.BlockSpec((1, HB, n_g, Dh), kch_index),
+        pl.BlockSpec((1, HB, bs_p, Dh), kv_index),
+        pl.BlockSpec((1, HB, 2, bs_p), vscale_index),
+        pl.BlockSpec((1, HB, 2 * G, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, 1, 2 * G), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, 2 * G, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, 1, 2 * G), lambda b, h, s, ln: (b, h, 0, 0)),
+    ]
+    operands = [lengths2, q, kq, kchs, vq, vs,
+                kt, kts.reshape(B, KV, 1, 2 * G), vt,
+                vts.reshape(B, KV, 1, 2 * G)]
+    if sink_rows is not None:
+        in_specs.append(
+            pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
+        operands.append(sink_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, KV // HB, S2 // bs_p),
-        in_specs=[
-            pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, HB, bs_p, Dh), kv_index),
-            pl.BlockSpec((1, HB, 2, bs_p), kscale_index),
-            pl.BlockSpec((1, HB, bs_p, Dh), kv_index),
-            pl.BlockSpec((1, HB, 2, bs_p), kscale_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
@@ -580,7 +710,9 @@ def _attend4(q, kq, ks, vq, vs, lengths, *, group, t_q, scale, interpret,
     )
     lane = jnp.float32 if interpret else jnp.bfloat16
     kernel = functools.partial(
-        _attn4_kernel, group=group, block_sp=bs_p, lane=lane, sm=sm,
+        _attn4_kernel, group=group, chunk=G, block_sp=bs_p, lane=lane,
+        window=window, sm=sm, softcap=softcap,
+        has_sinks=sink_rows is not None, static_sinks=0, max_seq=2 * S2,
     )
     return pl.pallas_call(
         kernel,
@@ -590,36 +722,55 @@ def _attend4(q, kq, ks, vq, vs, lengths, *, group, t_q, scale, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths2, q, kq, ks, vq, vs)
+    )(*operands)
 
 
 def int4_kv_attention(
     q: jnp.ndarray,  # [B, T, H, Dh] (post-RoPE)
-    kq: jnp.ndarray,  # [B, KV, S/2, Dh] int8 PACKED nibbles (Int4KVCache)
-    ks: jnp.ndarray,  # [B, KV, 2, S/2] f32 parity-split scales
-    vq: jnp.ndarray,
-    vs: jnp.ndarray,
+    kq: jnp.ndarray,  # [B, KV, S/2, Dh] int8 PACKED K nibbles (Int4KVCache)
+    kchs: jnp.ndarray,  # [B, KV, S/G, Dh] f32 chunk-channel K scales
+    vq: jnp.ndarray,  # [B, KV, S/2, Dh] int8 packed V nibbles
+    vs: jnp.ndarray,  # [B, KV, 2, S/2] f32 parity-split V scales
+    ktail: jnp.ndarray,  # [B, KV, G, Dh] int8 tail K
+    kts: jnp.ndarray,  # [B, KV, G] f32
+    vtail: jnp.ndarray,
+    vts: jnp.ndarray,
     lengths: jnp.ndarray,  # [B] int32 — length BEFORE this step's tokens
+    new_lengths: jnp.ndarray,  # [B] int32 — length AFTER (tail frontier)
     *,
+    group: int,
+    window: int = 0,
     scale: float = 0.0,
+    softcap: float = 0.0,
+    sink_logits: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Flash attention over the packed INT4 KV cache (full-causal only;
-    exact vs unpack + int8_kv_attention_xla on the same nibble values).
-    Returns [B, T, H, Dh] in q.dtype."""
+    """Flash attention over the KIVI int4 KV cache (matches
+    Int4KVCache.dequant_fp + int8_kv_attention_xla within bf16-lane
+    tolerance). Returns [B, T, H, Dh] in q.dtype."""
     if interpret is None:
         interpret = default_interpret()
     B, T, H, Dh = q.shape
     KV = kq.shape[1]
-    group = H // KV
-    qh = q.reshape(B, T, KV, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
-        B, KV, T * group, Dh)
+    grp = H // KV
+    qh = q.reshape(B, T, KV, grp, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, KV, T * grp, Dh)
+    sink_rows = None
+    if sink_logits is not None:
+        srow = jnp.broadcast_to(
+            sink_logits.astype(jnp.float32).reshape(KV, 1, grp), (KV, T, grp)
+        ).reshape(KV, T * grp)
+        sink_rows = jnp.broadcast_to(srow[:, :, None], (KV, T * grp, 128))
+    lengths2 = jnp.stack(
+        [lengths.astype(jnp.int32), new_lengths.astype(jnp.int32)], axis=1
+    )  # [B, 2]
     out = _attend4(
-        qh, kq, ks, vq, vs, lengths,
-        group=group, t_q=T, scale=float(scale), interpret=interpret,
+        qh, kq, kchs, vq, vs, ktail, kts, vtail, vts, lengths2, sink_rows,
+        group=grp, chunk=int(group), t_q=T, window=int(window),
+        scale=float(scale), softcap=float(softcap), interpret=interpret,
         out_dtype=q.dtype,
     )
-    return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
+    return out.reshape(B, KV, T, grp, Dh).transpose(0, 2, 1, 3, 4).reshape(
         B, T, H, Dh)
 
 

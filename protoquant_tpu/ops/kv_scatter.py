@@ -202,97 +202,161 @@ def paged_kv_scatter_decode(kq, ks, vq, vs, page_table, lengths,
     )(pt, lengths2, k8, ks_new, v8, vs_new, kq, ks, vq, vs)
 
 
-def _scatter4_kernel(len_ref, k4_ref, ksn_ref, v4_ref, vsn_ref,
-                     kq_in, ks_in, vq_in, vs_in,
-                     kq_out, ks_out, vq_out, vs_out, *, max_seq):
-    """INT4 variant: the write is a READ-MODIFY-WRITE of one packed byte row
-    (token 2r in the low nibble, 2r+1 in the high — models/kv_cache.py
-    Int4KVCache), merged in i32 lanes (Mosaic legalizes no int8 shifts)."""
+def _kivi4_flush_kernel(len_ref, pk_ref, sch_ref, pv_ref, svp_ref,
+                        kq_in, kchs_in, vq_in, vs_in,
+                        kq_out, kchs_out, vq_out, vs_out,
+                        *, group, max_seq, vs_win, chs_rows):
+    """KIVI int4 decode flush writer: when the new token completes a
+    G-chunk, write the pre-packed nibbles + scales (computed in XLA by
+    kivi4_decode_update — small elementwise math) into the int4 store, in
+    place. Expressing only the WRITE as an aliased Pallas call keeps the
+    flush math in one place (bit-identical to the prefill path's) while
+    pinning the big cache buffers — an XLA scatter here would wrap them in
+    whole-cache defensive copies around the Pallas attend (the round-2 int8
+    lesson).
+
+    pk/pv: (1, HB, G/2, Dh) packed nibbles;  sch: (1, HB, 1, Dh) K scales;
+    svp: (1, HB, 2, G/2) parity-split V scales. The V-scale lanes land at
+    offset (c * G/2) % vs_win inside the window via an exact 0/1 placement
+    dot (P[r, l] = 1 iff l == off + r) — Mosaic has no dynamic lane scatter.
+    """
     b = pl.program_id(0)
+    G = group
     ln = jnp.maximum(len_ref[b, 0], 0)
-    valid = ln < max_seq
-    parity = ln % 2
-    row8 = (ln // 2) % _SBLK
-    col = (ln // 2) % _SBLK_SCALE
+    new_len = jnp.clip(len_ref[b, 1], 0, max_seq)
+    # Flush iff THIS step confirms the chunk boundary (speculative scoring
+    # writes with advance=0: the token lands in the tail but its chunk only
+    # flushes once lengths actually cross the boundary — Int4KVCache.advance
+    # handles commits).
+    c = ln // G
+    flush = ((c + 1) * G <= new_len) & ((c + 1) * G > ln)
 
-    def _merge(blk, nib):
-        cur = blk.astype(jnp.int32)
-        n = nib.astype(jnp.int32) & 0x0F
-        lo_merge = (cur & ~0x0F) | n
-        hi_merge = (cur & 0x0F) | (n << 4)
-        return jnp.where(parity == 0, lo_merge, hi_merge).astype(jnp.int8)
+    kq_out[...] = jnp.where(flush, pk_ref[...], kq_in[...])
+    vq_out[...] = jnp.where(flush, pv_ref[...], vq_in[...])
+    # kchs window is chs_rows sublanes (Mosaic min-tile); select row c.
+    rows = jax.lax.broadcasted_iota(jnp.int32, kchs_in.shape, 2)
+    kchs_out[...] = jnp.where(
+        (rows == c % chs_rows) & flush,
+        jnp.broadcast_to(sch_ref[...], kchs_in.shape), kchs_in[...])
 
-    def _insert_payload(blk, nib):
-        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
-        return jnp.where((rows == row8) & valid,
-                         _merge(blk, jnp.broadcast_to(nib, blk.shape)), blk)
+    HB = vs_in.shape[1]
+    off = (c * (G // 2)) % vs_win
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (HB, G // 2, vs_win), 1)
+    l_io = jax.lax.broadcasted_iota(jnp.int32, (HB, G // 2, vs_win), 2)
+    place = (l_io == off + r_io).astype(jnp.float32)
+    vals = jax.lax.dot_general(
+        svp_ref[0], place, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (HB, 2, vs_win) — HIGHEST: the MXU's default single-bf16-pass f32
+    # dot would round the copied scale mantissas (measured 5e-4 drift
+    # on-chip); the 3-pass decomposition moves them exactly.
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, vs_in.shape, 3)
+    in_win = (lane_w >= off) & (lane_w < off + G // 2) & flush
+    vs_out[...] = jnp.where(in_win, vals[None], vs_in[...])
 
-    def _insert_scale(blk, new):
-        # blk (1, KV, 2, 128): sublane = parity plane, lane = packed row.
-        planes = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 3)
-        sel = (planes == parity) & (lanes == col) & valid
-        return jnp.where(sel, jnp.broadcast_to(new[..., None], blk.shape), blk)
 
-    kq_out[...] = _insert_payload(kq_in[...], k4_ref[...])
-    vq_out[...] = _insert_payload(vq_in[...], v4_ref[...])
-    ks_out[...] = _insert_scale(ks_in[...], ksn_ref[...])
-    vs_out[...] = _insert_scale(vs_in[...], vsn_ref[...])
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def kivi4_decode_update(kq, kchs, vq, vs, ktail, kts, vtail, vts, lengths,
+                        k8, ks_new, v8, vs_new, *, group: int,
+                        adv=None, interpret: bool = False):
+    """One decode token per batch row into the KIVI int4 cache.
 
+    Tail inserts and the chunk-flush MATH (requantization, packing) run in
+    XLA — the tails and flush tensors are small ([B, KV, G, Dh]) and the
+    formulas stay bit-identical to Int4KVCache._xla_update's prefill path —
+    while the flush WRITES into the big packed arrays go through an aliased
+    Pallas window kernel (_kivi4_flush_kernel) so the cache buffers stay
+    pinned for the downstream Pallas attend.
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def kv4_scatter_decode(kq, ks, vq, vs, lengths, k4, ks_new, v4, vs_new,
-                       *, interpret: bool = False):
-    """Write one decode token per batch row into the PACKED int4 cache, in
-    place (same defensive-copy story as kv_scatter_decode — without the
-    aliased custom call, XLA copies the whole cache around the Pallas
-    attend; measured 2x step time at B=8, KV=32, S=2048).
-
-    kq/vq: [B, KV, S/2, Dh] int8 packed;  ks/vs: [B, KV, 2, S/2] f32
-    k4/v4: [B, KV, 1, Dh] int8 nibble values in [-7, 7]
-    ks_new/vs_new: [B, KV, 1] f32; lengths: [B] int32.
+    kq/vq: [B, KV, S/2, Dh] int8 packed;  kchs: [B, KV, S/G, Dh] f32;
+    vs: [B, KV, 2, S/2] f32;  ktail/vtail: [B, KV, G, Dh] int8;
+    kts/vts: [B, KV, G] f32;  k8/v8: [B, KV, 1, Dh] int8;
+    ks_new/vs_new: [B, KV, 1] f32;  lengths: [B] int32.
+    Returns the eight updated cache arrays.
     """
     B, KV, S2, Dh = kq.shape
-    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    G = group
+    NC = kchs.shape[2]
+    max_seq = S2 * 2
+    if adv is None:
+        adv = jnp.ones((B,), jnp.int32)
+    lengths2 = jnp.stack(
+        [lengths.astype(jnp.int32), (lengths + adv).astype(jnp.int32)], 1)
 
-    def _r8(ref, b):
-        return jnp.clip(ref[b, 0] // 2, 0, S2 - 1) // _SBLK
+    # ---- XLA: tail inserts (tail rows = position mod 2G) -------------------
+    TC = 2 * G
+    ln = jnp.maximum(lengths, 0)
+    valid = (ln < max_seq)[:, None, None]
+    row = (ln % TC)[:, None, None]
+    g_io = jnp.arange(TC)[None, None, :]
 
-    def _r128(ref, b):
-        return jnp.clip(ref[b, 0] // 2, 0, S2 - 1) // _SBLK_SCALE
+    def _ins_payload(tail, new):
+        sel = ((g_io == row) & valid)[..., None]
+        return jnp.where(sel, new, tail)
 
-    payload_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, ln: (b, 0, 0, 0))
-    scale_blk = pl.BlockSpec((1, KV, 1), lambda b, ln: (b, 0, 0))
-    cache_payload_blk = pl.BlockSpec(
-        (1, KV, _SBLK, Dh), lambda b, ln: (b, 0, _r8(ln, b), 0))
-    cache_scale_blk = pl.BlockSpec(
-        (1, KV, 2, _SBLK_SCALE), lambda b, ln: (b, 0, 0, _r128(ln, b)))
+    def _ins_scale(ts, new):
+        return jnp.where((g_io == row) & valid, new, ts)
+
+    ktail_u = _ins_payload(ktail, k8)
+    vtail_u = _ins_payload(vtail, v8)
+    kts_u = _ins_scale(kts, ks_new)
+    vts_u = _ins_scale(vts, vs_new)
+
+    # ---- XLA: flush math (the SHARED helper — bit-identical to prefill) ---
+    from ..models.kv_cache import kivi_chunk_quantize
+
+    # The completed chunk's G rows sit at tail rows (c*G) % 2G .. +G.
+    crow = (((ln // G) * G) % TC)[:, None] + jnp.arange(G)[None, :]  # [B, G]
+    ck8 = jnp.take_along_axis(ktail_u, crow[:, None, :, None], axis=2)
+    cks = jnp.take_along_axis(kts_u, crow[:, None, :], axis=2)
+    cv8 = jnp.take_along_axis(vtail_u, crow[:, None, :, None], axis=2)
+    cvs = jnp.take_along_axis(vts_u, crow[:, None, :], axis=2)
+    packed_k, s_ch, packed_v, s_v = kivi_chunk_quantize(ck8, cks, cv8, cvs)
+    svp = jnp.stack([s_v[:, :, 0::2], s_v[:, :, 1::2]], 2)  # [B, KV, 2, G/2]
+
+    # ---- Pallas: aliased window writes -------------------------------------
+    vs_win = 128 if (S2 % 128 == 0 and G // 2 <= 128) else S2
+
+    def _c(ref, b):
+        return jnp.clip(ref[b, 0] // G, 0, NC - 1)
+
+    pk_blk = pl.BlockSpec((1, KV, G // 2, Dh), lambda b, ln: (b, 0, 0, 0))
+    sch_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, ln: (b, 0, 0, 0))
+    svp_blk = pl.BlockSpec((1, KV, 2, G // 2), lambda b, ln: (b, 0, 0, 0))
+    kq_blk = pl.BlockSpec(
+        (1, KV, G // 2, Dh), lambda b, ln: (b, 0, _c(ln, b), 0))
+    # Mosaic needs >= 8 sublanes (or the whole dim) per block: the kchs
+    # write targets an 8-row window and selects row c % 8 in-kernel.
+    chs_rows = 8 if NC % 8 == 0 else NC
+    kchs_blk = pl.BlockSpec(
+        (1, KV, chs_rows, Dh), lambda b, ln: (b, 0, _c(ln, b) // chs_rows, 0))
+    vs_blk = pl.BlockSpec(
+        (1, KV, 2, vs_win),
+        lambda b, ln: (b, 0, 0, (_c(ln, b) * (G // 2)) // vs_win))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[
-            payload_blk, scale_blk, payload_blk, scale_blk,
-            cache_payload_blk, cache_scale_blk,
-            cache_payload_blk, cache_scale_blk,
-        ],
-        out_specs=[
-            cache_payload_blk, cache_scale_blk,
-            cache_payload_blk, cache_scale_blk,
-        ],
+        in_specs=[pk_blk, sch_blk, pk_blk, svp_blk,
+                  kq_blk, kchs_blk, kq_blk, vs_blk],
+        out_specs=[kq_blk, kchs_blk, kq_blk, vs_blk],
     )
-    return pl.pallas_call(
-        functools.partial(_scatter4_kernel, max_seq=S2 * 2),
+    kq2, kchs2, vq2, vs2 = pl.pallas_call(
+        functools.partial(
+            _kivi4_flush_kernel, group=G, max_seq=max_seq, vs_win=vs_win,
+            chs_rows=chs_rows),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
-            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
-            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
-            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (kq, kchs, vq, vs)
         ],
+        # Operand list: lengths=0, flush tensors 1-4, cache arrays 5-8.
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
-    )(lengths2, k4, ks_new, v4, vs_new, kq, ks, vq, vs)
+    )(lengths2, packed_k, s_ch[:, :, None], packed_v, svp,
+      kq, kchs, vq, vs)
+    return kq2, kchs2, vq2, vs2, ktail_u, kts_u, vtail_u, vts_u
 
 
 def _scatter_mixed_kernel(len_ref, k8_ref, ksn_ref, v4_ref, vsn_ref,

@@ -1,13 +1,20 @@
-"""INT4 KV cache: packed-nibble dense cache + in-kernel-unpack flash kernel.
+"""KIVI-style INT4 KV cache: per-(chunk, channel) K scales + per-token V
+scales, int8 per-token tails, packed-nibble store (VERDICT r3 item 1 — the
+round-3 per-token-K-scale scheme collapsed greedy match; KIVI-style channel
+scales are the fix, models/kv_cache.py Int4KVCache docstring).
 
-Gates: (1) pack/unpack round trip is exact on the nibble values; (2) the
-Pallas int4 flash kernel (interpret mode here, compiled on TPU) matches the
-unpack + int8-XLA oracle on the same nibbles bit-for-bit in f32 lanes;
-(3) cache-consistency: scoring vs per-token cached decode track within
-int4-quantization tolerance and greedy choices mostly agree; (4) the
-continuous-batching engine serves with kv_dtype=jnp.int4 end-to-end;
-(5) prefill chunks landing both nibbles of one byte merge correctly (the
-two-phase parity write).
+Gates:
+(1) chunked prefill == token-by-token decode, bit-for-bit on the FULL cache
+    state (the flush requantizes from the int8 tails in both paths);
+(2) the aliased decode-update Pallas kernel (interpret here, compiled on
+    TPU) == the XLA update path bit-for-bit across flush boundaries;
+(3) the KIVI flash kernel matches dequant_fp + the XLA formulation (f32
+    lanes) for full-causal, windowed, and softcapped attention;
+(4) rollback across a flush boundary (speculative decoding) re-exposes the
+    correct tail data — generation after a rewind matches never-rewound;
+(5) cache-path decode tracks the scoring path (consistency + engine e2e);
+(6) quality: KIVI int4 K beats the old per-token-head int4 K scheme on
+    outlier-channel keys (the regime the redesign exists for).
 """
 
 import numpy as np
@@ -17,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from protoquant_tpu.models import LlamaModel, init_cache
-from protoquant_tpu.models.kv_cache import Int4KVCache, quantize_kv4
+from protoquant_tpu.models.kv_cache import (
+    Int4KVCache,
+    kivi_chunk_quantize,
+    quantize_kv,
+)
 from protoquant_tpu.utils.config import ModelConfig
 
 # Subsystem matrix: full-coverage tier (fast tier: -m 'not slow').
@@ -30,68 +41,123 @@ CFG = ModelConfig(
 )
 
 
-def test_pack_roundtrip_exact():
+def _rand_cache(rng, B=2, KV=2, Dh=16, S=64, G=16):
+    cache = Int4KVCache.init(B, S, KV, Dh, group=G)
+    return cache
+
+
+def test_prefill_equals_decode_bitexact():
+    """One-shot chunked prefill and token-by-token decode end in the SAME
+    cache state, including stale tail rows (the latest-token-mod-G
+    invariant)."""
     rng = np.random.default_rng(0)
-    B, T, KV, Dh = 2, 12, 2, 16
+    B, KV, Dh, S, G, T = 2, 2, 16, 64, 16, 37
     x = jnp.asarray(rng.standard_normal((B, T, KV, Dh)), jnp.float32)
-    cache = Int4KVCache.init(B, 32, KV, Dh)
-    new = cache.update(x, x)
-    k8, ks, v8, vs = new._unpack()
-    ref_nib, ref_scale = quantize_kv4(x)
-    # [B, T, KV, Dh] reference against the unpacked [B, KV, S, Dh] layout.
-    got = np.asarray(k8)[:, :, :T].transpose(0, 2, 1, 3)
-    np.testing.assert_array_equal(got, np.asarray(ref_nib))
-    np.testing.assert_allclose(
-        np.asarray(ks)[:, :, :T].transpose(0, 2, 1),
-        np.asarray(ref_scale), rtol=0, atol=0,
-    )
+    c1 = Int4KVCache.init(B, S, KV, Dh, group=G).update(x, x)
+    c2 = Int4KVCache.init(B, S, KV, Dh, group=G)
+    for t in range(T):
+        c2 = c2.update(x[:, t:t + 1], x[:, t:t + 1])
+    for f in ("kq", "kchs", "vq", "vs", "ktail", "kts", "vtail", "vts",
+              "lengths"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c1, f)), np.asarray(getattr(c2, f)),
+            err_msg=f)
 
 
-def test_two_phase_write_merges_both_nibbles():
-    """A chunk spanning an odd->even boundary lands both nibbles of shared
-    bytes; a second chunk starting at an odd position RMWs the high nibble
-    without clobbering the low one."""
+@pytest.mark.parametrize("fill", [0, 14, 15, 16, 31])
+def test_decode_kernel_matches_xla_update(fill):
+    """The aliased Pallas decode update (tail insert + chunk flush) is
+    bit-identical to the XLA path at, before, and after flush boundaries."""
+    from protoquant_tpu.ops.kv_scatter import kivi4_decode_update
+
     rng = np.random.default_rng(1)
-    B, KV, Dh = 1, 1, 16
-    cache = Int4KVCache.init(B, 16, KV, Dh)
-    x1 = jnp.asarray(rng.standard_normal((B, 3, KV, Dh)), jnp.float32)
-    x2 = jnp.asarray(rng.standard_normal((B, 5, KV, Dh)), jnp.float32)
-    cache = cache.update(x1, x1)          # tokens 0,1,2
-    cache = cache.update(x2, x2)          # tokens 3..7 (3 shares byte 1 with 2)
-    k8, ks, _, _ = cache._unpack()
-    full = jnp.concatenate([x1, x2], axis=1)
-    ref_nib, ref_scale = quantize_kv4(full)
-    np.testing.assert_array_equal(
-        np.asarray(k8)[:, :, :8].transpose(0, 2, 1, 3), np.asarray(ref_nib))
-    np.testing.assert_allclose(
-        np.asarray(ks)[:, :, :8].transpose(0, 2, 1), np.asarray(ref_scale))
+    B, KV, Dh, S, G = 2, 2, 16, 64, 16
+    x = jnp.asarray(rng.standard_normal((B, max(fill, 1), KV, Dh)),
+                    jnp.float32)
+    c = Int4KVCache.init(B, S, KV, Dh, group=G)
+    if fill:
+        c = c.update(x, x)
+    tok = jnp.asarray(rng.standard_normal((B, 1, KV, Dh)), jnp.float32)
+    k8, ks8 = quantize_kv(tok)
+    v8, vs8 = quantize_kv(tok)
+    ref = c._xla_update(k8, ks8, v8, vs8, jnp.ones((B,), jnp.int32))
+    arrs = kivi4_decode_update(
+        c.kq, c.kchs, c.vq, c.vs, c.ktail, c.kts, c.vtail, c.vts, c.lengths,
+        jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks8, 1, 2),
+        jnp.swapaxes(v8, 1, 2), jnp.swapaxes(vs8, 1, 2),
+        group=G, interpret=True,
+    )
+    for n, a in zip(("kq", "kchs", "vq", "vs", "ktail", "kts", "vtail",
+                     "vts"), arrs):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(getattr(ref, n)), err_msg=n)
 
 
-@pytest.mark.parametrize("T", [1, 4])
-def test_int4_kernel_matches_xla_oracle(T):
-    """Pallas int4 flash kernel (interpret) == unpack + int8 XLA formulation
-    on the same nibbles (f32 lanes: bitwise-comparable math, loose-ulp
-    compare for the softmax chain)."""
+@pytest.mark.parametrize("T,window,softcap", [
+    (1, 0, 0.0), (4, 0, 0.0), (1, 10, 0.0), (2, 0, 5.0),
+])
+def test_kivi_kernel_matches_oracle(T, window, softcap):
+    """Pallas KIVI flash kernel (interpret) == dequant_fp + the XLA
+    formulation, including the windowed and softcapped variants (these were
+    guard-blocked in round 3 — VERDICT r3 item 6)."""
     from protoquant_tpu.ops.attention import (
         int4_kv_attention,
         int8_kv_attention_xla,
     )
 
     rng = np.random.default_rng(2)
-    B, KV, Dh, S, H = 2, 2, 32, 64, 4
-    cache = Int4KVCache.init(B, S, KV, Dh)
-    warm = jnp.asarray(rng.standard_normal((B, 10, KV, Dh)), jnp.float32)
-    cache = cache.update(warm, warm)
+    B, KV, Dh, S, G, H = 2, 2, 16, 64, 16, 4
+    x = jnp.asarray(rng.standard_normal((B, 23 + T, KV, Dh)), jnp.float32)
+    cache = Int4KVCache.init(B, S, KV, Dh, group=G).update(
+        x[:, :23], x[:, :23])
     q = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
-    step = jnp.asarray(rng.standard_normal((B, T, KV, Dh)), jnp.float32)
+    step = x[:, 23:23 + T]
     lengths = cache.lengths
     new = cache.update(step, step)
-
     got = np.asarray(int4_kv_attention(
-        q, new.kq, new.ks, new.vq, new.vs, lengths, interpret=True))
-    k8, ks, v8, vs = new._unpack()
-    want = np.asarray(int8_kv_attention_xla(q, k8, ks, v8, vs, lengths))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        q, new.kq, new.kchs, new.vq, new.vs, new.ktail, new.kts, new.vtail,
+        new.vts, lengths, new.lengths, group=G, window=window,
+        softcap=softcap, interpret=True))
+    k_fp, v_fp = new.dequant_fp(lane=jnp.float32)
+    ones = jnp.ones(k_fp.shape[:3], jnp.float32)
+    want = np.asarray(int8_kv_attention_xla(
+        q, k_fp, ones, v_fp, ones, lengths, window=window, softcap=softcap))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_rollback_across_flush_boundary():
+    """Speculative-style rewind: advance past a chunk boundary, rewind
+    lengths below it, re-advance with different tokens — attention output
+    matches a cache that never saw the rejected tokens. Tail rows persist
+    after a flush, and the stale chunk re-flushes on re-advance."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    B, KV, Dh, S, G = 1, 2, 16, 64, 16
+    x = jnp.asarray(rng.standard_normal((B, 14, KV, Dh)), jnp.float32)
+    spec = jnp.asarray(rng.standard_normal((B, 4, KV, Dh)), jnp.float32)
+    good = jnp.asarray(rng.standard_normal((B, 4, KV, Dh)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, 4, Dh)), jnp.float32)
+
+    base = Int4KVCache.init(B, S, KV, Dh, group=G).update(x, x)  # len 14
+    # Path A: speculate 4 tokens (crossing the G=16 boundary), reject all,
+    # rewind, then accept `good`.
+    c_a = base.update(spec, spec)  # len 18, chunk 0 flushed with spec data
+    c_a = dataclasses.replace(c_a, lengths=base.lengths)  # rewind to 14
+    out_a, c_a = c_a.update_and_attend(q, good[:, :1], good[:, :1])
+    # Path B: never speculated.
+    out_b, c_b = base.update_and_attend(q, good[:, :1], good[:, :1])
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-6)
+    # Re-advance across the boundary: the re-flushed chunk matches.
+    c_a2, c_b2 = c_a, c_b
+    for t in range(1, 4):
+        _, c_a2 = c_a2.update_and_attend(q, good[:, t:t + 1], good[:, t:t + 1])
+        _, c_b2 = c_b2.update_and_attend(q, good[:, t:t + 1], good[:, t:t + 1])
+    for f in ("kq", "kchs", "vq", "vs"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c_a2, f)), np.asarray(getattr(c_b2, f)),
+            err_msg=f)
 
 
 def test_cache_consistency_and_engine():
@@ -110,12 +176,12 @@ def test_cache_consistency_and_engine():
     outs = []
     for t in range(toks.shape[1]):
         logits, caches = model.apply(
-            params, toks[:, t : t + 1], jnp.asarray([[t]], jnp.int32), caches)
+            params, toks[:, t: t + 1], jnp.asarray([[t]], jnp.int32), caches)
         outs.append(np.asarray(logits)[:, 0])
     got = np.stack(outs, axis=1)
     np.testing.assert_allclose(got, ref, rtol=0.3, atol=0.3)
     agree = np.mean(np.argmax(got, -1) == np.argmax(ref, -1))
-    assert agree >= 0.8, agree
+    assert agree >= 0.9, agree
 
     eng = Engine(model, params,
                  EngineConfig(max_batch_size=2, max_seq_len=64,
@@ -126,8 +192,9 @@ def test_cache_consistency_and_engine():
     assert len(out) == 6 and all(0 <= t < 64 for t in out)
 
 
-def test_int4_kv_guards():
-    """Windowed/softcap/sink models must refuse the int4 cache clearly."""
+def test_windowed_model_runs_int4():
+    """Sliding-window models now run on the int4 cache (round-3 guard
+    lifted): consistency vs the fp cache within int4 tolerance."""
     cfg = ModelConfig(
         vocab_size=64, hidden_size=64, intermediate_size=128,
         num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
@@ -135,36 +202,82 @@ def test_int4_kv_guards():
     )
     model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(1, 64, (1, 10)), jnp.int32)
+    ref = np.asarray(model.apply(params, toks))
     caches = init_cache(cfg, 1, 32, kv_dtype=jnp.int4)
-    with pytest.raises(NotImplementedError, match="full-causal"):
-        model.apply(params, jnp.ones((1, 1), jnp.int32),
-                    jnp.zeros((1, 1), jnp.int32), caches)
+    outs = []
+    for t in range(toks.shape[1]):
+        logits, caches = model.apply(
+            params, toks[:, t: t + 1], jnp.asarray([[t]], jnp.int32), caches)
+        outs.append(np.asarray(logits)[:, 0])
+    got = np.stack(outs, axis=1)
+    agree = np.mean(np.argmax(got, -1) == np.argmax(ref, -1))
+    assert agree >= 0.9, agree
 
 
-def test_int4_scatter_kernel_matches_xla_update():
-    """The in-place RMW scatter kernel (interpret mode) produces the same
-    packed bytes + scales as the XLA two-phase merge for a decode token at
-    even and odd positions."""
-    from protoquant_tpu.models.kv_cache import quantize_kv4
-    from protoquant_tpu.ops.kv_scatter import kv4_scatter_decode
-
+def test_kivi_beats_per_token_k_on_outlier_channels():
+    """The redesign's reason to exist: keys with a few large consistent
+    channels (the trained-LLM regime). KIVI per-channel K scales must
+    reconstruct them far better than round-3's per-token-head scales."""
     rng = np.random.default_rng(5)
-    B, KV, Dh, S = 2, 2, 16, 16
-    for fill in (4, 5):  # even and odd write positions
-        cache = Int4KVCache.init(B, S, KV, Dh)
-        warm = jnp.asarray(rng.standard_normal((B, fill, KV, Dh)), jnp.float32)
-        cache = cache.update(warm, warm)
-        tok = jnp.asarray(rng.standard_normal((B, 1, KV, Dh)), jnp.float32)
-        ref = cache.update(tok, tok)  # XLA merge path (CPU backend)
-        k4, ks_new = quantize_kv4(tok)
-        v4, vs_new = quantize_kv4(tok)
-        kq, ks, vq, vs = kv4_scatter_decode(
-            cache.kq, cache.ks, cache.vq, cache.vs, cache.lengths,
-            jnp.swapaxes(k4, 1, 2), jnp.swapaxes(ks_new, 1, 2),
-            jnp.swapaxes(v4, 1, 2), jnp.swapaxes(vs_new, 1, 2),
-            interpret=True,
-        )
-        np.testing.assert_array_equal(np.asarray(kq), np.asarray(ref.kq))
-        np.testing.assert_array_equal(np.asarray(vq), np.asarray(ref.vq))
-        np.testing.assert_allclose(np.asarray(ks), np.asarray(ref.ks))
-        np.testing.assert_allclose(np.asarray(vs), np.asarray(ref.vs))
+    B, KV, G, Dh = 1, 1, 32, 64
+    k = rng.standard_normal((B, KV, G, Dh)).astype(np.float32)
+    k[..., :4] *= 20.0  # outlier channels
+    k8, ks8 = quantize_kv(jnp.swapaxes(jnp.asarray(k), 1, 2))
+    k8 = jnp.swapaxes(k8, 1, 2)
+    ks8 = jnp.swapaxes(ks8, 1, 2)
+    packed_k, s_ch, _, _ = kivi_chunk_quantize(k8, ks8, k8, ks8)
+    lo = jnp.right_shift(jnp.left_shift(packed_k, 4), 4)
+    hi = jnp.right_shift(packed_k, 4)
+    nib = jnp.stack([lo, hi], 3).reshape(B, KV, G, Dh)
+    rec_kivi = np.asarray(nib, np.float32) * np.asarray(s_ch)[:, :, None]
+    # round-3 scheme: per-token-head symmetric int4
+    amax_t = np.abs(k).max(-1, keepdims=True)
+    s_t = np.maximum(amax_t / 7.0, 1e-8)
+    rec_tok = np.clip(np.round(k / s_t), -7, 7) * s_t
+    err_kivi = np.abs(rec_kivi - k).mean()
+    err_tok = np.abs(rec_tok - k).mean()
+    assert err_kivi < 0.5 * err_tok, (err_kivi, err_tok)
+
+
+def test_linear_speculation_int4_kv_exact():
+    """Greedy speculative decode on the int4 cache EXACTLY matches
+    target-only greedy on the int4 cache: the advance=0 window writes, the
+    commit-time chunk flushes (Int4KVCache.advance), and rollbacks compose
+    to the same cache bits as plain decode. G=8 forces the speculation
+    windows across many chunk boundaries."""
+    from protoquant_tpu.models import greedy_generate
+    from protoquant_tpu.models import kv_cache as kvc
+    from protoquant_tpu.models.speculative import speculative_generate
+
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    prompt = jnp.asarray([[3, 14, 15, 9, 26, 5]], jnp.int32)
+    N, max_seq = 24, 64
+    old = kvc.INT4_KV_GROUP
+    kvc.INT4_KV_GROUP = 8
+    try:
+        ref = np.asarray(greedy_generate(
+            model, params, prompt, N, max_seq, kv_dtype=jnp.int4))
+        out, stats = speculative_generate(
+            model, params, model, params, prompt, N, gamma=4,
+            max_seq=max_seq, kv_dtype=jnp.int4)
+    finally:
+        kvc.INT4_KV_GROUP = old
+    np.testing.assert_array_equal(np.asarray(out)[0, :N], ref[0, :N])
+    assert stats["accepted"] > 0
+
+
+def test_max_seq_capacity_semantics():
+    """Lengths keep counting past capacity; writes drop (int8 parity)."""
+    rng = np.random.default_rng(6)
+    B, KV, Dh, S, G = 1, 1, 16, 32, 16
+    c = Int4KVCache.init(B, S, KV, Dh, group=G)
+    x = jnp.asarray(rng.standard_normal((B, S, KV, Dh)), jnp.float32)
+    c = c.update(x, x)
+    tok = jnp.asarray(rng.standard_normal((B, 1, KV, Dh)), jnp.float32)
+    c2 = c.update(tok, tok)
+    assert int(c2.lengths[0]) == S + 1
+    np.testing.assert_array_equal(np.asarray(c2.kq), np.asarray(c.kq))
+    np.testing.assert_array_equal(np.asarray(c2.kchs), np.asarray(c.kchs))
