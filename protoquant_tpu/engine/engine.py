@@ -164,9 +164,12 @@ class Engine:
         lookup_branches: int = 1,  # >1 turns prompt-lookup speculation into
         #   TREE speculation (Medusa-style candidate trees, draft-free): up
         #   to `lookup_branches` distinct n-gram continuations are scored in
-        #   ONE forward with an ancestor attention mask; the branch with the
-        #   longest accepted prefix commits (its K/V rows compact into chain
-        #   order — cache.reorder_tail). Greedy-only; dense caches only.
+        #   ONE forward with an ancestor attention mask; the accepted branch
+        #   commits (its K/V rows compact into chain order —
+        #   cache.reorder_tail). Greedy rows accept the longest greedy-match
+        #   prefix; sampled rows use distribution-exact tree rejection
+        #   sampling (root multi-round + per-node chain rejection). Dense
+        #   caches only.
         medusa_heads=None,  # MedusaHeads module (models/medusa.py): TRAINED
         #   drafting heads replace n-gram lookup as the tree's proposal
         #   source. The scoring forward itself emits next tick's candidates
@@ -218,8 +221,6 @@ class Engine:
         if lookup_branches > 1 and not prompt_lookup and medusa_heads is None:
             raise ValueError("lookup_branches needs prompt_lookup > 0")
         if tree_mode:
-            if self.cfg.temperature != 0.0:
-                raise ValueError("tree speculation is greedy-only")
             if kv_dtype == jnp.int4:
                 raise NotImplementedError(
                     "tree speculation + int4 KV: the packed-nibble cache "
@@ -563,9 +564,6 @@ class Engine:
                 raise ValueError(
                     f"logit_bias token ids out of range [0, {V}): {bad[:5]}"
                 )
-        if self._tree_mode and temperature not in (None, 0.0):
-            raise ValueError("tree speculation is greedy-only "
-                             "(per-request temperature must be 0)")
         self.waiting.append(req)
         return rid
 
@@ -1097,10 +1095,11 @@ class Engine:
     def _tree_lookup_tick(self, t0: float):
         """Tree-speculation tick (lookup_branches > 1): each active slot
         proposes up to J distinct n-gram continuations; the target scores
-        the whole candidate tree in ONE forward (ancestor mask), the branch
-        with the longest greedy-accepted prefix commits — its K/V rows
-        compact into chain order so the cache is indistinguishable from
-        sequential decode. Exactly the plain greedy stream (tested)."""
+        the whole candidate tree in ONE forward (ancestor mask), the
+        accepted branch commits — its K/V rows compact into chain order so
+        the cache is indistinguishable from sequential decode. Greedy rows
+        reproduce the plain greedy stream exactly; sampled rows are
+        distribution-identical to plain sampling (both tested)."""
         import numpy as _np
 
         active = jnp.asarray(self.active)
@@ -1122,8 +1121,10 @@ class Engine:
             self._tp_fns["tree_score"] if self._tp_fns is not None
             else partial(_tree_score_and_accept, self.model)
         )
+        self._key, k_accept = jax.random.split(self._key)
         best, accepted, corrections, self.caches = score(
-            self.params, self.caches, window, active, branches=J, depth=d,
+            self.params, self.caches, window, active, k_accept, self.samp,
+            branches=J, depth=d,
         )
         self._commit_tree_results(props, best, accepted, corrections, d, t0)
 
@@ -1132,8 +1133,9 @@ class Engine:
         come from the PREVIOUS tick's scoring forward (heads on the hidden
         state at each slot's last accepted node — models/medusa.py), and
         this tick's forward emits the next proposals in the same program.
-        Freshly admitted slots propose zeros for exactly one tick (greedy
-        acceptance makes that merely a 1-token tick, never a wrong one)."""
+        Freshly admitted slots propose zeros for exactly one tick (merely a
+        short tick, never a wrong one: greedy rows only commit matches and
+        sampled rows stay exact under ANY proposals)."""
         active = jnp.asarray(self.active)
         B = self.cfg.max_batch_size
         J, d = self.lookup_branches, self._gamma_cur
@@ -1142,20 +1144,22 @@ class Engine:
             [self.last_tokens[:, None], jnp.asarray(props).reshape(B, J * d)],
             axis=1,
         )
+        self._key, k_accept = jax.random.split(self._key)
         if self._tp_fns is not None:
             score = partial(
                 self._tp_fns["tree_score_heads"],
                 heads=self.medusa_heads, head_params=self.medusa_params,
             )
             best, accepted, corrections, next_props, self.caches = score(
-                self.params, self.caches, window, active,
-                branches=J, depth=d,
+                self.params, self.caches, window, active, k_accept,
+                self.samp, branches=J, depth=d,
             )
         else:
             best, accepted, corrections, next_props, self.caches = (
                 _tree_score_and_accept_heads(
                     self.model, self.medusa_heads, self.params, self.caches,
-                    self.medusa_params, window, active, branches=J, depth=d,
+                    self.medusa_params, window, active, k_accept, self.samp,
+                    branches=J, depth=d,
                 )
             )
         # Publish next proposals BEFORE committing: _retire_slot zeroes the
@@ -1423,18 +1427,33 @@ def _ngram_propose_branches(hist: list, n: int, depth: int,
     return out
 
 
-def _tree_score_and_accept_body(model, params, caches, window, active,
-                                branches: int, depth: int,
+def _tree_score_and_accept_body(model, params, caches, window, active, key,
+                                samp, branches: int, depth: int,
                                 heads=None, head_params=None):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
-    pick each slot's best branch by longest greedy-accepted prefix, compact
-    that branch's K/V rows into chain order (cache.reorder_tail) and commit
-    accepted+1 positions.
+    pick each slot's accepted branch, compact that branch's K/V rows into
+    chain order (cache.reorder_tail) and commit accepted+1 positions.
+
+    Acceptance per row:
+      * greedy rows (samp temp 0): longest greedy-accepted prefix across
+        branches — the stream is EXACTLY plain greedy decoding.
+      * sampling rows: distribution-exact tree rejection sampling. At the
+        root, SpecInfer-style multi-round rejection over the branches'
+        first tokens (point-mass proposals: accept x_b with the residual's
+        probability of x_b; a rejected token zeroes out and the residual
+        renormalizes — the first emitted token's marginal is exactly the
+        filtered target p~). Down the chosen chain each node is standard
+        single-candidate rejection; the first rejection samples that
+        node's residual (p~ minus the rejected candidate, renormalized),
+        and a fully accepted chain draws the bonus token from the leaf's
+        p~. Every emitted token's marginal is exactly p~ — temperature>0
+        tree streams are distribution-identical to plain sampling
+        (TVD test in tests/test_tree_sampling.py).
 
     Returns (best [B], accepted [B], corrections [B], caches): the slot
     emits window[1+best*depth : ...+accepted] then ``corrections`` (the
-    target's greedy token after the accepted prefix).
+    correction/bonus token after the accepted prefix).
 
     With trained drafting heads (``heads``/``head_params``,
     models/medusa.py) the same program also returns ``next_props
@@ -1472,10 +1491,91 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
     prop = window[:, idx]  # [B, J, d]
     acc = jnp.cumprod((prop == pred).astype(jnp.int32), axis=2)
     accepted_per = jnp.sum(acc, axis=2)  # [B, J]
-    best = jnp.argmax(accepted_per, axis=1).astype(jnp.int32)  # [B]
-    accepted = jnp.take_along_axis(accepted_per, best[:, None], 1)[:, 0]
+    best_g = jnp.argmax(accepted_per, axis=1).astype(jnp.int32)  # [B]
+    accepted_g = jnp.take_along_axis(accepted_per, best_g[:, None], 1)[:, 0]
 
-    # Correction token: greedy at the last accepted node (root when a=0).
+    # ---- sampling rows: distribution-exact tree rejection ---------------
+    from .sampling import processed_logits
+
+    V = logits.shape[-1]
+    rep = lambda a, n: jnp.repeat(a, n, axis=0)
+    p = jax.nn.softmax(
+        processed_logits(
+            logits.reshape(B * T, V), rep(samp["temps"], T),
+            rep(samp["top_ks"], T), rep(samp["top_ps"], T),
+            rep(samp["min_ps"], T),
+        ).reshape(B, T, V),
+        axis=-1,
+    )
+    k_root, k_chain, k_corr = jax.random.split(key, 3)
+    rows = jnp.arange(B)
+    # Root multi-round: try each branch's first token in branch order
+    # against the running residual. Duplicate first tokens are fine (a
+    # zeroed token re-proposed has residual prob 0 -> auto-rejected), as
+    # are zero-filled placeholder branches (rejection sampling is exact
+    # for ANY proposal sequence; bad proposals only cost acceptance rate).
+    u_root = jax.random.uniform(k_root, (B, branches))
+    r = p[:, 0]
+    chosen = jnp.full((B,), branches, jnp.int32)  # == branches: none yet
+    for b in range(branches):
+        c = prop[:, b, 0]
+        rc = jnp.take_along_axis(r, c[:, None], 1)[:, 0]
+        hit = (u_root[:, b] < rc) & (chosen == branches)
+        chosen = jnp.where(hit, b, chosen)
+        r = r.at[rows, c].set(0.0)
+        rs = jnp.sum(r, -1, keepdims=True)
+        # rs == 0 is unreachable with exact arithmetic (the last candidate
+        # holding all remaining mass has acceptance prob 1); numeric guard.
+        r = jnp.where(rs > 0, r / rs, p[:, 0])
+    root_resid = r
+    best_s = jnp.minimum(chosen, branches - 1)
+    # Chain rounds (depth >= 2): single point-mass candidate per node —
+    # accept with the parent node's filtered probability of the candidate.
+    par_b = jnp.broadcast_to(parents[None], (B, branches, depth))
+    lin = (rows[:, None, None] * T + par_b).reshape(-1)
+    p_at = p.reshape(B * T, V)[lin, prop.reshape(-1)].reshape(
+        B, branches, depth
+    )
+    acc_chain = jax.random.uniform(k_chain, (B, branches, depth)) < p_at
+    sel = lambda a: jnp.take_along_axis(a, best_s[:, None, None], 1)[:, 0]
+    acc_seq = jnp.concatenate(
+        [(chosen < branches)[:, None], sel(acc_chain)[:, 1:]], axis=1
+    )  # [B, d]
+    accepted_s = jnp.sum(
+        jnp.cumprod(acc_seq.astype(jnp.int32), axis=1), axis=1
+    )
+    # Correction: root residual when a=0; the rejecting node's residual
+    # (p~ minus the rejected candidate, renormalized) when 0<a<d; the
+    # leaf's p~ (bonus draw) when the whole chain accepted.
+    best_idx_s = 1 + best_s[:, None] * depth + jnp.arange(depth)[None, :]
+    node_s = jnp.where(
+        accepted_s > 0,
+        jnp.take_along_axis(
+            best_idx_s, jnp.maximum(accepted_s - 1, 0)[:, None], 1
+        )[:, 0],
+        0,
+    )
+    dist = jnp.take_along_axis(p, node_s[:, None, None], 1)[:, 0]  # [B, V]
+    rej_tok = jnp.take_along_axis(
+        sel(prop), jnp.minimum(accepted_s, depth - 1)[:, None], 1
+    )[:, 0]
+    need_resid = (accepted_s > 0) & (accepted_s < depth)
+    zeroed = dist.at[rows, rej_tok].set(0.0)
+    zs = jnp.sum(zeroed, -1, keepdims=True)
+    zeroed = jnp.where(zs > 0, zeroed / zs, dist)  # numeric guard (see above)
+    dist = jnp.where(need_resid[:, None], zeroed, dist)
+    dist = jnp.where((accepted_s == 0)[:, None], root_resid, dist)
+    corr_s = jax.random.categorical(
+        k_corr, jnp.log(jnp.maximum(dist, 1e-38)), axis=-1
+    ).astype(jnp.int32)
+
+    # ---- combine greedy/sampling rows -----------------------------------
+    is_greedy = samp["temps"] == 0.0
+    best = jnp.where(is_greedy, best_g, best_s).astype(jnp.int32)
+    accepted = jnp.where(is_greedy, accepted_g, accepted_s)
+
+    # Last accepted node (root when a=0): the greedy correction reads the
+    # target's greedy token there; the heads run on its hidden state.
     best_idx = 1 + best[:, None] * depth + jnp.arange(depth)[None, :]  # [B, d]
     corr_node = jnp.where(
         accepted > 0,
@@ -1484,7 +1584,8 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
         )[:, 0],
         0,
     )
-    corrections = jnp.take_along_axis(greedy, corr_node[:, None], 1)[:, 0]
+    corr_g = jnp.take_along_axis(greedy, corr_node[:, None], 1)[:, 0]
+    corrections = jnp.where(is_greedy, corr_g, corr_s)
 
     next_props = None
     if heads is not None:
@@ -1519,19 +1620,20 @@ def _tree_score_and_accept_body(model, params, caches, window, active,
 
 @partial(jax.jit, static_argnames=("model", "branches", "depth"),
          donate_argnums=(2,))
-def _tree_score_and_accept(model, params, caches, window, active,
+def _tree_score_and_accept(model, params, caches, window, active, key, samp,
                            branches: int, depth: int):
     return _tree_score_and_accept_body(
-        model, params, caches, window, active, branches, depth
+        model, params, caches, window, active, key, samp, branches, depth
     )
 
 
 @partial(jax.jit, static_argnames=("model", "heads", "branches", "depth"),
          donate_argnums=(3,))
 def _tree_score_and_accept_heads(model, heads, params, caches, head_params,
-                                 window, active, branches: int, depth: int):
+                                 window, active, key, samp,
+                                 branches: int, depth: int):
     return _tree_score_and_accept_body(
-        model, params, caches, window, active, branches, depth,
+        model, params, caches, window, active, key, samp, branches, depth,
         heads=heads, head_params=head_params,
     )
 
@@ -1858,35 +1960,46 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return corr, accepted, caches
 
-    def tree_score(params, caches, window, active, branches, depth):
+    def tree_score(params, caches, window, active, key, samp, branches,
+                   depth):
         """shard_map'd _tree_score_and_accept (tree speculation on a mesh):
         window/outputs batch-sharded; the compaction (reorder_tail) runs on
         each replica's local cache shard."""
         pspecs, cspecs = _specs(params, caches)
         tkey = ("tree_score", branches, depth)
         if tkey not in state:
+            samp_spec = {k: batch_spec for k in samp}
 
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, batch_spec, batch_spec),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
+                          samp_spec),
                 out_specs=((batch_spec, batch_spec, batch_spec), cspecs),
                 check_vma=False,
             )
-            def _tscore(params, caches, window, active):
+            def _tscore(params, caches, window, active, key, samp):
+                if data_axis is not None:
+                    # Decorrelate acceptance/correction draws across the
+                    # batch-sharded replicas (same key, different slots).
+                    key_r = jax.random.fold_in(
+                        key, jax.lax.axis_index(data_axis))
+                else:
+                    key_r = key
                 best, accepted, corr, caches = _tree_score_and_accept_body(
-                    model, params, caches, window, active, branches, depth
+                    model, params, caches, window, active, key_r, samp,
+                    branches, depth
                 )
                 return (best, accepted, corr), caches
 
             state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
         (best, accepted, corr), caches = state[tkey](
-            params, caches, window, active
+            params, caches, window, active, key, samp
         )
         return best, accepted, corr, caches
 
-    def tree_score_heads(params, caches, window, active, *, branches, depth,
-                         heads, head_params):
+    def tree_score_heads(params, caches, window, active, key, samp, *,
+                         branches, depth, heads, head_params):
         """tree_score with trained drafting heads: also returns next-tick
         proposals [B, branches, depth] (batch-sharded like the window; head
         params replicate — the heads are tiny next to the base)."""
@@ -1894,29 +2007,36 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         tkey = ("tree_score_heads", branches, depth, id(heads))
         if tkey not in state:
             hspec = jax.tree_util.tree_map(lambda _: P(), head_params)
+            samp_spec = {k: batch_spec for k in samp}
 
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, hspec, batch_spec, batch_spec),
+                in_specs=(pspecs, cspecs, hspec, batch_spec, batch_spec,
+                          P(), samp_spec),
                 out_specs=(
                     (batch_spec, batch_spec, batch_spec, batch_spec),
                     cspecs,
                 ),
                 check_vma=False,
             )
-            def _tscore(params, caches, hp, window, active):
+            def _tscore(params, caches, hp, window, active, key, samp):
+                if data_axis is not None:
+                    key_r = jax.random.fold_in(
+                        key, jax.lax.axis_index(data_axis))
+                else:
+                    key_r = key
                 best, accepted, corr, nprops, caches = (
                     _tree_score_and_accept_body(
-                        model, params, caches, window, active, branches,
-                        depth, heads=heads, head_params=hp,
+                        model, params, caches, window, active, key_r, samp,
+                        branches, depth, heads=heads, head_params=hp,
                     )
                 )
                 return (best, accepted, corr, nprops), caches
 
             state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
         (best, accepted, corr, nprops), caches = state[tkey](
-            params, caches, head_params, window, active
+            params, caches, head_params, window, active, key, samp
         )
         return best, accepted, corr, nprops, caches
 

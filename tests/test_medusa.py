@@ -160,10 +160,6 @@ def test_medusa_guards(model_and_params):
     with pytest.raises(ValueError, match="depth"):
         Engine(model, params, EngineConfig(max_batch_size=2, max_seq_len=64),
                medusa_heads=heads, medusa_params=hp, gamma=4, **base)
-    with pytest.raises(ValueError, match="greedy-only"):
-        Engine(model, params,
-               EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.7),
-               medusa_heads=heads, medusa_params=hp, gamma=2, **base)
     with pytest.raises(ValueError, match="adaptive_gamma"):
         Engine(model, params, EngineConfig(max_batch_size=2, max_seq_len=64),
                medusa_heads=heads, medusa_params=hp, gamma=2,

@@ -119,10 +119,6 @@ def test_tree_beats_or_matches_chain_acceptance(model_and_params):
 
 def test_tree_guards(model_and_params):
     model, params = model_and_params
-    with pytest.raises(ValueError, match="greedy-only"):
-        Engine(model, params,
-               EngineConfig(max_batch_size=2, max_seq_len=64, temperature=0.5),
-               kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=2)
     with pytest.raises(ValueError, match="prompt_lookup"):
         Engine(model, params,
                EngineConfig(max_batch_size=2, max_seq_len=64),
@@ -163,9 +159,10 @@ def test_tree_nonfirst_branch_commit_compacts_cache(model_and_params,
     bests = []
     real_score = E._tree_score_and_accept
 
-    def spy_score(model_, params_, caches, window, active, branches, depth):
+    def spy_score(model_, params_, caches, window, active, key, samp,
+                  branches, depth):
         best, accepted, corr, caches = real_score(
-            model_, params_, caches, window, active,
+            model_, params_, caches, window, active, key, samp,
             branches=branches, depth=depth)
         bests.append((np.asarray(best).copy(), np.asarray(accepted).copy()))
         return best, accepted, corr, caches
