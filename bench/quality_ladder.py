@@ -71,14 +71,36 @@ def main():
     emb = np.asarray(params["params"]["embed_tokens"]["embedding"], np.float32)
     params["params"]["lm_head"]["kernel"] = jnp.asarray(4.0 * emb[np.argsort(perm)].T)
 
-    # Activation outliers: boost a few norm channels in every layer.
+    # Depth-stable residual stack (ladder v2): random inits compound over
+    # 12 layers — GPT-2-style 1/sqrt(2L) scaling on the residual OUTPUT
+    # projections keeps hidden magnitudes bounded, so the bf16 reference is
+    # non-chaotic and quantization error is resolvable instead of
+    # saturating every metric (the v1 failure mode, just deeper).
+    resid_scale = 1.0 / np.sqrt(2.0 * args.layers)
+    # Activation outliers, FUNCTION-PRESERVING (inverse SmoothQuant): boost
+    # a few norm-gain channels by `outlier_boost` and divide the consuming
+    # projections' matching input rows by the same factor. The bf16 model
+    # computes exactly what the unboosted model would — but the activation
+    # tensors on the wire carry genuine x30 outlier channels, which is the
+    # regime trained LLMs live in and the one per-token activation
+    # quantization (and SmoothQuant) must survive.
     n_out = max(4, args.hidden // 64)
     for lname, layer in params["params"].items():
         if not lname.startswith("layers_"):
             continue
-        for norm in ("input_layernorm", "post_attention_layernorm"):
+        for norm, consumers in (
+            ("input_layernorm",
+             [layer["self_attn"][k] for k in ("q_proj", "k_proj", "v_proj")]),
+            ("post_attention_layernorm",
+             [layer["mlp"][k] for k in ("gate_proj", "up_proj")]),
+        ):
             w = layer[norm]["weight"]
             layer[norm]["weight"] = w.at[:n_out].mul(args.outlier_boost)
+            for proj in consumers:
+                k = proj["kernel"]  # [in, out]
+                proj["kernel"] = k.at[:n_out, :].mul(1.0 / args.outlier_boost)
+        for proj in (layer["self_attn"]["o_proj"], layer["mlp"]["down_proj"]):
+            proj["kernel"] = proj["kernel"] * resid_scale
 
     prompt = jnp.asarray(rng.integers(0, V, (args.prompts, 16)), jnp.int32)
     g_fp = np.asarray(
@@ -148,12 +170,36 @@ def main():
         QuantConfig(mode="weight_only_int4", int4_group=128),
     )
 
+    # KV-cache rows on UNQUANTIZED weights: the logit/ppl metrics run
+    # cache-free (teacher-forced) so they pin at the fp reference; the
+    # greedy/prefix-match columns isolate the CACHE path alone — the
+    # cleanest readout for int8/int4/mixed KV quality.
+    def run_kv(label, kv_dtype):
+        g_q = np.asarray(
+            greedy_generate(fp_model, params, prompt, args.new_tokens, 128,
+                            kv_dtype=kv_dtype)
+        )
+        gm = float(np.mean(g_fp == g_q))
+        div = (g_fp != g_q)
+        first = np.where(
+            div.any(axis=1), div.argmax(axis=1), g_fp.shape[1]
+        )
+        prefix = float(np.mean(first / g_fp.shape[1]))
+        row = {"mode": label, "greedy_match": round(gm, 4),
+               "prefix_match": round(prefix, 4)}
+        rows.append(row)
+        print(json.dumps(row))
+
+    run_kv("fp+int8kv", jnp.int8)
+    run_kv("fp+int4kv", jnp.int4)
+    run_kv("fp+k8v4kv", "k8v4")
+
     run("int8_dynamic", "dynamic", params)
     run("int8_dynamic+smooth", "dynamic", smoothed)
     run("int8_dynamic+awq", "dynamic", awq_int8)
-    run("int8_dynamic+int8kv", "dynamic", params, kv_dtype=jnp.int8)
-    run("int8_dynamic+int4kv", "dynamic", params, kv_dtype=jnp.int4)
-    run("int8_dynamic+k8v4kv", "dynamic", params, kv_dtype="k8v4")
+    run("int8_dynamic+smooth+int8kv", "dynamic", smoothed, kv_dtype=jnp.int8)
+    run("int8_dynamic+smooth+int4kv", "dynamic", smoothed, kv_dtype=jnp.int4)
+    run("int8_dynamic+smooth+k8v4kv", "dynamic", smoothed, kv_dtype="k8v4")
     run("int8_weight_only", "weight_only", params)
     run("int8_weight_only+gptq", "weight_only", params, gptq=True)
     run("fp8_weight_only", "weight_only_fp8", params,

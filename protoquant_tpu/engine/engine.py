@@ -548,13 +548,6 @@ class Engine:
             raise ValueError(
                 "adapter_id needs a multi-LoRA model (lora_stack > 0)"
             )
-        if (logit_mask_fn is not None or logit_bias) and (
-            self.draft_caches is not None or self.prompt_lookup
-            or self.medusa_params is not None
-        ):
-            raise ValueError(
-                "logit_mask_fn/logit_bias are unsupported in speculative modes"
-            )
         if req.logit_bias:
             # Range-check HERE, not on the engine thread: a bad id raising
             # inside Engine.step() would kill serving for every client.
@@ -948,6 +941,57 @@ class Engine:
                 bias[s] += r._bias_row
         return jnp.asarray(bias)
 
+    def _assemble_window_bias(self, paths):
+        """Per-position guided bias for a speculative window: [B, T, V] f32
+        (None when no active slot is constrained). ``paths[slot]`` is the
+        list of T host-known proposal prefixes (tokens appended after the
+        slot's committed stream): window position t's logits predict the
+        token AFTER ``committed + paths[slot][t]``, so a stateful mask fn is
+        re-evaluated at that FSM state — acceptance then scores every
+        proposal against the exact distribution plain masked decoding would
+        have used at that position. Static masks (``static_row``) and
+        logit_bias dicts are position-independent and broadcast."""
+        slots = [
+            (s, r) for s, r in enumerate(self.slot_req)
+            if r is not None and self.active[s]
+            and (r.logit_mask_fn is not None or r.logit_bias)
+        ]
+        if not slots:
+            return None
+        B = self.cfg.max_batch_size
+        V = self.model.cfg.vocab_size
+        T = len(next(iter(paths.values())))
+        bias = np.zeros((B, T, V), np.float32)
+        for s, r in slots:
+            if r.logit_mask_fn is not None:
+                row = getattr(r.logit_mask_fn, "static_row", None)
+                if row is not None:
+                    bias[s] += np.asarray(row, np.float32)[None, :]
+                else:
+                    hist = r.prompt + r.out
+                    for t, pref in enumerate(paths[s]):
+                        allow = np.asarray(
+                            r.logit_mask_fn(hist + list(pref)), bool
+                        )
+                        bias[s, t] += np.where(allow, 0.0, NEG_INF_LOGIT)
+            if r.logit_bias:
+                if r._bias_row is None:
+                    r._bias_row = np.zeros(V, np.float32)
+                    for t_, v in r.logit_bias.items():
+                        r._bias_row[t_] += v
+                bias[s] += r._bias_row[None, :]
+        return jnp.asarray(bias)
+
+    def _has_stateful_mask(self) -> bool:
+        """True when an ACTIVE slot carries a guided mask without a
+        precomputed static row (an FSM whose allowed set depends on the
+        decoded path — the case that needs host-side proposal prefixes)."""
+        return any(
+            r is not None and self.active[s] and r.logit_mask_fn is not None
+            and getattr(r.logit_mask_fn, "static_row", None) is None
+            for s, r in enumerate(self.slot_req)
+        )
+
     def step(self):
         """One engine tick: assign slots, run at most ONE prefill chunk, then
         one batched decode for every active slot. Prefill work and decode
@@ -1061,6 +1105,7 @@ class Engine:
 
         active = jnp.asarray(self.active)
         self._key, k_draft, k_accept = jax.random.split(self._key, 3)
+        bias0 = self._assemble_logit_bias()  # [B, V] guided bias (or None)
         proposals, draft_logits, self.draft_caches = _draft_propose(
             self.draft_model,
             self.draft_params,
@@ -1070,15 +1115,33 @@ class Engine:
             k_draft,
             self.samp,
             self._gamma_cur,
+            bias=bias0,
         )
         window = jnp.concatenate([self.last_tokens[:, None], proposals], axis=1)
+        wbias = None
+        if bias0 is not None:
+            g = self._gamma_cur
+            if self._has_stateful_mask():
+                # Stateful FSM masks need the proposal prefixes host-side
+                # (one device_get; only paid when such a request is active).
+                props_h = np.asarray(jax.device_get(proposals))
+                paths = {
+                    s: [list(props_h[s, :t]) for t in range(g + 1)]
+                    for s in range(self.cfg.max_batch_size)
+                }
+            else:
+                paths = {
+                    s: [[]] * (g + 1)
+                    for s in range(self.cfg.max_batch_size)
+                }
+            wbias = self._assemble_window_bias(paths)
         score = (
             self._tp_fns["spec_score"] if self._tp_fns is not None
             else partial(_spec_score_and_accept, self.model)
         )
         corrections, accepted, self.caches = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            draft_logits,
+            draft_logits, wbias,
         )
         # Draft caches rewind to the committed frontier (pools beyond are
         # masked by length and overwritten by the next window). Each layer
@@ -1122,11 +1185,24 @@ class Engine:
             else partial(_tree_score_and_accept, self.model)
         )
         self._key, k_accept = jax.random.split(self._key)
+        bias = self._assemble_window_bias(self._tree_paths(props, J, d))
         best, accepted, corrections, self.caches = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            branches=J, depth=d,
+            branches=J, depth=d, bias=bias,
         )
         self._commit_tree_results(props, best, accepted, corrections, d, t0)
+
+    def _tree_paths(self, props, J: int, d: int):
+        """Per-node proposal prefixes for _assemble_window_bias: node 0 is
+        the committed frontier (empty prefix); branch b's node at depth k
+        conditions on that branch's first k+1 proposals."""
+        return {
+            s: [[]] + [
+                [int(t) for t in props[s, b, : k + 1]]
+                for b in range(J) for k in range(d)
+            ]
+            for s in range(self.cfg.max_batch_size)
+        }
 
     def _tree_medusa_tick(self, t0: float):
         """Trained-drafting-heads tree tick (medusa_params set): candidates
@@ -1145,6 +1221,7 @@ class Engine:
             axis=1,
         )
         self._key, k_accept = jax.random.split(self._key)
+        bias = self._assemble_window_bias(self._tree_paths(props, J, d))
         if self._tp_fns is not None:
             score = partial(
                 self._tp_fns["tree_score_heads"],
@@ -1152,14 +1229,14 @@ class Engine:
             )
             best, accepted, corrections, next_props, self.caches = score(
                 self.params, self.caches, window, active, k_accept,
-                self.samp, branches=J, depth=d,
+                self.samp, branches=J, depth=d, bias=bias,
             )
         else:
             best, accepted, corrections, next_props, self.caches = (
                 _tree_score_and_accept_heads(
                     self.model, self.medusa_heads, self.params, self.caches,
                     self.medusa_params, window, active, k_accept, self.samp,
-                    branches=J, depth=d,
+                    branches=J, depth=d, bias=bias,
                 )
             )
         # Publish next proposals BEFORE committing: _retire_slot zeroes the
@@ -1230,10 +1307,14 @@ class Engine:
             else partial(_spec_score_and_accept, self.model)
         )
         self._key, k_accept = jax.random.split(self._key)
+        bias = self._assemble_window_bias({
+            s: [list(props[s, :t]) for t in range(g + 1)]
+            for s in range(B)
+        })
         # draft_logits=None: point-mass proposals (q~ = one-hot).
         corrections, accepted, self.caches = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            None,
+            None, bias,
         )
         self._commit_spec_results(window, corrections, accepted, t0)
 
@@ -1429,7 +1510,7 @@ def _ngram_propose_branches(hist: list, n: int, depth: int,
 
 def _tree_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, branches: int, depth: int,
-                                heads=None, head_params=None):
+                                heads=None, head_params=None, bias=None):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
     pick each slot's accepted branch, compact that branch's K/V rows into
@@ -1480,6 +1561,13 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
             params, window, positions, caches,
             advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
         )
+    if bias is not None:
+        # Guided decoding [B, T, V]: per-NODE mask/bias rows evaluated
+        # host-side at the FSM state along each branch's path (node i's
+        # logits predict the token after committed + that branch's prefix).
+        # Head-proposed candidates stay unmasked — exactness never depends
+        # on proposals, only acceptance quality does.
+        logits = logits + bias
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
 
     idx = 1 + jnp.arange(branches)[:, None] * depth + jnp.arange(depth)[None, :]
@@ -1621,9 +1709,10 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
 @partial(jax.jit, static_argnames=("model", "branches", "depth"),
          donate_argnums=(2,))
 def _tree_score_and_accept(model, params, caches, window, active, key, samp,
-                           branches: int, depth: int):
+                           branches: int, depth: int, bias=None):
     return _tree_score_and_accept_body(
-        model, params, caches, window, active, key, samp, branches, depth
+        model, params, caches, window, active, key, samp, branches, depth,
+        bias=bias,
     )
 
 
@@ -1631,10 +1720,10 @@ def _tree_score_and_accept(model, params, caches, window, active, key, samp,
          donate_argnums=(3,))
 def _tree_score_and_accept_heads(model, heads, params, caches, head_params,
                                  window, active, key, samp,
-                                 branches: int, depth: int):
+                                 branches: int, depth: int, bias=None):
     return _tree_score_and_accept_body(
         model, params, caches, window, active, key, samp, branches, depth,
-        heads=heads, head_params=head_params,
+        heads=heads, head_params=head_params, bias=bias,
     )
 
 
@@ -1661,7 +1750,7 @@ def _ngram_propose(hist: list, n: int, gamma: int) -> list:
 
 @partial(jax.jit, static_argnames=("model", "gamma"), donate_argnums=(2,))
 def _draft_propose(model, params, caches, last_tokens, active, key, samp,
-                   gamma: int):
+                   gamma: int, bias=None):
     """Draft gamma proposals per slot (batched), then one extra step so the
     draft cache also holds K/V for the final proposal (needed when all gamma
     tokens are accepted).
@@ -1670,6 +1759,13 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
     the draft's FILTERED distribution q~ (same temp/top-k/top-p/min-p chain
     as plain decode — sampling.processed_logits), whose logits are returned
     so the accept program can compute q~ filter-for-filter.
+
+    ``bias`` [B, V]: the tick-start guided-decoding bias (logit masks +
+    logit_bias). Added BEFORE sampling and included in the returned logits,
+    so q~ is exactly the distribution the draft proposed from — rejection
+    sampling stays exact whatever the bias (for stateful masks this is the
+    window-start FSM state: a heuristic for proposal quality only; the
+    accept program re-masks per position).
     Returns (proposals [B, gamma], draft_logits [B, gamma, V], caches)."""
     from .sampling import sample_batched
 
@@ -1683,6 +1779,8 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
             params, tok[:, None], positions, caches, advance=advance
         )
         last = logits[:, -1]
+        if bias is not None:
+            last = last + bias
         nxt = sample_batched(
             last, jax.random.fold_in(key, i), samp["temps"], samp["top_ks"],
             samp["top_ps"], samp["min_ps"],
@@ -1699,7 +1797,7 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
 
 
 def _spec_score_and_accept_body(model, params, caches, window, active, key,
-                                samp, draft_logits=None):
+                                samp, draft_logits=None, bias=None):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
     models/speculative.py), accepts a per-slot prefix, and commits
@@ -1740,6 +1838,12 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
     logits, caches = model.apply(
         params, window, positions, caches, advance=jnp.zeros((B,), jnp.int32)
     )
+    if bias is not None:
+        # Guided decoding [B, T, V]: per-position mask/bias rows evaluated
+        # host-side at the FSM state along the proposed path — greedy rows
+        # then argmax the masked logits and sampling rows reject/residual
+        # against the masked p~, exactly as plain masked decode would.
+        logits = logits + bias
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
     V = logits.shape[-1]
     proposals = window[:, 1:]  # [B, g]
@@ -1796,9 +1900,9 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
 def _spec_score_and_accept(model, params, caches, window, active, key, samp,
-                           draft_logits=None):
+                           draft_logits=None, bias=None):
     return _spec_score_and_accept_body(
-        model, params, caches, window, active, key, samp, draft_logits
+        model, params, caches, window, active, key, samp, draft_logits, bias
     )
 
 
@@ -1921,26 +2025,30 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return next_tokens, logprobs, counts, caches
 
-    def spec_score(params, caches, window, active, key, samp, draft_logits):
+    def spec_score(params, caches, window, active, key, samp, draft_logits,
+                   bias=None):
         """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
         ticks on a TP-only mesh (dp>1 guarded at Engine init)."""
         pspecs, cspecs = _specs(params, caches)
         # Window width (gamma) can change under adaptive gamma; cache one
         # wrapped program per width.
-        skey = ("spec_score", window.shape[1], draft_logits is None)
+        skey = ("spec_score", window.shape[1], draft_logits is None,
+                bias is None)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             dl_spec = batch_spec  # [B, g, V]; None pytree if prompt-lookup
+            bias_spec = batch_spec  # [B, T, V] guided bias; None when off
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, dl_spec),
+                          samp_spec, dl_spec, bias_spec),
                 out_specs=((batch_spec, batch_spec), cspecs),
                 check_vma=False,
             )
-            def _score(params, caches, window, active, key, samp, dlogits):
+            def _score(params, caches, window, active, key, samp, dlogits,
+                       bias):
                 if data_axis is not None:
                     # Decorrelate rejection/residual draws across the
                     # batch-sharded replicas (same key, different slots).
@@ -1950,23 +2058,23 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     key_r = key
                 corr, accepted, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
-                    dlogits
+                    dlogits, bias
                 )
                 return (corr, accepted), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
         (corr, accepted), caches = state[skey](
-            params, caches, window, active, key, samp, draft_logits
+            params, caches, window, active, key, samp, draft_logits, bias
         )
         return corr, accepted, caches
 
     def tree_score(params, caches, window, active, key, samp, branches,
-                   depth):
+                   depth, bias=None):
         """shard_map'd _tree_score_and_accept (tree speculation on a mesh):
         window/outputs batch-sharded; the compaction (reorder_tail) runs on
         each replica's local cache shard."""
         pspecs, cspecs = _specs(params, caches)
-        tkey = ("tree_score", branches, depth)
+        tkey = ("tree_score", branches, depth, bias is None)
         if tkey not in state:
             samp_spec = {k: batch_spec for k in samp}
 
@@ -1974,11 +2082,11 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec),
+                          samp_spec, batch_spec),
                 out_specs=((batch_spec, batch_spec, batch_spec), cspecs),
                 check_vma=False,
             )
-            def _tscore(params, caches, window, active, key, samp):
+            def _tscore(params, caches, window, active, key, samp, bias):
                 if data_axis is not None:
                     # Decorrelate acceptance/correction draws across the
                     # batch-sharded replicas (same key, different slots).
@@ -1988,23 +2096,24 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     key_r = key
                 best, accepted, corr, caches = _tree_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
-                    branches, depth
+                    branches, depth, bias=bias
                 )
                 return (best, accepted, corr), caches
 
             state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
         (best, accepted, corr), caches = state[tkey](
-            params, caches, window, active, key, samp
+            params, caches, window, active, key, samp, bias
         )
         return best, accepted, corr, caches
 
     def tree_score_heads(params, caches, window, active, key, samp, *,
-                         branches, depth, heads, head_params):
+                         branches, depth, heads, head_params, bias=None):
         """tree_score with trained drafting heads: also returns next-tick
         proposals [B, branches, depth] (batch-sharded like the window; head
         params replicate — the heads are tiny next to the base)."""
         pspecs, cspecs = _specs(params, caches)
-        tkey = ("tree_score_heads", branches, depth, id(heads))
+        tkey = ("tree_score_heads", branches, depth, id(heads),
+                bias is None)
         if tkey not in state:
             hspec = jax.tree_util.tree_map(lambda _: P(), head_params)
             samp_spec = {k: batch_spec for k in samp}
@@ -2013,14 +2122,15 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, hspec, batch_spec, batch_spec,
-                          P(), samp_spec),
+                          P(), samp_spec, batch_spec),
                 out_specs=(
                     (batch_spec, batch_spec, batch_spec, batch_spec),
                     cspecs,
                 ),
                 check_vma=False,
             )
-            def _tscore(params, caches, hp, window, active, key, samp):
+            def _tscore(params, caches, hp, window, active, key, samp,
+                        bias):
                 if data_axis is not None:
                     key_r = jax.random.fold_in(
                         key, jax.lax.axis_index(data_axis))
@@ -2030,13 +2140,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     _tree_score_and_accept_body(
                         model, params, caches, window, active, key_r, samp,
                         branches, depth, heads=heads, head_params=hp,
+                        bias=bias,
                     )
                 )
                 return (best, accepted, corr, nprops), caches
 
             state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
         (best, accepted, corr, nprops), caches = state[tkey](
-            params, caches, head_params, window, active, key, samp
+            params, caches, head_params, window, active, key, samp, bias
         )
         return best, accepted, corr, nprops, caches
 
