@@ -69,6 +69,12 @@ def main():
             interpret=False,
         )
 
+    def w4a8_2l(p):
+        return w4a8_matmul(
+            xq, sx, p, scales, group=G, out_dtype=jnp.bfloat16,
+            formulation="two_level", interpret=False,
+        )
+
     def wo4(p):
         # Decode-tuned default blocks (bm 256 x bn 2048) blow VMEM at
         # M=512; halve bn for the prefill regime.
@@ -90,6 +96,7 @@ def main():
 
     cases = [
         ("w4a8_pallas", w4a8, "p"),
+        ("w4a8_two_level_pallas", w4a8_2l, "p"),
         ("wo4_split_pallas", wo4, "p"),
         ("int8_dynamic_xla", int8_dyn, "w8"),
         ("bf16_ref", bf16_ref, "bf"),

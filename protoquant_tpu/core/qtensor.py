@@ -131,6 +131,31 @@ class QTensor4:
         cls, w: jnp.ndarray, group: int = 128, storage: str = "packed",
         clip: str = "mse",
     ) -> "QTensor4":
+        """2D [K, N] weights, or 3D [E, K, N] stacked MoE expert weights
+        (models/moe.py): each expert quantizes/packs independently along its
+        own K — data [E, K/2, N] packed (or [E, K, N] native s4), scales
+        [E, K/group, N]."""
+        if w.ndim == 3:
+            q, s = jax.vmap(
+                lambda we: numerics.quantize_groupwise_int4(
+                    we, group=group, clip=clip
+                )
+            )(w)
+            if storage == "native":
+                data = q.astype(jnp.int4)
+            elif storage == "packed":
+                data = jax.vmap(
+                    lambda qe: numerics.pack_int4(qe, group)
+                )(q)
+            else:
+                raise ValueError(f"unknown int4 storage {storage!r}")
+            return cls(
+                data=data,
+                scale=s,
+                group=group,
+                orig_k=w.shape[1],
+                orig_dtype_name=jnp.dtype(w.dtype).name,
+            )
         q, s = numerics.quantize_groupwise_int4(w, group=group, clip=clip)
         if storage == "native":
             data = q.astype(jnp.int4)

@@ -856,7 +856,8 @@ class DecoderLayer(nn.Module):
             assert not (self.sp or self.fused), "MoE: sp/fused unsupported"
             h = MoEMLP(
                 self.cfg, self.mode, self.dtype, ep=self.tp,
-                ep_axis=self.tp_axis, name="block_sparse_moe",
+                ep_axis=self.tp_axis, int4_group=self.int4_group,
+                name="block_sparse_moe",
             )(normed)
         else:
             h = MLP(

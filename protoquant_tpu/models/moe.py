@@ -37,18 +37,28 @@ import jax
 import jax.numpy as jnp
 
 from ..core import numerics
-from ..core.qtensor import QTensor
+from ..core.qtensor import QTensor, QTensor4
 from ..nn.qlinear import QLinear
 from ..utils.config import ModelConfig
 
 
-def _qtensor3_init(kernel_init, shape, param_dtype):
-    """Init returning a stacked QTensor ([E, K, N] payload, [E, N] scales) so
-    a freshly-initialized quantized MoE model has the same param STRUCTURE as
-    one produced by nn.convert.quantize_params."""
+def _qtensor3_init(kernel_init, shape, param_dtype, mode="dynamic",
+                   int4_group=128):
+    """Init returning a stacked QTensor ([E, K, N] payload, [E, N] scales) —
+    or a stacked QTensor4 for int4 mode ([E, K/2, N] packed nibbles,
+    [E, K/group, N] scales) — so a freshly-initialized quantized MoE model
+    has the same param STRUCTURE as one produced by
+    nn.convert.quantize_params."""
 
     def init(key):
         w = kernel_init(key, shape, param_dtype)
+        if mode == "weight_only_int4":
+            from ..nn.qlinear import pick_int4_group
+
+            return QTensor4.quantize(
+                w, group=pick_int4_group(shape[1], int4_group),
+                storage="packed",
+            )
         return QTensor.quantize(w, axis=1)
 
     return init
@@ -93,17 +103,24 @@ class _StackedWeight(nn.Module):
     """Stacked per-expert weight [E, K, N] living at ``<name>/kernel`` (fp)
     or ``<name>/qkernel`` (quantized) — the same param layout as QLinear, so
     nn.convert.quantize_params transforms it structurally (3D kernels
-    quantize along axis=1: per-expert per-output-channel scales [E, N])."""
+    quantize along axis=1 for int8/fp8: per-expert per-output-channel
+    scales [E, N]; int4 group-packs each expert's K: [E, K/2, N] nibbles +
+    [E, K/group, N] scales)."""
 
     shape: tuple
-    quantized: bool
+    mode: str
+    int4_group: int = 128
 
     @nn.compact
     def __call__(self):
         init = nn.initializers.lecun_normal(batch_axis=(0,))
-        if not self.quantized:
+        if self.mode == "fp":
             return self.param("kernel", init, self.shape, jnp.float32)
-        return self.param("qkernel", _qtensor3_init(init, self.shape, jnp.float32))
+        return self.param(
+            "qkernel",
+            _qtensor3_init(init, self.shape, jnp.float32, self.mode,
+                           self.int4_group),
+        )
 
 
 class _SharedExperts(nn.Module):
@@ -148,8 +165,10 @@ class MoEMLP(nn.Module):
     [E, d, I]) and w2 (down, [E, I, d])."""
 
     cfg: ModelConfig
-    mode: str = "dynamic"  # "fp" | "dynamic" | "weight_only"
+    mode: str = "dynamic"  # "fp" | "dynamic" | "weight_only" |
+    #                        "weight_only_int4" (group-packed experts)
     dtype: Any = jnp.bfloat16
+    int4_group: int = 128  # weight_only_int4: contraction-group size
     ep: int = 1  # expert-parallel degree (experts sharded ep ways)
     ep_axis: Any = None  # mesh axis name (inside shard_map) for EP
     # Pod-scale dispatch: tokens arrive SHARDED over ep_axis (SP-style
@@ -161,7 +180,7 @@ class MoEMLP(nn.Module):
     token_sharded: bool = False
 
     def _stacked(self, name: str, shape):
-        return _StackedWeight(shape, self.mode != "fp", name=name)()
+        return _StackedWeight(shape, self.mode, self.int4_group, name=name)()
 
     def _matmul(self, x, w, preq=None):
         """Batched per-expert linear: x [E, C, K] @ w [E, K, N] -> [E, C, N]
@@ -173,6 +192,23 @@ class MoEMLP(nn.Module):
                 w.astype(self.dtype),
                 preferred_element_type=jnp.float32,
             )
+        if self.mode == "weight_only_int4":
+            # Group-packed experts (VERDICT r3 item 7): the wo4 split kernel
+            # runs once per local expert (E_local is small and static, so
+            # the loop unrolls into E pallas calls — each streams that
+            # expert's quarter-byte weights and unpacks in VMEM). MoE is
+            # int4's best customer: expert weights dominate the bytes and
+            # most sit idle per token.
+            from .. import ops
+
+            ys = [
+                ops.weight_only_int4_matmul(
+                    x[e].astype(self.dtype), w.data[e], w.scale[e],
+                    group=w.group, formulation="split",
+                ).astype(jnp.float32)
+                for e in range(x.shape[0])
+            ]
+            return jnp.stack(ys, axis=0)
         if self.mode == "dynamic":
             xq, s_x = preq if preq is not None else numerics.quantize_rowwise(
                 x.astype(self.dtype)
@@ -196,11 +232,6 @@ class MoEMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, d]
         cfg = self.cfg
-        if self.mode == "weight_only_int4":
-            raise NotImplementedError(
-                "MoE experts support fp/dynamic/weight_only; int4 group "
-                "packing for stacked experts is future work"
-            )
         e_global, k = cfg.num_local_experts, cfg.num_experts_per_tok
         d = cfg.hidden_size
         inter = cfg.moe_intermediate_size or cfg.intermediate_size

@@ -57,13 +57,21 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
         out = dict(params)
         w = out.pop("kernel")
         if w.ndim == 3:
-            # Stacked MoE experts: per-expert channelwise (axis=1). int4
-            # group packing for stacked experts is future work; int8/fp8
-            # apply directly.
+            # Stacked MoE experts [E, K, N]: per-expert channelwise int8/fp8
+            # (axis=1) or per-expert group-packed int4 (packed storage only:
+            # the batched wo4 path unpacks nibbles in VMEM per expert).
             if cfg.mode == "weight_only_fp8":
                 from ..core.qtensor import QTensorF8
 
                 out["qkernel"] = QTensorF8.quantize(w, axis=1)
+            elif cfg.mode == "weight_only_int4":
+                from ..core.qtensor import QTensor4
+                from .qlinear import pick_int4_group
+
+                group = pick_int4_group(w.shape[1], cfg.int4_group)
+                out["qkernel"] = QTensor4.quantize(
+                    w, group=group, storage="packed", clip=cfg.int4_clip
+                )
             else:
                 out["qkernel"] = QTensor.quantize(w, axis=1)
         elif cfg.mode == "weight_only_fp8":

@@ -67,6 +67,133 @@ def _w4a8_kernel(kb, g, xq_ref, wp_ref, sc_ref, sx_ref, bias_ref, out_ref,
         out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _w4a8_2l_kernel(kb, g, xq_ref, wp_ref, r16_ref, scol_ref, sx_ref,
+                    bias_ref, out_ref, acc_ref, w8_ref):
+    """Two-level-scale formulation (ROADMAP 8 / VERDICT r3 item 4): requant
+    the nibbles to int8 in VMEM — w8 = round(nib * 16 * s_g/s_col), one
+    f32 multiply+round per loaded weight — then ONE big-K int8 dot per
+    (bm, bn) grid step (K = kb*g, e.g. 2048) instead of 2*kb K=64 sub-dots.
+    The group scale moves INTO the int8 weight (4 fractional bits of
+    headroom: |nib| <= 8, ratio <= 1 -> |w8| <= 128), so the MXU pipeline
+    sees one deep dot and the epilogue is rank-1 x rank-1
+    (s_x[m] * s_col[n] / 16). Accumulation is exact int32 across grid
+    steps; the only extra rounding vs the group formulation is the requant
+    (<= 1/32 of an int4 LSB for the max-scale group, 1/(32 r) for ratio r —
+    measured on the quality ladder)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for t in range(kb):  # static unroll: requant this step's groups
+        u = wp_ref[pl.ds(t * (g // 2), g // 2), :].astype(jnp.int32)
+        low = ((u << 28) >> 28).astype(jnp.float32)
+        high = ((u << 24) >> 28).astype(jnp.float32)
+        r = r16_ref[pl.ds(kk * kb + t, 1), :]  # (1, bn) f32: 16*s_g/s_col
+        w8_ref[pl.ds(t * g, g // 2), :] = jnp.round(low * r).astype(jnp.int8)
+        w8_ref[pl.ds(t * g + g // 2, g // 2), :] = jnp.round(
+            high * r
+        ).astype(jnp.int8)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        xq_ref[:], w8_ref[:], _DIMS, preferred_element_type=jnp.int32
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        y = (
+            acc_ref[:].astype(jnp.float32)
+            * (sx_ref[:] * (1.0 / 16.0))
+            * scol_ref[:]
+        )
+        if bias_ref is not None:
+            y = y + bias_ref[:]
+        out_ref[:] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group", "out_dtype", "block_m", "block_n", "block_groups",
+        "interpret",
+    ),
+)
+def _w4a8_2l_2d(xq, s_x, packed, scales, bias, *, group, out_dtype, block_m,
+                block_n, block_groups, interpret):
+    m, k = xq.shape
+    n = packed.shape[1]
+    g = group
+    n_groups = k // g
+    kb = min(block_groups, n_groups)
+    while n_groups % kb:
+        kb -= 1
+    mp, np_ = cdiv(m, block_m) * block_m, cdiv(n, block_n) * block_n
+    xq = pad_dim(xq, 0, mp)
+    s_x = pad_dim(s_x.reshape(m, 1), 0, mp, value=1.0)
+    packed = pad_dim(packed, 1, np_)
+    scales = pad_dim(scales, 1, np_, value=1.0)
+    # Two-level decomposition: column scale = the column's max group scale
+    # (ratio <= 1 keeps the requantized nibbles inside int8).
+    scol = jnp.max(scales, axis=0, keepdims=True)  # (1, N)
+    r16 = scales * jnp.where(scol > 0, 16.0 / scol, 0.0)
+    has_bias = bias is not None
+    if has_bias:
+        bias = pad_dim(bias.reshape(1, n).astype(jnp.float32), 1, np_)
+
+    grid = (mp // block_m, np_ // block_n, n_groups // kb)
+    in_specs = [
+        pl.BlockSpec((block_m, kb * g), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb * g // 2, block_n), lambda i, j, kk: (kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_groups, block_n), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xq, packed, r16, scol, s_x]
+    base = functools.partial(_w4a8_2l_kernel, kb, g)
+    if has_bias:
+        kernel = base
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+    else:
+        def kernel(xq_ref, wp_ref, r16_ref, scol_ref, sx_ref, out_ref,
+                   acc_ref, w8_ref, base=base):
+            base(xq_ref, wp_ref, r16_ref, scol_ref, sx_ref, None, out_ref,
+                 acc_ref, w8_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda i, j, kk: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, block_n), jnp.int32),
+            pltpu.VMEM((kb * g, block_n), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k + k * np_ // 2 + mp * np_ * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -152,21 +279,31 @@ def w4a8_matmul(
     block_m: int = 256,
     block_n: int = 1024,
     block_groups: int = 16,
+    formulation: str = "group",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """y = (s_x * xq) @ dequant_int4(packed, scales) + bias, int8 MXU dots
-    with in-VMEM nibble unpack and group-wise scale-after-dot."""
+    with in-VMEM nibble unpack.
+
+    ``formulation``: "group" scales AFTER each group's K=64 sub-dots (exact
+    int4 semantics, but the short dots underfill the MXU pipeline);
+    "two_level" requants the nibbles to int8 against the column's max group
+    scale and runs ONE big-K dot per block (full MXU depth; adds <= 1/(32 r)
+    of an int4 LSB of weight rounding for a group at scale-ratio r)."""
     if interpret is None:
         interpret = default_interpret()
     batch_shape = xq.shape[:-1]
     k = xq.shape[-1]
     if k % group:
         raise ValueError(f"K={k} not divisible by group={group}")
+    if formulation not in ("group", "two_level"):
+        raise ValueError(f"unknown w4a8 formulation {formulation!r}")
     xq2 = xq.reshape(-1, k)
     sx2 = s_x.reshape(-1).astype(jnp.float32)
     bm = pick_block(xq2.shape[0], block_m, 32)  # int8 sublane tile
     bn = pick_block(packed.shape[1], block_n, 128)
-    out = _w4a8_2d(
+    fn = _w4a8_2d if formulation == "group" else _w4a8_2l_2d
+    out = fn(
         xq2, sx2, packed, scales, bias,
         group=group, out_dtype=out_dtype, block_m=bm, block_n=bn,
         block_groups=block_groups, interpret=interpret,

@@ -82,7 +82,8 @@ def test_moe_capacity_is_static():
     assert expert_capacity(16, CFG) == int(np.ceil(2 * 16 / 4 * 8.0))
 
 
-@pytest.mark.parametrize("mode", ["dynamic", "weight_only"])
+@pytest.mark.parametrize("mode", ["dynamic", "weight_only",
+                                  "weight_only_int4"])
 def test_moe_quantized_close_to_fp(mode):
     m_fp = MoEMLP(CFG, mode="fp", dtype=jnp.float32)
     x = _mk_x(jax.random.PRNGKey(2))
@@ -93,18 +94,58 @@ def test_moe_quantized_close_to_fp(mode):
     assert "kernel" in qp["params"]["gate"]
     got = np.asarray(MoEMLP(CFG, mode=mode, dtype=jnp.float32).apply(qp, x))
     cos = float((ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got)))
-    assert cos > 0.999, cos
-    # Stacked experts quantized per-expert per-channel: scales [E, N].
+    assert cos > (0.99 if mode == "weight_only_int4" else 0.999), cos
     qk = qp["params"]["w1"]["qkernel"]
-    assert qk.data.shape == (4, 32, 48) and qk.scale.shape == (4, 48)
+    if mode == "weight_only_int4":
+        # Group-packed stacked experts: [E, K/2, N] nibbles, [E, K/g, N]
+        # scales (g = pick_int4_group(32, 128) = 32 -> one group).
+        assert qk.data.shape == (4, 16, 48) and qk.scale.shape == (4, 1, 48)
+    else:
+        # Stacked experts quantized per-expert per-channel: scales [E, N].
+        assert qk.data.shape == (4, 32, 48) and qk.scale.shape == (4, 48)
 
 
-@pytest.mark.parametrize("mode", ["fp", "dynamic"])
+def test_moe_int4_matches_dequant_reference():
+    """Stacked int4 experts compute exactly the mixture the DEQUANTIZED
+    weights would: replace each packed expert with its unpacked*scales fp
+    tensor and run mode='fp' — outputs agree to matmul tolerance."""
+    from protoquant_tpu.core import numerics
+
+    x = _mk_x(jax.random.PRNGKey(4))
+    fp_params = MoEMLP(CFG, mode="fp", dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), x
+    )
+    qp = quantize_params(fp_params, QuantConfig(mode="weight_only_int4"))
+    got = np.asarray(
+        MoEMLP(CFG, mode="weight_only_int4", dtype=jnp.float32).apply(qp, x)
+    )
+
+    deq = {"params": dict(fp_params["params"])}
+    for name in ("w1", "w2", "w3"):
+        qk = qp["params"][name]["qkernel"]
+        ws = []
+        for e in range(qk.data.shape[0]):
+            q = numerics.unpack_int4(qk.data[e], qk.group).astype(np.float32)
+            s = np.repeat(np.asarray(qk.scale[e]), qk.group, axis=0)
+            ws.append(q * s)
+        deq["params"][name] = {"kernel": jnp.asarray(np.stack(ws))}
+    ref = np.asarray(MoEMLP(CFG, mode="fp", dtype=jnp.float32).apply(deq, x))
+    # The wo4 split kernel runs bf16-MXU lanes (activations round to bf16
+    # inside the kernel); the fp reference einsum is f32 — bf16-level bound.
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("mode", ["fp", "dynamic", "weight_only_int4"])
 def test_moe_expert_parallel_matches_single_device(mode):
     """EP over a 4-way mesh axis == the unsharded MoE, exactly (fp) or to
-    f32-reduction tolerance (dynamic: psum order differs from a local sum)."""
+    f32-reduction tolerance (dynamic: psum order differs from a local sum;
+    int4: the per-expert group-packed kernel runs on each shard's slice)."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:
+        from jax import shard_map  # check_vma lives on the new API
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     devs = jax.devices()[:4]
     mesh = Mesh(np.asarray(devs), ("model",))
@@ -116,7 +157,7 @@ def test_moe_expert_parallel_matches_single_device(mode):
         if mode == "fp"
         else quantize_params(
             MoEMLP(CFG, mode="fp", dtype=jnp.float32).init(jax.random.PRNGKey(0), x),
-            QuantConfig(mode="dynamic"),
+            QuantConfig(mode=mode),
         )
     )
     ref = np.asarray(m_ref.apply(params, x))
@@ -138,6 +179,7 @@ def test_moe_expert_parallel_matches_single_device(mode):
             mesh=mesh,
             in_specs=(in_specs, P()),
             out_specs=P(),
+            check_vma=False,  # pallas calls (int4 experts) have no vma info
         )
         return f(p, xx)
 

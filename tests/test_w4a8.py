@@ -60,6 +60,59 @@ def test_w4a8_single_group_exact():
                                rtol=1e-6, atol=1e-6)
 
 
+def _two_level_ref(x, packed, s, group, bias=None):
+    """Emulated two-level semantics (the kernel's exact contract): nibbles
+    requantize to int8 against the column's max group scale, ONE integer
+    dot, rank-1 x rank-1 epilogue."""
+    xq, sx = numerics.quantize_rowwise(x)
+    q = numerics.unpack_int4(packed, group).astype(np.float32)  # [K, N]
+    s_np = np.asarray(s, np.float32)
+    scol = s_np.max(axis=0)  # [N]
+    r16 = s_np * np.where(scol > 0, 16.0 / scol, 0.0)  # [G, N]
+    k, n = q.shape
+    w8 = np.asarray(
+        np.round(np.asarray(q) * np.repeat(r16, group, axis=0)), np.int32
+    )
+    acc = np.asarray(xq, np.int32) @ w8
+    y = acc.astype(np.float32) * np.asarray(sx)[:, None] * (scol / 16.0)
+    if bias is not None:
+        y = y + np.asarray(bias, np.float32)
+    return y
+
+
+@pytest.mark.parametrize(
+    "m,k,n,group",
+    [(8, 256, 128, 128), (33, 384, 200, 128), (128, 256, 384, 64)],
+)
+def test_w4a8_two_level_matches_its_contract(m, k, n, group):
+    """formulation='two_level' vs the emulated requant reference: the
+    integer dot and the round() are both exact, so agreement is to f32
+    epilogue rounding."""
+    x, packed, s, b = _mk(m, k, n, group, seed=m + n, bias=(m % 2 == 0))
+    ref = _two_level_ref(x, packed, s, group, bias=b)
+    xq, sx = numerics.quantize_rowwise(x)
+    got = w4a8_matmul(
+        xq, sx, packed, s, group=group, bias=b, out_dtype=jnp.float32,
+        formulation="two_level", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_two_level_close_to_group_formulation():
+    """The requant adds <= 0.5/16 of a column-scale unit per weight: the
+    two formulations agree to ~1% relative on well-scaled weights (the
+    ladder measures the model-level cost)."""
+    x, packed, s, _ = _mk(32, 512, 256, 128, seed=9)
+    xq, sx = numerics.quantize_rowwise(x)
+    a = np.asarray(w4a8_matmul(xq, sx, packed, s, group=128,
+                               out_dtype=jnp.float32, interpret=True))
+    b = np.asarray(w4a8_matmul(xq, sx, packed, s, group=128,
+                               out_dtype=jnp.float32,
+                               formulation="two_level", interpret=True))
+    denom = np.abs(a).mean() + 1e-9
+    assert np.abs(a - b).mean() / denom < 0.02, np.abs(a - b).mean() / denom
+
+
 def test_w4a8_qlinear_mode_quality():
     """QLinear(mode='dynamic_int4') end-to-end: output tracks the fp layer
     (int4 weight noise + int8 activation noise)."""
