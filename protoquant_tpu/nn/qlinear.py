@@ -193,6 +193,8 @@ class QLinear(nn.Module):
                     x, qkernel.data, qkernel.scale, self.psum_axis, self.tp,
                     scatter_tokens=self.scatter_tokens, out_dtype=jnp.float32,
                 )
+                if self.lora_rank > 0:
+                    y = y + self._lora_delta_reduced(x, adapter_ids)
                 return self._finish_reduced(y, bias)
             if ops.resolve_linear_backend(
                 x.size // in_features, in_features, self.features
@@ -225,6 +227,8 @@ class QLinear(nn.Module):
                     x, qkernel.data, qkernel.scale, self.psum_axis, self.tp,
                     scatter_tokens=self.scatter_tokens, out_dtype=jnp.float32,
                 )
+                if self.lora_rank > 0:
+                    y = y + self._lora_delta_reduced(x, adapter_ids)
                 return self._finish_reduced(y, bias)
             if ops.resolve_linear_backend(
                 x.size // in_features, in_features, self.features
@@ -321,11 +325,6 @@ class QLinear(nn.Module):
             raise ValueError(f"unknown mode {self.mode!r}")
 
         if self.lora_rank > 0:
-            if self.collective:
-                raise NotImplementedError(
-                    "LoRA + collective ring matmul: the ring returns fully "
-                    "reduced outputs, but the adapter partials need the psum"
-                )
             shape_a = (in_features, self.lora_rank)
             shape_b = (self.lora_rank, self.features)
             if self.lora_stack > 0:
@@ -379,3 +378,50 @@ class QLinear(nn.Module):
         if bias is not None:
             y = y + bias.astype(jnp.float32)
         return y.astype(self.dtype)
+
+    def _lora_delta_reduced(self, x, adapter_ids):
+        """Adapter correction for the collective-ring path (VERDICT r3
+        item 9): the ring returns fully reduced (or token-scattered)
+        outputs, so the adapter's K-sharded partial reduces separately —
+        a psum (or psum_scatter over the token axis, matching
+        scatter_tokens) of the rank-r intermediate t = x @ A. Reducing
+        [.., r] instead of [.., N] keeps the extra wire bytes at O(r/N) of
+        the ring's own traffic."""
+        in_features = x.shape[-1]
+        shape_a = (in_features, self.lora_rank)
+        shape_b = (self.lora_rank, self.features)
+        if self.lora_stack > 0:
+            shape_a = (self.lora_stack,) + shape_a
+            shape_b = (self.lora_stack,) + shape_b
+        lora_a = self.param(
+            "lora_a", nn.initializers.lecun_normal(), shape_a, jnp.float32
+        )
+        lora_b = self.param(
+            "lora_b", nn.initializers.zeros_init(), shape_b, jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        squeeze = False
+        if xf.ndim == 2:
+            xf = xf[:, None, :]
+            squeeze = True
+        if lora_a.ndim == 3:
+            if adapter_ids is None:
+                raise ValueError(
+                    "stacked LoRA params need adapter_ids (multi-LoRA)"
+                )
+            t = jnp.einsum("btk,bkr->btr", xf, lora_a[adapter_ids])
+        else:
+            t = jnp.einsum("btk,kr->btr", xf, lora_a)
+        if self.scatter_tokens:
+            t = jax.lax.psum_scatter(
+                t, self.psum_axis, scatter_dimension=1, tiled=True
+            )
+        else:
+            t = jax.lax.psum(t, self.psum_axis)
+        if lora_b.ndim == 3:
+            delta = jnp.einsum("btr,brn->btn", t, lora_b[adapter_ids])
+        else:
+            delta = jnp.einsum("btr,rn->btn", t, lora_b)
+        if squeeze:
+            delta = delta[:, 0, :]
+        return delta * (self.lora_alpha / self.lora_rank)
