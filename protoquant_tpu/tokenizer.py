@@ -6,11 +6,13 @@ From-scratch implementation — the JSON parsing, byte-level mapping and
 pre-tokenization live here; the per-word merge loop is the native C++
 ``BpeMerger`` (protoquant_tpu/native/pq_bpe.cpp, pure-Python fallback).
 
-Supported tokenizer.json shapes (the two families the model zoo uses):
+Supported tokenizer.json shapes (the three families the model zoo uses):
   * byte-level BPE (GPT-2 / Llama-3 / Qwen): ByteLevel pre-tokenizer with a
     split regex, byte->unicode table, ByteLevel decoder;
   * metaspace BPE (Llama-2 / Mistral SentencePiece exports): whitespace
-    replaced by ▁ with prefix insertion, byte-fallback <0xNN> tokens.
+    replaced by ▁ with prefix insertion, byte-fallback <0xNN> tokens;
+  * SentencePiece-Unigram (Gemma / T5 lineage): Viterbi max-log-prob
+    segmentation over the piece lattice, unk fusing + byte fallback.
 
 Exactness: tests/test_tokenizer.py round-trips and encode-compares against
 the ``tokenizers`` library on synthesized tokenizer.json files (trained on
@@ -54,17 +56,42 @@ class Tokenizer:
 
     def __init__(self, spec: dict):
         model = spec.get("model", {})
-        if model.get("type") != "BPE":
-            raise ValueError(f"unsupported tokenizer model {model.get('type')!r}")
-        self.vocab: dict[str, int] = model["vocab"]
-        self.id_to_token = {i: t for t, i in self.vocab.items()}
-        merges = []
-        for m in model.get("merges", []):
-            a, b = m if isinstance(m, (list, tuple)) else m.split(" ", 1)
-            merges.append((self.vocab[a], self.vocab[b], self.vocab[a + b]))
-        from .native import BpeMerger
+        self.model_type = model.get("type")
+        if self.model_type == "Unigram":
+            # SentencePiece-Unigram (Gemma/T5 lineage): vocab is a list of
+            # [piece, log_prob]; encoding is a Viterbi max-score
+            # segmentation over the piece lattice (see _viterbi).
+            entries = model["vocab"]
+            self.vocab = {p: i for i, (p, _s) in enumerate(entries)}
+            self._uni = {p: (i, float(s)) for i, (p, s) in enumerate(entries)}
+            self._uni_maxlen = max((len(p) for p, _ in entries), default=1)
+            min_score = min((float(s) for _, s in entries), default=0.0)
+            # HF tokenizers' Unigram: unknown characters cost
+            # min_score - 10 (the SentencePiece kUnkPenalty convention).
+            self._unk_score = min_score - 10.0
+            self._uni_unk = model.get("unk_id")
+            # tokenizers' Unigram deserializer sets fuse_unk whenever an
+            # unk_id exists (the field is not serialized): consecutive
+            # unknown characters collapse into ONE unk token.
+            self._fuse_unk = bool(
+                model.get("fuse_unk", self._uni_unk is not None)
+            )
+            self.id_to_token = {i: t for t, i in self.vocab.items()}
+            self._merger = None
+        elif self.model_type == "BPE":
+            self.vocab: dict[str, int] = model["vocab"]
+            self.id_to_token = {i: t for t, i in self.vocab.items()}
+            merges = []
+            for m in model.get("merges", []):
+                a, b = m if isinstance(m, (list, tuple)) else m.split(" ", 1)
+                merges.append((self.vocab[a], self.vocab[b], self.vocab[a + b]))
+            from .native import BpeMerger
 
-        self._merger = BpeMerger(merges)
+            self._merger = BpeMerger(merges)
+        else:
+            raise ValueError(
+                f"unsupported tokenizer model {self.model_type!r}"
+            )
 
         # Added/special tokens split out before pre-tokenization and decode
         # back verbatim.
@@ -99,13 +126,20 @@ class Tokenizer:
             self._re = regex.compile(self.pattern)
             self._b2u = _byte_to_unicode()
             self._u2b = {c: b for b, c in self._b2u.items()}
-        self.byte_fallback = any(
+        self.byte_fallback = bool(model.get("byte_fallback", False)) or any(
             f"<0x{b:02X}>" in self.vocab for b in (0, 255)
         )
-        self.unk_id = (
-            self.vocab.get(model["unk_token"])
-            if model.get("unk_token") else None
-        )
+        if self.model_type == "Unigram":
+            self.unk_id = self._uni_unk
+            # Unigram exports pre-tokenize with Metaspace (or nothing but a
+            # Replace-normalizer); treat non-byte-level as metaspace.
+            if not self.byte_level:
+                self.metaspace = True
+        else:
+            self.unk_id = (
+                self.vocab.get(model["unk_token"])
+                if model.get("unk_token") else None
+            )
 
     # -- construction -------------------------------------------------------
 
@@ -119,6 +153,67 @@ class Tokenizer:
     def _encode_word(self, symbols: list[int]) -> list[int]:
         return self._merger.merge(symbols)
 
+    def _viterbi(self, s: str) -> list[int]:
+        """Unigram max-score segmentation (SentencePiece Viterbi): dp over
+        character positions; a position no piece reaches consumes one
+        unknown character at min_score - 10. On backtrack, unknown runs
+        become byte-fallback pieces (<0xNN>, when the vocab carries them)
+        or unk_id tokens — consecutive unks fuse when the export set
+        fuse_unk (the SentencePiece conversion default)."""
+        n = len(s)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        best[0] = 0.0
+        back: list = [None] * (n + 1)  # (start, token_id or None=unk)
+        maxlen = self._uni_maxlen
+        for j in range(1, n + 1):
+            lo = max(0, j - maxlen)
+            for i in range(lo, j):
+                if best[i] == NEG:
+                    continue
+                rec = self._uni.get(s[i:j])
+                if rec is None:
+                    continue
+                sc = best[i] + rec[1]
+                if sc > best[j]:
+                    best[j] = sc
+                    back[j] = (i, rec[0])
+            if best[j] == NEG and best[j - 1] != NEG:
+                best[j] = best[j - 1] + self._unk_score
+                back[j] = (j - 1, None)
+        out: list = []  # reversed (id or ("unk", char)) items
+        j = n
+        while j > 0:
+            i, tid = back[j]
+            if tid is None:
+                out.append(("unk", s[i:j]))
+            else:
+                out.append(tid)
+            j = i
+        out.reverse()
+        ids: list[int] = []
+        prev_unk = False
+        for item in out:
+            if isinstance(item, tuple):
+                ch = item[1]
+                fell_back = False
+                if self.byte_fallback:
+                    bts = ch.encode("utf-8")
+                    names = [f"<0x{b:02X}>" for b in bts]
+                    if all(nm in self.vocab for nm in names):
+                        ids.extend(self.vocab[nm] for nm in names)
+                        fell_back = True
+                if not fell_back and self.unk_id is not None:
+                    if not (self._fuse_unk and prev_unk):
+                        ids.append(self.unk_id)
+                    prev_unk = True
+                    continue
+                prev_unk = False
+            else:
+                ids.append(item)
+                prev_unk = False
+        return ids
+
     def _initial_symbols(self, piece: str) -> list[int]:
         """Map one pre-token to initial symbol ids (chars, with byte
         fallback for metaspace vocabularies)."""
@@ -127,10 +222,13 @@ class Tokenizer:
             tid = self.vocab.get(ch)
             if tid is not None:
                 out.append(tid)
-            elif self.byte_fallback:
-                out.extend(
-                    self.vocab[f"<0x{b:02X}>"] for b in ch.encode("utf-8")
-                )
+                continue
+            names = (
+                [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
+                if self.byte_fallback else []
+            )
+            if names and all(nm in self.vocab for nm in names):
+                out.extend(self.vocab[nm] for nm in names)
             elif self.unk_id is not None:
                 out.append(self.unk_id)
             # else: drop (matches tokenizers' behavior without unk)
@@ -143,12 +241,18 @@ class Tokenizer:
         if self.byte_level:
             for piece in self._re.findall(text):
                 chars = "".join(self._b2u[b] for b in piece.encode("utf-8"))
-                ids.extend(self._encode_word(self._initial_symbols(chars)))
+                if self.model_type == "Unigram":
+                    ids.extend(self._viterbi(chars))
+                else:
+                    ids.extend(self._encode_word(self._initial_symbols(chars)))
         else:  # metaspace
             t = text.replace(" ", _METASPACE)
             if self.add_prefix_space and not t.startswith(_METASPACE):
                 t = _METASPACE + t
-            ids.extend(self._encode_word(self._initial_symbols(t)))
+            if self.model_type == "Unigram":
+                ids.extend(self._viterbi(t))
+            else:
+                ids.extend(self._encode_word(self._initial_symbols(t)))
         return ids
 
     def encode(self, text: str) -> list[int]:

@@ -262,3 +262,54 @@ def test_server_text_stop_strings(tmp_path):
         conn.close()
     finally:
         srv.stop()
+
+
+# -- SentencePiece-Unigram (Gemma/T5 lineage; VERDICT r3 item 10) ------------
+
+
+def _train_unigram(tmp_path, byte_fallback=True):
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import decoders, models, pre_tokenizers, trainers
+
+    t = HFTok(models.Unigram())
+    t.pre_tokenizer = pre_tokenizers.Metaspace(prepend_scheme="always")
+    t.decoder = decoders.Metaspace(prepend_scheme="always")
+    t.train_from_iterator(
+        CORPUS,
+        trainers.UnigramTrainer(
+            vocab_size=300, special_tokens=["<unk>", "<s>", "</s>"],
+            unk_token="<unk>", show_progress=False,
+        ),
+    )
+    path = str(tmp_path / "uni.json")
+    t.save(path)
+    return t, path
+
+
+def test_unigram_encode_matches_oracle(tmp_path):
+    oracle, path = _train_unigram(tmp_path)
+    ours = Tokenizer.from_file(path)
+    for s in SAMPLES:
+        want = oracle.encode(s).ids
+        got = ours.encode(s)
+        assert got == want, (s, got, want)
+
+
+def test_unigram_decode_roundtrip(tmp_path):
+    oracle, path = _train_unigram(tmp_path)
+    ours = Tokenizer.from_file(path)
+    for s in SAMPLES:
+        ids = oracle.encode(s).ids
+        assert ours.decode(ids) == oracle.decode(ids), s
+
+
+def test_unigram_unknown_chars(tmp_path):
+    """Characters outside the trained alphabet: oracle-equal handling
+    (unk / byte fallback per the export's settings)."""
+    oracle, path = _train_unigram(tmp_path)
+    ours = Tokenizer.from_file(path)
+    for s in ["ℵ∅ unknown", "mixed ℵ inside", "ℵ"]:
+        want = oracle.encode(s).ids
+        got = ours.encode(s)
+        assert got == want, (s, got, want)
+        assert ours.decode(got) == oracle.decode(want), s
