@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--vocab", type=int, default=2048)
-    ap.add_argument("--new-tokens", type=int, default=48)
+    ap.add_argument("--new-tokens", type=int, default=160)  # > 2 KIVI
+    # chunks (128 tokens) so the int4-KV rows actually READ packed nibbles
+    # (shorter runs live entirely in the int8 tail and measure nothing)
     ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--outlier-boost", type=float, default=30.0)
     ap.add_argument("--cpu", action="store_true")
@@ -104,7 +106,7 @@ def main():
 
     prompt = jnp.asarray(rng.integers(0, V, (args.prompts, 16)), jnp.int32)
     g_fp = np.asarray(
-        greedy_generate(fp_model, params, prompt, args.new_tokens, 128,
+        greedy_generate(fp_model, params, prompt, args.new_tokens, 256,
                         kv_dtype=jnp.float32)
     )
     eval_toks = jnp.concatenate([prompt, jnp.asarray(g_fp, jnp.int32)], axis=1)
@@ -140,7 +142,7 @@ def main():
         )
         top1 = float(np.mean(np.argmax(logits_fp, -1) == np.argmax(lq, -1)))
         g_q = np.asarray(
-            greedy_generate(qm, qp, prompt, args.new_tokens, 128, kv_dtype=kv_dtype)
+            greedy_generate(qm, qp, prompt, args.new_tokens, 256, kv_dtype=kv_dtype)
         )
         gm = float(np.mean(g_fp == g_q))
         # Prefix match: fraction decoded before the first divergence, per
@@ -176,7 +178,7 @@ def main():
     # cleanest readout for int8/int4/mixed KV quality.
     def run_kv(label, kv_dtype):
         g_q = np.asarray(
-            greedy_generate(fp_model, params, prompt, args.new_tokens, 128,
+            greedy_generate(fp_model, params, prompt, args.new_tokens, 256,
                             kv_dtype=kv_dtype)
         )
         gm = float(np.mean(g_fp == g_q))
@@ -213,6 +215,18 @@ def main():
     # weight-only row above isolates the activation-quantization cost.
     run("int4_w4a8_g128", "dynamic_int4", params,
         qcfg=QuantConfig(mode="dynamic_int4", int4_group=128))
+    # W4A8's quality cost is the ACTIVATION quantization in the outlier
+    # regime — SmoothQuant is its natural partner.
+    run("int4_w4a8_g128+smooth", "dynamic_int4", smoothed,
+        qcfg=QuantConfig(mode="dynamic_int4", int4_group=128))
+    # Two-level formulation (one big-K dot; in-kernel nibble requant):
+    # the delta vs the row above is the requant's model-level cost.
+    import protoquant_tpu.ops as _ops
+
+    _ops.W4A8_FORMULATION = "two_level"
+    run("int4_w4a8_g128+smooth+2l", "dynamic_int4", smoothed,
+        qcfg=QuantConfig(mode="dynamic_int4", int4_group=128))
+    _ops.W4A8_FORMULATION = "group"
     run("int4_weight_only_g128+gptq", "weight_only_int4", params,
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True)
     run("int4_weight_only_g128+awq", "weight_only_int4", awq_int4,

@@ -222,10 +222,25 @@ class Engine:
             raise ValueError("lookup_branches needs prompt_lookup > 0")
         if tree_mode:
             if kv_dtype == jnp.int4:
+                # KIVI cache: candidate nodes live in the int8 tail, so
+                # reorder_tail never touches packed nibbles — but only
+                # while the tree window fits ONE chunk (beyond that, node
+                # writes recycle tail rows attention still reads).
+                from ..models.kv_cache import INT4_KV_GROUP
+
+                width = 1 + lookup_branches * gamma
+                if width > INT4_KV_GROUP:
+                    raise ValueError(
+                        f"tree speculation + int4 KV: tree width {width} "
+                        f"(1 + branches*gamma) exceeds the KIVI chunk "
+                        f"({INT4_KV_GROUP}) — node writes would recycle "
+                        "live int8 tail rows; narrow the tree"
+                    )
+            if kv_dtype == "k8v4":
                 raise NotImplementedError(
-                    "tree speculation + int4 KV: the packed-nibble cache "
-                    "has no reorder_tail (branch compaction would rewrite "
-                    "merged nibbles); use kv_bits=8"
+                    "tree speculation + mixed K8V4 KV: the packed-nibble V "
+                    "store has no reorder_tail (branch compaction would "
+                    "rewrite merged nibbles); use kv_bits=8 or full int4"
                 )
             if kv_layout == "ring":
                 raise NotImplementedError(

@@ -691,6 +691,39 @@ class Int4KVCache(_DenseSlotViews):
             )
         return out, new
 
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit (see BF16KVCache.reorder_tail). Candidate
+        nodes live ENTIRELY in the int8 tail: the scoring forward wrote them
+        with advance=0 at positions lengths + node, and the engine bounds
+        the tree width to <= group — inside the tail's 2G capacity, and
+        narrow enough that the rows their writes recycled (positions 2G
+        back) all predate the flushed frontier F, which attention never
+        reads from the tail. So compaction copies tail rows + per-token
+        scales only; packed nibbles never reorder — the next advance()
+        re-flushes any completed chunk FROM the compacted tail,
+        bit-identically to sequential decode."""
+        B, d = node_idx.shape
+        TC = self.ktail.shape[2]
+        b_idx3 = jnp.arange(B)[:, None, None]
+        src = jnp.mod(self.lengths[:, None] + node_idx, TC)  # [B, d]
+        dst = jnp.mod(
+            self.lengths[:, None] + 1 + jnp.arange(d)[None, :], TC
+        )
+        tk = jnp.take_along_axis
+        kt_r = tk(self.ktail, src[:, None, :, None], axis=2)  # [B, KV, d, Dh]
+        vt_r = tk(self.vtail, src[:, None, :, None], axis=2)
+        kts_r = tk(self.kts, src[:, None, :], axis=2)  # [B, KV, d]
+        vts_r = tk(self.vts, src[:, None, :], axis=2)
+        kv_idx = jnp.arange(self.ktail.shape[1])[None, :, None]
+        dst3 = dst[:, None, :]
+        return dataclasses.replace(
+            self,
+            ktail=self.ktail.at[b_idx3, kv_idx, dst3].set(kt_r),
+            vtail=self.vtail.at[b_idx3, kv_idx, dst3].set(vt_r),
+            kts=self.kts.at[b_idx3, kv_idx, dst3].set(kts_r),
+            vts=self.vts.at[b_idx3, kv_idx, dst3].set(vts_r),
+        )
+
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
 

@@ -320,6 +320,7 @@ class QLinear(nn.Module):
             y = ops.w4a8_matmul(
                 xq, s_x, qkernel.data, qkernel.scale,
                 group=qkernel.group, bias=fused_bias, out_dtype=self.dtype,
+                formulation=ops.resolve_w4a8_formulation(),
             )
         else:
             raise ValueError(f"unknown mode {self.mode!r}")

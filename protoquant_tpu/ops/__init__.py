@@ -70,6 +70,18 @@ FUSED_QUANT = _os.environ.get("FUSED_QUANT", "auto")
 def resolve_fused_quant() -> bool:
     return FUSED_QUANT == "on"
 
+
+# W4A8 (dynamic_int4) kernel formulation: "group" = exact int4 semantics,
+# per-group K=64 sub-dots (MXU-underfilled — 0.79x bf16 at M=512, measured
+# r3); "two_level" = in-VMEM per-channel int8 requant of the nibbles + ONE
+# big-K dot per block (ROADMAP 8 / VERDICT r3 item 4). bench/w4a8_probe.py
+# measures both; the quality ladder carries both rows.
+W4A8_FORMULATION = _os.environ.get("W4A8_FORMULATION", "group")
+
+
+def resolve_w4a8_formulation() -> str:
+    return W4A8_FORMULATION
+
 __all__ = [
     "rowquant",
     "qmatmul",

@@ -160,10 +160,10 @@ def test_tree_nonfirst_branch_commit_compacts_cache(model_and_params,
     real_score = E._tree_score_and_accept
 
     def spy_score(model_, params_, caches, window, active, key, samp,
-                  branches, depth):
+                  branches, depth, bias=None):
         best, accepted, corr, caches = real_score(
             model_, params_, caches, window, active, key, samp,
-            branches=branches, depth=depth)
+            branches=branches, depth=depth, bias=bias)
         bests.append((np.asarray(best).copy(), np.asarray(accepted).copy()))
         return best, accepted, corr, caches
 
@@ -254,3 +254,42 @@ def test_tree_paged_engine_matches_plain_greedy(model_and_params):
     for ra, rb in zip(plain_rids, rids):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
     assert eng.stats["steps"] < eng.stats["tokens_generated"], eng.stats
+
+
+def test_tree_speculation_int4_kv_exact(model_and_params):
+    """Tree speculation on the KIVI int4 cache (round-4 guard lift): the
+    candidate nodes live in the int8 tail, reorder_tail compacts tail rows
+    only, and advance() re-flushes completed chunks FROM the compacted
+    tail — so the engine's greedy stream EXACTLY matches plain greedy
+    decoding on the same int4 cache across many chunk boundaries (G=8
+    forces flushes mid-run)."""
+    from protoquant_tpu.models import kv_cache as kvc
+
+    model, params = model_and_params
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6]
+    N = 24
+    ecfg = EngineConfig(max_batch_size=1, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=N, temperature=0.0)
+    old = kvc.INT4_KV_GROUP
+    kvc.INT4_KV_GROUP = 8
+    try:
+        plain = Engine(model, params, ecfg, kv_dtype=jnp.int4)
+        prid = plain.add_request(prompt, N)
+        ref = plain.run()[prid]
+
+        eng = Engine(model, params, ecfg, kv_dtype=jnp.int4,
+                     prompt_lookup=3, gamma=3, lookup_branches=2)
+        rid = eng.add_request(prompt, N)
+        out = eng.run()[rid]
+    finally:
+        kvc.INT4_KV_GROUP = old
+    assert out == ref, (out, ref)
+
+    # Width guard: a tree wider than the KIVI chunk is rejected.
+    kvc.INT4_KV_GROUP = 8
+    try:
+        with pytest.raises(ValueError, match="tree width"):
+            Engine(model, params, ecfg, kv_dtype=jnp.int4,
+                   prompt_lookup=3, gamma=4, lookup_branches=2)
+    finally:
+        kvc.INT4_KV_GROUP = old
