@@ -239,6 +239,68 @@ def main():
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True,
         use_grams=grams_awq)
 
+    # ---- MoE rows (VERDICT r3 item 7): stacked experts by mode ----------
+    # A compact Mixtral-style proxy with its own fp reference: the delta
+    # between rows isolates EXPERT weight quantization (router stays fp by
+    # structural skip; attention quantizes with the mode as usual).
+    moe_cfg = ModelConfig(
+        vocab_size=args.vocab,
+        hidden_size=args.hidden // 2,
+        intermediate_size=args.hidden,
+        num_hidden_layers=max(2, args.layers // 3),
+        num_attention_heads=max(1, args.hidden // 128),
+        num_key_value_heads=max(1, args.hidden // 256),
+        max_position_embeddings=256,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        expert_capacity_factor=4.0,
+    )
+    moe_fp = LlamaModel(moe_cfg, mode="fp", dtype=jnp.float32)
+    moe_params = moe_fp.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32)
+    )
+    moe_params = jax.tree_util.tree_map(lambda a: a, moe_params)
+    emb2 = np.asarray(
+        moe_params["params"]["embed_tokens"]["embedding"], np.float32
+    )
+    moe_params["params"]["lm_head"]["kernel"] = jnp.asarray(
+        4.0 * emb2[np.argsort(rng.permutation(V))].T
+    )
+    moe_prompt = jnp.asarray(rng.integers(0, V, (args.prompts, 16)), jnp.int32)
+    g_moe = np.asarray(greedy_generate(
+        moe_fp, moe_params, moe_prompt, args.new_tokens, 256,
+        kv_dtype=jnp.float32,
+    ))
+    moe_toks = jnp.concatenate([moe_prompt, jnp.asarray(g_moe)], axis=1)
+    ppl_moe = perplexity(moe_fp, moe_params, moe_toks)
+    for label, mode, grp in (
+        ("moe_int8_dynamic", "dynamic", 128),
+        ("moe_int8_weight_only", "weight_only", 128),
+        ("moe_int4_weight_only_g128", "weight_only_int4", 128),
+    ):
+        qp = quantize_params(
+            moe_params, QuantConfig(mode=mode, int4_group=grp)
+        )
+        qm = LlamaModel(moe_cfg, mode=mode, int4_group=grp,
+                        dtype=jnp.float32)
+        g_q = np.asarray(greedy_generate(
+            qm, qp, moe_prompt, args.new_tokens, 256,
+            kv_dtype=jnp.float32,
+        ))
+        div = g_moe != g_q
+        first = np.where(div.any(1), div.argmax(1), g_moe.shape[1])
+        ppl_q = perplexity(qm, qp, moe_toks)
+        row = {
+            "mode": label,
+            "greedy_match": round(float(np.mean(g_moe == g_q)), 4),
+            "prefix_match": round(float(np.mean(first / g_moe.shape[1])), 4),
+            "ppl_rel_delta": round(
+                abs(float(ppl_q - ppl_moe)) / float(ppl_moe), 5
+            ),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
     print(json.dumps({
         "scale": f"{args.layers}L-d{args.hidden} shaped logits, "
                  f"{n_out} outlier channels x{args.outlier_boost}",
