@@ -178,6 +178,17 @@ class Engine:
         #   speculation; tree shape = lookup_branches x gamma, needing
         #   heads.depth >= gamma.
         medusa_params=None,
+        eagle_draft=None,  # EagleDraft module (models/eagle.py): ONE-LAYER
+        #   feature-space autoregressive draft (attends over accumulated
+        #   features through its own KV cache; the published-best draft-free
+        #   tier). A LINEAR speculation mode: proposals + draft logits feed
+        #   the same rejection-sampling accept program as draft-model
+        #   speculation, so greedy is exact and temperature>0 is
+        #   distribution-exact. Each tick re-anchors on the TRUE base
+        #   feature at the last accepted position (the scoring forward
+        #   returns it); the first tick after prefill anchors on zeros
+        #   (junk proposals for one tick, never a wrong token).
+        eagle_params=None,
         scheduler: str = "fcfs",  # admission policy when slots free up:
         #   "fcfs"     — arrival order (default; maximal fairness)
         #   "priority" — higher Request.priority first, FIFO within a tier
@@ -216,6 +227,24 @@ class Engine:
                 raise ValueError(
                     "adaptive_gamma is unsupported with medusa heads (tree "
                     "shape is compiled into the scoring program)"
+                )
+        self.eagle_draft = eagle_draft
+        self.eagle_params = eagle_params
+        if (eagle_draft is None) != (eagle_params is None):
+            raise ValueError("eagle_draft and eagle_params go together")
+        if eagle_draft is not None:
+            if prompt_lookup or draft_model is not None \
+                    or medusa_heads is not None:
+                raise ValueError(
+                    "eagle_draft is exclusive with prompt_lookup / "
+                    "draft_model / medusa_heads (one proposal source per "
+                    "engine)"
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "eagle + mesh: the feature-anchored scoring step is not "
+                    "wired through the shard_map engine fns yet (the linear "
+                    "draft-model and tree tiers are)"
                 )
         tree_mode = lookup_branches > 1 or medusa_heads is not None
         if lookup_branches > 1 and not prompt_lookup and medusa_heads is None:
@@ -412,8 +441,31 @@ class Engine:
             if draft_model is not None
             else None
         )
+        if eagle_draft is not None:
+            # The draft layer's own KV cache (int8 like the target's by
+            # default) + the per-slot TRUE-feature anchor (zeros until the
+            # first scoring forward returns the real one) + the base
+            # embedding table the draft conditions on.
+            from ..models.eagle import _draft_cfg
+
+            self.eagle_caches = init_cache(
+                _draft_cfg(model.cfg), B, self.cfg.max_seq_len,
+                kv_dtype=kv_dtype if kv_dtype in (jnp.int8,) else jnp.float32,
+            )[0]
+            self._eagle_feats = jnp.zeros(
+                (B, model.cfg.hidden_size), jnp.float32
+            )
+            # Last hidden of each slot's most recent prefill chunk (the
+            # cross-chunk feature carry + the post-prefill anchor).
+            self._eagle_prev = jnp.zeros(
+                (B, model.cfg.hidden_size), jnp.float32
+            )
+            self._emb_table = params.get("params", params)[
+                "embed_tokens"]["embedding"]
+        else:
+            self.eagle_caches = None
         spec_mode = (draft_model is not None or bool(prompt_lookup)
-                     or medusa_heads is not None)
+                     or medusa_heads is not None or eagle_draft is not None)
         penalties_on = (
             self.cfg.repetition_penalty != 1.0
             or self.cfg.presence_penalty != 0.0
@@ -760,14 +812,38 @@ class Engine:
             if self.adapter_ids is not None
             else None
         )
-        req.last_logits, self.caches = extend(
-            self.params,
-            self.caches,
-            tokens,
-            jnp.asarray(len(piece), jnp.int32),
-            jnp.asarray(slot, jnp.int32),
-            aid,
-        )
+        if self.eagle_caches is not None:
+            # EAGLE: the base chunk forward also returns hidden states, and
+            # the feature draft prefills its own cache on (hidden[p-1],
+            # emb(token[p])) pairs so decode-time drafting attends over the
+            # whole prompt in feature space.
+            req.last_logits, h_chunk, self.caches = _extend_slot_hidden(
+                self.model, self.params, self.caches, tokens,
+                jnp.asarray(len(piece), jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+            )
+            prev = self._eagle_prev[slot]  # last hidden of the PREV chunk
+            f_in = jnp.concatenate(
+                [prev[None, None, :], h_chunk[:, :-1]], axis=1
+            )
+            self.eagle_caches = _eagle_extend_slot(
+                self.eagle_draft, self.eagle_params, self.eagle_caches,
+                f_in, self._emb_table[tokens],
+                jnp.asarray(len(piece), jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+            )
+            self._eagle_prev = self._eagle_prev.at[slot].set(
+                h_chunk[0, len(piece) - 1]
+            )
+        else:
+            req.last_logits, self.caches = extend(
+                self.params,
+                self.caches,
+                tokens,
+                jnp.asarray(len(piece), jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                aid,
+            )
         if self.draft_caches is not None:
             # Speculative mode: the draft cache tracks the same prompt.
             _, self.draft_caches = _extend_slot(
@@ -785,6 +861,12 @@ class Engine:
 
         # Prompt fully in KV: emit the first token and activate the slot.
         self.prefilling.popleft()
+        if self.eagle_caches is not None:
+            # Anchor the feature draft on the state that predicts the first
+            # generated token.
+            self._eagle_feats = self._eagle_feats.at[req.slot].set(
+                self._eagle_prev[req.slot]
+            )
         if self.prefix is not None:
             # Publish this prompt's full pages for future prefix hits
             # (into the owning replica's store).
@@ -904,6 +986,12 @@ class Engine:
             self.draft_caches = [
                 c.reset_slot(jnp.asarray(slot)) for c in self.draft_caches
             ]
+        if self.eagle_caches is not None:
+            self.eagle_caches = self.eagle_caches.reset_slot(
+                jnp.asarray(slot)
+            )
+            self._eagle_feats = self._eagle_feats.at[slot].set(0.0)
+            self._eagle_prev = self._eagle_prev.at[slot].set(0.0)
         if self.allocator is not None:
             if self.prefix is not None:
                 # Drop references on shared/published pages (zero-ref pages
@@ -1021,6 +1109,9 @@ class Engine:
             return
         if self.draft_caches is not None:
             self._spec_decode_tick(t0)
+            return
+        if self.eagle_caches is not None:
+            self._eagle_tick(t0)
             return
         if self.medusa_params is not None:
             self._tree_medusa_tick(t0)
@@ -1168,6 +1259,56 @@ class Engine:
             for c in self.draft_caches
         ]
 
+        self._commit_spec_results(window, corrections, accepted, t0)
+
+    def _eagle_tick(self, t0: float):
+        """EAGLE speculative tick: the one-layer feature draft proposes
+        gamma tokens per slot (autoregressive over its own KV cache,
+        anchored on the true base feature at each slot's frontier), the
+        target scores every window in ONE forward that also returns the
+        hidden states, and the commit re-anchors the feature + rewinds the
+        draft cache to the committed frontier. Acceptance is the SAME
+        rejection-sampling program as draft-model speculation — exact
+        greedy, distribution-exact sampling."""
+        import dataclasses
+
+        active = jnp.asarray(self.active)
+        self._key, k_draft, k_accept = jax.random.split(self._key, 3)
+        bias0 = self._assemble_logit_bias()
+        proposals, draft_logits, self.eagle_caches = _eagle_propose(
+            self.eagle_draft, self.eagle_params, self.eagle_caches,
+            self._eagle_feats, self.last_tokens, self._emb_table, active,
+            k_draft, self.samp, self._gamma_cur, bias=bias0,
+        )
+        window = jnp.concatenate(
+            [self.last_tokens[:, None], proposals], axis=1
+        )
+        wbias = None
+        if bias0 is not None:
+            g = self._gamma_cur
+            if self._has_stateful_mask():
+                props_h = np.asarray(jax.device_get(proposals))
+                paths = {
+                    s: [list(props_h[s, :t]) for t in range(g + 1)]
+                    for s in range(self.cfg.max_batch_size)
+                }
+            else:
+                paths = {
+                    s: [[]] * (g + 1)
+                    for s in range(self.cfg.max_batch_size)
+                }
+            wbias = self._assemble_window_bias(paths)
+        corrections, accepted, h_next, self.caches = (
+            _spec_score_and_accept_hidden(
+                self.model, self.params, self.caches, window, active,
+                k_accept, self.samp, draft_logits, wbias,
+            )
+        )
+        self._eagle_feats = h_next
+        committed = self.caches[0].lengths
+        self.eagle_caches = dataclasses.replace(
+            self.eagle_caches, lengths=committed + 0
+        )
         self._commit_spec_results(window, corrections, accepted, t0)
 
     def _tree_lookup_tick(self, t0: float):
@@ -1435,7 +1576,8 @@ class Engine:
                 p.reusable_pages for p in self.prefixes)
             out["prefix_evictions"] = sum(p.evictions for p in self.prefixes)
         if (self.draft_caches is not None or self.prompt_lookup
-                or self.medusa_params is not None):
+                or self.medusa_params is not None
+                or self.eagle_caches is not None):
             out["spec_acceptance_rate"] = self.stats["spec_accepted"] / max(
                 1, self.stats["spec_proposed"]
             )
@@ -1457,6 +1599,36 @@ def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot,
         model, params, caches, tokens, true_len, slot,
         adapter_ids=adapter_ids,
     )
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _extend_slot_hidden(model: LlamaModel, params, caches, tokens, true_len,
+                        slot):
+    """_extend_slot that also returns the chunk's final-norm hidden states
+    [1, Tpad, D] (EAGLE prefill: the feature draft tracks the prompt)."""
+    return _extend_slot_body(
+        model, params, caches, tokens, true_len, slot, return_hidden=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("draft",), donate_argnums=(2,))
+def _eagle_extend_slot(draft, dparams, cache, feats, tok_embeds, true_len,
+                       slot):
+    """Prefill one chunk into the EAGLE draft's own KV cache: the draft
+    consumes (base feature at p-1, emb(token at p)) for each chunk
+    position, so at decode time its attention sees the whole prompt in
+    feature space (a zero feature fills global position 0)."""
+    sub = cache.slot_view(slot)
+    Tpad = feats.shape[1]
+    start = sub.lengths[0]
+    positions = start + jnp.arange(Tpad)[None, :]
+    max_pos = draft.cfg.max_position_embeddings - 1
+    positions = jnp.minimum(positions, max_pos)
+    _, _, sub = draft.apply(
+        dparams, feats, tok_embeds, positions, sub,
+        advance=jnp.full((1,), true_len, jnp.int32),
+    )
+    return cache.merge_slot(sub, slot)
 
 
 import functools as _functools
@@ -1763,6 +1935,48 @@ def _ngram_propose(hist: list, n: int, gamma: int) -> list:
 # -- speculative decode tick (engine mode; SURVEY.md §3.4 / A3 extension) ----
 
 
+@partial(jax.jit, static_argnames=("draft", "gamma"), donate_argnums=(2,))
+def _eagle_propose(draft, dparams, cache, feats, last_tokens, emb, active,
+                   key, samp, gamma: int, bias=None):
+    """EAGLE proposal chain: step i consumes (f, emb(tok)) — the feature
+    that predicted ``tok`` plus ``tok``'s embedding — through the one-layer
+    feature draft (own KV cache) and samples proposal i from the draft's
+    filtered logits. The predicted feature f̂ chains into step i+1. One
+    extra step leaves K/V for the final proposal in the cache (all-accepted
+    case). Returns (proposals [B, gamma], draft_logits [B, gamma, V],
+    cache) — logits feed the exact rejection-sampling accept program."""
+    from .sampling import sample_batched
+
+    advance = active.astype(jnp.int32)
+    max_pos = draft.cfg.max_position_embeddings - 1
+
+    def body(carry, i):
+        tok, f, cache = carry
+        positions = jnp.minimum(cache.lengths, max_pos)[:, None]
+        f_hat, logits, cache = draft.apply(
+            dparams, f[:, None, :], emb[tok][:, None, :], positions, cache,
+            advance=advance,
+        )
+        last = logits[:, -1]
+        if bias is not None:
+            last = last + bias
+        nxt = sample_batched(
+            last, jax.random.fold_in(key, i), samp["temps"], samp["top_ks"],
+            samp["top_ps"], samp["min_ps"],
+        )
+        return (nxt, f_hat[:, -1], cache), (nxt, last)
+
+    (last, f, cache), (proposals, dlogits) = jax.lax.scan(
+        body, (last_tokens, feats, cache), jnp.arange(gamma)
+    )
+    positions = jnp.minimum(cache.lengths, max_pos)[:, None]
+    _, _, cache = draft.apply(
+        dparams, f[:, None, :], emb[last][:, None, :], positions, cache,
+        advance=advance,
+    )
+    return proposals.T, jnp.swapaxes(dlogits, 0, 1), cache
+
+
 @partial(jax.jit, static_argnames=("model", "gamma"), donate_argnums=(2,))
 def _draft_propose(model, params, caches, last_tokens, active, key, samp,
                    gamma: int, bias=None):
@@ -1812,7 +2026,8 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
 
 
 def _spec_score_and_accept_body(model, params, caches, window, active, key,
-                                samp, draft_logits=None, bias=None):
+                                samp, draft_logits=None, bias=None,
+                                return_hidden=False):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
     models/speculative.py), accepts a per-slot prefix, and commits
@@ -1850,9 +2065,18 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
     positions = jnp.minimum(
         caches[0].lengths[:, None] + jnp.arange(T)[None, :], max_pos
     )
-    logits, caches = model.apply(
-        params, window, positions, caches, advance=jnp.zeros((B,), jnp.int32)
-    )
+    if return_hidden:
+        # EAGLE tick: the feature-space draft re-anchors on the TRUE base
+        # hidden at the last accepted position next tick.
+        logits, caches, hidden = model.apply(
+            params, window, positions, caches,
+            advance=jnp.zeros((B,), jnp.int32), return_hidden=True,
+        )
+    else:
+        logits, caches = model.apply(
+            params, window, positions, caches,
+            advance=jnp.zeros((B,), jnp.int32),
+        )
     if bias is not None:
         # Guided decoding [B, T, V]: per-position mask/bias rows evaluated
         # host-side at the FSM state along the proposed path — greedy rows
@@ -1910,6 +2134,14 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
     # cache.advance = length bump + (int4 tier) flush of chunks the commit
     # completes — the scoring forward wrote the window with advance=0.
     caches = [c.advance(adv) for c in caches]
+    if return_hidden:
+        # hidden[a] is the state that predicted the token emitted after
+        # ``a`` accepted proposals (the correction/bonus) — the anchor the
+        # feature draft conditions its next proposal on.
+        h_next = jnp.take_along_axis(
+            hidden, accepted[:, None, None], axis=1
+        )[:, 0].astype(jnp.float32)
+        return corrections, accepted, h_next, caches
     return corrections, accepted, caches
 
 
@@ -1918,6 +2150,15 @@ def _spec_score_and_accept(model, params, caches, window, active, key, samp,
                            draft_logits=None, bias=None):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits, bias
+    )
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _spec_score_and_accept_hidden(model, params, caches, window, active,
+                                  key, samp, draft_logits=None, bias=None):
+    return _spec_score_and_accept_body(
+        model, params, caches, window, active, key, samp, draft_logits,
+        bias, return_hidden=True,
     )
 
 
@@ -2176,7 +2417,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
 
 def _extend_slot_body(model, params, caches, tokens, true_len, slot,
-                      data_axis=None, adapter_ids=None):
+                      data_axis=None, adapter_ids=None, return_hidden=False):
     """The un-jitted body of _extend_slot (shared with the mesh wrapper).
 
     ``data_axis``: inside shard_map with batch-sharded caches (dp>1), the
@@ -2202,9 +2443,16 @@ def _extend_slot_body(model, params, caches, tokens, true_len, slot,
     positions = start + jnp.arange(Tpad)[None, :]
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(positions, max_pos)
-    logits, sub = model.apply(
-        params, tokens, positions, sub, advance=adv, adapter_ids=adapter_ids
-    )
+    if return_hidden:
+        logits, sub, hidden = model.apply(
+            params, tokens, positions, sub, advance=adv,
+            adapter_ids=adapter_ids, return_hidden=True,
+        )
+    else:
+        logits, sub = model.apply(
+            params, tokens, positions, sub, advance=adv,
+            adapter_ids=adapter_ids,
+        )
     new_caches = [big.merge_slot(small, ls) for big, small in zip(caches, sub)]
     out_logits = logits[0, true_len - 1]
     if data_axis is not None:
@@ -2212,4 +2460,6 @@ def _extend_slot_body(model, params, caches, tokens, true_len, slot,
         out_logits = jax.lax.psum(
             jnp.where(owner, out_logits, jnp.zeros_like(out_logits)), data_axis
         )
+    if return_hidden:
+        return out_logits, hidden.astype(jnp.float32), new_caches
     return out_logits, new_caches

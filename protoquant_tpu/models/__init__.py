@@ -1,6 +1,7 @@
 from .generate import greedy_generate, perplexity, score_tokens
 from .hf_import import import_hf_llama
 from .kv_cache import BF16KVCache, Int8KVCache
+from .eagle import EagleDraft, init_eagle, quantize_eagle, train_eagle
 from .medusa import (
     HydraHeads,
     MedusaHeads,
@@ -25,4 +26,8 @@ __all__ = [
     "MedusaHeads",
     "init_medusa",
     "train_medusa_heads",
+    "EagleDraft",
+    "init_eagle",
+    "quantize_eagle",
+    "train_eagle",
 ]
