@@ -240,12 +240,6 @@ class Engine:
                     "draft_model / medusa_heads (one proposal source per "
                     "engine)"
                 )
-            if mesh is not None:
-                raise NotImplementedError(
-                    "eagle + mesh: the feature-anchored scoring step is not "
-                    "wired through the shard_map engine fns yet (the linear "
-                    "draft-model and tree tiers are)"
-                )
         tree_mode = lookup_branches > 1 or medusa_heads is not None
         if lookup_branches > 1 and not prompt_lookup and medusa_heads is None:
             raise ValueError("lookup_branches needs prompt_lookup > 0")
@@ -462,6 +456,16 @@ class Engine:
             )
             self._emb_table = params.get("params", params)[
                 "embed_tokens"]["embedding"]
+            if mesh is not None:
+                # The draft runs REPLICATED outside the mesh (like the
+                # draft-model tier) — gather the possibly-sharded embedding
+                # table onto every device once at init.
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
+                self._emb_table = jax.device_put(
+                    self._emb_table, NamedSharding(mesh, _P())
+                )
         else:
             self.eagle_caches = None
         spec_mode = (draft_model is not None or bool(prompt_lookup)
@@ -817,8 +821,12 @@ class Engine:
             # the feature draft prefills its own cache on (hidden[p-1],
             # emb(token[p])) pairs so decode-time drafting attends over the
             # whole prompt in feature space.
-            req.last_logits, h_chunk, self.caches = _extend_slot_hidden(
-                self.model, self.params, self.caches, tokens,
+            extend_h = (
+                self._tp_fns["extend_hidden"] if self._tp_fns is not None
+                else partial(_extend_slot_hidden, self.model)
+            )
+            req.last_logits, h_chunk, self.caches = extend_h(
+                self.params, self.caches, tokens,
                 jnp.asarray(len(piece), jnp.int32),
                 jnp.asarray(slot, jnp.int32),
             )
@@ -1298,11 +1306,13 @@ class Engine:
                     for s in range(self.cfg.max_batch_size)
                 }
             wbias = self._assemble_window_bias(paths)
-        corrections, accepted, h_next, self.caches = (
-            _spec_score_and_accept_hidden(
-                self.model, self.params, self.caches, window, active,
-                k_accept, self.samp, draft_logits, wbias,
-            )
+        score = (
+            self._tp_fns["spec_score_hidden"] if self._tp_fns is not None
+            else partial(_spec_score_and_accept_hidden, self.model)
+        )
+        corrections, accepted, h_next, self.caches = score(
+            self.params, self.caches, window, active, k_accept, self.samp,
+            draft_logits, wbias,
         )
         self._eagle_feats = h_next
         committed = self.caches[0].lengths
@@ -2281,6 +2291,70 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return next_tokens, logprobs, counts, caches
 
+    def extend_hidden(params, caches, tokens, true_len, slot):
+        """extend that also returns the chunk's final-norm hidden states
+        (replicated out — pure-TP activations are already identical per
+        device; under dp>1 the body psum-replicates the owner's chunk).
+        Feeds the EAGLE feature draft's prefill."""
+        pspecs, cspecs = _specs(params, caches)
+        ekey = "extend_hidden"
+        if ekey not in state:
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, P(), P(), P()),
+                out_specs=(P(), P(), cspecs),
+                check_vma=False,
+            )
+            def _extend(params, caches, tokens, true_len, slot):
+                return _extend_slot_body(
+                    model, params, caches, tokens, true_len, slot,
+                    data_axis=data_axis, return_hidden=True,
+                )
+
+            state[ekey] = jax.jit(_extend, donate_argnums=(1,))
+        return state[ekey](params, caches, tokens, true_len, slot)
+
+    def spec_score_hidden(params, caches, window, active, key, samp,
+                          draft_logits, bias=None):
+        """spec_score that also returns the hidden state at each slot's
+        committed frontier (batch-sharded [B, D] — the EAGLE draft's
+        next-tick true-feature anchors)."""
+        pspecs, cspecs = _specs(params, caches)
+        skey = ("spec_score_hidden", window.shape[1], bias is None)
+        if skey not in state:
+            samp_spec = {k: batch_spec for k in samp}
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
+                          samp_spec, batch_spec, batch_spec),
+                out_specs=((batch_spec, batch_spec, batch_spec), cspecs),
+                check_vma=False,
+            )
+            def _score(params, caches, window, active, key, samp, dlogits,
+                       bias):
+                if data_axis is not None:
+                    key_r = jax.random.fold_in(
+                        key, jax.lax.axis_index(data_axis))
+                else:
+                    key_r = key
+                corr, accepted, h_next, caches = (
+                    _spec_score_and_accept_body(
+                        model, params, caches, window, active, key_r, samp,
+                        dlogits, bias, return_hidden=True,
+                    )
+                )
+                return (corr, accepted, h_next), caches
+
+            state[skey] = jax.jit(_score, donate_argnums=(1,))
+        (corr, accepted, h_next), caches = state[skey](
+            params, caches, window, active, key, samp, draft_logits, bias
+        )
+        return corr, accepted, h_next, caches
+
     def spec_score(params, caches, window, active, key, samp, draft_logits,
                    bias=None):
         """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
@@ -2410,6 +2484,8 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
     fns["extend"] = extend_with_adapters
     fns["decode"] = decode
     fns["spec_score"] = spec_score
+    fns["extend_hidden"] = extend_hidden
+    fns["spec_score_hidden"] = spec_score_hidden
     fns["tree_score"] = tree_score
     fns["tree_score_heads"] = tree_score_heads
     fns["state"] = state
@@ -2461,5 +2537,13 @@ def _extend_slot_body(model, params, caches, tokens, true_len, slot,
             jnp.where(owner, out_logits, jnp.zeros_like(out_logits)), data_axis
         )
     if return_hidden:
-        return out_logits, hidden.astype(jnp.float32), new_caches
+        hidden = hidden.astype(jnp.float32)
+        if data_axis is not None:
+            # Same owner-masked psum: non-owner replicas prefilled a junk
+            # local slot — replicate the owner's hidden chunk (the EAGLE
+            # feature stream) exactly like the logits above.
+            hidden = jax.lax.psum(
+                jnp.where(owner, hidden, jnp.zeros_like(hidden)), data_axis
+            )
+        return out_logits, hidden, new_caches
     return out_logits, new_caches

@@ -631,6 +631,46 @@ def test_speculative_dp_tp_engine_matches_single_device(fp_setup):
 
 
 @needs_8dev
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2)])
+def test_eagle_mesh_engine_matches_single_device(fp_setup, dp, tp):
+    """EAGLE feature-space drafting on dp x tp meshes: the one-layer draft
+    stays replicated (its cache + feature anchors live outside the mesh);
+    the base prefill returns owner-psum'd hidden chunks and the
+    score-and-accept returns batch-sharded frontier features — outputs
+    exactly equal the plain single-device greedy engine."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.models import init_eagle
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=48, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    plain = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
+    draft, dparams = init_eagle(
+        single_model, jax.random.PRNGKey(7), dtype=jnp.float32,
+        base_params=params,
+    )
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp), jax.devices()[: dp * tp])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(
+            model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh,
+            eagle_draft=draft, eagle_params=dparams, gamma=3,
+        )
+        rids = [eng.add_request(p, 8) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+
+
+@needs_8dev
 def test_ring_dp_tp_engine_matches_single_device(fp_setup):
     """Ring-layout (StreamingLLM window + sinks) serving under a dp=2 x
     tp=2 mesh: ring caches shard batch-over-data / heads-over-model like the
