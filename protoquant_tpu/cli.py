@@ -174,6 +174,64 @@ def cmd_medusa_train(args):
                       "out": args.out}))
 
 
+def cmd_eagle_train(args):
+    """Self-distill an EAGLE feature-space draft (models/eagle.py) on the
+    checkpoint's own greedy streams: the frozen base provides hidden
+    features; the one-layer draft learns the combined CE + feature-
+    regression loss. The corpus should be base-generated text — acceptance
+    measures draft/base agreement (tests/test_eagle.py)."""
+    import jax
+
+    from .models import greedy_generate
+    from .models.eagle import init_eagle, train_eagle
+    from .utils.checkpoint import save_checkpoint
+
+    model, params = _restore_model(args.ckpt)
+    draft, dp = init_eagle(
+        model, jax.random.PRNGKey(args.seed), dtype=jnp.float32,
+        base_params=params,
+    )
+    if args.corpus:
+        corpus = jnp.asarray(np.load(args.corpus)["tokens"], jnp.int32)
+    else:
+        if not args.prompt_tokens:
+            raise SystemExit("eagle-train needs --corpus or --prompt-tokens")
+        prompts = jnp.asarray(
+            [[int(t) for t in args.prompt_tokens.split(",")]], jnp.int32
+        )
+        out = greedy_generate(
+            model, params, prompts, args.distill_len,
+            prompts.shape[1] + args.distill_len + 8,
+        )
+        corpus = jnp.concatenate([prompts, jnp.asarray(out, jnp.int32)], 1)
+    dp, losses = train_eagle(
+        model, params, draft, dp, [corpus] * args.steps, lr=args.lr
+    )
+    save_checkpoint(args.out, dp, json.dumps({"kind": "eagle"}))
+    print(json.dumps({"loss_first": losses[0], "loss_last": losses[-1],
+                      "out": args.out}))
+
+
+def _load_eagle(args, model):
+    """--eagle checkpoint dir -> (EagleDraft, draft_params) or (None, None).
+    Trained fp layout on disk; serving quantizes on load (--eagle-mode)."""
+    if not getattr(args, "eagle", None):
+        return None, None
+    import jax
+
+    from .models.eagle import init_eagle, quantize_eagle
+    from .utils.checkpoint import restore_checkpoint
+
+    draft, example = init_eagle(
+        model, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    dp = restore_checkpoint(args.eagle, example)
+    mode = getattr(args, "eagle_mode", "dynamic")
+    if mode != "fp":
+        draft, dp = quantize_eagle(draft, dp, mode)
+    return draft, dp
+
+
 def _load_medusa(args, model):
     """--medusa checkpoint dir -> (heads_module, head_params) or (None, None).
 
@@ -248,6 +306,7 @@ def _load_engine(args, **ecfg_extra):
         **ecfg_extra,
     )
     heads, hparams = _load_medusa(args, model)
+    eagle_draft, eagle_params = _load_eagle(args, model)
     draft_model = draft_params = None
     if getattr(args, "draft_ckpt", None):
         # Draft-model speculation: a second (smaller) quantized checkpoint
@@ -258,6 +317,7 @@ def _load_engine(args, **ecfg_extra):
     return Engine(
         model, params, ecfg, kv_dtype=_kv_dtype(args),
         medusa_heads=heads, medusa_params=hparams,
+        eagle_draft=eagle_draft, eagle_params=eagle_params,
         draft_model=draft_model, draft_params=draft_params,
         prompt_lookup=prompt_lookup,
         gamma=(heads.depth if heads is not None
@@ -363,7 +423,29 @@ def main(argv=None):
     g.add_argument("--medusa-mode", default="dynamic",
                    choices=["fp", "dynamic", "weight_only"],
                    help="drafting-head serving quantization")
+    g.add_argument("--eagle", default=None,
+                   help="EAGLE draft checkpoint dir (eagle-train output)")
+    g.add_argument("--eagle-mode", default="dynamic",
+                   choices=["fp", "dynamic", "weight_only"],
+                   help="EAGLE draft serving quantization")
     g.set_defaults(fn=cmd_generate)
+
+    et = sub.add_parser(
+        "eagle-train",
+        help="self-distill an EAGLE feature-space draft for speculation",
+    )
+    et.add_argument("--ckpt", required=True)
+    et.add_argument("--out", required=True, help="draft checkpoint dir")
+    et.add_argument("--steps", type=int, default=200)
+    et.add_argument("--lr", type=float, default=1e-3)
+    et.add_argument("--seed", type=int, default=0)
+    et.add_argument("--corpus", default=None,
+                    help=".npz with a [N, T] int32 'tokens' array")
+    et.add_argument("--prompt-tokens", default=None,
+                    help="comma-separated seed ids for self-distillation")
+    et.add_argument("--distill-len", type=int, default=128,
+                    help="greedy continuation length per self-distill prompt")
+    et.set_defaults(fn=cmd_eagle_train)
 
     mt = sub.add_parser(
         "medusa-train",
@@ -420,6 +502,11 @@ def main(argv=None):
     sv.add_argument("--medusa-mode", default="dynamic",
                     choices=["fp", "dynamic", "weight_only"],
                     help="drafting-head serving quantization")
+    sv.add_argument("--eagle", default=None,
+                    help="EAGLE draft checkpoint dir (eagle-train output)")
+    sv.add_argument("--eagle-mode", default="dynamic",
+                    choices=["fp", "dynamic", "weight_only"],
+                    help="EAGLE draft serving quantization")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

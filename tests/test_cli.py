@@ -168,6 +168,36 @@ def test_cli_medusa_train_then_generate(weights_and_config, capsys):
 
 
 @pytest.mark.slow
+def test_cli_eagle_train_then_generate(weights_and_config, capsys):
+    """eagle-train self-distills the feature draft from the checkpoint's
+    own greedy stream, and generate --eagle serves through the EAGLE tick
+    producing the exact greedy stream."""
+    tmp, wpath, cpath = weights_and_config
+    ckpt = str(tmp / "ckpt_eagle_base")
+    main(["convert", "--weights", wpath, "--config", cpath, "--mode",
+          "dynamic", "--out", ckpt])
+    capsys.readouterr()
+
+    main(["generate", "--ckpt", ckpt, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "12", "--max-seq", "64"])
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    draft = str(tmp / "eagle_draft")
+    main(["eagle-train", "--ckpt", ckpt, "--out", draft,
+          "--steps", "25", "--lr", "3e-3", "--prompt-tokens", "5,9,2,7",
+          "--distill-len", "40"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["loss_last"] < rec["loss_first"]
+
+    main(["generate", "--ckpt", ckpt, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "12", "--max-seq", "64", "--eagle", draft,
+          "--gamma", "3"])
+    spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert spec["tokens"] == plain["tokens"], (spec["tokens"], plain["tokens"])
+    assert spec["metrics"]["spec_acceptance_rate"] >= 0.0
+
+
+@pytest.mark.slow
 def test_cli_gpt_neox_convert_then_generate(tmp_path, capsys):
     """convert auto-detects the gpt_neox.* namespace (fused interleaved
     query_key_value, biased LayerNorms/MLP) and the restored engine decodes."""
