@@ -486,8 +486,14 @@ class Engine:
             self.token_counts = jnp.zeros((B, model.cfg.vocab_size), jnp.int32)
         else:
             self.token_counts = None
-        if self.cfg.return_logprobs and spec_mode:
-            raise ValueError("return_logprobs is unsupported in speculative modes")
+        if self.cfg.return_logprobs and tree_mode:
+            raise ValueError(
+                "return_logprobs is unsupported in TREE-speculative modes "
+                "(lookup_branches>1 / medusa heads — per-branch logprob "
+                "bookkeeping is unimplemented); linear speculation "
+                "(draft_model / eagle / prompt_lookup) reports target "
+                "logprobs for every committed token"
+            )
         if getattr(model, "lora_stack", 0) > 0:
             if spec_mode:
                 raise ValueError(
@@ -935,6 +941,7 @@ class Engine:
                     req.slot, first_tok
                 ].add(1)
             req.out.append(first_tok)
+            self.stats["tokens_generated"] += 1
             if req.on_token is not None:
                 req.on_token(req.rid, first_tok)
             self.last_tokens = self.last_tokens.at[req.slot].set(first_tok)
@@ -1253,10 +1260,15 @@ class Engine:
             self._tp_fns["spec_score"] if self._tp_fns is not None
             else partial(_spec_score_and_accept, self.model)
         )
-        corrections, accepted, self.caches = score(
+        wl = self.cfg.return_logprobs
+        out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            draft_logits, wbias,
+            draft_logits, wbias, want_logprobs=wl,
         )
+        if wl:
+            corrections, accepted, lp, self.caches = out
+        else:
+            (corrections, accepted, self.caches), lp = out, None
         # Draft caches rewind to the committed frontier (pools beyond are
         # masked by length and overwritten by the next window). Each layer
         # gets its OWN copy: sharing the target's lengths buffer would let a
@@ -1267,7 +1279,8 @@ class Engine:
             for c in self.draft_caches
         ]
 
-        self._commit_spec_results(window, corrections, accepted, t0)
+        self._commit_spec_results(window, corrections, accepted, t0,
+                                  logprobs=lp)
 
     def _eagle_tick(self, t0: float):
         """EAGLE speculative tick: the one-layer feature draft proposes
@@ -1310,16 +1323,22 @@ class Engine:
             self._tp_fns["spec_score_hidden"] if self._tp_fns is not None
             else partial(_spec_score_and_accept_hidden, self.model)
         )
-        corrections, accepted, h_next, self.caches = score(
+        wl = self.cfg.return_logprobs
+        out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            draft_logits, wbias,
+            draft_logits, wbias, want_logprobs=wl,
         )
+        if wl:
+            corrections, accepted, h_next, lp, self.caches = out
+        else:
+            (corrections, accepted, h_next, self.caches), lp = out, None
         self._eagle_feats = h_next
         committed = self.caches[0].lengths
         self.eagle_caches = dataclasses.replace(
             self.eagle_caches, lengths=committed + 0
         )
-        self._commit_spec_results(window, corrections, accepted, t0)
+        self._commit_spec_results(window, corrections, accepted, t0,
+                                  logprobs=lp)
 
     def _tree_lookup_tick(self, t0: float):
         """Tree-speculation tick (lookup_branches > 1): each active slot
@@ -1478,20 +1497,30 @@ class Engine:
             for s in range(B)
         })
         # draft_logits=None: point-mass proposals (q~ = one-hot).
-        corrections, accepted, self.caches = score(
+        wl = self.cfg.return_logprobs
+        out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            None, bias,
+            None, bias, want_logprobs=wl,
         )
-        self._commit_spec_results(window, corrections, accepted, t0)
+        if wl:
+            corrections, accepted, lp, self.caches = out
+        else:
+            (corrections, accepted, self.caches), lp = out, None
+        self._commit_spec_results(window, corrections, accepted, t0,
+                                  logprobs=lp)
 
-    def _commit_spec_results(self, window, corrections, accepted, t0: float):
+    def _commit_spec_results(self, window, corrections, accepted, t0: float,
+                             logprobs=None):
         """Shared tail of both speculative tick flavors: emit each active
         slot's accepted prefix + 1 correction token (the rejection draw /
         bonus sample; target argmax on greedy rows), advance bookkeeping,
-        and adapt gamma from this tick's acceptance when enabled."""
+        and adapt gamma from this tick's acceptance when enabled.
+        ``logprobs``: optional (lp_prop [B, g], lp_corr [B, T]) target
+        logprobs from the scoring forward (cfg.return_logprobs)."""
         window_h = jax.device_get(window)
         corr_h = jax.device_get(corrections)
         accepted_h = jax.device_get(accepted)
+        lp_h = jax.device_get(logprobs) if logprobs is not None else None
         import numpy as _np
 
         g = self._gamma_cur
@@ -1504,12 +1533,18 @@ class Engine:
             a = int(accepted_h[slot])
             emitted = [int(t) for t in window_h[slot, 1 : 1 + a]]
             emitted.append(int(corr_h[slot, a]))
+            lps = None
+            if lp_h is not None:
+                lps = [float(lp_h[0][slot, t]) for t in range(a)]
+                lps.append(float(lp_h[1][slot, a]))
             self.stats["spec_proposed"] += g
             self.stats["spec_accepted"] += a
             tick_prop += g
             tick_acc += a
-            for tok in emitted:
+            for i, tok in enumerate(emitted):
                 req.out.append(tok)
+                if lps is not None:
+                    req.logprobs.append(lps[i])
                 if req.on_token is not None:
                     req.on_token(req.rid, tok)
                 self.stats["tokens_generated"] += 1
@@ -2037,7 +2072,7 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
 
 def _spec_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, draft_logits=None, bias=None,
-                                return_hidden=False):
+                                return_hidden=False, want_logprobs=False):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
     models/speculative.py), accepts a per-slot prefix, and commits
@@ -2144,6 +2179,7 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
     # cache.advance = length bump + (int4 tier) flush of chunks the commit
     # completes — the scoring forward wrote the window with advance=0.
     caches = [c.advance(adv) for c in caches]
+    out = [corrections, accepted]
     if return_hidden:
         # hidden[a] is the state that predicted the token emitted after
         # ``a`` accepted proposals (the correction/bonus) — the anchor the
@@ -2151,24 +2187,45 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
         h_next = jnp.take_along_axis(
             hidden, accepted[:, None, None], axis=1
         )[:, 0].astype(jnp.float32)
-        return corrections, accepted, h_next, caches
-    return corrections, accepted, caches
+        out.append(h_next)
+    if want_logprobs:
+        # Target logprobs for every token this tick COULD commit, under the
+        # serving-API convention (pre-truncation, post-bias — the same
+        # ``token_logprob`` contract the plain decode tick reports):
+        # lp_prop[s, t] = logp of proposal t at its position, lp_corr[s, t]
+        # = logp of the correction emitted after t accepted proposals. The
+        # host gathers the committed subset.
+        logz = jax.nn.logsumexp(logits, axis=-1)  # [B, T]
+        lp_prop = jnp.take_along_axis(
+            logits[:, :g], proposals[..., None], -1
+        )[..., 0] - logz[:, :g]
+        lp_corr = jnp.take_along_axis(
+            logits, corrections[..., None], -1
+        )[..., 0] - logz
+        out.append((lp_prop, lp_corr))
+    out.append(caches)
+    return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("model", "want_logprobs"),
+         donate_argnums=(2,))
 def _spec_score_and_accept(model, params, caches, window, active, key, samp,
-                           draft_logits=None, bias=None):
+                           draft_logits=None, bias=None,
+                           want_logprobs=False):
     return _spec_score_and_accept_body(
-        model, params, caches, window, active, key, samp, draft_logits, bias
+        model, params, caches, window, active, key, samp, draft_logits,
+        bias, want_logprobs=want_logprobs,
     )
 
 
-@partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("model", "want_logprobs"),
+         donate_argnums=(2,))
 def _spec_score_and_accept_hidden(model, params, caches, window, active,
-                                  key, samp, draft_logits=None, bias=None):
+                                  key, samp, draft_logits=None, bias=None,
+                                  want_logprobs=False):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
-        bias, return_hidden=True,
+        bias, return_hidden=True, want_logprobs=want_logprobs,
     )
 
 
@@ -2317,21 +2374,25 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         return state[ekey](params, caches, tokens, true_len, slot)
 
     def spec_score_hidden(params, caches, window, active, key, samp,
-                          draft_logits, bias=None):
+                          draft_logits, bias=None, want_logprobs=False):
         """spec_score that also returns the hidden state at each slot's
         committed frontier (batch-sharded [B, D] — the EAGLE draft's
         next-tick true-feature anchors)."""
         pspecs, cspecs = _specs(params, caches)
-        skey = ("spec_score_hidden", window.shape[1], bias is None)
+        skey = ("spec_score_hidden", window.shape[1], bias is None,
+                want_logprobs)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
+            outs = [batch_spec, batch_spec, batch_spec]
+            if want_logprobs:
+                outs.append((batch_spec, batch_spec))
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
                           samp_spec, batch_spec, batch_spec),
-                out_specs=((batch_spec, batch_spec, batch_spec), cspecs),
+                out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
@@ -2341,40 +2402,42 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                         key, jax.lax.axis_index(data_axis))
                 else:
                     key_r = key
-                corr, accepted, h_next, caches = (
-                    _spec_score_and_accept_body(
-                        model, params, caches, window, active, key_r, samp,
-                        dlogits, bias, return_hidden=True,
-                    )
+                *res, caches = _spec_score_and_accept_body(
+                    model, params, caches, window, active, key_r, samp,
+                    dlogits, bias, return_hidden=True,
+                    want_logprobs=want_logprobs,
                 )
-                return (corr, accepted, h_next), caches
+                return tuple(res), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
-        (corr, accepted, h_next), caches = state[skey](
+        res, caches = state[skey](
             params, caches, window, active, key, samp, draft_logits, bias
         )
-        return corr, accepted, h_next, caches
+        return (*res, caches)
 
     def spec_score(params, caches, window, active, key, samp, draft_logits,
-                   bias=None):
+                   bias=None, want_logprobs=False):
         """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
         ticks on a TP-only mesh (dp>1 guarded at Engine init)."""
         pspecs, cspecs = _specs(params, caches)
         # Window width (gamma) can change under adaptive gamma; cache one
         # wrapped program per width.
         skey = ("spec_score", window.shape[1], draft_logits is None,
-                bias is None)
+                bias is None, want_logprobs)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             dl_spec = batch_spec  # [B, g, V]; None pytree if prompt-lookup
             bias_spec = batch_spec  # [B, T, V] guided bias; None when off
+            outs = [batch_spec, batch_spec]
+            if want_logprobs:
+                outs.append((batch_spec, batch_spec))
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
                           samp_spec, dl_spec, bias_spec),
-                out_specs=((batch_spec, batch_spec), cspecs),
+                out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
@@ -2386,17 +2449,17 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                         key, jax.lax.axis_index(data_axis))
                 else:
                     key_r = key
-                corr, accepted, caches = _spec_score_and_accept_body(
+                *res, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
-                    dlogits, bias
+                    dlogits, bias, want_logprobs=want_logprobs,
                 )
-                return (corr, accepted), caches
+                return tuple(res), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
-        (corr, accepted), caches = state[skey](
+        res, caches = state[skey](
             params, caches, window, active, key, samp, draft_logits, bias
         )
-        return corr, accepted, caches
+        return (*res, caches)
 
     def tree_score(params, caches, window, active, key, samp, branches,
                    depth, bias=None):

@@ -739,13 +739,39 @@ def test_engine_sampling_guards(model_and_params):
                          repetition_penalty=1.5),
             kv_dtype=jnp.float32, prompt_lookup=2,
         )
-    with pytest.raises(ValueError, match="logprobs"):
+    with pytest.raises(ValueError, match="TREE-speculative"):
         Engine(
             model, params,
             EngineConfig(max_batch_size=2, max_seq_len=64,
                          return_logprobs=True),
-            kv_dtype=jnp.float32, draft_model=model, draft_params=params,
+            kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=3,
         )
+
+
+def test_engine_logprobs_linear_speculation_matches_plain(model_and_params):
+    """Linear speculation (self-draft) + return_logprobs: the greedy stream
+    AND the per-token target logprobs are exactly the plain engine's (the
+    scoring forward reports pre-truncation logprobs for committed
+    proposals and corrections alike)."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0,
+                        return_logprobs=True)
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    prid = plain.add_request(prompt, 6)
+    plain.run()
+    pref = next(r for r in plain.finished if r.rid == prid)
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 draft_model=model, draft_params=params, gamma=3)
+    rid = eng.add_request(prompt, 6)
+    eng.run()
+    req = next(r for r in eng.finished if r.rid == rid)
+    assert req.out == pref.out
+    assert len(req.logprobs) == len(req.out)
+    np.testing.assert_allclose(req.logprobs, pref.logprobs,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_engine_per_request_sampling(model_and_params):
