@@ -476,11 +476,13 @@ class Engine:
             or self.cfg.frequency_penalty != 0.0
         )
         if penalties_on:
-            if spec_mode:
+            if tree_mode:
                 raise ValueError(
                     "repetition_penalty / presence / frequency penalties are "
-                    "unsupported in speculative modes (the score-and-accept "
-                    "program rescores whole windows)"
+                    "unsupported in TREE-speculative modes "
+                    "(lookup_branches>1 / medusa heads — per-branch prefix "
+                    "counts are unimplemented); linear speculation applies "
+                    "them with prefix-adjusted window counts"
                 )
             # On-device occurrence counts over prompt + generated tokens.
             self.token_counts = jnp.zeros((B, model.cfg.vocab_size), jnp.int32)
@@ -1264,6 +1266,7 @@ class Engine:
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
+            counts=self.token_counts, penalty=self.cfg.repetition_penalty,
         )
         if wl:
             corrections, accepted, lp, self.caches = out
@@ -1327,6 +1330,7 @@ class Engine:
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
+            counts=self.token_counts, penalty=self.cfg.repetition_penalty,
         )
         if wl:
             corrections, accepted, h_next, lp, self.caches = out
@@ -1501,6 +1505,7 @@ class Engine:
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             None, bias, want_logprobs=wl,
+            counts=self.token_counts, penalty=self.cfg.repetition_penalty,
         )
         if wl:
             corrections, accepted, lp, self.caches = out
@@ -1545,6 +1550,13 @@ class Engine:
                 req.out.append(tok)
                 if lps is not None:
                     req.logprobs.append(lps[i])
+                if self.token_counts is not None:
+                    # Penalties in linear spec mode: fold committed tokens
+                    # into the occurrence counts (the scoring program applies
+                    # prefix-adjusted counts inside the window).
+                    self.token_counts = self.token_counts.at[
+                        slot, tok
+                    ].add(1)
                 if req.on_token is not None:
                     req.on_token(req.rid, tok)
                 self.stats["tokens_generated"] += 1
@@ -2072,7 +2084,8 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
 
 def _spec_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, draft_logits=None, bias=None,
-                                return_hidden=False, want_logprobs=False):
+                                return_hidden=False, want_logprobs=False,
+                                counts=None, penalty=1.0):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
     models/speculative.py), accepts a per-slot prefix, and commits
@@ -2128,8 +2141,38 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
         # then argmax the masked logits and sampling rows reject/residual
         # against the masked p~, exactly as plain masked decode would.
         logits = logits + bias
-    greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
     V = logits.shape[-1]
+    # Pre-penalty logits: the serving-API logprob convention reports the
+    # model's own distribution, before repetition/presence/frequency
+    # adjustments (matching the plain decode tick's token_logprob call).
+    logits_lp = logits
+    if counts is not None:
+        # Repetition / presence / frequency penalties with PREFIX-adjusted
+        # counts: window position t sees ``counts`` plus one for each of
+        # window[1..t] — the tokens this tick commits before it — so every
+        # position's penalized logits equal what plain decode would have
+        # computed after committing that prefix (exactness under penalties).
+        from .sampling import (
+            apply_presence_frequency,
+            apply_repetition_penalty,
+        )
+
+        B_, T_ = window.shape
+        inc = jax.nn.one_hot(window[:, 1:], V, dtype=counts.dtype)
+        cum = jnp.cumsum(inc, axis=1)  # [B, g, V]
+        wcounts = jnp.concatenate(
+            [counts[:, None], counts[:, None] + cum], axis=1
+        )  # [B, T, V]
+        flat = logits.reshape(B_ * T_, V)
+        wc = wcounts.reshape(B_ * T_, V)
+        flat = apply_repetition_penalty(flat, wc, penalty)
+        flat = apply_presence_frequency(
+            flat, wc,
+            jnp.repeat(samp["pres_pens"], T_, axis=0),
+            jnp.repeat(samp["freq_pens"], T_, axis=0),
+        )
+        logits = flat.reshape(B_, T_, V)
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
     proposals = window[:, 1:]  # [B, g]
 
     # Filtered target distribution p~ at every window position (each row's
@@ -2195,37 +2238,39 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
         # lp_prop[s, t] = logp of proposal t at its position, lp_corr[s, t]
         # = logp of the correction emitted after t accepted proposals. The
         # host gathers the committed subset.
-        logz = jax.nn.logsumexp(logits, axis=-1)  # [B, T]
+        logz = jax.nn.logsumexp(logits_lp, axis=-1)  # [B, T]
         lp_prop = jnp.take_along_axis(
-            logits[:, :g], proposals[..., None], -1
+            logits_lp[:, :g], proposals[..., None], -1
         )[..., 0] - logz[:, :g]
         lp_corr = jnp.take_along_axis(
-            logits, corrections[..., None], -1
+            logits_lp, corrections[..., None], -1
         )[..., 0] - logz
         out.append((lp_prop, lp_corr))
     out.append(caches)
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("model", "want_logprobs"),
+@partial(jax.jit, static_argnames=("model", "want_logprobs", "penalty"),
          donate_argnums=(2,))
 def _spec_score_and_accept(model, params, caches, window, active, key, samp,
                            draft_logits=None, bias=None,
-                           want_logprobs=False):
+                           want_logprobs=False, counts=None, penalty=1.0):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
-        bias, want_logprobs=want_logprobs,
+        bias, want_logprobs=want_logprobs, counts=counts, penalty=penalty,
     )
 
 
-@partial(jax.jit, static_argnames=("model", "want_logprobs"),
+@partial(jax.jit, static_argnames=("model", "want_logprobs", "penalty"),
          donate_argnums=(2,))
 def _spec_score_and_accept_hidden(model, params, caches, window, active,
                                   key, samp, draft_logits=None, bias=None,
-                                  want_logprobs=False):
+                                  want_logprobs=False, counts=None,
+                                  penalty=1.0):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
         bias, return_hidden=True, want_logprobs=want_logprobs,
+        counts=counts, penalty=penalty,
     )
 
 
@@ -2374,15 +2419,19 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         return state[ekey](params, caches, tokens, true_len, slot)
 
     def spec_score_hidden(params, caches, window, active, key, samp,
-                          draft_logits, bias=None, want_logprobs=False):
+                          draft_logits, bias=None, want_logprobs=False,
+                          counts=None, penalty=1.0):
         """spec_score that also returns the hidden state at each slot's
         committed frontier (batch-sharded [B, D] — the EAGLE draft's
         next-tick true-feature anchors)."""
         pspecs, cspecs = _specs(params, caches)
         skey = ("spec_score_hidden", window.shape[1], bias is None,
-                want_logprobs)
+                want_logprobs, counts is None, penalty)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
+            counts_spec = (
+                batch_spec if counts is None else P(*batch_spec, None)
+            )
             outs = [batch_spec, batch_spec, batch_spec]
             if want_logprobs:
                 outs.append((batch_spec, batch_spec))
@@ -2391,12 +2440,12 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, batch_spec, batch_spec),
+                          samp_spec, batch_spec, batch_spec, counts_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
-                       bias):
+                       bias, counts):
                 if data_axis is not None:
                     key_r = jax.random.fold_in(
                         key, jax.lax.axis_index(data_axis))
@@ -2405,29 +2454,35 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 *res, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, return_hidden=True,
-                    want_logprobs=want_logprobs,
+                    want_logprobs=want_logprobs, counts=counts,
+                    penalty=penalty,
                 )
                 return tuple(res), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
         res, caches = state[skey](
-            params, caches, window, active, key, samp, draft_logits, bias
+            params, caches, window, active, key, samp, draft_logits, bias,
+            counts,
         )
         return (*res, caches)
 
     def spec_score(params, caches, window, active, key, samp, draft_logits,
-                   bias=None, want_logprobs=False):
+                   bias=None, want_logprobs=False, counts=None,
+                   penalty=1.0):
         """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
         ticks on a TP-only mesh (dp>1 guarded at Engine init)."""
         pspecs, cspecs = _specs(params, caches)
         # Window width (gamma) can change under adaptive gamma; cache one
         # wrapped program per width.
         skey = ("spec_score", window.shape[1], draft_logits is None,
-                bias is None, want_logprobs)
+                bias is None, want_logprobs, counts is None, penalty)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             dl_spec = batch_spec  # [B, g, V]; None pytree if prompt-lookup
             bias_spec = batch_spec  # [B, T, V] guided bias; None when off
+            counts_spec = (
+                batch_spec if counts is None else P(*batch_spec, None)
+            )
             outs = [batch_spec, batch_spec]
             if want_logprobs:
                 outs.append((batch_spec, batch_spec))
@@ -2436,12 +2491,12 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, dl_spec, bias_spec),
+                          samp_spec, dl_spec, bias_spec, counts_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
-                       bias):
+                       bias, counts):
                 if data_axis is not None:
                     # Decorrelate rejection/residual draws across the
                     # batch-sharded replicas (same key, different slots).
@@ -2452,12 +2507,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 *res, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, want_logprobs=want_logprobs,
+                    counts=counts, penalty=penalty,
                 )
                 return tuple(res), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
         res, caches = state[skey](
-            params, caches, window, active, key, samp, draft_logits, bias
+            params, caches, window, active, key, samp, draft_logits, bias,
+            counts,
         )
         return (*res, caches)
 

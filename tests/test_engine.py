@@ -737,7 +737,7 @@ def test_engine_sampling_guards(model_and_params):
             model, params,
             EngineConfig(max_batch_size=2, max_seq_len=64,
                          repetition_penalty=1.5),
-            kv_dtype=jnp.float32, prompt_lookup=2,
+            kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=3,
         )
     with pytest.raises(ValueError, match="TREE-speculative"):
         Engine(
@@ -746,6 +746,40 @@ def test_engine_sampling_guards(model_and_params):
                          return_logprobs=True),
             kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=3,
         )
+
+
+def test_engine_penalties_linear_speculation_matches_plain(model_and_params):
+    """Repetition + presence/frequency penalties compose with linear
+    speculation: the scoring program penalizes each window position with
+    prefix-adjusted counts, so the greedy stream exactly equals plain
+    penalized decoding (and differs from the unpenalized stream)."""
+    model, params = model_and_params
+    prompts = [[3, 17, 5, 9], [1, 2, 3]]
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=10, temperature=0.0,
+                        repetition_penalty=1.4, presence_penalty=0.4,
+                        frequency_penalty=0.2)
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    prids = [plain.add_request(p, 10) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 draft_model=model, draft_params=params, gamma=3)
+    rids = [eng.add_request(p, 10) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+
+    # Control: penalties actually changed the stream.
+    free = Engine(
+        model, params,
+        EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                     max_new_tokens=10, temperature=0.0),
+        kv_dtype=jnp.float32,
+    )
+    frids = [free.add_request(p, 10) for p in prompts]
+    fouts = free.run()
+    assert any(fouts[fa] != pouts[pa] for fa, pa in zip(frids, prids))
 
 
 def test_engine_logprobs_linear_speculation_matches_plain(model_and_params):
