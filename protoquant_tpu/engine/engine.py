@@ -497,9 +497,11 @@ class Engine:
                 "logprobs for every committed token"
             )
         if getattr(model, "lora_stack", 0) > 0:
-            if spec_mode:
+            if tree_mode:
                 raise ValueError(
-                    "multi-LoRA is unsupported in speculative modes"
+                    "multi-LoRA is unsupported in TREE-speculative modes "
+                    "(lookup_branches>1 / medusa heads); linear speculation "
+                    "scores windows with per-slot adapters"
                 )
             # Per-slot adapter selection, threaded through every step.
             self.adapter_ids = jnp.zeros((B,), jnp.int32)
@@ -837,6 +839,7 @@ class Engine:
                 self.params, self.caches, tokens,
                 jnp.asarray(len(piece), jnp.int32),
                 jnp.asarray(slot, jnp.int32),
+                aid,
             )
             prev = self._eagle_prev[slot]  # last hidden of the PREV chunk
             f_in = jnp.concatenate(
@@ -1267,6 +1270,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
             counts=self.token_counts, penalty=self.cfg.repetition_penalty,
+            adapter_ids=self.adapter_ids,
         )
         if wl:
             corrections, accepted, lp, self.caches = out
@@ -1331,6 +1335,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
             counts=self.token_counts, penalty=self.cfg.repetition_penalty,
+            adapter_ids=self.adapter_ids,
         )
         if wl:
             corrections, accepted, h_next, lp, self.caches = out
@@ -1506,6 +1511,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             None, bias, want_logprobs=wl,
             counts=self.token_counts, penalty=self.cfg.repetition_penalty,
+            adapter_ids=self.adapter_ids,
         )
         if wl:
             corrections, accepted, lp, self.caches = out
@@ -1660,11 +1666,12 @@ def _extend_slot(model: LlamaModel, params, caches, tokens, true_len, slot,
 
 @partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
 def _extend_slot_hidden(model: LlamaModel, params, caches, tokens, true_len,
-                        slot):
+                        slot, adapter_ids=None):
     """_extend_slot that also returns the chunk's final-norm hidden states
     [1, Tpad, D] (EAGLE prefill: the feature draft tracks the prompt)."""
     return _extend_slot_body(
         model, params, caches, tokens, true_len, slot, return_hidden=True,
+        adapter_ids=adapter_ids,
     )
 
 
@@ -2085,7 +2092,8 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
 def _spec_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, draft_logits=None, bias=None,
                                 return_hidden=False, want_logprobs=False,
-                                counts=None, penalty=1.0):
+                                counts=None, penalty=1.0,
+                                adapter_ids=None):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
     models/speculative.py), accepts a per-slot prefix, and commits
@@ -2129,11 +2137,12 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
         logits, caches, hidden = model.apply(
             params, window, positions, caches,
             advance=jnp.zeros((B,), jnp.int32), return_hidden=True,
+            adapter_ids=adapter_ids,
         )
     else:
         logits, caches = model.apply(
             params, window, positions, caches,
-            advance=jnp.zeros((B,), jnp.int32),
+            advance=jnp.zeros((B,), jnp.int32), adapter_ids=adapter_ids,
         )
     if bias is not None:
         # Guided decoding [B, T, V]: per-position mask/bias rows evaluated
@@ -2254,10 +2263,12 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
          donate_argnums=(2,))
 def _spec_score_and_accept(model, params, caches, window, active, key, samp,
                            draft_logits=None, bias=None,
-                           want_logprobs=False, counts=None, penalty=1.0):
+                           want_logprobs=False, counts=None, penalty=1.0,
+                           adapter_ids=None):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
         bias, want_logprobs=want_logprobs, counts=counts, penalty=penalty,
+        adapter_ids=adapter_ids,
     )
 
 
@@ -2266,11 +2277,11 @@ def _spec_score_and_accept(model, params, caches, window, active, key, samp,
 def _spec_score_and_accept_hidden(model, params, caches, window, active,
                                   key, samp, draft_logits=None, bias=None,
                                   want_logprobs=False, counts=None,
-                                  penalty=1.0):
+                                  penalty=1.0, adapter_ids=None):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
         bias, return_hidden=True, want_logprobs=want_logprobs,
-        counts=counts, penalty=penalty,
+        counts=counts, penalty=penalty, adapter_ids=adapter_ids,
     )
 
 
@@ -2393,40 +2404,42 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return next_tokens, logprobs, counts, caches
 
-    def extend_hidden(params, caches, tokens, true_len, slot):
+    def extend_hidden(params, caches, tokens, true_len, slot, aid=None):
         """extend that also returns the chunk's final-norm hidden states
         (replicated out — pure-TP activations are already identical per
         device; under dp>1 the body psum-replicates the owner's chunk).
         Feeds the EAGLE feature draft's prefill."""
         pspecs, cspecs = _specs(params, caches)
-        ekey = "extend_hidden"
+        ekey = ("extend_hidden", aid is None)
         if ekey not in state:
 
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, P(), P(), P()),
+                in_specs=(pspecs, cspecs, P(), P(), P(), P()),
                 out_specs=(P(), P(), cspecs),
                 check_vma=False,
             )
-            def _extend(params, caches, tokens, true_len, slot):
+            def _extend(params, caches, tokens, true_len, slot, aid):
                 return _extend_slot_body(
                     model, params, caches, tokens, true_len, slot,
                     data_axis=data_axis, return_hidden=True,
+                    adapter_ids=aid,
                 )
 
             state[ekey] = jax.jit(_extend, donate_argnums=(1,))
-        return state[ekey](params, caches, tokens, true_len, slot)
+        return state[ekey](params, caches, tokens, true_len, slot, aid)
 
     def spec_score_hidden(params, caches, window, active, key, samp,
                           draft_logits, bias=None, want_logprobs=False,
-                          counts=None, penalty=1.0):
+                          counts=None, penalty=1.0, adapter_ids=None):
         """spec_score that also returns the hidden state at each slot's
         committed frontier (batch-sharded [B, D] — the EAGLE draft's
         next-tick true-feature anchors)."""
         pspecs, cspecs = _specs(params, caches)
         skey = ("spec_score_hidden", window.shape[1], bias is None,
-                want_logprobs, counts is None, penalty)
+                want_logprobs, counts is None, penalty,
+                adapter_ids is None)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             counts_spec = (
@@ -2440,12 +2453,13 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, batch_spec, batch_spec, counts_spec),
+                          samp_spec, batch_spec, batch_spec, counts_spec,
+                          batch_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
-                       bias, counts):
+                       bias, counts, aid):
                 if data_axis is not None:
                     key_r = jax.random.fold_in(
                         key, jax.lax.axis_index(data_axis))
@@ -2455,27 +2469,28 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, return_hidden=True,
                     want_logprobs=want_logprobs, counts=counts,
-                    penalty=penalty,
+                    penalty=penalty, adapter_ids=aid,
                 )
                 return tuple(res), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
         res, caches = state[skey](
             params, caches, window, active, key, samp, draft_logits, bias,
-            counts,
+            counts, adapter_ids,
         )
         return (*res, caches)
 
     def spec_score(params, caches, window, active, key, samp, draft_logits,
                    bias=None, want_logprobs=False, counts=None,
-                   penalty=1.0):
+                   penalty=1.0, adapter_ids=None):
         """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
         ticks on a TP-only mesh (dp>1 guarded at Engine init)."""
         pspecs, cspecs = _specs(params, caches)
         # Window width (gamma) can change under adaptive gamma; cache one
         # wrapped program per width.
         skey = ("spec_score", window.shape[1], draft_logits is None,
-                bias is None, want_logprobs, counts is None, penalty)
+                bias is None, want_logprobs, counts is None, penalty,
+                adapter_ids is None)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             dl_spec = batch_spec  # [B, g, V]; None pytree if prompt-lookup
@@ -2491,12 +2506,13 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, dl_spec, bias_spec, counts_spec),
+                          samp_spec, dl_spec, bias_spec, counts_spec,
+                          batch_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
-                       bias, counts):
+                       bias, counts, aid):
                 if data_axis is not None:
                     # Decorrelate rejection/residual draws across the
                     # batch-sharded replicas (same key, different slots).
@@ -2507,14 +2523,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 *res, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, want_logprobs=want_logprobs,
-                    counts=counts, penalty=penalty,
+                    counts=counts, penalty=penalty, adapter_ids=aid,
                 )
                 return tuple(res), caches
 
             state[skey] = jax.jit(_score, donate_argnums=(1,))
         res, caches = state[skey](
             params, caches, window, active, key, samp, draft_logits, bias,
-            counts,
+            counts, adapter_ids,
         )
         return (*res, caches)
 

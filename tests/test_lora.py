@@ -237,6 +237,38 @@ def test_multi_lora_engine_per_request(base):
         assert outs[rid] == e.run()[r], rid
 
 
+def test_multi_lora_linear_speculation_matches_plain(base):
+    """Multi-LoRA + draft-model speculation: the scoring forward applies
+    per-slot adapters (the draft proposes adapter-blind — acceptance cost
+    only, never exactness), so each adapted stream equals the plain
+    multi-LoRA engine's exactly."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.nn.lora import attach_lora_stack, set_stack_adapter
+
+    model, params, _ = base
+    prompts = [[3, 17, 5], [9, 2, 11, 4]]
+    single1 = _randomize_b(attach_lora(params, RANK, TARGETS), seed=31)
+    stacked = attach_lora_stack(params, RANK, 2, TARGETS)
+    stacked = set_stack_adapter(stacked, 1, single1)
+
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    mmodel = LlamaModel(CFG, mode="fp", dtype=jnp.float32,
+                        lora_rank=RANK, lora_stack=2)
+    plain = Engine(mmodel, stacked, ecfg, kv_dtype=jnp.float32)
+    prids = [plain.add_request(prompts[0], 8, adapter_id=0),
+             plain.add_request(prompts[1], 8, adapter_id=1)]
+    pouts = plain.run()
+
+    eng = Engine(mmodel, stacked, ecfg, kv_dtype=jnp.float32,
+                 draft_model=model, draft_params=params, gamma=3)
+    rids = [eng.add_request(prompts[0], 8, adapter_id=0),
+            eng.add_request(prompts[1], 8, adapter_id=1)]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+
+
 def test_multi_lora_paged_int8(base):
     """Multi-LoRA composes with the quantized paged engine. The reserved
     zero adapter is EXACTLY the base engine (delta is literally zero); a
