@@ -476,34 +476,16 @@ class Engine:
             or self.cfg.frequency_penalty != 0.0
         )
         if penalties_on:
-            if tree_mode:
-                raise ValueError(
-                    "repetition_penalty / presence / frequency penalties are "
-                    "unsupported in TREE-speculative modes "
-                    "(lookup_branches>1 / medusa heads — per-branch prefix "
-                    "counts are unimplemented); linear speculation applies "
-                    "them with prefix-adjusted window counts"
-                )
             # On-device occurrence counts over prompt + generated tokens.
+            # Speculative modes (linear AND tree) penalize each window/tree
+            # position with prefix/path-adjusted counts inside the scoring
+            # program — streams exactly equal plain penalized decode.
             self.token_counts = jnp.zeros((B, model.cfg.vocab_size), jnp.int32)
         else:
             self.token_counts = None
-        if self.cfg.return_logprobs and tree_mode:
-            raise ValueError(
-                "return_logprobs is unsupported in TREE-speculative modes "
-                "(lookup_branches>1 / medusa heads — per-branch logprob "
-                "bookkeeping is unimplemented); linear speculation "
-                "(draft_model / eagle / prompt_lookup) reports target "
-                "logprobs for every committed token"
-            )
         if getattr(model, "lora_stack", 0) > 0:
-            if tree_mode:
-                raise ValueError(
-                    "multi-LoRA is unsupported in TREE-speculative modes "
-                    "(lookup_branches>1 / medusa heads); linear speculation "
-                    "scores windows with per-slot adapters"
-                )
-            # Per-slot adapter selection, threaded through every step.
+            # Per-slot adapter selection, threaded through every step
+            # (speculative scoring forwards included).
             self.adapter_ids = jnp.zeros((B,), jnp.int32)
         else:
             self.adapter_ids = None
@@ -1380,11 +1362,19 @@ class Engine:
         )
         self._key, k_accept = jax.random.split(self._key)
         bias = self._assemble_window_bias(self._tree_paths(props, J, d))
-        best, accepted, corrections, self.caches = score(
+        wl = self.cfg.return_logprobs
+        out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
-            branches=J, depth=d, bias=bias,
+            branches=J, depth=d, bias=bias, counts=self.token_counts,
+            penalty=self.cfg.repetition_penalty, want_logprobs=wl,
+            adapter_ids=self.adapter_ids,
         )
-        self._commit_tree_results(props, best, accepted, corrections, d, t0)
+        if wl:
+            best, accepted, corrections, lp, self.caches = out
+        else:
+            (best, accepted, corrections, self.caches), lp = out, None
+        self._commit_tree_results(props, best, accepted, corrections, d, t0,
+                                  logprobs=lp)
 
     def _tree_paths(self, props, J: int, d: int):
         """Per-node proposal prefixes for _assemble_window_bias: node 0 is
@@ -1416,37 +1406,51 @@ class Engine:
         )
         self._key, k_accept = jax.random.split(self._key)
         bias = self._assemble_window_bias(self._tree_paths(props, J, d))
+        wl = self.cfg.return_logprobs
+        extra = dict(
+            counts=self.token_counts,
+            penalty=self.cfg.repetition_penalty, want_logprobs=wl,
+            adapter_ids=self.adapter_ids,
+        )
         if self._tp_fns is not None:
             score = partial(
                 self._tp_fns["tree_score_heads"],
                 heads=self.medusa_heads, head_params=self.medusa_params,
             )
-            best, accepted, corrections, next_props, self.caches = score(
+            out = score(
                 self.params, self.caches, window, active, k_accept,
-                self.samp, branches=J, depth=d, bias=bias,
+                self.samp, branches=J, depth=d, bias=bias, **extra,
             )
         else:
-            best, accepted, corrections, next_props, self.caches = (
-                _tree_score_and_accept_heads(
-                    self.model, self.medusa_heads, self.params, self.caches,
-                    self.medusa_params, window, active, k_accept, self.samp,
-                    branches=J, depth=d, bias=bias,
-                )
+            out = _tree_score_and_accept_heads(
+                self.model, self.medusa_heads, self.params, self.caches,
+                self.medusa_params, window, active, k_accept, self.samp,
+                branches=J, depth=d, bias=bias, **extra,
+            )
+        if wl:
+            best, accepted, corrections, next_props, lp, self.caches = out
+        else:
+            (best, accepted, corrections, next_props, self.caches), lp = (
+                out, None,
             )
         # Publish next proposals BEFORE committing: _retire_slot zeroes the
         # rows of any slot that finishes during emission.
         self._medusa_props = np.array(jax.device_get(next_props))
-        self._commit_tree_results(props, best, accepted, corrections, d, t0)
+        self._commit_tree_results(props, best, accepted, corrections, d, t0,
+                                  logprobs=lp)
 
     def _commit_tree_results(self, props, best, accepted, corrections,
-                             d: int, t0: float):
+                             d: int, t0: float, logprobs=None):
         """Shared tail of the tree-speculation tick flavors: emit each
-        active slot's accepted branch prefix + 1 correction token."""
+        active slot's accepted branch prefix + 1 correction token.
+        ``logprobs``: optional (lp_path [B, d], lp_corr [B]) target
+        logprobs along the winning branch (cfg.return_logprobs)."""
         import numpy as _np
 
         best_h = jax.device_get(best)
         accepted_h = jax.device_get(accepted)
         corr_h = jax.device_get(corrections)
+        lp_h = jax.device_get(logprobs) if logprobs is not None else None
         new_last = _np.array(jax.device_get(self.last_tokens))
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
@@ -1455,10 +1459,23 @@ class Engine:
             a = int(accepted_h[slot])
             emitted = [int(t) for t in props[slot, int(best_h[slot]), :a]]
             emitted.append(int(corr_h[slot]))
+            lps = None
+            if lp_h is not None:
+                lps = [float(lp_h[0][slot, t]) for t in range(a)]
+                lps.append(float(lp_h[1][slot]))
             self.stats["spec_proposed"] += d
             self.stats["spec_accepted"] += a
-            for tok in emitted:
+            for i, tok in enumerate(emitted):
                 req.out.append(tok)
+                if lps is not None:
+                    req.logprobs.append(lps[i])
+                if self.token_counts is not None:
+                    # Penalties in tree mode: committed tokens fold into
+                    # the occurrence counts (the scoring program applies
+                    # path-adjusted counts inside the tree).
+                    self.token_counts = self.token_counts.at[
+                        slot, tok
+                    ].add(1)
                 if req.on_token is not None:
                     req.on_token(req.rid, tok)
                 self.stats["tokens_generated"] += 1
@@ -1761,7 +1778,9 @@ def _ngram_propose_branches(hist: list, n: int, depth: int,
 
 def _tree_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, branches: int, depth: int,
-                                heads=None, head_params=None, bias=None):
+                                heads=None, head_params=None, bias=None,
+                                counts=None, penalty=1.0,
+                                want_logprobs=False, adapter_ids=None):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
     pick each slot's accepted branch, compact that branch's K/V rows into
@@ -1805,12 +1824,13 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
         logits, caches, hidden = model.apply(
             params, window, positions, caches,
             advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
-            return_hidden=True,
+            return_hidden=True, adapter_ids=adapter_ids,
         )
     else:
         logits, caches = model.apply(
             params, window, positions, caches,
             advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
+            adapter_ids=adapter_ids,
         )
     if bias is not None:
         # Guided decoding [B, T, V]: per-NODE mask/bias rows evaluated
@@ -1819,6 +1839,34 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
         # Head-proposed candidates stay unmasked — exactness never depends
         # on proposals, only acceptance quality does.
         logits = logits + bias
+    V = logits.shape[-1]
+    # Pre-penalty logits (serving-API logprob convention, see the linear
+    # accept program).
+    logits_lp = logits
+    if counts is not None:
+        # Penalties with PATH-adjusted counts: node i predicts the
+        # successor of window[i], so its penalized logits see ``counts``
+        # plus one for every token on its root-to-self path EXCEPT node 0
+        # (the committed frontier token, counted at its own commit). The
+        # ancestor-or-self mask IS that path — matmul it over the window's
+        # one-hots.
+        from .sampling import (
+            apply_presence_frequency,
+            apply_repetition_penalty,
+        )
+
+        M = jnp.asarray(mask_np).astype(counts.dtype).at[:, 0].set(0)
+        oh = jax.nn.one_hot(window, V, dtype=counts.dtype)  # [B, T, V]
+        wcounts = counts[:, None] + jnp.einsum("ij,bjv->biv", M, oh)
+        flat = logits.reshape(B * T, V)
+        wc = wcounts.reshape(B * T, V)
+        flat = apply_repetition_penalty(flat, wc, penalty)
+        flat = apply_presence_frequency(
+            flat, wc,
+            jnp.repeat(samp["pres_pens"], T, axis=0),
+            jnp.repeat(samp["freq_pens"], T, axis=0),
+        )
+        logits = flat.reshape(B, T, V)
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, T]
 
     idx = 1 + jnp.arange(branches)[:, None] * depth + jnp.arange(depth)[None, :]
@@ -1836,7 +1884,6 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     # ---- sampling rows: distribution-exact tree rejection ---------------
     from .sampling import processed_logits
 
-    V = logits.shape[-1]
     rep = lambda a, n: jnp.repeat(a, n, axis=0)
     p = jax.nn.softmax(
         processed_logits(
@@ -1952,29 +1999,60 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     caches = [c.reorder_tail(best_idx) for c in caches]
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
     caches = [c.advance(adv) for c in caches]
+    out = [best, accepted, corrections]
     if heads is not None:
-        return best, accepted, corrections, next_props, caches
-    return best, accepted, corrections, caches
+        out.append(next_props)
+    if want_logprobs:
+        # Target logprobs (pre-penalty, pre-truncation) along the winning
+        # branch: lp_path[s, k] = logp of the branch's k-th proposal at its
+        # parent node; lp_corr[s] = logp of the correction at the last
+        # accepted node. The host gathers the committed subset.
+        rowsT = rows[:, None, None] * T
+        lin_all = (rowsT + par_b).reshape(-1)
+        logz = jax.nn.logsumexp(logits_lp, axis=-1)  # [B, T]
+        lp_all = (
+            logits_lp.reshape(B * T, V)[lin_all, prop.reshape(-1)]
+            - logz.reshape(B * T)[lin_all]
+        ).reshape(B, branches, depth)
+        lp_path = jnp.take_along_axis(
+            lp_all, best[:, None, None], 1
+        )[:, 0]  # [B, d]
+        lp_corr = (
+            logits_lp[rows, corr_node, corrections]
+            - logz[rows, corr_node]
+        )  # [B]
+        out.append((lp_path, lp_corr))
+    out.append(caches)
+    return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("model", "branches", "depth"),
+@partial(jax.jit, static_argnames=("model", "branches", "depth", "penalty",
+                                   "want_logprobs"),
          donate_argnums=(2,))
 def _tree_score_and_accept(model, params, caches, window, active, key, samp,
-                           branches: int, depth: int, bias=None):
+                           branches: int, depth: int, bias=None,
+                           counts=None, penalty=1.0, want_logprobs=False,
+                           adapter_ids=None):
     return _tree_score_and_accept_body(
         model, params, caches, window, active, key, samp, branches, depth,
-        bias=bias,
+        bias=bias, counts=counts, penalty=penalty,
+        want_logprobs=want_logprobs, adapter_ids=adapter_ids,
     )
 
 
-@partial(jax.jit, static_argnames=("model", "heads", "branches", "depth"),
+@partial(jax.jit, static_argnames=("model", "heads", "branches", "depth",
+                                   "penalty", "want_logprobs"),
          donate_argnums=(3,))
 def _tree_score_and_accept_heads(model, heads, params, caches, head_params,
                                  window, active, key, samp,
-                                 branches: int, depth: int, bias=None):
+                                 branches: int, depth: int, bias=None,
+                                 counts=None, penalty=1.0,
+                                 want_logprobs=False, adapter_ids=None):
     return _tree_score_and_accept_body(
         model, params, caches, window, active, key, samp, branches, depth,
-        heads=heads, head_params=head_params, bias=bias,
+        heads=heads, head_params=head_params, bias=bias, counts=counts,
+        penalty=penalty, want_logprobs=want_logprobs,
+        adapter_ids=adapter_ids,
     )
 
 
@@ -2535,24 +2613,33 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         return (*res, caches)
 
     def tree_score(params, caches, window, active, key, samp, branches,
-                   depth, bias=None):
+                   depth, bias=None, counts=None, penalty=1.0,
+                   want_logprobs=False, adapter_ids=None):
         """shard_map'd _tree_score_and_accept (tree speculation on a mesh):
         window/outputs batch-sharded; the compaction (reorder_tail) runs on
         each replica's local cache shard."""
         pspecs, cspecs = _specs(params, caches)
-        tkey = ("tree_score", branches, depth, bias is None)
+        tkey = ("tree_score", branches, depth, bias is None,
+                counts is None, penalty, want_logprobs, adapter_ids is None)
         if tkey not in state:
             samp_spec = {k: batch_spec for k in samp}
+            counts_spec = (
+                batch_spec if counts is None else P(*batch_spec, None)
+            )
+            outs = [batch_spec, batch_spec, batch_spec]
+            if want_logprobs:
+                outs.append((batch_spec, batch_spec))
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, batch_spec),
-                out_specs=((batch_spec, batch_spec, batch_spec), cspecs),
+                          samp_spec, batch_spec, counts_spec, batch_spec),
+                out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
-            def _tscore(params, caches, window, active, key, samp, bias):
+            def _tscore(params, caches, window, active, key, samp, bias,
+                        counts, aid):
                 if data_axis is not None:
                     # Decorrelate acceptance/correction draws across the
                     # batch-sharded replicas (same key, different slots).
@@ -2560,62 +2647,72 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                         key, jax.lax.axis_index(data_axis))
                 else:
                     key_r = key
-                best, accepted, corr, caches = _tree_score_and_accept_body(
+                *res, caches = _tree_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
-                    branches, depth, bias=bias
+                    branches, depth, bias=bias, counts=counts,
+                    penalty=penalty, want_logprobs=want_logprobs,
+                    adapter_ids=aid,
                 )
-                return (best, accepted, corr), caches
+                return tuple(res), caches
 
             state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
-        (best, accepted, corr), caches = state[tkey](
-            params, caches, window, active, key, samp, bias
+        res, caches = state[tkey](
+            params, caches, window, active, key, samp, bias, counts,
+            adapter_ids,
         )
-        return best, accepted, corr, caches
+        return (*res, caches)
 
     def tree_score_heads(params, caches, window, active, key, samp, *,
-                         branches, depth, heads, head_params, bias=None):
+                         branches, depth, heads, head_params, bias=None,
+                         counts=None, penalty=1.0, want_logprobs=False,
+                         adapter_ids=None):
         """tree_score with trained drafting heads: also returns next-tick
         proposals [B, branches, depth] (batch-sharded like the window; head
         params replicate — the heads are tiny next to the base)."""
         pspecs, cspecs = _specs(params, caches)
         tkey = ("tree_score_heads", branches, depth, id(heads),
-                bias is None)
+                bias is None, counts is None, penalty, want_logprobs,
+                adapter_ids is None)
         if tkey not in state:
             hspec = jax.tree_util.tree_map(lambda _: P(), head_params)
             samp_spec = {k: batch_spec for k in samp}
+            counts_spec = (
+                batch_spec if counts is None else P(*batch_spec, None)
+            )
+            outs = [batch_spec, batch_spec, batch_spec, batch_spec]
+            if want_logprobs:
+                outs.append((batch_spec, batch_spec))
 
             @partial(
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, hspec, batch_spec, batch_spec,
-                          P(), samp_spec, batch_spec),
-                out_specs=(
-                    (batch_spec, batch_spec, batch_spec, batch_spec),
-                    cspecs,
-                ),
+                          P(), samp_spec, batch_spec, counts_spec,
+                          batch_spec),
+                out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _tscore(params, caches, hp, window, active, key, samp,
-                        bias):
+                        bias, counts, aid):
                 if data_axis is not None:
                     key_r = jax.random.fold_in(
                         key, jax.lax.axis_index(data_axis))
                 else:
                     key_r = key
-                best, accepted, corr, nprops, caches = (
-                    _tree_score_and_accept_body(
-                        model, params, caches, window, active, key_r, samp,
-                        branches, depth, heads=heads, head_params=hp,
-                        bias=bias,
-                    )
+                *res, caches = _tree_score_and_accept_body(
+                    model, params, caches, window, active, key_r, samp,
+                    branches, depth, heads=heads, head_params=hp,
+                    bias=bias, counts=counts, penalty=penalty,
+                    want_logprobs=want_logprobs, adapter_ids=aid,
                 )
-                return (best, accepted, corr, nprops), caches
+                return tuple(res), caches
 
             state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
-        (best, accepted, corr, nprops), caches = state[tkey](
-            params, caches, head_params, window, active, key, samp, bias
+        res, caches = state[tkey](
+            params, caches, head_params, window, active, key, samp, bias,
+            counts, adapter_ids,
         )
-        return best, accepted, corr, nprops, caches
+        return (*res, caches)
 
     fns["extend"] = extend_with_adapters
     fns["decode"] = decode

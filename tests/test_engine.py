@@ -730,22 +730,32 @@ def test_engine_logprobs(model_and_params):
     np.testing.assert_allclose(req.logprobs[0], ref, rtol=1e-4, atol=1e-4)
 
 
-def test_engine_sampling_guards(model_and_params):
+def test_engine_penalties_and_logprobs_tree_speculation(model_and_params):
+    """Penalties AND logprobs compose with TREE speculation: the tree
+    scoring program penalizes each node with path-adjusted counts (the
+    ancestor mask over window one-hots), so the greedy stream exactly
+    equals plain penalized decoding; logprobs along the winning branch
+    match the plain engine's token-for-token."""
     model, params = model_and_params
-    with pytest.raises(ValueError, match="repetition_penalty"):
-        Engine(
-            model, params,
-            EngineConfig(max_batch_size=2, max_seq_len=64,
-                         repetition_penalty=1.5),
-            kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=3,
-        )
-    with pytest.raises(ValueError, match="TREE-speculative"):
-        Engine(
-            model, params,
-            EngineConfig(max_batch_size=2, max_seq_len=64,
-                         return_logprobs=True),
-            kv_dtype=jnp.float32, prompt_lookup=2, lookup_branches=3,
-        )
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2]]
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=10, temperature=0.0,
+                        repetition_penalty=1.4, presence_penalty=0.3,
+                        return_logprobs=True)
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    prids = [plain.add_request(p, 10) for p in prompts]
+    pouts = plain.run()
+    prefs = {r.rid: r.logprobs for r in plain.finished}
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 prompt_lookup=3, lookup_branches=3, gamma=3)
+    rids = [eng.add_request(p, 10) for p in prompts]
+    outs = eng.run()
+    refs = {r.rid: r.logprobs for r in eng.finished}
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+        np.testing.assert_allclose(refs[rb], prefs[ra],
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_engine_penalties_linear_speculation_matches_plain(model_and_params):

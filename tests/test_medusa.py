@@ -358,13 +358,20 @@ def test_hydra_dp_tp_engine_matches_single_device(model_and_params):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
 
 
-def test_tree_mode_rejects_int4_kv(model_and_params):
-    """Constructor-time guard: the packed-nibble cache has no reorder_tail,
-    so tree/medusa modes must refuse it clearly (not AttributeError mid-jit)."""
+def test_tree_mode_rejects_oversize_tree_on_int4_kv(model_and_params):
+    """Constructor-time guard (round-4 KIVI lift): small trees live in the
+    int4 cache's int8 tail and ARE supported
+    (tests/test_tree_speculation.py::test_tree_speculation_int4_kv_exact);
+    a tree wider than one KIVI chunk would recycle live tail rows and must
+    refuse clearly (not corrupt mid-jit)."""
+    from protoquant_tpu.models.kv_cache import INT4_KV_GROUP
+
     model, params = model_and_params
-    heads, hp = init_medusa(model, depth=2)
-    with pytest.raises(NotImplementedError, match="int4"):
+    depth = 8
+    heads, hp = init_medusa(model, depth=depth)
+    branches = INT4_KV_GROUP // depth + 1  # width 1 + J*d > chunk
+    with pytest.raises(ValueError, match="int4"):
         Engine(model, params,
-               EngineConfig(max_batch_size=2, max_seq_len=64),
+               EngineConfig(max_batch_size=2, max_seq_len=256),
                kv_dtype=jnp.int4, medusa_heads=heads, medusa_params=hp,
-               gamma=2)
+               gamma=depth, lookup_branches=branches)

@@ -160,10 +160,10 @@ def test_tree_nonfirst_branch_commit_compacts_cache(model_and_params,
     real_score = E._tree_score_and_accept
 
     def spy_score(model_, params_, caches, window, active, key, samp,
-                  branches, depth, bias=None):
+                  branches, depth, bias=None, **kw):
         best, accepted, corr, caches = real_score(
             model_, params_, caches, window, active, key, samp,
-            branches=branches, depth=depth, bias=bias)
+            branches=branches, depth=depth, bias=bias, **kw)
         bests.append((np.asarray(best).copy(), np.asarray(accepted).copy()))
         return best, accepted, corr, caches
 
