@@ -875,8 +875,17 @@ class MixedKVCache(_DenseSlotViews):
     LOGITS see full int8 keys, where 4-bit noise hurts most), V packed int4
     (Int4KVCache layout — the byte saving lands on the value read, where
     the softmax average forgives coarser steps). 1.33x the context per HBM
-    byte vs int8 at a fraction of full-int4's quality cost (quality
-    ladder row int8K_int4V; BASELINE.md).
+    byte vs int8.
+
+    POSITIONING (ladder v2, BASELINE.md decision 2): this tier is now
+    DOMINATED by the KIVI Int4KVCache — which compresses MORE (K also
+    4-bit) at BETTER quality (0.23/0.15 vs 0.08/0.01 greedy/prefix on the
+    12L proxy), because its int8 tail keeps the most recent <=G tokens at
+    full int8 for both K and V while this cache quantizes even the newest
+    V row to int4 immediately (per-token int4 V error ~8.5% rel, probed;
+    recency precision is what drives next-token selection). Kept for
+    layout completeness and as the V-per-token reference; prefer
+    kv_dtype=jnp.int4 for capacity serving.
 
     kq [B, KV, S, Dh] int8 + ks [B, KV, S] f32;
     vq [B, KV, S/2, Dh] int8 packed + vs [B, KV, 2, S/2] f32 parity-split.
