@@ -482,7 +482,15 @@ class Attention(nn.Module):
             # in-kernel-dequant attention.
             kw = {} if sinks is None else {"sink_logits": sinks}
             if tree_mask is not None:
-                assert win == 0, "tree speculation + sliding window unsupported"
+                # Tree + sliding window composes (round 4): the ancestor
+                # relation replaces in-window causality and the window's
+                # lower bound uses depth-based query positions — provided
+                # the window clears the whole tree (in-window nodes must
+                # never fall behind any node's lower bound).
+                assert win == 0 or win > tree_mask.shape[0], (
+                    "tree speculation needs sliding_window > tree width "
+                    f"({win} <= {tree_mask.shape[0]})"
+                )
                 kw["tree_mask"] = tree_mask
             out, new_cache = cache.update_and_attend(
                 q, k, v, advance, window=win, scale=scale, softcap=softcap,

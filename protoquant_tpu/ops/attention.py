@@ -378,7 +378,18 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
         # Gemma-2 attention-logit soft-capping (pre-mask; masked slots go to
         # NEG_INF after, so the cap never resurrects them).
         scores = softcap * jnp.tanh(scores / softcap)
-    t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    if tree_mask is not None:
+        # Tree queries sit at LOGICAL position frontier + node depth (the
+        # rope positions the scoring program uses), not frontier + slot
+        # index — derive depth from the ancestor-or-self mask (row sum - 1)
+        # so the sliding-window lower bound below matches what plain decode
+        # at that depth would see. At window=0 this changes nothing (the
+        # base causal mask only gates history, all of which predates the
+        # frontier either way).
+        depths_t = jnp.sum(tree_mask.astype(jnp.int32), axis=1) - 1
+        t_pos = lengths[:, None] + depths_t[None, :]  # [B, T]
+    else:
+        t_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
     if k_positions is None:
         # Contiguous cache: column c holds absolute position c.
         s_pos = jnp.broadcast_to(jnp.arange(kq.shape[2])[None, :], (B, kq.shape[2]))

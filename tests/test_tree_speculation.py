@@ -293,3 +293,55 @@ def test_tree_speculation_int4_kv_exact(model_and_params):
                    prompt_lookup=3, gamma=4, lookup_branches=2)
     finally:
         kvc.INT4_KV_GROUP = old
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_tree_speculation_sliding_window_exact(kv_dtype):
+    """Tree speculation on a SLIDING-WINDOW model (round-4 guard lift):
+    the ancestor relation replaces in-window causality and the window's
+    lower bound uses depth-based query positions — the stream must equal
+    plain windowed greedy decoding across many window-bound steps (the
+    generation runs well past the 24-token window)."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=24,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2]]
+    N = 40  # >> window
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=N, temperature=0.0)
+
+    plain = Engine(model, params, ecfg, kv_dtype=kv_dtype)
+    prids = [plain.add_request(p, N) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=kv_dtype,
+                 prompt_lookup=3, lookup_branches=3, gamma=3)
+    rids = [eng.add_request(p, N) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+    # The run actually speculated (committed multi-token ticks).
+    assert eng.stats["spec_accepted"] > 0
+
+
+def test_tree_window_narrower_than_tree_is_refused():
+    """A window smaller than the tree width cannot express the in-window
+    node visibility — the model layer asserts rather than decoding wrong."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=4,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=1, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 prompt_lookup=3, lookup_branches=3, gamma=3)
+    eng.add_request([5, 6, 7, 5, 6, 7, 5, 6], 8)
+    with pytest.raises(AssertionError, match="tree width"):
+        eng.run()
