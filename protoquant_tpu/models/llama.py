@@ -820,13 +820,13 @@ class DecoderLayer(nn.Module):
             assert not (self.sp or self.fused or self.cp > 1), (
                 "MLA: sp/fused/cp unsupported"
             )
-            assert tree_mask is None, "tree speculation + MLA unsupported"
             h, new_cache = MLAAttention(
                 self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,
                 self.tp_axis, self.int4_group,
                 int4_storage=self.int4_storage, fp8_group=self.fp8_group,
                 collective=self.collective, name="self_attn",
-            )(attn_in, positions, cache, advance, preq=attn_preq)
+            )(attn_in, positions, cache, advance, preq=attn_preq,
+              tree_mask=tree_mask)
         else:
             h, new_cache = Attention(
                 self.cfg, self.mode, self.dtype, self.layer_idx, self.tp,

@@ -81,6 +81,21 @@ def _mla_lane():
 # ---------------------------------------------------------------------------
 
 
+def _apply_tree_mask(mask, tree_mask, s_pos, lengths):
+    """Replace the in-window causal relation with the candidate-tree
+    ancestor relation (ops/attention.py int8_kv_attention_xla semantics;
+    mask axes [B, 1-or-H, T, S])."""
+    if tree_mask is None:
+        return mask
+    j = s_pos - lengths[:, None]  # [B, S] in-window node index
+    in_win = (j >= 0) & (j < tree_mask.shape[1])
+    tm = jnp.take(
+        tree_mask, jnp.clip(j, 0, tree_mask.shape[1] - 1), axis=1
+    )  # [T, B, S]
+    tm = jnp.transpose(tm, (1, 0, 2))  # [B, T, S]
+    return jnp.where(in_win[:, None, None, :], tm[:, None, :, :], mask)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["c", "p", "lengths"],
@@ -107,10 +122,13 @@ class MLACache(_DenseSlotViews):
     def max_seq(self):
         return self.c.shape[1]
 
-    def update_and_attend(self, q_abs, q_pe, c_new, p_new, advance, scale):
+    def update_and_attend(self, q_abs, q_pe, c_new, p_new, advance, scale,
+                          tree_mask=None):
         """q_abs: [B,T,H,r] (absorbed query), q_pe: [B,T,H,dr];
         c_new/p_new: [B,T,r]/[B,T,dr] this step's latents. Returns
-        (ctx [B,T,H,r] f32, new_cache)."""
+        (ctx [B,T,H,r] f32, new_cache). ``tree_mask`` [T, T] replaces
+        in-window causality with the candidate-tree ancestor relation
+        (tree speculation on the latent cache)."""
         B, T = c_new.shape[:2]
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
         b_idx = jnp.arange(B)[:, None]
@@ -131,6 +149,7 @@ class MLACache(_DenseSlotViews):
         t_pos = self.lengths[:, None] + jnp.arange(T)[None, :]
         s_pos = jnp.arange(self.max_seq)[None, :]
         mask = s_pos[:, None, None, :] <= t_pos[:, None, :, None]
+        mask = _apply_tree_mask(mask, tree_mask, s_pos, self.lengths)
         scores = jnp.where(mask[:, :, :, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum(
@@ -138,6 +157,22 @@ class MLACache(_DenseSlotViews):
             preferred_element_type=jnp.float32,
         )
         return ctx, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit (see BF16KVCache.reorder_tail): move the
+        winning branch's latent rows (at slots lengths + node_idx) into the
+        contiguous slots lengths+1..lengths+d. Layout [B, S, r]."""
+        B, d = node_idx.shape
+        src = self.lengths[:, None] + node_idx
+        dst = self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        b_idx = jnp.arange(B)[:, None]
+        c_r = jnp.take_along_axis(self.c, src[:, :, None], axis=1)
+        p_r = jnp.take_along_axis(self.p, src[:, :, None], axis=1)
+        return dataclasses.replace(
+            self,
+            c=self.c.at[b_idx, dst].set(c_r),
+            p=self.p.at[b_idx, dst].set(p_r),
+        )
 
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
@@ -185,7 +220,8 @@ class Int8MLACache(_DenseSlotViews):
     def max_seq(self):
         return self.cq.shape[1]
 
-    def update_and_attend(self, q_abs, q_pe, c_new, p_new, advance, scale):
+    def update_and_attend(self, q_abs, q_pe, c_new, p_new, advance, scale,
+                          tree_mask=None):
         B, T = c_new.shape[:2]
         adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
         c8, cs_new = _quantize_latent(c_new)
@@ -216,6 +252,7 @@ class Int8MLACache(_DenseSlotViews):
         t_pos = self.lengths[:, None] + jnp.arange(T)[None, :]
         s_pos = jnp.arange(self.max_seq)[None, :]
         mask = s_pos[:, None, None, :] <= t_pos[:, None, :, None]
+        mask = _apply_tree_mask(mask, tree_mask, s_pos, self.lengths)
         scores = jnp.where(mask, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         # Fold the per-column latent scale into the probs (rank-1 exact).
@@ -225,6 +262,22 @@ class Int8MLACache(_DenseSlotViews):
             preferred_element_type=jnp.float32,
         )
         return ctx, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit: payloads AND their per-row scales move
+        together. Layout [B, S, r] / [B, S]."""
+        B, d = node_idx.shape
+        src = self.lengths[:, None] + node_idx
+        dst = self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        b_idx = jnp.arange(B)[:, None]
+        tk = jnp.take_along_axis
+        return dataclasses.replace(
+            self,
+            cq=self.cq.at[b_idx, dst].set(tk(self.cq, src[:, :, None], 1)),
+            cs=self.cs.at[b_idx, dst].set(tk(self.cs, src, 1)),
+            pq=self.pq.at[b_idx, dst].set(tk(self.pq, src[:, :, None], 1)),
+            ps=self.ps.at[b_idx, dst].set(tk(self.ps, src, 1)),
+        )
 
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
@@ -305,7 +358,7 @@ class MLAAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, cache, advance=None, preq=None,
-                 adapter_ids=None):
+                 adapter_ids=None, tree_mask=None):
         cfg = self.cfg
         assert not cfg.attention_bias, "MLA attention biases unsupported"
         B, T, _ = x.shape
@@ -402,7 +455,7 @@ class MLAAttention(nn.Module):
                 wk.astype(jnp.float32),
             )
             ctx, new_cache = cache.update_and_attend(
-                q_abs, q_pe, c_kv, k_pe, advance, sm
+                q_abs, q_pe, c_kv, k_pe, advance, sm, tree_mask=tree_mask
             )
             out = jnp.einsum(
                 "bthr,rhv->bthv", ctx, wv.astype(jnp.float32)

@@ -74,9 +74,13 @@ def resolve_fused_quant() -> bool:
 # W4A8 (dynamic_int4) kernel formulation: "group" = exact int4 semantics,
 # per-group K=64 sub-dots (MXU-underfilled — 0.79x bf16 at M=512, measured
 # r3); "two_level" = in-VMEM per-channel int8 requant of the nibbles + ONE
-# big-K dot per block (ROADMAP 8 / VERDICT r3 item 4). bench/w4a8_probe.py
-# measures both; the quality ladder carries both rows.
-W4A8_FORMULATION = _os.environ.get("W4A8_FORMULATION", "group")
+# big-K dot per block (ROADMAP 8 / VERDICT r3 item 4). Round-4 DEFAULT:
+# two_level — the quality ladder v2 measured ZERO model-level cost vs
+# group (identical ppl/cosine, BASELINE.md ladder decision 3) and the
+# block sweep took it to 248 eff T-ops = 1.30x bf16 at M=512
+# (bench/w4a8_sweep.py; group measures 0.79x). Set W4A8_FORMULATION=group
+# to restore exact-int4 rounding semantics.
+W4A8_FORMULATION = _os.environ.get("W4A8_FORMULATION", "two_level")
 
 
 def resolve_w4a8_formulation() -> str:

@@ -276,9 +276,9 @@ def w4a8_matmul(
     bias: jnp.ndarray | None = None,
     out_dtype=jnp.bfloat16,
     *,
-    block_m: int = 256,
-    block_n: int = 1024,
-    block_groups: int = 16,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_groups: int | None = None,
     formulation: str = "group",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -298,6 +298,16 @@ def w4a8_matmul(
         raise ValueError(f"K={k} not divisible by group={group}")
     if formulation not in ("group", "two_level"):
         raise ValueError(f"unknown w4a8 formulation {formulation!r}")
+    if block_m is None:
+        # two_level: the nibble requant reruns for EVERY m-block (grid
+        # order m, j, kk), so take the deepest m/K blocks VMEM allows —
+        # measured sweep (bench/w4a8_sweep.py, M=512): 256/1024/16 = 171
+        # eff T-ops, 512/1024/32 = 248 (1.30x bf16); 512/2048 overflows.
+        block_m = 512 if formulation == "two_level" else 256
+    if block_n is None:
+        block_n = 1024
+    if block_groups is None:
+        block_groups = 32 if formulation == "two_level" else 16
     xq2 = xq.reshape(-1, k)
     sx2 = s_x.reshape(-1).astype(jnp.float32)
     bm = pick_block(xq2.shape[0], block_m, 32)  # int8 sublane tile

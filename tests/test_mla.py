@@ -186,3 +186,30 @@ def test_mla_engine_int8_latent_cache_runs():
     rid = eng.add_request([5, 9, 2, 7], 8)
     out = eng.run()[rid]
     assert len(out) == 8 and all(0 <= t < 64 for t in out)
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_mla_tree_speculation_matches_plain(kv_dtype):
+    """Tree speculation on the LATENT cache (round-4 guard lift): ancestor
+    masking over latent slots + reorder_tail on (c, p[, scales]) — the
+    tree-lookup engine's stream equals plain greedy decoding exactly."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    cfg = _cfg(max_position_embeddings=128)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=24, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2]]
+
+    plain = Engine(model, params, ecfg, kv_dtype=kv_dtype)
+    prids = [plain.add_request(p, 24) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=kv_dtype,
+                 prompt_lookup=3, lookup_branches=3, gamma=3)
+    rids = [eng.add_request(p, 24) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+    assert eng.stats["spec_accepted"] > 0
