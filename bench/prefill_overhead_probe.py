@@ -103,7 +103,28 @@ def main():
         x8, sx = rowquant(x, interpret=False)
         return jnp.abs(x8.astype(jnp.float32)).sum() + sx.sum()
 
+    # Round-4: STATIC activation scales (W8A8-static, VERDICT r3 item 8
+    # line of attack). A calibrated per-tensor scale removes the amax
+    # REDUCTION from the quant pass — what remains is elementwise
+    # multiply+round+cast that XLA can fuse. If this case lands near
+    # gemm_pre8's util, the dynamic rowquant's ~15% is recoverable via a
+    # calibrated static mode.
+    s_act = jnp.float32(0.013)  # calibrated per-tensor scale (stand-in)
+
+    def gemm_static(i):
+        x = salt_x(x0, i)
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / s_act)), -127, 127
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * (s_act * sw)[None, :]).astype(
+            jnp.bfloat16
+        )
+        return jnp.abs(y.astype(jnp.float32)).sum()
+
     cases = [
+        ("gemm_static", gemm_static, INT8_TOPS),
         ("gemm_dyn_pallas_rq", gemm_dyn_pallas_rq, INT8_TOPS),
         ("pallas_rq_only", pallas_rq_only, None),
         ("gemm_pre8", gemm_pre8, INT8_TOPS),

@@ -91,6 +91,22 @@ def cmd_convert(args):
         fp_model = LlamaModel(cfg, mode="fp")
         grams = collect_grams(fp_model, params, toks)
         qparams = gptq_params(params, grams, qcfg)
+    elif args.mode == "static":
+        # W8A8-static: calibrate per-tensor activation scales on the fp
+        # model (composes with --smooth-alpha: calibration sees the
+        # smoothed activations the serving graph will see).
+        import jax.numpy as jnp
+
+        from .models import LlamaModel
+        from .nn import static_quantize
+
+        if not args.calib_tokens:
+            raise SystemExit("--mode static requires --calib-tokens")
+        toks = jnp.asarray(
+            [[int(t) for t in args.calib_tokens.split(",")]], jnp.int32
+        )
+        fp_model = LlamaModel(cfg, mode="fp")
+        qparams = static_quantize(fp_model, params, toks, qcfg)
     else:
         qparams = quantize_params(params, qcfg)
     # Phi-3 ships natively fused qkv/gate_up projections; the restoring
@@ -360,8 +376,8 @@ def main(argv=None):
     c.add_argument(
         "--mode",
         default="dynamic",
-        choices=["dynamic", "weight_only", "weight_only_int4", "dynamic_int4",
-                 "weight_only_fp8"],
+        choices=["dynamic", "static", "weight_only", "weight_only_int4",
+                 "dynamic_int4", "weight_only_fp8"],
     )
     c.add_argument("--int4-group", type=int, default=128)
     c.add_argument(

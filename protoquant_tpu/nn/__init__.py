@@ -11,6 +11,7 @@ from .lora import (
 )
 from .qlinear import QLinear
 from .smooth import collect_activation_stats, smooth_params, smoothquant
+from .static import attach_static_scales, calibrate_static, static_quantize
 
 # The reference's conversion entry point is `qlinear_from_linear`; ours is the
 # params-tree transform (model defs already use QLinear).
@@ -28,6 +29,9 @@ __all__ = [
     "collect_activation_stats",
     "smooth_params",
     "smoothquant",
+    "calibrate_static",
+    "attach_static_scales",
+    "static_quantize",
     "collect_grams",
     "gptq_params",
     "awq_quantize",

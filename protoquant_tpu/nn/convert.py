@@ -93,6 +93,11 @@ def quantize_params(params: Any, cfg: QuantConfig | None = None, _path: str = ""
             )
         else:
             out["qkernel"] = QTensor.quantize(w, axis=0)
+            if cfg.mode == "static" and w.ndim == 2:
+                # Per-tensor activation scale placeholder (identity until
+                # nn/static.py calibration fills it — serving with 1.0 is
+                # valid but clips; calibrate before shipping).
+                out["act_scale"] = jnp.ones((), jnp.float32)
         return out
     if isinstance(params, Mapping):
         return {

@@ -31,6 +31,12 @@ Initializer = Callable[..., Any]
 # calibration runs are fresh traces, so flipping it between applies is safe.
 CALIB_MODE = False
 
+# Static-activation calibration switch (set via nn.static.calibrate_static):
+# when True, every fp-mode QLinear sows its input's ABS-MAX (scalar, max-
+# reduced over calibration batches) into "calib" — the per-tensor activation
+# scale the mode="static" W8A8 path serves with.
+STATIC_CALIB = False
+
 
 def pick_int4_group(k: int, want: int = 128) -> int:
     """Largest even group <= want that divides K (small models / odd K)."""
@@ -158,6 +164,14 @@ class QLinear(nn.Module):
                 reduce_fn=lambda prev, new: prev + new,
                 init_fn=lambda: jnp.zeros(()),
             )
+        if STATIC_CALIB and self.mode == "fp":
+            self.sow(
+                "calib",
+                "act_amax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros(()),
+            )
         bias = (
             self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             if self.use_bias
@@ -213,6 +227,26 @@ class QLinear(nn.Module):
                 y = ops.dynamic_qlinear(
                     x, qkernel.data, qkernel.scale, fused_bias, out_dtype=self.dtype
                 )
+        elif self.mode == "static":
+            # W8A8 with a calibrated per-tensor activation scale: no amax
+            # reduction at inference (the dynamic rowquant's unoverlappable
+            # VPU pass — BASELINE.md prefill decomposition); the
+            # multiply+round+cast fuses into the dot operand. Always the
+            # XLA formulation (a fusion play, not a kernel one).
+            qkernel = self.param(
+                "qkernel",
+                _qtensor_init(
+                    self.kernel_init, (in_features, self.features),
+                    self.param_dtype,
+                ),
+            )
+            act_scale = self.param(
+                "act_scale", lambda key: jnp.ones((), jnp.float32)
+            )
+            y = ops.static_qlinear_xla(
+                x, qkernel.data, qkernel.scale, act_scale, fused_bias,
+                out_dtype=self.dtype,
+            )
         elif self.mode == "weight_only":
             qkernel = self.param(
                 "qkernel",

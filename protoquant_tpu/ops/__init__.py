@@ -10,6 +10,7 @@ from .wo4_matmul import weight_only_int4_matmul
 from .wo_matmul import weight_only_matmul
 from .xla_backend import (
     dynamic_qlinear_xla,
+    static_qlinear_xla,
     weight_only_fp8_group_matmul_xla,
     weight_only_int4_matmul_xla,
     weight_only_matmul_xla,
@@ -95,6 +96,7 @@ __all__ = [
     "weight_only_int4_matmul",
     "dequant",
     "dynamic_qlinear_xla",
+    "static_qlinear_xla",
     "weight_only_matmul_xla",
     "weight_only_int4_matmul_xla",
     "weight_only_fp8_group_matmul_xla",

@@ -59,8 +59,8 @@ class QuantConfig:
     def __post_init__(self):
         _coerce_tuple_fields(self)
         if self.mode not in (
-            "dynamic", "weight_only", "weight_only_int4", "dynamic_int4",
-            "weight_only_fp8", "fp",
+            "dynamic", "static", "weight_only", "weight_only_int4",
+            "dynamic_int4", "weight_only_fp8", "fp",
         ):
             raise ValueError(f"unknown quant mode {self.mode!r}")
         if self.kv_bits not in (4, 6, 8, 16):

@@ -168,6 +168,24 @@ def test_cli_medusa_train_then_generate(weights_and_config, capsys):
 
 
 @pytest.mark.slow
+def test_cli_static_convert_then_generate(weights_and_config, capsys):
+    """convert --mode static calibrates per-tensor activation scales on
+    --calib-tokens and the restored engine decodes (W8A8-static,
+    nn/static.py)."""
+    tmp, wpath, cpath = weights_and_config
+    out = str(tmp / "ckpt_static")
+    main(["convert", "--weights", wpath, "--config", cpath,
+          "--mode", "static", "--calib-tokens", "5,9,2,7,1,3,8,8",
+          "--out", out])
+    capsys.readouterr()
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "8", "--max-seq", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 8
+    assert all(0 <= t < 64 for t in rec["tokens"])
+
+
+@pytest.mark.slow
 def test_cli_eagle_train_then_generate(weights_and_config, capsys):
     """eagle-train self-distills the feature draft from the checkpoint's
     own greedy stream, and generate --eagle serves through the EAGLE tick
