@@ -79,6 +79,11 @@ def _param_spec(path, leaf) -> P:
         # GPT-OSS learned attention sinks: one logit per head, sharded with
         # the heads under TP.
         return P(MODEL_AXIS)
+    if names and names[-1] == "act_scale":
+        # W8A8-static per-tensor activation scale: a scalar, replicated
+        # (row-parallel shards quantize their K-slice with the same scale —
+        # exact, the epilogue is linear and rides the psum).
+        return P()
     is_lora_a = names and names[-1] == "lora_a"
     is_lora_b = names and names[-1] == "lora_b"
     if any(f"/{p}/" in f"/{joined}/" for p in COLUMN_PARALLEL):

@@ -130,3 +130,33 @@ def test_static_engine_serves(setup):
 
 # CLI convert --mode static e2e lives in tests/test_cli.py (shared
 # weights_and_config fixture).
+
+
+def test_static_tp_matches_single_device(setup):
+    """mode='static' under a TP mesh: act_scale replicates; row-parallel
+    shards quantize their K-slice with the same scalar (exact — the
+    epilogue is linear and rides the psum). Logits match single-device."""
+    import pytest
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from protoquant_tpu.parallel import (
+        build_tp_score,
+        make_mesh,
+        shard_params,
+        tp_model,
+    )
+    from protoquant_tpu.utils.config import MeshConfig
+
+    fp, params, toks = setup
+    qp = static_quantize(fp, params, toks)
+    single = LlamaModel(CFG, mode="static", dtype=jnp.float32)
+    ref = np.asarray(single.apply(qp, toks))
+
+    # tp=2: CFG has 2 kv heads (tp=4 would shard them to zero).
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+    model_tp = tp_model(CFG, "static", mesh, dtype=jnp.float32)
+    sq = shard_params(qp, mesh)
+    with mesh:
+        out = np.asarray(build_tp_score(model_tp, mesh, qp)(sq, toks))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
