@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--outlier-boost", type=float, default=30.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="substring filter: run only matching rows")
     args = ap.parse_args()
 
     import jax
@@ -127,9 +129,13 @@ def main():
     rows = []
 
     def run(label, mode, src_params, kv_dtype=jnp.float32, qcfg=None,
-            gptq=False, use_grams=None):
+            gptq=False, use_grams=None, params_override=None):
+        if args.only and args.only not in label:
+            return
         qcfg_eff = qcfg or QuantConfig(mode=mode)
-        if gptq:
+        if params_override is not None:
+            qp = params_override
+        elif gptq:
             qp = gptq_params(src_params, use_grams or grams, qcfg_eff)
         else:
             qp = quantize_params(src_params, qcfg_eff)
@@ -177,6 +183,8 @@ def main():
     # greedy/prefix-match columns isolate the CACHE path alone — the
     # cleanest readout for int8/int4/mixed KV quality.
     def run_kv(label, kv_dtype):
+        if args.only and args.only not in label:
+            return
         g_q = np.asarray(
             greedy_generate(fp_model, params, prompt, args.new_tokens, 256,
                             kv_dtype=kv_dtype)
@@ -198,6 +206,17 @@ def main():
 
     run("int8_dynamic", "dynamic", params)
     run("int8_dynamic+smooth", "dynamic", smoothed)
+    # W8A8-STATIC (round 4, nn/static.py): calibrated per-tensor activation
+    # scales — the delta vs the matching dynamic row is the static-clip /
+    # per-token-resolution cost; SmoothQuant is its natural partner (the
+    # outlier channels set the per-tensor amax).
+    from protoquant_tpu.nn import static_quantize
+
+    if not args.only or "static" in args.only:
+        run("int8_static", "static", params,
+            params_override=static_quantize(fp_model, params, calib))
+        run("int8_static+smooth", "static", smoothed,
+            params_override=static_quantize(fp_model, smoothed, calib))
     run("int8_dynamic+awq", "dynamic", awq_int8)
     run("int8_dynamic+smooth+int8kv", "dynamic", smoothed, kv_dtype=jnp.int8)
     run("int8_dynamic+smooth+int4kv", "dynamic", smoothed, kv_dtype=jnp.int4)
@@ -278,6 +297,8 @@ def main():
         ("moe_int8_weight_only", "weight_only", 128),
         ("moe_int4_weight_only_g128", "weight_only_int4", 128),
     ):
+        if args.only and args.only not in label:
+            continue
         qp = quantize_params(
             moe_params, QuantConfig(mode=mode, int4_group=grp)
         )

@@ -220,7 +220,11 @@ class MoEMLP(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             return acc * s_x[..., None] * w.scale[:, None, :]
-        # weight_only: int8 weights stream from HBM, bf16-lane activations.
+        # weight_only (and "static", which serves experts weight-only:
+        # per-expert static activation scales are uncalibrated — the dense
+        # projections still get the static win; experts are a small share
+        # of MoE prefill FLOPs at low top-k): int8 weights stream from HBM,
+        # bf16-lane activations.
         acc = jnp.einsum(
             "eck,ekn->ecn",
             x.astype(jnp.bfloat16),
