@@ -74,6 +74,13 @@ class RMSNorm(nn.Module):
     # kernel instead of the normed bf16 activation — one HBM pass instead of
     # three when the consumer is a dynamic-int8 projection (ops/fused_quant).
     quant_out: bool = False
+    # Sharded full-width normalization (OLMo-2 qk-norm under TP): the
+    # logical norm width is shards * local width — the variance psums over
+    # ``psum_axis`` and the weight param covers the FULL width (replicated;
+    # each rank slices its contiguous block, matching Megatron's contiguous
+    # column split of the producing projection).
+    psum_axis: str | None = None
+    shards: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -82,7 +89,11 @@ class RMSNorm(nn.Module):
             if self.unit_offset
             else nn.initializers.ones_init()
         )
-        w = self.param("weight", init, (x.shape[-1],), jnp.float32)
+        local = x.shape[-1]
+        w = self.param("weight", init, (local * self.shards,), jnp.float32)
+        if self.shards > 1:
+            idx = jax.lax.axis_index(self.psum_axis)
+            w = jax.lax.dynamic_slice(w, (idx * local,), (local,))
         if self.unit_offset:
             w = w + 1.0
         if self.quant_out:
@@ -90,7 +101,11 @@ class RMSNorm(nn.Module):
 
             return rms_norm_quant(x, w, eps=self.eps, cast_dtype=self.dtype)
         xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        if self.shards > 1:
+            ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+            var = jax.lax.psum(ss, self.psum_axis) / (local * self.shards)
+        else:
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         y = xf * jax.lax.rsqrt(var + self.eps)
         return (y * w).astype(self.dtype)
 
@@ -384,14 +399,18 @@ class Attention(nn.Module):
         if cfg.qk_norm and cfg.qk_norm_full:
             # OLMo-2: RMSNorm over the FULL projection width (mean over
             # H*Dh, weight [H*Dh]), before the head split. Under TP the
-            # mean would span shards — unsupported until needed.
-            assert self.tp == 1, "full-width qk-norm under TP unsupported"
+            # variance psums across head shards and each rank slices its
+            # block of the replicated full-width weight (RMSNorm shards=tp
+            # — round-4 guard lift, exact-match tested).
+            ax = self.tp_axis if self.tp > 1 else None
             q = RMSNorm(cfg.rms_norm_eps, self.dtype,
-                        unit_offset=cfg.rmsnorm_unit_offset, name="q_norm")(
+                        unit_offset=cfg.rmsnorm_unit_offset,
+                        psum_axis=ax, shards=self.tp, name="q_norm")(
                 q.reshape(B, T, H * Dh)
             ).reshape(B, T, H, Dh)
             k = RMSNorm(cfg.rms_norm_eps, self.dtype,
-                        unit_offset=cfg.rmsnorm_unit_offset, name="k_norm")(
+                        unit_offset=cfg.rmsnorm_unit_offset,
+                        psum_axis=ax, shards=self.tp, name="k_norm")(
                 k.reshape(B, T, KV * Dh)
             ).reshape(B, T, KV, Dh)
         elif cfg.qk_norm:

@@ -798,3 +798,37 @@ def test_prefix_cache_dp_tp_engine(fp_setup):
     assert all(o == ref for o in outs), (outs, ref)
     m = eng.metrics()
     assert m["prefix_hit_tokens"] > 0, m
+
+
+@needs_8dev
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_full_width_qk_norm_matches_single_device(tp):
+    """OLMo-2's full-projection-width qk-norm under TP (round-4 guard
+    lift): the variance psums across head shards and each rank slices its
+    block of the replicated full-width weight — logits exactly match the
+    single-device model."""
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64, post_norm=True, qk_norm=True,
+        qk_norm_full=True,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    # Non-trivial norm weights (identity init would hide slice bugs).
+    for ln in ("layers_0", "layers_1"):
+        att = params["params"][ln]["self_attn"]
+        for n in ("q_norm", "k_norm"):
+            w = att[n]["weight"]
+            att[n]["weight"] = w * (1.0 + 0.1 * jnp.arange(w.shape[0]))
+    tokens = jnp.asarray(
+        np.random.default_rng(5).integers(0, 128, (2, 10)), jnp.int32
+    )
+    ref = np.asarray(model.apply(params, tokens))
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=tp), jax.devices()[:tp])
+    model_tp = tp_model(cfg, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        got = np.asarray(build_tp_score(model_tp, mesh, params)(sparams, tokens))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
