@@ -48,6 +48,14 @@ def cmd_convert(args):
         from .models.hf_import import import_hf_gpt_neox
 
         params = import_hf_gpt_neox(sd, cfg)
+    elif any(
+        k.startswith("transformer.word_embeddings_layernorm.") for k in sd
+    ):
+        # BLOOM (must precede Falcon: both use transformer.word_embeddings;
+        # the embedding layernorm is BLOOM-unique).
+        from .models.hf_import import import_hf_bloom
+
+        params = import_hf_bloom(sd, cfg)
     elif any(k.startswith("transformer.word_embeddings.") for k in sd):
         from .models.hf_import import import_hf_falcon
 

@@ -146,7 +146,12 @@ class PagedInt8KVCache:
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          tree_mask=None):
+                          tree_mask=None, alibi_slopes=None):
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "alibi + paged KV: serve alibi models on dense caches "
+                "(in-kernel alibi for the page-walk kernel is unbuilt)"
+            )
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)

@@ -162,6 +162,87 @@ def import_hf_falcon(
     return {"params": p}
 
 
+def import_hf_bloom(
+    sd, cfg, dtype=jnp.float32
+) -> dict:
+    """HF BLOOM state dict -> fp flax params.
+
+    BLOOM namespace: transformer.word_embeddings (+ a dedicated
+    word_embeddings_layernorm -> cfg.embedding_layernorm), h.{i} blocks with
+    a FUSED self_attention.query_key_value whose rows interleave per head as
+    [q_h; k_h; v_h] (like NeoX), self_attention.dense for o_proj, a plain
+    biased gelu MLP (dense_h_to_4h/dense_4h_to_h), biased LayerNorms, ln_f,
+    tied lm_head. Positions are ALiBi (cfg.position_embedding="alibi") — no
+    rope, no position table."""
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def _ln(prefix):
+        return {
+            "weight": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32)),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32)),
+        }
+
+    p: dict = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["transformer.word_embeddings.weight"], np.float32)
+            )
+        },
+        "embed_norm": _ln("transformer.word_embeddings_layernorm"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"transformer.h.{i}"
+        qkv_w = np.asarray(
+            sd[f"{pre}.self_attention.query_key_value.weight"], np.float32
+        ).reshape(H, 3, hd, cfg.hidden_size)
+        qkv_b = np.asarray(
+            sd[f"{pre}.self_attention.query_key_value.bias"], np.float32
+        ).reshape(H, 3, hd)
+        self_attn = {}
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            self_attn[name] = {
+                "kernel": jnp.asarray(qkv_w[:, j].reshape(H * hd, -1).T),
+                "bias": jnp.asarray(qkv_b[:, j].reshape(H * hd)),
+            }
+        self_attn["o_proj"] = {
+            "kernel": _kernel(sd, f"{pre}.self_attention.dense.weight"),
+            "bias": jnp.asarray(
+                np.asarray(sd[f"{pre}.self_attention.dense.bias"], np.float32)
+            ),
+        }
+        p[f"layers_{i}"] = {
+            "input_layernorm": _ln(f"{pre}.input_layernorm"),
+            "post_attention_layernorm": _ln(f"{pre}.post_attention_layernorm"),
+            "self_attn": self_attn,
+            "mlp": {
+                "up_proj": {
+                    "kernel": _kernel(sd, f"{pre}.mlp.dense_h_to_4h.weight"),
+                    "bias": jnp.asarray(
+                        np.asarray(
+                            sd[f"{pre}.mlp.dense_h_to_4h.bias"], np.float32
+                        )
+                    ),
+                },
+                "down_proj": {
+                    "kernel": _kernel(sd, f"{pre}.mlp.dense_4h_to_h.weight"),
+                    "bias": jnp.asarray(
+                        np.asarray(
+                            sd[f"{pre}.mlp.dense_4h_to_h.bias"], np.float32
+                        )
+                    ),
+                },
+            },
+        }
+    p["norm"] = _ln("transformer.ln_f")
+    # lm_head is tied to the embedding.
+    p["lm_head"] = {
+        "kernel": jnp.asarray(
+            np.asarray(sd["transformer.word_embeddings.weight"], np.float32).T
+        )
+    }
+    return {"params": p}
+
+
 def import_hf_gpt2(
     sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict:

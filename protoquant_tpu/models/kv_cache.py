@@ -88,7 +88,8 @@ class BF16KVCache(_DenseSlotViews):
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          sink_logits=None, tree_mask=None):
+                          sink_logits=None, tree_mask=None,
+                          alibi_slopes=None):
         """q: [B,T,H,Dh]; k/v: [B,T,KV,Dh] (post-RoPE). Returns (out, cache).
 
         ``advance`` [B] overrides how far each slot's length moves (defaults
@@ -113,6 +114,7 @@ class BF16KVCache(_DenseSlotViews):
         out = mha_attention(
             q, k_all, v_all, q_pos, key_pos, window=window, scale=scale,
             softcap=softcap, sink_logits=sink_logits, tree_mask=tree_mask,
+            alibi_slopes=alibi_slopes,
         )
         return out, new
 
@@ -236,7 +238,8 @@ class Int8KVCache(_DenseSlotViews):
     # time.
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          sink_logits=None, tree_mask=None):
+                          sink_logits=None, tree_mask=None,
+                          alibi_slopes=None):
         new = self.update(k, v, advance)
         # The flash kernel covers every dense-cache attention variant:
         # sliding window (with block skipping — windowed decode reads
@@ -245,17 +248,23 @@ class Int8KVCache(_DenseSlotViews):
         # (tests/test_attention.py variant parametrization). Tree-masked
         # scoring (T = tree width, once per speculative tick) runs the XLA
         # formulation; decode steps dominate and keep the kernel.
-        if tree_mask is None and _resolve_attention_backend() == "pallas":
+        if (tree_mask is None and alibi_slopes is None
+                and _resolve_attention_backend() == "pallas"):
             out = int8_kv_attention(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,
                 sink_logits=sink_logits,
             )
         else:
+            # Tree scoring and ALiBi route the XLA formulation (alibi in
+            # the flash kernel is a ROADMAP item; decode via XLA measures
+            # 0.46-0.63 of HBM bandwidth vs ~1.0 for the kernel —
+            # BASELINE.md — an honest, correct fallback).
             out = int8_kv_attention_xla(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,
                 sink_logits=sink_logits, tree_mask=tree_mask,
+                alibi_slopes=alibi_slopes,
             )
         return out, new
 
@@ -669,7 +678,12 @@ class Int4KVCache(_DenseSlotViews):
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          sink_logits=None, tree_mask=None):
+                          sink_logits=None, tree_mask=None,
+                          alibi_slopes=None):
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "alibi + int4 KV: serve alibi models on bf16/int8 KV"
+            )
         new = self.update(k, v, advance)
         if tree_mask is None and _resolve_attention_backend() == "pallas":
             from ..ops.attention import int4_kv_attention
@@ -822,7 +836,12 @@ class RingInt8KVCache(_DenseSlotViews):
         )
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
-                          scale: float = 0.0, softcap: float = 0.0):
+                          scale: float = 0.0, softcap: float = 0.0,
+                          alibi_slopes=None):
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "alibi + ring KV layout: serve alibi models on dense caches"
+            )
         T = q.shape[1]
         new = self.update(k, v, advance)
         C = self.capacity
@@ -975,11 +994,13 @@ class MixedKVCache(_DenseSlotViews):
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          sink_logits=None, tree_mask=None):
-        if window > 0 or softcap > 0.0 or sink_logits is not None:
+                          sink_logits=None, tree_mask=None,
+                          alibi_slopes=None):
+        if (window > 0 or softcap > 0.0 or sink_logits is not None
+                or alibi_slopes is not None):
             raise NotImplementedError(
-                "mixed K8V4 KV supports full-causal attention only "
-                "(windowed/softcap/sink models: use int8 KV)"
+                "mixed K8V4 KV supports full-causal rope attention only "
+                "(windowed/softcap/sink/alibi models: use int8 KV)"
             )
         new = self.update(k, v, advance)
         if tree_mask is None and _resolve_attention_backend() == "pallas":

@@ -64,6 +64,27 @@ def init_cache(
 # ---------------------------------------------------------------------------
 
 
+def alibi_slopes(n_heads: int):
+    """Canonical ALiBi head slopes (Press et al. 2021, the BLOOM/MPT
+    scheme): for 2^k heads a geometric sequence 2^(-8i/n); other counts
+    take the closest power of two's sequence plus every other entry of the
+    doubled one (the transformers build_alibi_tensor recipe)."""
+    import math
+
+    import numpy as _np
+
+    def pow2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        return _np.asarray(pow2(n_heads), _np.float32)
+    c = 2 ** math.floor(math.log2(n_heads))
+    return _np.asarray(
+        pow2(c) + pow2(2 * c)[0::2][: n_heads - c], _np.float32
+    )
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.bfloat16
@@ -446,9 +467,9 @@ class Attention(nn.Module):
             Dh if cfg.partial_rotary_factor >= 1.0
             else int(Dh * cfg.partial_rotary_factor) // 2 * 2
         )
-        if cfg.position_embedding == "learned":
-            # GPT-2-class: positions enter once through the learned
-            # embedding table at the model root; attention is rope-free.
+        if cfg.position_embedding in ("learned", "alibi"):
+            # GPT-2-class learned positions / BLOOM-class alibi biases:
+            # attention is rope-free.
             pass
         elif cfg.rope_local_theta > 0.0 and is_sliding:
             cos, sin = rope_tables(
@@ -477,9 +498,20 @@ class Attention(nn.Module):
             cos, sin = rope_tables(
                 rot, cfg.max_position_embeddings, cfg.rope_theta, cfg
             )
-        if cfg.position_embedding != "learned":
+        if cfg.position_embedding not in ("learned", "alibi"):
             q = apply_rope(q, positions, cos, sin, rot=rot)
             k = apply_rope(k, positions, cos, sin, rot=rot)
+        alibi = None
+        if cfg.position_embedding == "alibi":
+            # Per-head linear distance biases on the logits; under TP each
+            # rank takes its contiguous slice of the canonical slopes
+            # (heads split contiguously like the qkv columns).
+            full = jnp.asarray(alibi_slopes(cfg.num_attention_heads))
+            if self.tp > 1:
+                r = jax.lax.axis_index(self.tp_axis)
+                alibi = jax.lax.dynamic_slice(full, (r * H,), (H,))
+            else:
+                alibi = full
         scale = (
             cfg.query_pre_attn_scalar**-0.5
             if cfg.query_pre_attn_scalar > 0.0
@@ -500,6 +532,8 @@ class Attention(nn.Module):
             # Cache classes own update + masking + (for int8) the Pallas
             # in-kernel-dequant attention.
             kw = {} if sinks is None else {"sink_logits": sinks}
+            if alibi is not None:
+                kw["alibi_slopes"] = alibi
             if tree_mask is not None:
                 # Tree + sliding window composes (round 4): the ancestor
                 # relation replaces in-window causality and the window's
@@ -531,7 +565,7 @@ class Attention(nn.Module):
             new_cache = None
             out = mha_attention(
                 q, k, v, positions, positions, window=win, scale=scale,
-                softcap=softcap, sink_logits=sinks,
+                softcap=softcap, sink_logits=sinks, alibi_slopes=alibi,
             )
 
         out = out.reshape(B, T, H * Dh)
@@ -558,7 +592,7 @@ class Attention(nn.Module):
 
 def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
                   scale: float = 0.0, softcap: float = 0.0,
-                  sink_logits=None, tree_mask=None):
+                  sink_logits=None, tree_mask=None, alibi_slopes=None):
     """Grouped-query attention with absolute-position causal masking.
 
     q: [B, T, H, Dh]; k/v: [B, S, KV, Dh]; q_positions [B, T];
@@ -582,6 +616,14 @@ def mha_attention(q, k, v, q_positions, k_positions, window: int = 0,
 
     sm = scale if scale > 0.0 else Dh**-0.5
     scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) * sm
+    if alibi_slopes is not None:
+        # ALiBi (BLOOM/MPT): logits pick up -slope_h * (q_pos - k_pos) —
+        # nothing position-dependent touches q/k themselves (rope-free).
+        dist = (
+            q_positions[:, :, None] - k_positions[:, None, :]
+        ).astype(jnp.float32)  # [B, T, S]
+        sl = alibi_slopes.reshape(KV, group)
+        scores = scores - sl[None, :, :, None, None] * dist[:, None, None]
     if softcap > 0.0:
         scores = softcap * jnp.tanh(scores / softcap)
     mask = k_positions[:, None, None, None, :] <= q_positions[:, None, None, :, None]
@@ -966,6 +1008,10 @@ class LlamaModel(nn.Module):
         if cfg.scale_embeddings:
             # Gemma normalizer, applied in the activation dtype like HF does.
             x = x * jnp.asarray(cfg.hidden_size**0.5, self.dtype)
+        if cfg.embedding_layernorm:
+            # BLOOM: LayerNorm directly on the embedding output
+            # (word_embeddings_layernorm in the HF checkpoint).
+            x = make_norm(cfg, self.dtype, "embed_norm")(x)
         if cfg.position_embedding == "learned":
             # GPT-2-class absolute positions: one learned table added to the
             # token embedding; attention layers are rope-free.

@@ -344,7 +344,8 @@ def int8_kv_attention(
 def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
                           k_positions=None, sinks: int = 0,
-                          sink_logits=None, tree_mask=None):
+                          sink_logits=None, tree_mask=None,
+                          alibi_slopes=None):
     """XLA-fused int8-KV attention: the dequant casts/scales fuse into the
     batched dots, so HBM still streams int8. Off-TPU (and under
     ATTENTION_BACKEND="xla") this is the product path; on TPU the
@@ -397,6 +398,12 @@ def int8_kv_attention_xla(q, kq, ks, vq, vs, lengths, window: int = 0,
         # Ring cache: the caller reconstructs per-column absolute positions
         # (negative = never written).
         s_pos = k_positions
+    if alibi_slopes is not None:
+        # ALiBi: -slope_h * (t_pos - s_pos) on the logits (rope-free
+        # models; see models/llama.py::mha_attention).
+        sl = alibi_slopes.reshape(KV, group)
+        dist = (t_pos[:, :, None] - s_pos[:, None, :]).astype(jnp.float32)
+        scores = scores - sl[None, :, :, None, None] * dist[:, None, None]
     mask = s_pos[:, None, None, None, :] <= t_pos[:, None, None, :, None]
     mask &= s_pos[:, None, None, None, :] >= 0
     if tree_mask is not None:

@@ -216,18 +216,22 @@ class ModelConfig:
     # sublayers (NeoX keeps a second norm for the MLP leg).
     parallel_block_single_norm: bool = False
     # "rope" (default) | "learned" (GPT-2-class absolute position table
-    # added to the token embedding; attention is rope-free).
+    # added to the token embedding; attention is rope-free) | "alibi"
+    # (BLOOM/MPT: rope-free, per-head linear distance biases on the
+    # attention logits — slopes derived from the head count).
     position_embedding: str = "rope"
     # Biases on the MLP projections (NeoX has them everywhere).
     mlp_bias: bool = False
+    # BLOOM: LayerNorm applied directly to the token embedding output.
+    embedding_layernorm: bool = False
 
     def __post_init__(self):
         _coerce_tuple_fields(self)
         if self.norm_type not in ("rmsnorm", "layernorm"):
             raise ValueError("norm_type must be 'rmsnorm' or 'layernorm'")
-        if self.position_embedding not in ("rope", "learned"):
+        if self.position_embedding not in ("rope", "learned", "alibi"):
             raise ValueError(
-                "position_embedding must be 'rope' or 'learned'"
+                "position_embedding must be 'rope', 'learned' or 'alibi'"
             )
         if self.parallel_block and (self.post_norm or self.sandwich_norms):
             raise ValueError(
@@ -652,6 +656,31 @@ class ModelConfig:
             attention_out_bias=True,
             hidden_act="gelu",
             sliding_window=4096,
+        )
+
+    @classmethod
+    def bloom_560m(cls) -> "ModelConfig":
+        """BLOOM-560m: ALiBi positions (rope-free), embedding LayerNorm,
+        biased LayerNorms everywhere, fused interleaved qkv in the HF
+        checkpoint (hf_import de-interleaves), plain biased gelu MLP,
+        tied head."""
+        return cls(
+            vocab_size=250880,
+            hidden_size=1024,
+            intermediate_size=4096,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            num_key_value_heads=16,
+            max_position_embeddings=2048,
+            norm_type="layernorm",
+            mlp_gated=False,
+            mlp_bias=True,
+            attention_bias=True,
+            attention_out_bias=True,
+            hidden_act="gelu",
+            position_embedding="alibi",
+            embedding_layernorm=True,
+            tie_word_embeddings=True,
         )
 
     @classmethod

@@ -974,3 +974,52 @@ def test_gpt2_parity():
     )
     zeroed = np.asarray(model.apply(params0, jnp.asarray(toks)))
     assert np.abs(zeroed - theirs).max() > 1e-2
+
+
+@torch.no_grad()
+def test_bloom_parity():
+    """BLOOM = the ALiBi axis: rope-free attention with per-head linear
+    distance biases, plus an embedding LayerNorm — on top of the
+    biased-LayerNorm / fused-interleaved-qkv / plain-gelu-MLP / tied-head
+    machinery. Changed-math control: a rope model on the same weights must
+    NOT match."""
+    from transformers import BloomConfig, BloomForCausalLM
+
+    from protoquant_tpu.models.hf_import import import_hf_bloom
+
+    hf_cfg = BloomConfig(
+        vocab_size=64, hidden_size=64, n_layer=2, n_head=4,
+        layer_norm_epsilon=1e-5, tie_word_embeddings=True,
+    )
+    torch.manual_seed(11)
+    hf = BloomForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        norm_type="layernorm", mlp_gated=False, mlp_bias=True,
+        attention_bias=True, attention_out_bias=True, hidden_act="gelu",
+        position_embedding="alibi", embedding_layernorm=True,
+        tie_word_embeddings=True,
+    )
+    toks = _tokens(64, seed=11)
+    sd = _state_dict_np(hf)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_bloom(sd, cfg)
+    ours = np.asarray(model.apply(params, jnp.asarray(toks)))
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Changed-math control: rope on the same weights diverges well beyond
+    # the parity tolerance (2e-4) — a tiny random 2-layer model moves only
+    # a few 1e-3 under a position-encoding swap, but that is still ~20x
+    # the bound the parity assert holds to.
+    import dataclasses as _dc
+
+    rope_cfg = _dc.replace(cfg, position_embedding="rope")
+    r = np.asarray(
+        LlamaModel(rope_cfg, mode="fp", dtype=jnp.float32).apply(
+            params, jnp.asarray(toks)
+        )
+    )
+    assert np.abs(r - theirs).max() > 1e-3

@@ -396,3 +396,58 @@ def test_olmo2_engine_decode():
     rid = eng.add_request([1, 2, 3], 6)
     out = eng.run()[rid]
     assert len(out) == 6 and all(0 <= t < OLMO2_TINY.vocab_size for t in out)
+
+
+BLOOM_TINY = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=64, norm_type="layernorm", mlp_gated=False,
+    mlp_bias=True, attention_bias=True, attention_out_bias=True,
+    hidden_act="gelu", position_embedding="alibi", embedding_layernorm=True,
+    tie_word_embeddings=True,
+)
+
+
+def test_bloom_alibi_cache_consistency():
+    """ALiBi attention (BLOOM shape: rope-free distance biases + embedding
+    LayerNorm) through the bf16 AND int8 cache paths — the int8 path
+    routes the XLA formulation (alibi in the flash kernel is a ROADMAP
+    item); per-token decode must reproduce cache-free scoring."""
+    _check_cache_consistency(BLOOM_TINY, seed=13)
+
+
+def test_bloom_alibi_engine_matches_plain_greedy():
+    """ALiBi models serve through the continuous-batching engine: batched
+    == sequential, and linear speculation stays exact (the scoring
+    formulation carries the alibi bias)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    model = LlamaModel(BLOOM_TINY, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=10, temperature=0.0)
+    prompts = [[5, 9, 2, 7], [1, 2, 3]]
+
+    seq = []
+    for p in prompts:
+        e = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+        rid = e.add_request(p, 10)
+        seq.append(e.run()[rid])
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    rids = [eng.add_request(p, 10) for p in prompts]
+    outs = eng.run()
+    for ref, rid in zip(seq, rids):
+        assert outs[rid] == ref
+
+    spec = Engine(model, params, ecfg, kv_dtype=jnp.int8,
+                  draft_model=model, draft_params=params, gamma=3)
+    srids = [spec.add_request(p, 10) for p in prompts]
+    souts = spec.run()
+    for ref, rid in zip(seq, srids):
+        assert souts[rid] == ref
+
+    with pytest.raises(NotImplementedError, match="alibi"):
+        e4 = Engine(model, params, ecfg, kv_dtype=jnp.int4)
+        e4.add_request([1, 2, 3], 4)
+        e4.run()
