@@ -243,6 +243,61 @@ def import_hf_bloom(
     return {"params": p}
 
 
+def import_hf_mpt(sd, cfg, dtype=jnp.float32) -> dict:
+    """HF MPT state dict -> fp flax params.
+
+    MPT namespace: transformer.wte, blocks.{i} with a fused NON-interleaved
+    attn.Wqkv ([q; k; v] blocks stacked on the out axis), attn.out_proj,
+    ffn.up_proj/down_proj (plain exact-gelu MLP), BIAS-FREE LayerNorms
+    (norm_1/norm_2/norm_f — zero biases synthesized for our biased
+    LayerNorm), tied lm_head, ALiBi positions. NOTE: for non-power-of-two
+    head counts MPT's slope interpolation differs from the BLOOM recipe in
+    models/llama.py::alibi_slopes — import power-of-two-headed configs (all
+    released MPT models are)."""
+    D = cfg.hidden_size
+
+    def _ln(prefix):
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+        return {"weight": jnp.asarray(w),
+                "bias": jnp.zeros((w.shape[0],), jnp.float32)}
+
+    p: dict = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["transformer.wte.weight"], np.float32)
+            )
+        }
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"transformer.blocks.{i}"
+        qkv = np.asarray(sd[f"{pre}.attn.Wqkv.weight"], np.float32)
+        q_w, k_w, v_w = qkv[:D], qkv[D : 2 * D], qkv[2 * D :]
+        p[f"layers_{i}"] = {
+            "input_layernorm": _ln(f"{pre}.norm_1"),
+            "post_attention_layernorm": _ln(f"{pre}.norm_2"),
+            "self_attn": {
+                "q_proj": {"kernel": jnp.asarray(q_w.T)},
+                "k_proj": {"kernel": jnp.asarray(k_w.T)},
+                "v_proj": {"kernel": jnp.asarray(v_w.T)},
+                "o_proj": {
+                    "kernel": _kernel(sd, f"{pre}.attn.out_proj.weight")
+                },
+            },
+            "mlp": {
+                "up_proj": {
+                    "kernel": _kernel(sd, f"{pre}.ffn.up_proj.weight")
+                },
+                "down_proj": {
+                    "kernel": _kernel(sd, f"{pre}.ffn.down_proj.weight")
+                },
+            },
+        }
+    p["norm"] = _ln("transformer.norm_f")
+    lm = sd.get("lm_head.weight", sd["transformer.wte.weight"])
+    p["lm_head"] = {"kernel": jnp.asarray(np.asarray(lm, np.float32).T)}
+    return {"params": p}
+
+
 def import_hf_gpt2(
     sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict:

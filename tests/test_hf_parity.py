@@ -1023,3 +1023,33 @@ def test_bloom_parity():
         )
     )
     assert np.abs(r - theirs).max() > 1e-3
+
+
+@torch.no_grad()
+def test_mpt_parity():
+    """MPT = ALiBi + bias-free LayerNorms + fused NON-interleaved Wqkv +
+    plain exact-gelu MLP, no biases anywhere — the second family on the
+    alibi axis (power-of-two heads; see import_hf_mpt's slope note)."""
+    from transformers import MptConfig, MptForCausalLM
+
+    from protoquant_tpu.models.hf_import import import_hf_mpt
+
+    hf_cfg = MptConfig(
+        vocab_size=64, d_model=64, n_heads=4, n_layers=2, max_seq_len=64,
+    )
+    torch.manual_seed(13)
+    hf = MptForCausalLM(hf_cfg).eval().float()
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        norm_type="layernorm", mlp_gated=False, hidden_act="gelu_exact",
+        position_embedding="alibi", tie_word_embeddings=True,
+    )
+    toks = _tokens(64, seed=13)
+    sd = _state_dict_np(hf)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_mpt(sd, cfg)
+    ours = np.asarray(model.apply(params, jnp.asarray(toks)))
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
