@@ -63,6 +63,7 @@ class Request:
     frequency_penalty: "float | None" = None
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
+    want_logprobs: bool = False  # per-request opt-in (OpenAI logprobs)
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
     t_enqueue: float = 0.0  # perf_counter at add_request (queue-wait timing)
     cancelled: bool = False  # retired early via Engine.cancel()
@@ -555,6 +556,7 @@ class Engine:
         priority: int = 0,  # scheduler="priority": higher admits first
         logit_mask_fn=None,  # guided decoding: fn(tokens_so_far)->[V] bool
         logit_bias=None,  # {token_id: delta} added pre-sampling each step
+        logprobs: bool = False,  # per-request token logprobs (OpenAI style)
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens.
@@ -563,8 +565,13 @@ class Engine:
         on the host before every step with the request's tokens so far
         (prompt + generated), it returns a [vocab] bool mask of allowed
         next tokens; disallowed logits become -inf before sampling, so the
-        constraint is exact at any temperature. Unsupported in speculative
-        modes (the score-and-accept program commits whole windows)."""
+        constraint is exact at any temperature — and composes with every
+        speculative mode (masks apply identically in proposal and
+        acceptance scoring).
+
+        ``logprobs=True`` records the target logprob of every emitted
+        token on the request (pre-truncation convention) regardless of the
+        engine-wide ``cfg.return_logprobs``."""
         prompt = [int(t) for t in prompt_tokens]
         if not prompt:
             raise ValueError("empty prompt")
@@ -600,6 +607,7 @@ class Engine:
                 {int(k): float(v) for k, v in logit_bias.items()}
                 if logit_bias else None
             ),
+            want_logprobs=bool(logprobs),
         )
         if (presence_penalty or frequency_penalty) and self.token_counts is None:
             raise ValueError(
@@ -782,6 +790,16 @@ class Engine:
                     jnp.asarray(row)
                 )
 
+    def _want_logprobs(self) -> bool:
+        """Engine-wide config OR any live request's per-request opt-in."""
+        if self.cfg.return_logprobs:
+            return True
+        return any(
+            r is not None and r.want_logprobs for r in self.slot_req
+        ) or any(r.want_logprobs for r in self.waiting) or any(
+            r.want_logprobs for r in self.prefilling
+        )
+
     def _prefill_tick(self):
         """Run ONE prefill chunk of the oldest mid-prefill request.
 
@@ -912,7 +930,7 @@ class Engine:
                     freq=self.samp["freq_pens"][req.slot][None],
                 )[0]
             )
-            if self.cfg.return_logprobs:
+            if self.cfg.return_logprobs or req.want_logprobs:
                 from .sampling import token_logprob
 
                 req.logprobs.append(
@@ -1184,14 +1202,15 @@ class Engine:
             check_finite("kv values", _cache_probe(self.caches[0]))
         toks = jax.device_get(next_tokens)
         lps = (
-            jax.device_get(logprobs) if self.cfg.return_logprobs else None
+            jax.device_get(logprobs) if self._want_logprobs() else None
         )
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
                 continue
             req = self.slot_req[slot]
             req.out.append(int(toks[slot]))
-            if lps is not None:
+            if lps is not None and (self.cfg.return_logprobs
+                                    or req.want_logprobs):
                 req.logprobs.append(float(lps[slot]))
             if req.on_token is not None:
                 req.on_token(req.rid, int(toks[slot]))
@@ -1247,7 +1266,7 @@ class Engine:
             self._tp_fns["spec_score"] if self._tp_fns is not None
             else partial(_spec_score_and_accept, self.model)
         )
-        wl = self.cfg.return_logprobs
+        wl = self._want_logprobs()
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
@@ -1312,7 +1331,7 @@ class Engine:
             self._tp_fns["spec_score_hidden"] if self._tp_fns is not None
             else partial(_spec_score_and_accept_hidden, self.model)
         )
-        wl = self.cfg.return_logprobs
+        wl = self._want_logprobs()
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
@@ -1362,7 +1381,7 @@ class Engine:
         )
         self._key, k_accept = jax.random.split(self._key)
         bias = self._assemble_window_bias(self._tree_paths(props, J, d))
-        wl = self.cfg.return_logprobs
+        wl = self._want_logprobs()
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             branches=J, depth=d, bias=bias, counts=self.token_counts,
@@ -1406,7 +1425,7 @@ class Engine:
         )
         self._key, k_accept = jax.random.split(self._key)
         bias = self._assemble_window_bias(self._tree_paths(props, J, d))
-        wl = self.cfg.return_logprobs
+        wl = self._want_logprobs()
         extra = dict(
             counts=self.token_counts,
             penalty=self.cfg.repetition_penalty, want_logprobs=wl,
@@ -1460,7 +1479,8 @@ class Engine:
             emitted = [int(t) for t in props[slot, int(best_h[slot]), :a]]
             emitted.append(int(corr_h[slot]))
             lps = None
-            if lp_h is not None:
+            if lp_h is not None and (self.cfg.return_logprobs
+                                     or req.want_logprobs):
                 lps = [float(lp_h[0][slot, t]) for t in range(a)]
                 lps.append(float(lp_h[1][slot]))
             self.stats["spec_proposed"] += d
@@ -1523,7 +1543,7 @@ class Engine:
             for s in range(B)
         })
         # draft_logits=None: point-mass proposals (q~ = one-hot).
-        wl = self.cfg.return_logprobs
+        wl = self._want_logprobs()
         out = score(
             self.params, self.caches, window, active, k_accept, self.samp,
             None, bias, want_logprobs=wl,
@@ -1562,7 +1582,8 @@ class Engine:
             emitted = [int(t) for t in window_h[slot, 1 : 1 + a]]
             emitted.append(int(corr_h[slot, a]))
             lps = None
-            if lp_h is not None:
+            if lp_h is not None and (self.cfg.return_logprobs
+                                     or req.want_logprobs):
                 lps = [float(lp_h[0][slot, t]) for t in range(a)]
                 lps.append(float(lp_h[1][slot, a]))
             self.stats["spec_proposed"] += g

@@ -148,6 +148,7 @@ class EngineServer:
                         if req.get("logit_bias") else None
                     )
                     stream = bool(req.get("stream", False))
+                    want_logprobs = bool(req.get("logprobs", False))
                     n = int(req.get("n", 1))
                     if n < 1:
                         raise ValueError("n must be >= 1")
@@ -176,6 +177,7 @@ class EngineServer:
                             stream_queue=tok_q,
                             logit_mask_fn=logit_mask_fn,
                             logit_bias=logit_bias,
+                            logprobs=want_logprobs,
                             **samp,
                         )
                         for _ in range(n)

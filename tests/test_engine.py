@@ -1108,3 +1108,54 @@ def test_engine_min_new_tokens(model_and_params):
     out2 = e2.run()[r2]
     assert len(out2) >= 6
     assert out2[:2] == ref[:2]
+
+
+def test_engine_per_request_logprobs(model_and_params):
+    """Per-request logprobs opt-in (OpenAI semantics): a requesting and a
+    non-requesting request share one batch — only the opt-in request
+    records logprobs, and they match the engine-wide-config run exactly."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    base = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0)
+    eng = Engine(model, params, base, kv_dtype=jnp.float32)
+    r_yes = eng.add_request(prompt, 6, logprobs=True)
+    r_no = eng.add_request([1, 2, 3], 6)
+    eng.run()
+    req_yes = next(r for r in eng.finished if r.rid == r_yes)
+    req_no = next(r for r in eng.finished if r.rid == r_no)
+    assert len(req_yes.logprobs) == len(req_yes.out) == 6
+    assert req_no.logprobs == []
+
+    cfg_on = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                          max_new_tokens=6, temperature=0.0,
+                          return_logprobs=True)
+    ref = Engine(model, params, cfg_on, kv_dtype=jnp.float32)
+    rr = ref.add_request(prompt, 6)
+    ref.run()
+    ref_req = next(r for r in ref.finished if r.rid == rr)
+    assert req_yes.out == ref_req.out
+    np.testing.assert_allclose(req_yes.logprobs, ref_req.logprobs,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_per_request_logprobs_speculative(model_and_params):
+    """Per-request logprobs through a speculative engine (self-draft):
+    stream and logprobs equal the plain per-request run."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=6, temperature=0.0)
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    pr = plain.add_request(prompt, 6, logprobs=True)
+    plain.run()
+    pref = next(r for r in plain.finished if r.rid == pr)
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 draft_model=model, draft_params=params, gamma=3)
+    rid = eng.add_request(prompt, 6, logprobs=True)
+    eng.run()
+    req = next(r for r in eng.finished if r.rid == rid)
+    assert req.out == pref.out
+    np.testing.assert_allclose(req.logprobs, pref.logprobs,
+                               rtol=1e-4, atol=1e-4)
