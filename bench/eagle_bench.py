@@ -100,11 +100,11 @@ def main():
         feats = jnp.zeros((B, D), jnp.float32)
         return caches, dcache, last, feats
 
-    def eagle_tick(carry, i, ps, dps):
+    def eagle_tick(carry, i, ps, dps, et):
         caches, dcache, last, feats = carry
         key = jax.random.fold_in(jax.random.PRNGKey(7), i)
         props, dlogits, dcache = _eagle_propose(
-            draft, dps, dcache, feats, (last + (i % 3)) % (V - 1), emb,
+            draft, dps, dcache, feats, (last + (i % 3)) % (V - 1), et,
             active, key, samp, g,
         )
         window = jnp.concatenate([last[:, None], props], axis=1)
@@ -117,7 +117,7 @@ def main():
         last = jnp.take_along_axis(corr, accepted[:, None], 1)[:, 0]
         return (caches, dcache, last, h_next), (accepted + 1).sum()
 
-    def plain_step(carry, i, ps, dps):
+    def plain_step(carry, i, ps, dps, et):
         caches, dcache, last, feats = carry
         tok = (last + (i % 5))[:, None] % (V - 1) + 1
         pos = caches[0].lengths[:, None]
@@ -128,32 +128,34 @@ def main():
         return (caches, dcache, last, feats), jnp.float32(1)
 
     def time_loop(name, body):
-        # params thread through as jit ARGUMENTS (closing over them bakes
-        # the weights in as constants — see medusa_bench).
+        # params AND the embedding table thread through as jit ARGUMENTS
+        # (closing over them bakes the weights in as constants — the
+        # tunnel's remote_compile rejects the 500MB program with HTTP 413;
+        # see medusa_bench for the same trap).
         def make_run(n):
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def run(carry, salt, ps, dps):
+            def run(carry, salt, ps, dps, et):
                 def wrapped(c, i):
-                    return body(c, i + salt, ps, dps)
+                    return body(c, i + salt, ps, dps, et)
 
                 carry, em = jax.lax.scan(wrapped, carry, jnp.arange(n))
                 return jnp.sum(em.astype(jnp.float32)) + carry[2].sum()
 
             return run
 
-        lo, hi = 16, 80
+        lo, hi = 16, 48
         run_lo, run_hi = make_run(lo), make_run(hi)
-        float(run_lo(make_state(), jnp.int32(1), params, dparams))
-        float(run_hi(make_state(), jnp.int32(1), params, dparams))
+        float(run_lo(make_state(), jnp.int32(1), params, dparams, emb))
+        float(run_hi(make_state(), jnp.int32(1), params, dparams, emb))
         bl = bh = 1e9
         for j in range(2, 5):
             c = make_state()
             t0 = time.perf_counter()
-            float(run_lo(c, jnp.int32(j * 1009), params, dparams))
+            float(run_lo(c, jnp.int32(j * 1009), params, dparams, emb))
             bl = min(bl, time.perf_counter() - t0)
             c = make_state()
             t0 = time.perf_counter()
-            float(run_hi(c, jnp.int32(j * 2027), params, dparams))
+            float(run_hi(c, jnp.int32(j * 2027), params, dparams, emb))
             bh = min(bh, time.perf_counter() - t0)
         dt = max(bh - bl, 1e-9) / (hi - lo)
         print(json.dumps({"case": name, "us": round(dt * 1e6, 1)}), flush=True)

@@ -64,6 +64,7 @@ class Request:
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
     want_logprobs: bool = False  # per-request opt-in (OpenAI logprobs)
+    seed: "int | None" = None  # per-request sampling seed (OpenAI seed)
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
     t_enqueue: float = 0.0  # perf_counter at add_request (queue-wait timing)
     cancelled: bool = False  # retired early via Engine.cancel()
@@ -520,6 +521,16 @@ class Engine:
         self._cancel_pending: list[int] = []
         self._next_rid = 0
         self._key = jax.random.PRNGKey(self.cfg.seed)
+        # Per-slot sampling keys (round 4, OpenAI per-request `seed`):
+        # every random draw derives from fold(fold(slot_key, slot_step),
+        # site) — slot_step counts THIS slot's decode ticks — so a seeded
+        # request's sampled stream is REPRODUCIBLE regardless of batch
+        # co-tenants, engine seed, dp sharding, or admission order, and an
+        # unseeded request (key = fold(engine_key, rid)) is reproducible
+        # for a fixed engine seed + rid. One consequence worth tests:
+        # batched sampling now EXACTLY equals sequential sampling.
+        self._slot_keys = jnp.zeros((B, 2), jnp.uint32)
+        self._slot_steps = jnp.zeros((B,), jnp.int32)
         self.eos_id: Optional[int] = None
         self.debug_checks = debug_checks
         self.watchdog = StepWatchdog(step_budget_s)
@@ -557,6 +568,7 @@ class Engine:
         logit_mask_fn=None,  # guided decoding: fn(tokens_so_far)->[V] bool
         logit_bias=None,  # {token_id: delta} added pre-sampling each step
         logprobs: bool = False,  # per-request token logprobs (OpenAI style)
+        seed: "int | None" = None,  # reproducible sampling for this request
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
         to the engine-wide eos_id); ``on_token(rid, tok)`` streams tokens.
@@ -608,6 +620,7 @@ class Engine:
                 if logit_bias else None
             ),
             want_logprobs=bool(logprobs),
+            seed=None if seed is None else int(seed),
         )
         if (presence_penalty or frequency_penalty) and self.token_counts is None:
             raise ValueError(
@@ -779,6 +792,16 @@ class Engine:
                 self.samp[name] = self.samp[name].at[slot].set(
                     jnp.asarray(v, dt)
                 )
+            base = (
+                jax.random.PRNGKey(req.seed) if req.seed is not None
+                else jax.random.fold_in(
+                    jax.random.PRNGKey(self.cfg.seed), req.rid
+                )
+            )
+            self._slot_keys = self._slot_keys.at[slot].set(
+                jnp.asarray(base, jnp.uint32)
+            )
+            self._slot_steps = self._slot_steps.at[slot].set(0)
             if self.token_counts is not None:
                 import numpy as _np
 
@@ -789,6 +812,17 @@ class Engine:
                 self.token_counts = self.token_counts.at[slot].set(
                     jnp.asarray(row)
                 )
+
+    def _tick_keys(self, site: int):
+        """Per-slot draw keys [B, 2] for one sampling site of the current
+        tick: fold(fold(slot_key, slot_step), site). Sites: 0 plain decode,
+        1 prefill first token, 2 draft proposal, 3 accept, 4 tree."""
+        return jax.vmap(
+            lambda k, st: jax.random.fold_in(jax.random.fold_in(k, st), site)
+        )(self._slot_keys, self._slot_steps)
+
+    def _bump_slot_steps(self, active):
+        self._slot_steps = self._slot_steps + active.astype(jnp.int32)
 
     def _want_logprobs(self) -> bool:
         """Engine-wide config OR any live request's per-request opt-in."""
@@ -896,7 +930,11 @@ class Engine:
                 len(req.shared_pages),
             )
         if req.max_new_tokens > 0:
-            self._key, sub = jax.random.split(self._key)
+            # Site 1, step 0 of this slot's key chain (the first generated
+            # token precedes any decode tick).
+            sub = jax.random.fold_in(
+                jax.random.fold_in(self._slot_keys[req.slot], 0), 1
+            )[None]
             counts_row = (
                 self.token_counts[req.slot][None]
                 if self.token_counts is not None
@@ -1143,7 +1181,8 @@ class Engine:
                 self._prompt_lookup_tick(t0)
             return
         active = jnp.asarray(self.active)
-        self._key, sub = jax.random.split(self._key)
+        sub = self._tick_keys(0)
+        self._bump_slot_steps(active)
         decode = (
             self._tp_fns["decode"] if self._tp_fns is not None
             else partial(_decode_step, self.model)
@@ -1231,7 +1270,9 @@ class Engine:
         import dataclasses
 
         active = jnp.asarray(self.active)
-        self._key, k_draft, k_accept = jax.random.split(self._key, 3)
+        k_draft = self._tick_keys(2)
+        k_accept = self._tick_keys(3)
+        self._bump_slot_steps(active)
         bias0 = self._assemble_logit_bias()  # [B, V] guided bias (or None)
         proposals, draft_logits, self.draft_caches = _draft_propose(
             self.draft_model,
@@ -1302,7 +1343,9 @@ class Engine:
         import dataclasses
 
         active = jnp.asarray(self.active)
-        self._key, k_draft, k_accept = jax.random.split(self._key, 3)
+        k_draft = self._tick_keys(2)
+        k_accept = self._tick_keys(3)
+        self._bump_slot_steps(active)
         bias0 = self._assemble_logit_bias()
         proposals, draft_logits, self.eagle_caches = _eagle_propose(
             self.eagle_draft, self.eagle_params, self.eagle_caches,
@@ -1379,7 +1422,8 @@ class Engine:
             self._tp_fns["tree_score"] if self._tp_fns is not None
             else partial(_tree_score_and_accept, self.model)
         )
-        self._key, k_accept = jax.random.split(self._key)
+        k_accept = self._tick_keys(4)
+        self._bump_slot_steps(active)
         bias = self._assemble_window_bias(self._tree_paths(props, J, d))
         wl = self._want_logprobs()
         out = score(
@@ -1423,7 +1467,8 @@ class Engine:
             [self.last_tokens[:, None], jnp.asarray(props).reshape(B, J * d)],
             axis=1,
         )
-        self._key, k_accept = jax.random.split(self._key)
+        k_accept = self._tick_keys(4)
+        self._bump_slot_steps(active)
         bias = self._assemble_window_bias(self._tree_paths(props, J, d))
         wl = self._want_logprobs()
         extra = dict(
@@ -1537,7 +1582,8 @@ class Engine:
             self._tp_fns["spec_score"] if self._tp_fns is not None
             else partial(_spec_score_and_accept, self.model)
         )
-        self._key, k_accept = jax.random.split(self._key)
+        k_accept = self._tick_keys(3)
+        self._bump_slot_steps(active)
         bias = self._assemble_window_bias({
             s: [list(props[s, :t]) for t in range(g + 1)]
             for s in range(B)
@@ -1914,14 +1960,29 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
         ).reshape(B, T, V),
         axis=-1,
     )
-    k_root, k_chain, k_corr = jax.random.split(key, 3)
     rows = jnp.arange(B)
+    if key.ndim == 2:
+        # Per-row keys (per-request seeds).
+        u_root = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, 0), (branches,)
+            )
+        )(key)
+        u_chain = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, 1), (branches, depth)
+            )
+        )(key)
+        k_corr = None
+    else:
+        k_root, k_chain, k_corr = jax.random.split(key, 3)
+        u_root = jax.random.uniform(k_root, (B, branches))
+        u_chain = jax.random.uniform(k_chain, (B, branches, depth))
     # Root multi-round: try each branch's first token in branch order
     # against the running residual. Duplicate first tokens are fine (a
     # zeroed token re-proposed has residual prob 0 -> auto-rejected), as
     # are zero-filled placeholder branches (rejection sampling is exact
     # for ANY proposal sequence; bad proposals only cost acceptance rate).
-    u_root = jax.random.uniform(k_root, (B, branches))
     r = p[:, 0]
     chosen = jnp.full((B,), branches, jnp.int32)  # == branches: none yet
     for b in range(branches):
@@ -1943,7 +2004,7 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     p_at = p.reshape(B * T, V)[lin, prop.reshape(-1)].reshape(
         B, branches, depth
     )
-    acc_chain = jax.random.uniform(k_chain, (B, branches, depth)) < p_at
+    acc_chain = u_chain < p_at
     sel = lambda a: jnp.take_along_axis(a, best_s[:, None, None], 1)[:, 0]
     acc_seq = jnp.concatenate(
         [(chosen < branches)[:, None], sel(acc_chain)[:, 1:]], axis=1
@@ -1972,9 +2033,17 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     zeroed = jnp.where(zs > 0, zeroed / zs, dist)  # numeric guard (see above)
     dist = jnp.where(need_resid[:, None], zeroed, dist)
     dist = jnp.where((accepted_s == 0)[:, None], root_resid, dist)
-    corr_s = jax.random.categorical(
-        k_corr, jnp.log(jnp.maximum(dist, 1e-38)), axis=-1
-    ).astype(jnp.int32)
+    if key.ndim == 2:
+        corr_s = jax.vmap(
+            lambda k, d: jax.random.categorical(
+                jax.random.fold_in(k, 2),
+                jnp.log(jnp.maximum(d, 1e-38)),
+            )
+        )(key, dist).astype(jnp.int32)
+    else:
+        corr_s = jax.random.categorical(
+            k_corr, jnp.log(jnp.maximum(dist, 1e-38)), axis=-1
+        ).astype(jnp.int32)
 
     # ---- combine greedy/sampling rows -----------------------------------
     is_greedy = samp["temps"] == 0.0
@@ -2123,8 +2192,12 @@ def _eagle_propose(draft, dparams, cache, feats, last_tokens, emb, active,
         last = logits[:, -1]
         if bias is not None:
             last = last + bias
+        ki = (
+            jax.vmap(lambda k: jax.random.fold_in(k, i))(key)
+            if key.ndim == 2 else jax.random.fold_in(key, i)
+        )
         nxt = sample_batched(
-            last, jax.random.fold_in(key, i), samp["temps"], samp["top_ks"],
+            last, ki, samp["temps"], samp["top_ks"],
             samp["top_ps"], samp["min_ps"],
         )
         return (nxt, f_hat[:, -1], cache), (nxt, last)
@@ -2173,8 +2246,12 @@ def _draft_propose(model, params, caches, last_tokens, active, key, samp,
         last = logits[:, -1]
         if bias is not None:
             last = last + bias
+        ki = (
+            jax.vmap(lambda k: jax.random.fold_in(k, i))(key)
+            if key.ndim == 2 else jax.random.fold_in(key, i)
+        )
         nxt = sample_batched(
-            last, jax.random.fold_in(key, i), samp["temps"], samp["top_ks"],
+            last, ki, samp["temps"], samp["top_ks"],
             samp["top_ps"], samp["min_ps"],
         )
         return (nxt, caches), (nxt, last)
@@ -2305,8 +2382,16 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
         q = jax.nn.softmax(q_log, axis=-1)
         q_at = jnp.take_along_axis(q, proposals[..., None], -1)[..., 0]
 
-    k_u, k_r = jax.random.split(key)
-    u = jax.random.uniform(k_u, (B, g))
+    if key.ndim == 2:
+        # Per-row keys [B, 2] (per-request seeds): each slot's rejection/
+        # residual draws depend only on its own key chain.
+        u = jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, 0), (g,))
+        )(key)
+        k_r = None
+    else:
+        k_u, k_r = jax.random.split(key)
+        u = jax.random.uniform(k_u, (B, g))
     accept_sampling = u * jnp.maximum(q_at, 1e-20) < p_at  # u < p/q
     accept_greedy = proposals == greedy[:, :g]
     is_greedy = (samp["temps"] == 0.0)[:, None]
@@ -2321,9 +2406,17 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
     rs = jnp.sum(resid, axis=-1, keepdims=True)
     resid = jnp.where(rs > 0, resid / rs, p[:, :g])
     corr_dist = jnp.concatenate([resid, p[:, g:]], axis=1)  # [B, T, V]
-    corr_sampled = jax.random.categorical(
-        k_r, jnp.log(jnp.maximum(corr_dist, 1e-38)), axis=-1
-    ).astype(jnp.int32)
+    if key.ndim == 2:
+        corr_sampled = jax.vmap(
+            lambda k, d: jax.random.categorical(
+                jax.random.fold_in(k, 1),
+                jnp.log(jnp.maximum(d, 1e-38)), axis=-1,
+            )
+        )(key, corr_dist).astype(jnp.int32)
+    else:
+        corr_sampled = jax.random.categorical(
+            k_r, jnp.log(jnp.maximum(corr_dist, 1e-38)), axis=-1
+        ).astype(jnp.int32)
     corrections = jnp.where(is_greedy, greedy, corr_sampled)
 
     adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
@@ -2459,8 +2552,9 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, counts_spec, batch_spec, mask_spec),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec,
+                          batch_spec, samp_spec, counts_spec, batch_spec,
+                          mask_spec),
                 out_specs=((batch_spec, batch_spec, counts_spec), cspecs),
                 check_vma=False,
             )
@@ -2475,11 +2569,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     params, last_tokens[:, None], positions, caches,
                     advance=advance, adapter_ids=adapter_ids,
                 )
-                if data_axis is not None:
-                    # Decorrelate sampling across batch-sharded replicas.
-                    key_r = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
-                else:
-                    key_r = key
+                key_r = key  # per-row [B_local, 2] keys shard with slots
                 last = logits[:, -1]
                 if logit_bias is not None:
                     last = last + logit_bias
@@ -2551,19 +2641,15 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, batch_spec, batch_spec, counts_spec,
-                          batch_spec),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec,
+                          batch_spec, samp_spec, batch_spec, batch_spec,
+                          counts_spec, batch_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
                        bias, counts, aid):
-                if data_axis is not None:
-                    key_r = jax.random.fold_in(
-                        key, jax.lax.axis_index(data_axis))
-                else:
-                    key_r = key
+                key_r = key  # per-row [B_local, 2] keys shard with slots
                 *res, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, return_hidden=True,
@@ -2604,21 +2690,15 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, dl_spec, bias_spec, counts_spec,
-                          batch_spec),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec,
+                          batch_spec, samp_spec, dl_spec, bias_spec,
+                          counts_spec, batch_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _score(params, caches, window, active, key, samp, dlogits,
                        bias, counts, aid):
-                if data_axis is not None:
-                    # Decorrelate rejection/residual draws across the
-                    # batch-sharded replicas (same key, different slots).
-                    key_r = jax.random.fold_in(
-                        key, jax.lax.axis_index(data_axis))
-                else:
-                    key_r = key
+                key_r = key  # per-row [B_local, 2] keys shard with slots
                 *res, caches = _spec_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, want_logprobs=want_logprobs,
@@ -2654,20 +2734,15 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             @partial(
                 _shard_map,
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, batch_spec, batch_spec, P(),
-                          samp_spec, batch_spec, counts_spec, batch_spec),
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec,
+                          batch_spec, samp_spec, batch_spec, counts_spec,
+                          batch_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _tscore(params, caches, window, active, key, samp, bias,
                         counts, aid):
-                if data_axis is not None:
-                    # Decorrelate acceptance/correction draws across the
-                    # batch-sharded replicas (same key, different slots).
-                    key_r = jax.random.fold_in(
-                        key, jax.lax.axis_index(data_axis))
-                else:
-                    key_r = key
+                key_r = key  # per-row [B_local, 2] keys shard with slots
                 *res, caches = _tree_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     branches, depth, bias=bias, counts=counts,
@@ -2708,18 +2783,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 _shard_map,
                 mesh=mesh,
                 in_specs=(pspecs, cspecs, hspec, batch_spec, batch_spec,
-                          P(), samp_spec, batch_spec, counts_spec,
+                          batch_spec, samp_spec, batch_spec, counts_spec,
                           batch_spec),
                 out_specs=(tuple(outs), cspecs),
                 check_vma=False,
             )
             def _tscore(params, caches, hp, window, active, key, samp,
                         bias, counts, aid):
-                if data_axis is not None:
-                    key_r = jax.random.fold_in(
-                        key, jax.lax.axis_index(data_axis))
-                else:
-                    key_r = key
+                key_r = key  # per-row [B_local, 2] keys shard with slots
                 *res, caches = _tree_score_and_accept_body(
                     model, params, caches, window, active, key_r, samp,
                     branches, depth, heads=heads, head_params=hp,

@@ -98,7 +98,16 @@ def sample_batched(
     logits = apply_presence_frequency(logits, counts, pres, freq)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = processed_logits(logits, temps, top_ks, top_ps, min_ps)
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    if key.ndim == 2:
+        # PER-ROW keys [B, 2] (per-request seeds: each slot's draw chain is
+        # independent of batch co-tenants — engine/engine.py key plumbing).
+        sampled = jax.vmap(
+            lambda k, l: jax.random.categorical(k, l, axis=-1)
+        )(key, scaled).astype(jnp.int32)
+    else:
+        sampled = jax.random.categorical(key, scaled, axis=-1).astype(
+            jnp.int32
+        )
     return jnp.where(temps == 0.0, greedy, sampled)
 
 

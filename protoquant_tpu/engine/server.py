@@ -149,6 +149,7 @@ class EngineServer:
                     )
                     stream = bool(req.get("stream", False))
                     want_logprobs = bool(req.get("logprobs", False))
+                    seed = req.get("seed")
                     n = int(req.get("n", 1))
                     if n < 1:
                         raise ValueError("n must be >= 1")
@@ -178,9 +179,13 @@ class EngineServer:
                             logit_mask_fn=logit_mask_fn,
                             logit_bias=logit_bias,
                             logprobs=want_logprobs,
+                            # n seeded completions draw distinct streams
+                            # (seed + i), each individually reproducible —
+                            # the vLLM convention.
+                            seed=(None if seed is None else int(seed) + i),
                             **samp,
                         )
-                        for _ in range(n)
+                        for i in range(n)
                     ]
                     rid = rids[0]
                 except ValueError as e:  # engine-side validation (length etc.)

@@ -1159,3 +1159,82 @@ def test_engine_per_request_logprobs_speculative(model_and_params):
     assert req.out == pref.out
     np.testing.assert_allclose(req.logprobs, pref.logprobs,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_engine_per_request_seed_reproducible(model_and_params):
+    """OpenAI `seed`: a seeded request's sampled stream is identical
+    across runs with DIFFERENT co-tenants, different engine seeds, and
+    different admission order — the draw chain depends only on the
+    request's own key."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+
+    def run(engine_seed, others, where):
+        ecfg = EngineConfig(max_batch_size=3, max_seq_len=64,
+                            prefill_chunk=16, max_new_tokens=8,
+                            temperature=0.9, top_k=8, seed=engine_seed)
+        eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+        rids = []
+        for i in range(where):
+            rids.append(eng.add_request(others[i], 8))
+        target = eng.add_request(prompt, 8, seed=1234)
+        for i in range(where, len(others)):
+            rids.append(eng.add_request(others[i], 8))
+        outs = eng.run()
+        return outs[target]
+
+    a = run(0, [[1, 2, 3], [9, 8, 7]], 0)
+    b = run(7, [[5, 5], [2, 4, 6, 8]], 2)
+    c = run(3, [], 0)
+    assert a == b == c, (a, b, c)
+
+    # A different seed gives a different stream (temp 0.9 on a random
+    # model: collision is vanishingly unlikely).
+    d = run_other = None
+    ecfg = EngineConfig(max_batch_size=1, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.9, top_k=8)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    rid = eng.add_request(prompt, 8, seed=999)
+    assert eng.run()[rid] != a
+
+
+def test_engine_batched_sampling_equals_sequential(model_and_params):
+    """Per-slot key chains make SAMPLED decoding co-tenancy-invariant:
+    batched temperature>0 serving now exactly equals one-request-at-a-time
+    generation (previously only greedy held this invariant)."""
+    model, params = model_and_params
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10]]
+    seeds = [11, 22, 33]
+    ecfg = EngineConfig(max_batch_size=3, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.8, top_k=8)
+
+    seq = []
+    for p, sd in zip(prompts, seeds):
+        e = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+        rid = e.add_request(p, 8, seed=sd)
+        seq.append(e.run()[rid])
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    rids = [eng.add_request(p, 8, seed=sd) for p, sd in zip(prompts, seeds)]
+    outs = eng.run()
+    for ref, rid in zip(seq, rids):
+        assert outs[rid] == ref, (outs[rid], ref)
+
+
+def test_engine_seeded_speculative_sampling_reproducible(model_and_params):
+    """Seeded sampling through a speculative engine: same seed -> same
+    stream across runs (same speculative config; co-tenants differ)."""
+    model, params = model_and_params
+    prompt = [3, 17, 5, 9]
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.8, top_k=8)
+
+    def run(other):
+        eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                     draft_model=model, draft_params=params, gamma=3)
+        rid = eng.add_request(prompt, 8, seed=77)
+        if other:
+            eng.add_request(other, 8)
+        return eng.run()[rid]
+
+    assert run(None) == run([9, 8, 7, 6])

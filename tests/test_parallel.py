@@ -832,3 +832,34 @@ def test_tp_full_width_qk_norm_matches_single_device(tp):
     with mesh:
         got = np.asarray(build_tp_score(model_tp, mesh, params)(sparams, tokens))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@needs_8dev
+def test_dp_tp_sampled_engine_matches_single_device(fp_setup):
+    """Per-slot sampling keys (round 4): SAMPLED serving on a dp x tp mesh
+    exactly equals the single-device engine — the draw chain depends only
+    on each request's key, not on sharding (previously only greedy held
+    across meshes)."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=48, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.8, top_k=8)
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+    seeds = [11, 22, 33, 44]
+
+    plain = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    prids = [plain.add_request(p, 8, seed=s) for p, s in zip(prompts, seeds)]
+    pouts = plain.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.float32,
+                     mesh=mesh)
+        rids = [eng.add_request(p, 8, seed=s)
+                for p, s in zip(prompts, seeds)]
+        outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
