@@ -298,6 +298,46 @@ def import_hf_mpt(sd, cfg, dtype=jnp.float32) -> dict:
     return {"params": p}
 
 
+def import_hf_cohere(sd, cfg, dtype=jnp.float32) -> dict:
+    """HF Cohere (Command-R) state dict -> fp flax params.
+
+    Llama namespace with three twists: ONE input_layernorm feeds the
+    PARALLEL attention+MLP block (cfg.parallel_block +
+    parallel_block_single_norm), LayerNorms are bias-free (zero biases
+    synthesized), rope is INTERLEAVED (cfg.rope_interleave), and the tied
+    lm_head logits are multiplied by cfg.logit_scale."""
+
+    def _ln(prefix):
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+        return {"weight": jnp.asarray(w),
+                "bias": jnp.zeros((w.shape[0],), jnp.float32)}
+
+    p: dict = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                np.asarray(sd["model.embed_tokens.weight"], np.float32)
+            )
+        }
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        p[f"layers_{i}"] = {
+            "input_layernorm": _ln(f"{pre}.input_layernorm"),
+            "self_attn": {
+                name: {"kernel": _kernel(sd, f"{pre}.self_attn.{name}.weight")}
+                for name in ("q_proj", "k_proj", "v_proj", "o_proj")
+            },
+            "mlp": {
+                name: {"kernel": _kernel(sd, f"{pre}.mlp.{name}.weight")}
+                for name in ("gate_proj", "up_proj", "down_proj")
+            },
+        }
+    p["norm"] = _ln("model.norm")
+    lm = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+    p["lm_head"] = {"kernel": jnp.asarray(np.asarray(lm, np.float32).T)}
+    return {"params": p}
+
+
 def import_hf_gpt2(
     sd: Mapping[str, np.ndarray], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict:

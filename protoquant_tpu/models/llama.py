@@ -499,8 +499,17 @@ class Attention(nn.Module):
                 rot, cfg.max_position_embeddings, cfg.rope_theta, cfg
             )
         if cfg.position_embedding not in ("learned", "alibi"):
-            q = apply_rope(q, positions, cos, sin, rot=rot)
-            k = apply_rope(k, positions, cos, sin, rot=rot)
+            if cfg.rope_interleave:
+                # Cohere Command-R pairing: (even, odd) dims rotate
+                # together (the DeepSeek/MLA convention — shared helper).
+                from .mla import apply_rope_interleaved
+
+                assert rot == Dh, "interleaved rope is full-dim only"
+                q = apply_rope_interleaved(q, positions, cos, sin)
+                k = apply_rope_interleaved(k, positions, cos, sin)
+            else:
+                q = apply_rope(q, positions, cos, sin, rot=rot)
+                k = apply_rope(k, positions, cos, sin, rot=rot)
         alibi = None
         if cfg.position_embedding == "alibi":
             # Per-head linear distance biases on the logits; under TP each
@@ -1070,6 +1079,9 @@ class LlamaModel(nn.Module):
                 logits, self.tp_axis, axis=logits.ndim - 1, tiled=True
             )
         logits = logits.astype(jnp.float32)
+        if cfg.logit_scale:
+            # Cohere Command-R: constant logit multiplier.
+            logits = logits * cfg.logit_scale
         if cfg.final_logit_softcap:
             cap = cfg.final_logit_softcap
             logits = cap * jnp.tanh(logits / cap)

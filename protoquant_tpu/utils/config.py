@@ -224,6 +224,9 @@ class ModelConfig:
     mlp_bias: bool = False
     # BLOOM: LayerNorm applied directly to the token embedding output.
     embedding_layernorm: bool = False
+    # Cohere Command-R: multiply the lm_head logits by this constant
+    # (0.0 = off).
+    logit_scale: float = 0.0
 
     def __post_init__(self):
         _coerce_tuple_fields(self)

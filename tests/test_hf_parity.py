@@ -1053,3 +1053,57 @@ def test_mpt_parity():
     ours = np.asarray(model.apply(params, jnp.asarray(toks)))
     theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_cohere_parity():
+    """Cohere Command-R = parallel attention+MLP sharing ONE bias-free
+    LayerNorm, INTERLEAVED rope on a gated-SwiGLU model, tied head with a
+    constant logit_scale multiplier. Changed-math control: half-split rope
+    on the same weights diverges."""
+    from transformers import CohereConfig, CohereForCausalLM
+
+    from protoquant_tpu.models.hf_import import import_hf_cohere
+
+    hf_cfg = CohereConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, layer_norm_eps=1e-5, rope_theta=10000.0,
+        use_qk_norm=False, logit_scale=0.0625, tie_word_embeddings=True,
+    )
+    torch.manual_seed(17)
+    hf = CohereForCausalLM(hf_cfg).eval().float()
+    # Amplify q/k so the rope PAIRING is load-bearing (random tiny weights
+    # are nearly rotation-invariant — interleaved vs half-split differs by
+    # only ~3e-4 at default init, too close to the parity tolerance for
+    # the changed-math control to mean anything).
+    with torch.no_grad():
+        for name, t in hf.named_parameters():
+            if "q_proj" in name or "k_proj" in name:
+                t.mul_(3.0)
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        norm_type="layernorm", parallel_block=True,
+        parallel_block_single_norm=True, rope_interleave=True,
+        logit_scale=0.0625, tie_word_embeddings=True,
+    )
+    toks = _tokens(64, seed=17)
+    sd = _state_dict_np(hf)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = import_hf_cohere(sd, cfg)
+    ours = np.asarray(model.apply(params, jnp.asarray(toks)))
+    theirs = hf(torch.from_numpy(toks).long()).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+    # Changed-math control: half-split rope pairing diverges.
+    import dataclasses as _dc
+
+    half = _dc.replace(cfg, rope_interleave=False)
+    h = np.asarray(
+        LlamaModel(half, mode="fp", dtype=jnp.float32).apply(
+            params, jnp.asarray(toks)
+        )
+    )
+    assert np.abs(h - theirs).max() > 1e-3
