@@ -1238,3 +1238,42 @@ def test_engine_seeded_speculative_sampling_reproducible(model_and_params):
         return eng.run()[rid]
 
     assert run(None) == run([9, 8, 7, 6])
+
+
+def test_http_seed_and_logprobs(model_and_params):
+    """HTTP surface: {"seed", "logprobs"} per request — a seeded sampled
+    request reproduces across calls and returns one logprob per token."""
+    import json as _json
+    import urllib.request
+
+    from protoquant_tpu.engine.server import EngineServer
+
+    model, params = model_and_params
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.8, top_k=8)
+    srv = EngineServer(
+        Engine(model, params, ecfg, kv_dtype=jnp.float32), port=0
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(payload):
+            req = urllib.request.Request(
+                base + "/generate", data=_json.dumps(payload).encode()
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return _json.load(r)
+
+        a = post({"tokens": [3, 17, 5, 9], "max_new_tokens": 6,
+                  "seed": 42, "logprobs": True})
+        b = post({"tokens": [3, 17, 5, 9], "max_new_tokens": 6,
+                  "seed": 42})
+        c = post({"tokens": [3, 17, 5, 9], "max_new_tokens": 6,
+                  "seed": 43})
+        assert a["tokens"] == b["tokens"]
+        assert c["tokens"] != a["tokens"]
+        assert len(a["logprobs"]) == len(a["tokens"]) == 6
+        assert all(lp <= 0.0 for lp in a["logprobs"])
+        assert "logprobs" not in b
+    finally:
+        srv.stop()
