@@ -248,18 +248,13 @@ class Int8KVCache(_DenseSlotViews):
         # (tests/test_attention.py variant parametrization). Tree-masked
         # scoring (T = tree width, once per speculative tick) runs the XLA
         # formulation; decode steps dominate and keep the kernel.
-        if (tree_mask is None and alibi_slopes is None
-                and _resolve_attention_backend() == "pallas"):
+        if tree_mask is None and _resolve_attention_backend() == "pallas":
             out = int8_kv_attention(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,
-                sink_logits=sink_logits,
+                sink_logits=sink_logits, alibi_slopes=alibi_slopes,
             )
         else:
-            # Tree scoring and ALiBi route the XLA formulation (alibi in
-            # the flash kernel is a ROADMAP item; decode via XLA measures
-            # 0.46-0.63 of HBM bandwidth vs ~1.0 for the kernel —
-            # BASELINE.md — an honest, correct fallback).
             out = int8_kv_attention_xla(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=window, scale=scale, softcap=softcap,

@@ -68,7 +68,7 @@ def _head_block(KV: int, TG: int, Dh: int, bs: int, budget: int = 12 << 20) -> i
 def _attn_kernel(
     len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, *rest,
     group, block_s, lane, window, sm, softcap, has_sinks, has_positions,
-    static_sinks,
+    static_sinks, has_alibi=False,
 ):
     """S-blocked flash attention over the int8 cache, HB kv-heads per
     program, online softmax across the S-block axis.
@@ -101,6 +101,7 @@ def _attn_kernel(
     """
     rest = list(rest)
     sink_ref = rest.pop(0) if has_sinks else None
+    alibi_ref = rest.pop(0) if has_alibi else None
     pos_ref = rest.pop(0) if has_positions else None
     o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
@@ -171,6 +172,13 @@ def _attn_kernel(
             if static_sinks > 0:
                 in_window |= pos < static_sinks
             valid &= in_window
+        if has_alibi:
+            # ALiBi: -slope_row * (q_pos - k_pos); masked lanes go to
+            # NEG_INF below regardless.
+            sl = alibi_ref[:, :TG, :1]  # (HB, TG, 1) per-query-row slopes
+            scores = scores - sl * (length + t_rows - pos).astype(
+                jnp.float32
+            )
         scores = jnp.where(valid, scores, NEG_INF)
 
         # Online-softmax update. A row whose every column in this block is
@@ -209,8 +217,9 @@ def _attn_kernel(
         "interpret", "out_dtype",
     ),
 )
-def _attend(q, kq, ks, vq, vs, lengths, sink_rows, positions, *, group, t_q,
-            window, scale, softcap, static_sinks, interpret, out_dtype):
+def _attend(q, kq, ks, vq, vs, lengths, sink_rows, positions, alibi_rows,
+            *, group, t_q, window, scale, softcap, static_sinks, interpret,
+            out_dtype):
     B, KV, TG, Dh = q.shape
     S = kq.shape[2]
     bs = _flash_block_s(S)
@@ -254,6 +263,13 @@ def _attend(q, kq, ks, vq, vs, lengths, sink_rows, positions, *, group, t_q,
         # broadcast to match the m-scratch layout it initializes.
         in_specs.append(pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
         operands.append(sink_rows)
+    if alibi_rows is not None:
+        # (KV, TG, 128) f32 — per-query-row ALiBi slope, lane-broadcast
+        # like the sink rows.
+        in_specs.append(
+            pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0))
+        )
+        operands.append(alibi_rows)
     if ring:
         # (B, 1, S) int32 — per-column absolute positions (ring caches).
         in_specs.append(
@@ -277,6 +293,7 @@ def _attend(q, kq, ks, vq, vs, lengths, sink_rows, positions, *, group, t_q,
         _attn_kernel, group=group, block_s=bs, lane=lane, window=window,
         sm=sm, softcap=softcap, has_sinks=sink_rows is not None,
         has_positions=ring, static_sinks=static_sinks,
+        has_alibi=alibi_rows is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -303,6 +320,7 @@ def int8_kv_attention(
     sink_logits: jnp.ndarray | None = None,  # [H] learned sinks (GPT-OSS)
     k_positions: jnp.ndarray | None = None,  # [B, S] ring-cache positions
     sinks: int = 0,  # StreamingLLM: positions < sinks always visible
+    alibi_slopes: jnp.ndarray | None = None,  # [H] ALiBi slopes (BLOOM/MPT)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [B, T, H, Dh] attention output in q.dtype."""
@@ -320,6 +338,15 @@ def int8_kv_attention(
             sink_logits.astype(jnp.float32).reshape(KV, 1, group), (KV, T, group)
         ).reshape(KV, T * group)
         sink_rows = jnp.broadcast_to(srow[:, :, None], (KV, T * group, 128))
+    alibi_rows = None
+    if alibi_slopes is not None:
+        arow = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32).reshape(KV, 1, group),
+            (KV, T, group),
+        ).reshape(KV, T * group)
+        alibi_rows = jnp.broadcast_to(
+            arow[:, :, None], (KV, T * group, 128)
+        )
     out = _attend(
         qh,
         kq,
@@ -329,6 +356,7 @@ def int8_kv_attention(
         lengths,
         sink_rows,
         k_positions,
+        alibi_rows,
         group=group,
         t_q=T,
         window=int(window),

@@ -251,6 +251,9 @@ def test_kv_scatter_decode_drops_write_at_capacity():
         # GPT-OSS learned sinks via online-softmax initial state.
         ("sinks", 1),
         ("sinks", 4),
+        # ALiBi per-row slope biases (BLOOM/MPT; round-4 in-kernel tier).
+        ("alibi", 1),
+        ("alibi", 4),
     ],
 )
 def test_int8_flash_attention_variants_match_ref(variant, t_q):
@@ -282,6 +285,10 @@ def test_int8_flash_attention_variants_match_ref(variant, t_q):
         kw["sink_logits"] = jnp.asarray(
             rng.uniform(-2.0, 2.0, (H,)).astype(np.float32)
         )
+    elif variant == "alibi":
+        from protoquant_tpu.models.llama import alibi_slopes
+
+        kw["alibi_slopes"] = jnp.asarray(alibi_slopes(H))
 
     out = int8_kv_attention(q, kq, ks, vq, vs, lengths, **kw)
     ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths, **kw)
