@@ -147,11 +147,6 @@ class PagedInt8KVCache:
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
                           tree_mask=None, alibi_slopes=None):
-        if alibi_slopes is not None:
-            raise NotImplementedError(
-                "alibi + paged KV: serve alibi models on dense caches "
-                "(in-kernel alibi for the page-walk kernel is unbuilt)"
-            )
         from ..models import kv_cache as _kvmod
 
         new = self.update(k, v, advance)
@@ -165,9 +160,11 @@ class PagedInt8KVCache:
         ):
             # Decode: the scalar-prefetch kernel walks the page table —
             # no gathered window. (Sliding-window models take the gather+XLA
-            # path below; the page-walk kernel is full-causal only.)
+            # path below; the page-walk kernel is full-causal only. ALiBi
+            # runs in-kernel: round-4 slope rows, like the dense kernel.)
             out = paged_int8_attention(
-                q, new.kq, new.ks, new.vq, new.vs, new.page_table, self.lengths
+                q, new.kq, new.ks, new.vq, new.vs, new.page_table,
+                self.lengths, alibi_slopes=alibi_slopes,
             )
             return out, new
         # Gathered keys index by absolute position (page i covers positions
@@ -176,7 +173,7 @@ class PagedInt8KVCache:
         kq, ks, vq, vs = new._gather_window()
         out = int8_kv_attention_xla(
             q, kq, ks, vq, vs, self.lengths, window=window, scale=scale,
-            softcap=softcap, tree_mask=tree_mask,
+            softcap=softcap, tree_mask=tree_mask, alibi_slopes=alibi_slopes,
         )
         return out, new
 

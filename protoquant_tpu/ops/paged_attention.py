@@ -33,14 +33,14 @@ def _kernel(
     ks_ref,  # (1, HB, 1, ps) f32
     v_ref,  # (1, HB, ps, Dh) int8
     vs_ref,  # (1, HB, 1, ps) f32
-    o_ref,  # (1, HB, G, Dh)
-    m_ref,  # VMEM (HB, >=G, 128) f32 scratch (running max, lane-replicated)
-    l_ref,  # VMEM (HB, >=G, 128) f32 scratch (running denom)
-    acc_ref,  # VMEM (HB, >=G, Dh) f32 scratch
-    *,
+    *rest,  # [alibi_ref (HB, G, 128) f32]? o_ref, m/l/acc scratch
     page_size: int,
     lane,
+    has_alibi: bool = False,
 ):
+    rest = list(rest)
+    alibi_ref = rest.pop(0) if has_alibi else None
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(2)
     HB, G = q_ref.shape[1], q_ref.shape[2]
@@ -66,6 +66,11 @@ def _kernel(
     # pages sit entirely beyond len, so they mask themselves.
     pos = j * page_size + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     valid = pos <= len_ref[b, 0]
+    if has_alibi:
+        # ALiBi: -slope * (q_pos - k_pos); the decode query sits at
+        # position len[b]. Masked lanes go to NEG_INF below regardless.
+        sl = alibi_ref[:, :G, :1]  # (HB, G, 1) per-query-head slopes
+        scores = scores - sl * (len_ref[b, 0] - pos).astype(jnp.float32)
     scores = jnp.where(valid, scores, NEG_INF)
 
     m_old = m_ref[:, :G, :1]  # (HB, G, 1)
@@ -96,7 +101,8 @@ def _kernel(
     jax.jit, static_argnames=("page_size", "interpret", "out_dtype")
 )
 def _paged_attend(
-    q, kq, ks4, vq, vs4, page_table, lengths, *, page_size, interpret, out_dtype
+    q, kq, ks4, vq, vs4, page_table, lengths, alibi_rows, *, page_size,
+    interpret, out_dtype
 ):
     from .attention import _head_block
 
@@ -117,16 +123,23 @@ def _paged_attend(
         j_eff = jnp.minimum(j, jnp.maximum(ln[b, 0], 0) // page_size)
         return (jnp.maximum(pt[b, j_eff], 0), h, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, HB, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, page_size, Dh), page_index),
+        pl.BlockSpec((1, HB, 1, page_size), page_index),
+        pl.BlockSpec((1, HB, page_size, Dh), page_index),
+        pl.BlockSpec((1, HB, 1, page_size), page_index),
+    ]
+    operands = [q, kq, ks4, vq, vs4]
+    if alibi_rows is not None:
+        # (KV, G, 128) f32 — per-query-head ALiBi slope, lane-broadcast
+        # like the dense kernel's slope rows.
+        in_specs.append(pl.BlockSpec((HB, G, 128), lambda b, h, j, pt, ln: (h, 0, 0)))
+        operands.append(alibi_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, KV // HB, maxP),
-        in_specs=[
-            pl.BlockSpec((1, HB, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
-            pl.BlockSpec((1, HB, page_size, Dh), page_index),
-            pl.BlockSpec((1, HB, 1, page_size), page_index),
-            pl.BlockSpec((1, HB, page_size, Dh), page_index),
-            pl.BlockSpec((1, HB, 1, page_size), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, HB, G, Dh), lambda b, h, j, pt, ln: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((HB, max(G, 8), 128), jnp.float32),
@@ -135,7 +148,10 @@ def _paged_attend(
         ],
     )
     lane = jnp.float32 if interpret else jnp.bfloat16
-    kernel = functools.partial(_kernel, page_size=page_size, lane=lane)
+    kernel = functools.partial(
+        _kernel, page_size=page_size, lane=lane,
+        has_alibi=alibi_rows is not None,
+    )
 
     # Pad G in scratch but not blocks; use G-exact blocks (G equals array dim).
     out = pl.pallas_call(
@@ -146,7 +162,7 @@ def _paged_attend(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(pt, lengths2, q, kq, ks4, vq, vs4)
+    )(pt, lengths2, *operands)
     return out
 
 
@@ -159,6 +175,7 @@ def paged_int8_attention(
     page_table: jnp.ndarray,  # [B, maxP] int32 (-1 unmapped)
     lengths: jnp.ndarray,  # [B] pre-update lengths
     *,
+    alibi_slopes: jnp.ndarray | None = None,  # [H] ALiBi slopes (BLOOM/MPT)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [B, 1, H, Dh]."""
@@ -170,8 +187,13 @@ def paged_int8_attention(
     G = H // KV
     ps = kq.shape[2]
     qh = q.reshape(B, KV, G, Dh)
+    alibi_rows = None
+    if alibi_slopes is not None:
+        alibi_rows = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32).reshape(KV, G, 1), (KV, G, 128)
+        )
     out = _paged_attend(
-        qh, kq, ks, vq, vs, page_table, lengths,
+        qh, kq, ks, vq, vs, page_table, lengths, alibi_rows,
         page_size=ps, interpret=interpret, out_dtype=q.dtype,
     )
     return out.reshape(B, 1, H, Dh)

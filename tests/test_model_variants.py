@@ -410,9 +410,9 @@ BLOOM_TINY = ModelConfig(
 
 def test_bloom_alibi_cache_consistency():
     """ALiBi attention (BLOOM shape: rope-free distance biases + embedding
-    LayerNorm) through the bf16 AND int8 cache paths — the int8 path
-    routes the XLA formulation (alibi in the flash kernel is a ROADMAP
-    item); per-token decode must reproduce cache-free scoring."""
+    LayerNorm) through the bf16 AND int8 cache paths — the int8 path runs
+    the flash kernel's in-kernel slope rows (round 4); per-token decode
+    must reproduce cache-free scoring."""
     _check_cache_consistency(BLOOM_TINY, seed=13)
 
 
@@ -451,3 +451,29 @@ def test_bloom_alibi_engine_matches_plain_greedy():
         e4 = Engine(model, params, ecfg, kv_dtype=jnp.int4)
         e4.add_request([1, 2, 3], 4)
         e4.run()
+
+
+def test_bloom_alibi_paged_engine_matches_dense():
+    """ALiBi models serve on the PAGED layout (round 4: in-kernel slope
+    rows in the page-walk kernel; the gather/prefill path carries the bias
+    through the XLA formulation). Paged == dense, batched."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    model = LlamaModel(BLOOM_TINY, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32))
+    prompts = [[5, 9, 2, 7], [1, 2, 3]]
+
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=10, temperature=0.0)
+    dense = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    drids = [dense.add_request(p, 10) for p in prompts]
+    douts = dense.run()
+
+    pcfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=10, temperature=0.0, page_size=16)
+    paged = Engine(model, params, pcfg, kv_dtype=jnp.int8,
+                   kv_layout="paged")
+    prids = [paged.add_request(p, 10) for p in prompts]
+    pouts = paged.run()
+    for drid, prid in zip(drids, prids):
+        assert pouts[prid] == douts[drid]

@@ -192,6 +192,42 @@ def test_paged_kernel_matches_gather_path():
     )
 
 
+def test_paged_kernel_alibi_matches_gather_path():
+    """In-kernel ALiBi (round 4): the page-walk kernel with slope rows ==
+    the gather+XLA oracle's ALiBi formulation (BLOOM/MPT on paged KV)."""
+    from protoquant_tpu.models.llama import alibi_slopes
+    from protoquant_tpu.ops.attention import int8_kv_attention_xla
+    from protoquant_tpu.ops.paged_attention import paged_int8_attention
+
+    B, KV, Dh, H, ps = 2, 2, 32, 4, 8
+    max_pages = 4
+    paged = PagedInt8KVCache.init(B, 2 * B * max_pages, max_pages, ps, KV, Dh)
+    paged = paged.map_slot(0, [5, 1, 7, 2])
+    paged = paged.map_slot(1, [0, 4, 6, 3])
+    k = rand((B, 7, KV, Dh), seed=1, scale=0.5)
+    v = rand((B, 7, KV, Dh), seed=2, scale=0.5)
+    paged = paged.update(k, v, advance=jnp.asarray([7, 5], jnp.int32))
+
+    q = rand((B, 1, H, Dh), seed=3, scale=0.5)
+    k1 = rand((B, 1, KV, Dh), seed=4, scale=0.5)
+    v1 = rand((B, 1, KV, Dh), seed=5, scale=0.5)
+    slopes = jnp.asarray(alibi_slopes(H))
+
+    new = paged.update(k1, v1)
+    kq, ks, vq, vs = new._gather_window()
+    ref = int8_kv_attention_xla(
+        q, kq, ks, vq, vs, paged.lengths, alibi_slopes=slopes
+    )
+    got = paged_int8_attention(
+        q, new.kq, new.ks, new.vq, new.vs, new.page_table, paged.lengths,
+        alibi_slopes=slopes,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_paged_engine_with_pallas_kernel(model_and_params):
     """Engine end-to-end with the paged kernel backend enabled."""
     from protoquant_tpu.models import kv_cache as kvmod
