@@ -142,6 +142,14 @@ def main():
     layers = int(os.environ.get("PREFILL_LAYERS", "1"))
     shapes = [int(s) for s in os.environ.get("PREFILL_SHAPES", "128,512,2048").split(",")]
     backends = os.environ.get("PREFILL_BACKENDS", "xla,pallas").split(",")
+    modes = os.environ.get("PREFILL_MODES", "dynamic").split(",")
+    # W8A8-static is an XLA-formulation mode (static_qlinear_xla); the
+    # perf path never routes it through the Pallas contract kernel.
+    runs = [
+        (mode, backend)
+        for mode in modes
+        for backend in (backends if mode == "dynamic" else ["xla"])
+    ]
 
     import protoquant_tpu.ops as _ops
 
@@ -169,9 +177,9 @@ def main():
         del params_fp
         t_fp = m_tokens / tps_fp
 
-        for backend in backends:
+        for mode, backend in runs:
             _ops.LINEAR_BACKEND = backend
-            model_q, params_q = build(cfg, "dynamic")
+            model_q, params_q = build(cfg, mode)
             tps_q = bench_score(
                 model_q, params_q, batch, seq, cfg.vocab_size, n_steps
             )
@@ -184,6 +192,7 @@ def main():
             rec = {
                 "metric": "prefill_speedup_int8_vs_bf16",
                 "tokens": m_tokens,
+                "mode": mode,
                 "backend": backend,
                 "value": round(tps_q / tps_fp, 4),
                 "toks_per_s": round(tps_q, 1),

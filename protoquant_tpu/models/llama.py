@@ -319,12 +319,8 @@ def _sp_gather_quantized(x, axis, dtype):
     prequantized pair, so XLA dead-code-eliminates x_full unless a non-quant
     consumer appears."""
     from .. import ops
-    from ..core import numerics
 
-    if ops.resolve_linear_backend() == "xla":
-        xq, s_x = numerics.quantize_rowwise(x.astype(dtype))
-    else:
-        xq, s_x = ops.rowquant(x.astype(dtype))
+    xq, s_x = ops.shared_rowquant(x.astype(dtype))
     xq = jax.lax.all_gather(xq, axis, axis=1, tiled=True)
     s_x = jax.lax.all_gather(s_x, axis, axis=1, tiled=True)
     x_full = (xq.astype(jnp.float32) * s_x[..., None]).astype(dtype)
@@ -396,12 +392,8 @@ class Attention(nn.Module):
         # gather above already produced the quantized pair).
         if self.mode in ("dynamic", "dynamic_int4") and preq is None:
             from .. import ops
-            from ..core import numerics
 
-            if ops.resolve_linear_backend() == "xla":
-                preq = numerics.quantize_rowwise(x.astype(self.dtype))
-            else:
-                preq = ops.rowquant(x.astype(self.dtype))
+            preq = ops.shared_rowquant(x.astype(self.dtype))
 
         if self.fused:
             # One fused QKV matmul: exact — per-output-channel scales just
@@ -712,12 +704,8 @@ class MLP(nn.Module):
         inter = self.cfg.intermediate_size // self.tp  # column-parallel
         if self.mode in ("dynamic", "dynamic_int4") and preq is None:
             from .. import ops
-            from ..core import numerics
 
-            if ops.resolve_linear_backend() == "xla":
-                preq = numerics.quantize_rowwise(x.astype(self.dtype))
-            else:
-                preq = ops.rowquant(x.astype(self.dtype))
+            preq = ops.shared_rowquant(x.astype(self.dtype))
         if not self.cfg.mlp_gated:
             # Plain 2-layer MLP (GPT-NeoX: dense_h_to_4h -> act ->
             # dense_4h_to_h; imported as up_proj/down_proj).

@@ -390,10 +390,7 @@ class MLAAttention(nn.Module):
         if self.mode == "dynamic" and preq is None:
             from .. import ops
 
-            if ops.resolve_linear_backend() == "xla":
-                preq = numerics.quantize_rowwise(x.astype(self.dtype))
-            else:
-                preq = ops.rowquant(x.astype(self.dtype))
+            preq = ops.shared_rowquant(x.astype(self.dtype))
 
         # Query path: full projection, or compressed q_a -> norm -> q_b.
         if cfg.q_lora_rank > 0:

@@ -213,6 +213,14 @@ class QLinear(nn.Module):
             if ops.resolve_linear_backend(
                 x.size // in_features, in_features, self.features
             ) == "xla":
+                if (prequantized is None
+                        and ops.resolve_rowquant_backend(
+                            x.size // in_features) == "pallas"):
+                    # Standalone projections (o_proj/down_proj — no shared
+                    # producer quant): the rowquant kernel's one-pass
+                    # amax+cast beats XLA's reduction+rescale at prefill
+                    # (BASELINE.md prefill decomposition, round 4).
+                    prequantized = ops.rowquant(x)
                 y = ops.dynamic_qlinear_xla(
                     x, qkernel.data, qkernel.scale, fused_bias,
                     out_dtype=self.dtype, prequantized=prequantized,
@@ -343,14 +351,7 @@ class QLinear(nn.Module):
             if prequantized is not None:
                 xq, s_x = prequantized
             else:
-                from ..core import numerics
-
-                if ops.resolve_linear_backend(
-                    x.size // in_features, in_features, self.features
-                ) == "xla":
-                    xq, s_x = numerics.quantize_rowwise(x)
-                else:
-                    xq, s_x = ops.rowquant(x)
+                xq, s_x = ops.shared_rowquant(x)
             y = ops.w4a8_matmul(
                 xq, s_x, qkernel.data, qkernel.scale,
                 group=qkernel.group, bias=fused_bias, out_dtype=self.dtype,

@@ -72,6 +72,49 @@ def resolve_fused_quant() -> bool:
     return FUSED_QUANT == "on"
 
 
+# Dynamic rowquant backend, decoupled from the linear backend: the shared
+# per-token quant pass ahead of the XLA int8 dots can run as the Pallas
+# VPU kernel ("pallas") or as XLA elementwise ops ("xla"). Probe A/B on
+# this chip (bench/prefill_overhead_probe.py, M=512: pallas-rowquant +
+# XLA dot 154.2us vs all-XLA 163.3us — the kernel's one-pass amax+cast
+# beats XLA's separate reduction+rescale); model-level A/B via the
+# ROWQUANT_BACKEND knob over bench/prefill_bench.py decides "auto".
+ROWQUANT_BACKEND = _os.environ.get("ROWQUANT_BACKEND", "auto")
+
+# Token-count floor for routing the quant pass to the kernel under "auto":
+# below this the regime is memory-bound decode, where pallas_call fixed
+# overhead per projection group loses to XLA's fused elementwise quant
+# (round-1 decode finding); at/above it the quant pass is a measurable
+# slice of compute-bound prefill and the kernel's single pass wins.
+_ROWQUANT_PALLAS_MIN_M = 256
+
+
+def resolve_rowquant_backend(m: int | None = None) -> str:
+    if ROWQUANT_BACKEND != "auto":
+        return ROWQUANT_BACKEND
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # Off-TPU the kernel runs in interpret mode — follow the linear
+        # backend so CPU tests exercise the XLA formulation by default.
+        return resolve_linear_backend()
+    if m is not None and m < _ROWQUANT_PALLAS_MIN_M:
+        return "xla"
+    return "pallas"
+
+
+def shared_rowquant(x):
+    """Per-token dynamic quant (x[..., K] -> (int8, f32 scales)) via the
+    resolved rowquant backend. Both backends are bit-identical
+    (ops/rowquant.py matches core.numerics.quantize_rowwise exactly)."""
+    m = x.size // x.shape[-1]
+    if resolve_rowquant_backend(m) == "pallas":
+        return rowquant(x)
+    from ..core import numerics
+
+    return numerics.quantize_rowwise(x)
+
+
 # W4A8 (dynamic_int4) kernel formulation: "group" = exact int4 semantics,
 # per-group K=64 sub-dots (MXU-underfilled — 0.79x bf16 at M=512, measured
 # r3); "two_level" = in-VMEM per-channel int8 requant of the nibbles + ONE
