@@ -205,46 +205,62 @@ def main():
     _ops.LINEAR_BACKEND = os.environ.get("BENCH_LINEAR_BACKEND", "auto")
     _kv.ATTENTION_BACKEND = os.environ.get("BENCH_ATTENTION_BACKEND", "auto")
 
-    cfg = ModelConfig(
-        vocab_size=32000,
-        hidden_size=4096,
-        intermediate_size=11008,
-        num_hidden_layers=layers,
-        num_attention_heads=32,
-        num_key_value_heads=32,
-        max_position_embeddings=ctx,
-    )
-
-    model_q, params_q = build(cfg, mode, batch, ctx)
-    tps_q = bench_decode(model_q, params_q, jnp.int8, batch, ctx, steps)
-    del params_q
-
-    model_fp, params_fp = build(cfg, "fp", batch, ctx)
-    tps_fp = bench_decode(model_fp, params_fp, jnp.bfloat16, batch, ctx, steps)
-    del params_fp
-
-    speedup = tps_q / tps_fp
-    print(
-        json.dumps(
-            {
-                "metric": "decode_speedup_int8_vs_bf16",
-                "value": round(speedup, 4),
-                "unit": "x",
-                "vs_baseline": round(speedup / 1.7, 4),
-                "detail": {
-                    "tokens_per_s_int8": round(tps_q, 2),
-                    "tokens_per_s_bf16": round(tps_fp, 2),
-                    "mode": mode,
-                    "linear_backend": _ops.LINEAR_BACKEND,
-                    "attention_backend": _kv.ATTENTION_BACKEND,
-                    "layers": layers,
-                    "batch": batch,
-                    "ctx": ctx,
-                    "device": str(jax.devices()[0]),
-                },
-            }
+    def measure(n_layers):
+        cfg = ModelConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=11008,
+            num_hidden_layers=n_layers,
+            num_attention_heads=32,
+            num_key_value_heads=32,
+            max_position_embeddings=ctx,
         )
-    )
+        model_q, params_q = build(cfg, mode, batch, ctx)
+        tps_q = bench_decode(model_q, params_q, jnp.int8, batch, ctx, steps)
+        del params_q
+        model_fp, params_fp = build(cfg, "fp", batch, ctx)
+        tps_fp = bench_decode(
+            model_fp, params_fp, jnp.bfloat16, batch, ctx, steps
+        )
+        del params_fp
+        return tps_q, tps_fp
+
+    tps_q, tps_fp = measure(layers)
+    speedup = tps_q / tps_fp
+
+    # Deeper-proxy companion number (VERDICT r4 item 10): the 1-layer proxy
+    # overweights lm_head relative to a real 7B stack (BASELINE.md measures
+    # 2.44x at 1 layer vs 2.00x at 4); a 4-layer proxy dilutes lm_head 4x
+    # toward the real-model share. Report both so the headline cannot lean
+    # on the flattering proxy alone.
+    proxy_layers = int(os.environ.get("BENCH_PROXY_LAYERS", "4"))
+    detail = {
+        "tokens_per_s_int8": round(tps_q, 2),
+        "tokens_per_s_bf16": round(tps_fp, 2),
+        "mode": mode,
+        "linear_backend": _ops.LINEAR_BACKEND,
+        "attention_backend": _kv.ATTENTION_BACKEND,
+        "layers": layers,
+        "batch": batch,
+        "ctx": ctx,
+        "device": str(jax.devices()[0]),
+    }
+    rec = {
+        "metric": "decode_speedup_int8_vs_bf16",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / 1.7, 4),
+        "detail": detail,
+    }
+    if proxy_layers and proxy_layers != layers:
+        try:
+            tps_q4, tps_fp4 = measure(proxy_layers)
+            rec[f"value_{proxy_layers}layer"] = round(tps_q4 / tps_fp4, 4)
+            detail[f"tokens_per_s_int8_{proxy_layers}l"] = round(tps_q4, 2)
+            detail[f"tokens_per_s_bf16_{proxy_layers}l"] = round(tps_fp4, 2)
+        except Exception as e:  # headline must still print on proxy failure
+            rec[f"value_{proxy_layers}layer_error"] = str(e)[:200]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
