@@ -64,6 +64,11 @@ class Request:
     last_logits: "object" = None  # final-position logits of the last chunk
     logprobs: list = dataclasses.field(default_factory=list)  # per out token
     want_logprobs: bool = False  # per-request opt-in (OpenAI logprobs)
+    # OpenAI top_logprobs: k most-likely alternatives per emitted token.
+    # 0 = off; when >0, top_lps[i] is a list of (token_id, logprob) pairs
+    # (descending) for output token i, k entries each.
+    top_logprobs: int = 0
+    top_lps: list = dataclasses.field(default_factory=list)
     seed: "int | None" = None  # per-request sampling seed (OpenAI seed)
     t_admit: float = 0.0  # perf_counter at slot assignment (prefill timing)
     t_enqueue: float = 0.0  # perf_counter at add_request (queue-wait timing)
@@ -90,7 +95,7 @@ def _bucket(n: int, chunk: int, lo: int = 16) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("model", "penalty"),
+    static_argnames=("model", "penalty", "top_lp"),
     donate_argnums=(2,),
 )
 def _decode_step(
@@ -106,8 +111,9 @@ def _decode_step(
     adapter_ids=None,  # [B] int32 multi-LoRA selection
     logit_bias=None,  # [B, V] f32 added pre-sampling (guided decoding:
     #                   masks are -1e30 entries; logit_bias dicts are deltas)
+    top_lp: int = 0,  # >0: also return top-k alternatives (vals, idx)
 ):
-    from .sampling import sample_batched, token_logprob
+    from .sampling import sample_batched, token_logprob, top_logprobs
 
     max_pos = model.cfg.max_position_embeddings - 1
     positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
@@ -128,10 +134,11 @@ def _decode_step(
         pres=samp.get("pres_pens"), freq=samp.get("freq_pens"),
     )
     logprobs = token_logprob(last, next_tokens)
+    tl = top_logprobs(last, top_lp) if top_lp else None
     if counts is not None:
         b = jnp.arange(next_tokens.shape[0])
         counts = counts.at[b, next_tokens].add(active.astype(jnp.int32))
-    return next_tokens, logprobs, counts, caches
+    return next_tokens, logprobs, tl, counts, caches
 
 
 class Engine:
@@ -568,6 +575,7 @@ class Engine:
         logit_mask_fn=None,  # guided decoding: fn(tokens_so_far)->[V] bool
         logit_bias=None,  # {token_id: delta} added pre-sampling each step
         logprobs: bool = False,  # per-request token logprobs (OpenAI style)
+        top_logprobs: int = 0,  # k alternative (token, logprob) pairs/token
         seed: "int | None" = None,  # reproducible sampling for this request
     ) -> int:
         """Queue a request. ``eos_id`` stops decode on that token (falls back
@@ -583,7 +591,13 @@ class Engine:
 
         ``logprobs=True`` records the target logprob of every emitted
         token on the request (pre-truncation convention) regardless of the
-        engine-wide ``cfg.return_logprobs``."""
+        engine-wide ``cfg.return_logprobs``.
+
+        ``top_logprobs=k`` (1..cfg.max_top_logprobs) additionally records
+        the k most-likely alternative (token_id, logprob) pairs per
+        emitted position in Request.top_lps — OpenAI top_logprobs
+        semantics, served from the same scoring forwards on every decode
+        path (plain, linear speculation, trees). Implies ``logprobs``."""
         prompt = [int(t) for t in prompt_tokens]
         if not prompt:
             raise ValueError("empty prompt")
@@ -619,9 +633,16 @@ class Engine:
                 {int(k): float(v) for k, v in logit_bias.items()}
                 if logit_bias else None
             ),
-            want_logprobs=bool(logprobs),
+            want_logprobs=bool(logprobs) or int(top_logprobs) > 0,
+            top_logprobs=int(top_logprobs),
             seed=None if seed is None else int(seed),
         )
+        if not 0 <= req.top_logprobs <= self.cfg.max_top_logprobs:
+            raise ValueError(
+                f"top_logprobs={req.top_logprobs} outside "
+                f"[0, {self.cfg.max_top_logprobs}] "
+                "(raise EngineConfig.max_top_logprobs to widen)"
+            )
         if (presence_penalty or frequency_penalty) and self.token_counts is None:
             raise ValueError(
                 "per-request presence/frequency penalties need the count "
@@ -834,6 +855,25 @@ class Engine:
             r.want_logprobs for r in self.prefilling
         )
 
+    def _want_top_lp(self) -> int:
+        """Compile-time top-k width for this tick: cfg.max_top_logprobs when
+        ANY live request wants alternatives, else 0. One fixed width keeps
+        the program count at 2 per decode path; each request's own k is a
+        host-side slice at commit."""
+        want = any(
+            r is not None and r.top_logprobs > 0 for r in self.slot_req
+        ) or any(r.top_logprobs > 0 for r in self.waiting) or any(
+            r.top_logprobs > 0 for r in self.prefilling
+        )
+        return self.cfg.max_top_logprobs if want else 0
+
+    @staticmethod
+    def _slice_top_lp(vals_row, idx_row, k: int):
+        """[K] device rows -> k-entry [(token_id, logprob), ...] host list."""
+        return [
+            (int(idx_row[j]), float(vals_row[j])) for j in range(k)
+        ]
+
     def _prefill_tick(self):
         """Run ONE prefill chunk of the oldest mid-prefill request.
 
@@ -979,6 +1019,15 @@ class Engine:
                         )[0]
                     )
                 )
+            if req.top_logprobs > 0:
+                from .sampling import top_logprobs as _top_lp
+
+                vals, idx = jax.device_get(
+                    _top_lp(last_logits[None, :], req.top_logprobs)
+                )
+                req.top_lps.append(self._slice_top_lp(
+                    vals[0], idx[0], req.top_logprobs
+                ))
             if self.token_counts is not None:
                 self.token_counts = self.token_counts.at[
                     req.slot, first_tok
@@ -1215,7 +1264,8 @@ class Engine:
                     for c in self.caches
                 ]
         logit_bias = self._assemble_logit_bias()
-        next_tokens, logprobs, new_counts, self.caches = decode(
+        top_lp = self._want_top_lp()
+        next_tokens, logprobs, tl, new_counts, self.caches = decode(
             self.params,
             caches,
             self.last_tokens,
@@ -1226,6 +1276,7 @@ class Engine:
             counts=self.token_counts,
             adapter_ids=self.adapter_ids,
             logit_bias=logit_bias,
+            top_lp=top_lp,
         )
         if new_counts is not None:
             self.token_counts = new_counts
@@ -1243,6 +1294,7 @@ class Engine:
         lps = (
             jax.device_get(logprobs) if self._want_logprobs() else None
         )
+        tl_h = jax.device_get(tl) if tl is not None else None
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
                 continue
@@ -1251,6 +1303,10 @@ class Engine:
             if lps is not None and (self.cfg.return_logprobs
                                     or req.want_logprobs):
                 req.logprobs.append(float(lps[slot]))
+            if tl_h is not None and req.top_logprobs > 0:
+                req.top_lps.append(self._slice_top_lp(
+                    tl_h[0][slot], tl_h[1][slot], req.top_logprobs
+                ))
             if req.on_token is not None:
                 req.on_token(req.rid, int(toks[slot]))
             self.stats["tokens_generated"] += 1
@@ -1312,7 +1368,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
             counts=self.token_counts, penalty=self.cfg.repetition_penalty,
-            adapter_ids=self.adapter_ids,
+            adapter_ids=self.adapter_ids, top_lp=self._want_top_lp(),
         )
         if wl:
             corrections, accepted, lp, self.caches = out
@@ -1379,7 +1435,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             draft_logits, wbias, want_logprobs=wl,
             counts=self.token_counts, penalty=self.cfg.repetition_penalty,
-            adapter_ids=self.adapter_ids,
+            adapter_ids=self.adapter_ids, top_lp=self._want_top_lp(),
         )
         if wl:
             corrections, accepted, h_next, lp, self.caches = out
@@ -1430,7 +1486,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             branches=J, depth=d, bias=bias, counts=self.token_counts,
             penalty=self.cfg.repetition_penalty, want_logprobs=wl,
-            adapter_ids=self.adapter_ids,
+            adapter_ids=self.adapter_ids, top_lp=self._want_top_lp(),
         )
         if wl:
             best, accepted, corrections, lp, self.caches = out
@@ -1474,7 +1530,7 @@ class Engine:
         extra = dict(
             counts=self.token_counts,
             penalty=self.cfg.repetition_penalty, want_logprobs=wl,
-            adapter_ids=self.adapter_ids,
+            adapter_ids=self.adapter_ids, top_lp=self._want_top_lp(),
         )
         if self._tp_fns is not None:
             score = partial(
@@ -1508,7 +1564,10 @@ class Engine:
         """Shared tail of the tree-speculation tick flavors: emit each
         active slot's accepted branch prefix + 1 correction token.
         ``logprobs``: optional (lp_path [B, d], lp_corr [B]) target
-        logprobs along the winning branch (cfg.return_logprobs)."""
+        logprobs along the winning branch (cfg.return_logprobs) — extended
+        with winning-branch top-k alternatives (vals/idx [B, d, K] at the
+        parent nodes, vals/idx [B, K] at the correction node) when any
+        request asked for top_logprobs."""
         import numpy as _np
 
         best_h = jax.device_get(best)
@@ -1528,12 +1587,26 @@ class Engine:
                                      or req.want_logprobs):
                 lps = [float(lp_h[0][slot, t]) for t in range(a)]
                 lps.append(float(lp_h[1][slot]))
+            tlps = None
+            if lp_h is not None and len(lp_h) > 2 and req.top_logprobs > 0:
+                k = req.top_logprobs
+                tlps = [
+                    self._slice_top_lp(
+                        lp_h[2][slot, t], lp_h[3][slot, t], k
+                    )
+                    for t in range(a)
+                ]
+                tlps.append(
+                    self._slice_top_lp(lp_h[4][slot], lp_h[5][slot], k)
+                )
             self.stats["spec_proposed"] += d
             self.stats["spec_accepted"] += a
             for i, tok in enumerate(emitted):
                 req.out.append(tok)
                 if lps is not None:
                     req.logprobs.append(lps[i])
+                if tlps is not None:
+                    req.top_lps.append(tlps[i])
                 if self.token_counts is not None:
                     # Penalties in tree mode: committed tokens fold into
                     # the occurrence counts (the scoring program applies
@@ -1594,7 +1667,7 @@ class Engine:
             self.params, self.caches, window, active, k_accept, self.samp,
             None, bias, want_logprobs=wl,
             counts=self.token_counts, penalty=self.cfg.repetition_penalty,
-            adapter_ids=self.adapter_ids,
+            adapter_ids=self.adapter_ids, top_lp=self._want_top_lp(),
         )
         if wl:
             corrections, accepted, lp, self.caches = out
@@ -1610,7 +1683,9 @@ class Engine:
         bonus sample; target argmax on greedy rows), advance bookkeeping,
         and adapt gamma from this tick's acceptance when enabled.
         ``logprobs``: optional (lp_prop [B, g], lp_corr [B, T]) target
-        logprobs from the scoring forward (cfg.return_logprobs)."""
+        logprobs from the scoring forward (cfg.return_logprobs) — extended
+        with per-position top-k alternatives (vals/idx [B, T, K]) when any
+        request asked for top_logprobs."""
         window_h = jax.device_get(window)
         corr_h = jax.device_get(corrections)
         accepted_h = jax.device_get(accepted)
@@ -1632,6 +1707,18 @@ class Engine:
                                      or req.want_logprobs):
                 lps = [float(lp_h[0][slot, t]) for t in range(a)]
                 lps.append(float(lp_h[1][slot, a]))
+            tlps = None
+            if lp_h is not None and len(lp_h) > 2 and req.top_logprobs > 0:
+                k = req.top_logprobs
+                # Committed token i's alternatives live at window position
+                # i; the correction's at position a (same indexing as
+                # lp_prop/lp_corr above).
+                tlps = [
+                    self._slice_top_lp(
+                        lp_h[2][slot, t], lp_h[3][slot, t], k
+                    )
+                    for t in range(a + 1)
+                ]
             self.stats["spec_proposed"] += g
             self.stats["spec_accepted"] += a
             tick_prop += g
@@ -1640,6 +1727,8 @@ class Engine:
                 req.out.append(tok)
                 if lps is not None:
                     req.logprobs.append(lps[i])
+                if tlps is not None:
+                    req.top_lps.append(tlps[i])
                 if self.token_counts is not None:
                     # Penalties in linear spec mode: fold committed tokens
                     # into the occurrence counts (the scoring program applies
@@ -1847,7 +1936,8 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, branches: int, depth: int,
                                 heads=None, head_params=None, bias=None,
                                 counts=None, penalty=1.0,
-                                want_logprobs=False, adapter_ids=None):
+                                want_logprobs=False, adapter_ids=None,
+                                top_lp=0):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
     pick each slot's accepted branch, compact that branch's K/V rows into
@@ -2111,38 +2201,55 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
             logits_lp[rows, corr_node, corrections]
             - logz[rows, corr_node]
         )  # [B]
-        out.append((lp_path, lp_corr))
+        lp_out = (lp_path, lp_corr)
+        if top_lp:
+            # Alternatives along the WINNING branch only (the committed
+            # positions): the k-th committed proposal's alternatives live
+            # at its parent node, the correction's at corr_node.
+            from .sampling import top_logprobs as _top_lp_fn
+
+            win_parents = jnp.take_along_axis(
+                par_b, best[:, None, None], 1
+            )[:, 0]  # [B, d] node index of each winning-branch parent
+            node_logits = jnp.take_along_axis(
+                logits_lp, win_parents[:, :, None], axis=1
+            )  # [B, d, V]
+            tlp = _top_lp_fn(node_logits, top_lp)  # ([B,d,K], [B,d,K])
+            tlc = _top_lp_fn(logits_lp[rows, corr_node], top_lp)  # [B,K]x2
+            lp_out = lp_out + tlp + tlc
+        out.append(lp_out)
     out.append(caches)
     return tuple(out)
 
 
 @partial(jax.jit, static_argnames=("model", "branches", "depth", "penalty",
-                                   "want_logprobs"),
+                                   "want_logprobs", "top_lp"),
          donate_argnums=(2,))
 def _tree_score_and_accept(model, params, caches, window, active, key, samp,
                            branches: int, depth: int, bias=None,
                            counts=None, penalty=1.0, want_logprobs=False,
-                           adapter_ids=None):
+                           adapter_ids=None, top_lp=0):
     return _tree_score_and_accept_body(
         model, params, caches, window, active, key, samp, branches, depth,
         bias=bias, counts=counts, penalty=penalty,
-        want_logprobs=want_logprobs, adapter_ids=adapter_ids,
+        want_logprobs=want_logprobs, adapter_ids=adapter_ids, top_lp=top_lp,
     )
 
 
 @partial(jax.jit, static_argnames=("model", "heads", "branches", "depth",
-                                   "penalty", "want_logprobs"),
+                                   "penalty", "want_logprobs", "top_lp"),
          donate_argnums=(3,))
 def _tree_score_and_accept_heads(model, heads, params, caches, head_params,
                                  window, active, key, samp,
                                  branches: int, depth: int, bias=None,
                                  counts=None, penalty=1.0,
-                                 want_logprobs=False, adapter_ids=None):
+                                 want_logprobs=False, adapter_ids=None,
+                                 top_lp=0):
     return _tree_score_and_accept_body(
         model, params, caches, window, active, key, samp, branches, depth,
         heads=heads, head_params=head_params, bias=bias, counts=counts,
         penalty=penalty, want_logprobs=want_logprobs,
-        adapter_ids=adapter_ids,
+        adapter_ids=adapter_ids, top_lp=top_lp,
     )
 
 
@@ -2269,7 +2376,7 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
                                 samp, draft_logits=None, bias=None,
                                 return_hidden=False, want_logprobs=False,
                                 counts=None, penalty=1.0,
-                                adapter_ids=None):
+                                adapter_ids=None, top_lp=0):
     """Target scores every slot's [last_token, p_1..p_gamma] window in ONE
     forward with advance=0 (lengths frozen — cache rollback is free, see
     models/speculative.py), accepts a per-slot prefix, and commits
@@ -2446,34 +2553,46 @@ def _spec_score_and_accept_body(model, params, caches, window, active, key,
         lp_corr = jnp.take_along_axis(
             logits_lp, corrections[..., None], -1
         )[..., 0] - logz
-        out.append((lp_prop, lp_corr))
+        lp_out = (lp_prop, lp_corr)
+        if top_lp:
+            # Top-k alternatives at EVERY window position (same convention):
+            # committed proposal i reads position i, the correction after a
+            # accepted reads position a — the host gathers the committed
+            # subset, exactly as it does for lp_prop/lp_corr.
+            from .sampling import top_logprobs as _top_lp_fn
+
+            lp_out = lp_out + _top_lp_fn(logits_lp, top_lp)
+        out.append(lp_out)
     out.append(caches)
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("model", "want_logprobs", "penalty"),
+@partial(jax.jit,
+         static_argnames=("model", "want_logprobs", "penalty", "top_lp"),
          donate_argnums=(2,))
 def _spec_score_and_accept(model, params, caches, window, active, key, samp,
                            draft_logits=None, bias=None,
                            want_logprobs=False, counts=None, penalty=1.0,
-                           adapter_ids=None):
+                           adapter_ids=None, top_lp=0):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
         bias, want_logprobs=want_logprobs, counts=counts, penalty=penalty,
-        adapter_ids=adapter_ids,
+        adapter_ids=adapter_ids, top_lp=top_lp,
     )
 
 
-@partial(jax.jit, static_argnames=("model", "want_logprobs", "penalty"),
+@partial(jax.jit,
+         static_argnames=("model", "want_logprobs", "penalty", "top_lp"),
          donate_argnums=(2,))
 def _spec_score_and_accept_hidden(model, params, caches, window, active,
                                   key, samp, draft_logits=None, bias=None,
                                   want_logprobs=False, counts=None,
-                                  penalty=1.0, adapter_ids=None):
+                                  penalty=1.0, adapter_ids=None, top_lp=0):
     return _spec_score_and_accept_body(
         model, params, caches, window, active, key, samp, draft_logits,
         bias, return_hidden=True, want_logprobs=want_logprobs,
         counts=counts, penalty=penalty, adapter_ids=adapter_ids,
+        top_lp=top_lp,
     )
 
 
@@ -2536,10 +2655,11 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
     def decode(
         params, caches, last_tokens, active, key, samp,
         penalty=1.0, counts=None, adapter_ids=None, logit_bias=None,
+        top_lp=0,
     ):
         pspecs, cspecs = _specs(params, caches)
         dkey = ("decode", counts is None, adapter_ids is None,
-                logit_bias is None)
+                logit_bias is None, top_lp)
         if dkey not in state:
             samp_spec = {k: batch_spec for k in samp}
             # counts [B, V] / adapter_ids [B] / logit_bias [B, V] shard over
@@ -2548,6 +2668,10 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             mask_spec = (
                 batch_spec if logit_bias is None else P(*batch_spec, None)
             )
+            out_core = [batch_spec, batch_spec]
+            if top_lp:
+                out_core += [batch_spec, batch_spec]  # tl vals/idx [B, K]
+            out_core.append(counts_spec)
 
             @partial(
                 _shard_map,
@@ -2555,12 +2679,16 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                 in_specs=(pspecs, cspecs, batch_spec, batch_spec,
                           batch_spec, samp_spec, counts_spec, batch_spec,
                           mask_spec),
-                out_specs=((batch_spec, batch_spec, counts_spec), cspecs),
+                out_specs=(tuple(out_core), cspecs),
                 check_vma=False,
             )
             def _decode(params, caches, last_tokens, active, key, samp,
                         counts, adapter_ids, logit_bias):
-                from .sampling import sample_batched, token_logprob
+                from .sampling import (
+                    sample_batched,
+                    token_logprob,
+                    top_logprobs,
+                )
 
                 max_pos = model.cfg.max_position_embeddings - 1
                 positions = jnp.minimum(caches[0].lengths, max_pos)[:, None]
@@ -2579,19 +2707,28 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     pres=samp.get("pres_pens"), freq=samp.get("freq_pens"),
                 )
                 logprobs = token_logprob(last, next_tokens)
+                out = [next_tokens, logprobs]
+                if top_lp:
+                    out.extend(top_logprobs(last, top_lp))
                 if counts is not None:
                     b = jnp.arange(next_tokens.shape[0])
                     counts = counts.at[b, next_tokens].add(
                         active.astype(jnp.int32)
                     )
-                return (next_tokens, logprobs, counts), caches
+                out.append(counts)
+                return tuple(out), caches
 
             state[dkey] = jax.jit(_decode, donate_argnums=(1,))
-        (next_tokens, logprobs, counts), caches = state[dkey](
+        res, caches = state[dkey](
             params, caches, last_tokens, active, key, samp, counts,
             adapter_ids, logit_bias,
         )
-        return next_tokens, logprobs, counts, caches
+        if top_lp:
+            next_tokens, logprobs, tlv, tli, counts = res
+            tl = (tlv, tli)
+        else:
+            (next_tokens, logprobs, counts), tl = res, None
+        return next_tokens, logprobs, tl, counts, caches
 
     def extend_hidden(params, caches, tokens, true_len, slot, aid=None):
         """extend that also returns the chunk's final-norm hidden states
@@ -2621,14 +2758,15 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
     def spec_score_hidden(params, caches, window, active, key, samp,
                           draft_logits, bias=None, want_logprobs=False,
-                          counts=None, penalty=1.0, adapter_ids=None):
+                          counts=None, penalty=1.0, adapter_ids=None,
+                          top_lp=0):
         """spec_score that also returns the hidden state at each slot's
         committed frontier (batch-sharded [B, D] — the EAGLE draft's
         next-tick true-feature anchors)."""
         pspecs, cspecs = _specs(params, caches)
         skey = ("spec_score_hidden", window.shape[1], bias is None,
                 want_logprobs, counts is None, penalty,
-                adapter_ids is None)
+                adapter_ids is None, top_lp)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             counts_spec = (
@@ -2636,7 +2774,9 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             )
             outs = [batch_spec, batch_spec, batch_spec]
             if want_logprobs:
-                outs.append((batch_spec, batch_spec))
+                outs.append(
+                    (batch_spec,) * (2 + (2 if top_lp else 0))
+                )
 
             @partial(
                 _shard_map,
@@ -2654,7 +2794,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, return_hidden=True,
                     want_logprobs=want_logprobs, counts=counts,
-                    penalty=penalty, adapter_ids=aid,
+                    penalty=penalty, adapter_ids=aid, top_lp=top_lp,
                 )
                 return tuple(res), caches
 
@@ -2667,7 +2807,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
     def spec_score(params, caches, window, active, key, samp, draft_logits,
                    bias=None, want_logprobs=False, counts=None,
-                   penalty=1.0, adapter_ids=None):
+                   penalty=1.0, adapter_ids=None, top_lp=0):
         """shard_map'd _spec_score_and_accept for speculative/prompt-lookup
         ticks on a TP-only mesh (dp>1 guarded at Engine init)."""
         pspecs, cspecs = _specs(params, caches)
@@ -2675,7 +2815,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         # wrapped program per width.
         skey = ("spec_score", window.shape[1], draft_logits is None,
                 bias is None, want_logprobs, counts is None, penalty,
-                adapter_ids is None)
+                adapter_ids is None, top_lp)
         if skey not in state:
             samp_spec = {k: batch_spec for k in samp}
             dl_spec = batch_spec  # [B, g, V]; None pytree if prompt-lookup
@@ -2685,7 +2825,9 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             )
             outs = [batch_spec, batch_spec]
             if want_logprobs:
-                outs.append((batch_spec, batch_spec))
+                outs.append(
+                    (batch_spec,) * (2 + (2 if top_lp else 0))
+                )
 
             @partial(
                 _shard_map,
@@ -2703,6 +2845,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     model, params, caches, window, active, key_r, samp,
                     dlogits, bias, want_logprobs=want_logprobs,
                     counts=counts, penalty=penalty, adapter_ids=aid,
+                    top_lp=top_lp,
                 )
                 return tuple(res), caches
 
@@ -2715,13 +2858,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
 
     def tree_score(params, caches, window, active, key, samp, branches,
                    depth, bias=None, counts=None, penalty=1.0,
-                   want_logprobs=False, adapter_ids=None):
+                   want_logprobs=False, adapter_ids=None, top_lp=0):
         """shard_map'd _tree_score_and_accept (tree speculation on a mesh):
         window/outputs batch-sharded; the compaction (reorder_tail) runs on
         each replica's local cache shard."""
         pspecs, cspecs = _specs(params, caches)
         tkey = ("tree_score", branches, depth, bias is None,
-                counts is None, penalty, want_logprobs, adapter_ids is None)
+                counts is None, penalty, want_logprobs, adapter_ids is None,
+                top_lp)
         if tkey not in state:
             samp_spec = {k: batch_spec for k in samp}
             counts_spec = (
@@ -2729,7 +2873,9 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             )
             outs = [batch_spec, batch_spec, batch_spec]
             if want_logprobs:
-                outs.append((batch_spec, batch_spec))
+                outs.append(
+                    (batch_spec,) * (2 + (4 if top_lp else 0))
+                )
 
             @partial(
                 _shard_map,
@@ -2747,7 +2893,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     model, params, caches, window, active, key_r, samp,
                     branches, depth, bias=bias, counts=counts,
                     penalty=penalty, want_logprobs=want_logprobs,
-                    adapter_ids=aid,
+                    adapter_ids=aid, top_lp=top_lp,
                 )
                 return tuple(res), caches
 
@@ -2761,14 +2907,14 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
     def tree_score_heads(params, caches, window, active, key, samp, *,
                          branches, depth, heads, head_params, bias=None,
                          counts=None, penalty=1.0, want_logprobs=False,
-                         adapter_ids=None):
+                         adapter_ids=None, top_lp=0):
         """tree_score with trained drafting heads: also returns next-tick
         proposals [B, branches, depth] (batch-sharded like the window; head
         params replicate — the heads are tiny next to the base)."""
         pspecs, cspecs = _specs(params, caches)
         tkey = ("tree_score_heads", branches, depth, id(heads),
                 bias is None, counts is None, penalty, want_logprobs,
-                adapter_ids is None)
+                adapter_ids is None, top_lp)
         if tkey not in state:
             hspec = jax.tree_util.tree_map(lambda _: P(), head_params)
             samp_spec = {k: batch_spec for k in samp}
@@ -2777,7 +2923,9 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
             )
             outs = [batch_spec, batch_spec, batch_spec, batch_spec]
             if want_logprobs:
-                outs.append((batch_spec, batch_spec))
+                outs.append(
+                    (batch_spec,) * (2 + (4 if top_lp else 0))
+                )
 
             @partial(
                 _shard_map,
@@ -2796,6 +2944,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
                     branches, depth, heads=heads, head_params=hp,
                     bias=bias, counts=counts, penalty=penalty,
                     want_logprobs=want_logprobs, adapter_ids=aid,
+                    top_lp=top_lp,
                 )
                 return tuple(res), caches
 

@@ -152,3 +152,16 @@ def token_logprob(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     logz = jax.nn.logsumexp(logits, axis=-1)
     picked = jnp.take_along_axis(logits, tokens[:, None].astype(jnp.int32), 1)
     return picked[:, 0] - logz
+
+
+def top_logprobs(logits: jnp.ndarray, k: int):
+    """Top-k alternative (logprob, token) pairs per position under the
+    same pre-truncation convention as token_logprob (OpenAI
+    ``top_logprobs``: the k most likely tokens at each position with
+    their logprobs, independent of what was sampled).
+
+    logits [..., V] -> (vals [..., k] f32 descending, idx [..., k] int32).
+    """
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    vals, idx = jax.lax.top_k(logits, k)
+    return vals - logz, idx.astype(jnp.int32)

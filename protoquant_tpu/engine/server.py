@@ -149,6 +149,7 @@ class EngineServer:
                     )
                     stream = bool(req.get("stream", False))
                     want_logprobs = bool(req.get("logprobs", False))
+                    top_lp = int(req.get("top_logprobs", 0))
                     seed = req.get("seed")
                     n = int(req.get("n", 1))
                     if n < 1:
@@ -179,6 +180,7 @@ class EngineServer:
                             logit_mask_fn=logit_mask_fn,
                             logit_bias=logit_bias,
                             logprobs=want_logprobs,
+                            top_logprobs=top_lp,
                             # n seeded completions draw distinct streams
                             # (seed + i), each individually reproducible —
                             # the vLLM convention.
@@ -205,7 +207,7 @@ class EngineServer:
                     )
                     if out is None:
                         return None
-                    toks, cancelled, logprobs = out
+                    toks, cancelled, logprobs, top_lps = out
                     return {
                         "request": r,
                         "tokens": toks,
@@ -213,6 +215,9 @@ class EngineServer:
                         **({"text": outer.tokenizer.decode(toks)}
                            if outer.tokenizer is not None else {}),
                         **({"logprobs": logprobs} if logprobs else {}),
+                        # OpenAI top_logprobs: per emitted token, the k
+                        # most-likely [token_id, logprob] pairs.
+                        **({"top_logprobs": top_lps} if top_lps else {}),
                     }
 
                 results = [body(r) for r in rids]
@@ -256,7 +261,9 @@ class EngineServer:
                             break
                         continue
                     if item is _STREAM_DONE:
-                        tokens, cancelled, logprobs = outer.wait(rid, timeout=5)
+                        tokens, cancelled, logprobs, top_lps = outer.wait(
+                            rid, timeout=5
+                        )
                         # Per-token events carry ids only (a byte-level token
                         # can be a partial UTF-8 sequence); the done event
                         # carries the fully-decoded text.
@@ -266,6 +273,7 @@ class EngineServer:
                             **({"text": outer.tokenizer.decode(tokens)}
                                if outer.tokenizer is not None else {}),
                             **({"logprobs": logprobs} if logprobs else {}),
+                            **({"top_logprobs": top_lps} if top_lps else {}),
                         })
                         break
                     if not chunk({"request": rid, "token": int(item)}):
@@ -306,8 +314,8 @@ class EngineServer:
             return self.engine.cancel(rid)
 
     def wait(self, rid: int, timeout: float = 300.0):
-        """Block until rid finishes; returns (tokens, cancelled, logprobs)
-        or None on timeout."""
+        """Block until rid finishes; returns (tokens, cancelled, logprobs,
+        top_lps) or None on timeout."""
         ev = self._events[rid]
         if not ev.wait(timeout):
             return None
@@ -329,7 +337,8 @@ class EngineServer:
                         req = self.engine.finished.pop(0)
                         if req.rid in self._events:
                             self._results[req.rid] = (
-                                req.out, req.cancelled, req.logprobs
+                                req.out, req.cancelled, req.logprobs,
+                                req.top_lps,
                             )
                             self._events[req.rid].set()
                         q = self._streams.pop(req.rid, None)

@@ -765,6 +765,11 @@ class EngineConfig:
     # Record each generated token's log-probability (pre-truncation) in
     # Request.logprobs / the HTTP response.
     return_logprobs: bool = False
+    # Compile-time width for per-request top_logprobs alternatives (OpenAI
+    # caps the API at 20): every requesting tick computes lax.top_k at THIS
+    # k — one compiled program regardless of what k each request asks for —
+    # and the host slices each request down to its own k.
+    max_top_logprobs: int = 8
     seed: int = 0
     # Ring-layout streaming (kv_layout='ring'): serving-time window for
     # models WITHOUT a trained sliding window (0 = use cfg.sliding_window),
