@@ -45,7 +45,10 @@ def main():
 
     from protoquant_tpu.engine.engine import (
         _eagle_propose,
+        _eagle_propose_tree,
+        _eagle_tree_select,
         _spec_score_and_accept_hidden,
+        _tree_score_and_accept_hidden,
     )
     from protoquant_tpu.models import LlamaModel
     from protoquant_tpu.models.eagle import _draft_cfg, init_eagle
@@ -161,7 +164,33 @@ def main():
         print(json.dumps({"case": name, "us": round(dt * 1e6, 1)}), flush=True)
         return dt
 
+    # EAGLE-TREE tick (round 5): J-branch expansion through the one-forward
+    # tree scorer + winning-branch cache selection — the engine's
+    # _eagle_tree_tick data path end-to-end.
+    J = int(os.environ.get("SPEC_BRANCHES", "3"))
+
+    def eagle_tree_tick(carry, i, ps, dps, et):
+        caches, dcache, last, feats = carry
+        key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        props, cache_rep = _eagle_propose_tree(
+            draft, dps, dcache, feats, (last + (i % 3)) % (V - 1), et,
+            active, branches=J, depth=g,
+        )
+        window = jnp.concatenate(
+            [last[:, None], props.reshape(B, J * g)], axis=1
+        )
+        best, accepted, corr, h_corr, caches = _tree_score_and_accept_hidden(
+            model, ps, caches, window, active, key, samp,
+            branches=J, depth=g,
+        )
+        dcache = _eagle_tree_select(cache_rep, best, J)
+        committed = jnp.minimum(caches[0].lengths * 0 + 64, S - g - 2)
+        caches = [dataclasses.replace(c, lengths=committed) for c in caches]
+        dcache = dataclasses.replace(dcache, lengths=committed)
+        return (caches, dcache, corr, h_corr), (accepted + 1).sum()
+
     t_tick = time_loop(f"eagle_tick_g{g}", eagle_tick)
+    t_tree = time_loop(f"eagle_tree_tick_g{g}_j{J}", eagle_tree_tick)
     t_plain = time_loop("plain_step", plain_step)
     need = t_tick / t_plain
     breakeven = max(0.0, (need - 1.0) / g)
@@ -173,6 +202,18 @@ def main():
         "tick_cost_in_plain_steps": round(need, 3),
         "breakeven_accept_frac": round(breakeven, 3),
         "speedup_at_full_accept": round((g + 1) / need, 3),
+    }), flush=True)
+    need_tree = t_tree / t_plain
+    print(json.dumps({
+        "metric": "eagle_tree_mechanics", "gamma": g, "branches": J,
+        "batch": B, "draft_mode": draft_mode,
+        "layers": cfg.num_hidden_layers,
+        "t_tick_us": round(t_tree * 1e6, 1),
+        "t_plain_us": round(t_plain * 1e6, 1),
+        "tick_cost_in_plain_steps": round(need_tree, 3),
+        "breakeven_accept_frac": round(
+            max(0.0, (need_tree - 1.0) / g), 3),
+        "speedup_at_full_accept": round((g + 1) / need_tree, 3),
     }), flush=True)
 
 

@@ -292,8 +292,10 @@ def _kv_dtype(args):
     bits = getattr(args, "kv_bits", None)
     if bits is None:
         return jnp.int8 if args.int8_kv else jnp.bfloat16
-    # 6 = the K8V4 mixed tier (int8 keys + packed-int4 values).
-    return {4: jnp.int4, 6: "k8v4", 8: jnp.int8, 16: jnp.bfloat16}[bits]
+    # 6 = the K4V8 mixed tier (KIVI int4 keys + int8 values — the DOMINANT
+    # 6-bit design, BASELINE.md ladder decisions 2/5/9; the demoted K8V4
+    # layout stays reachable via kv_dtype="k8v4" in the Python API).
+    return {4: jnp.int4, 6: "k4v8", 8: jnp.int8, 16: jnp.bfloat16}[bits]
 
 
 def cmd_generate(args):
@@ -349,6 +351,8 @@ def _load_engine(args, **ecfg_extra):
         adaptive_gamma=getattr(args, "adaptive_gamma", False),
         lookup_branches=(
             args.medusa_branches if heads is not None
+            else getattr(args, "eagle_tree", 1)
+            if eagle_draft is not None
             else getattr(args, "lookup_branches", 1)
         ),
     )
@@ -452,6 +456,10 @@ def main(argv=None):
     g.add_argument("--eagle-mode", default="dynamic",
                    choices=["fp", "dynamic", "weight_only"],
                    help="EAGLE draft serving quantization")
+    g.add_argument("--eagle-tree", type=int, default=1,
+                   help=">1 = EAGLE-2-style tree speculation: the draft's "
+                        "top-J step-1 candidates each continue to depth "
+                        "gamma and score in one tree forward")
     g.set_defaults(fn=cmd_generate)
 
     et = sub.add_parser(
@@ -531,6 +539,9 @@ def main(argv=None):
     sv.add_argument("--eagle-mode", default="dynamic",
                     choices=["fp", "dynamic", "weight_only"],
                     help="EAGLE draft serving quantization")
+    sv.add_argument("--eagle-tree", type=int, default=1,
+                    help=">1 = EAGLE-2-style tree speculation (top-J "
+                         "step-1 candidates, one tree forward)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

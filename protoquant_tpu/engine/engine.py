@@ -190,10 +190,15 @@ class Engine:
         eagle_draft=None,  # EagleDraft module (models/eagle.py): ONE-LAYER
         #   feature-space autoregressive draft (attends over accumulated
         #   features through its own KV cache; the published-best draft-free
-        #   tier). A LINEAR speculation mode: proposals + draft logits feed
-        #   the same rejection-sampling accept program as draft-model
-        #   speculation, so greedy is exact and temperature>0 is
-        #   distribution-exact. Each tick re-anchors on the TRUE base
+        #   tier). lookup_branches == 1: a LINEAR speculation mode —
+        #   proposals + draft logits feed the same rejection-sampling
+        #   accept program as draft-model speculation, so greedy is exact
+        #   and temperature>0 is distribution-exact. lookup_branches > 1:
+        #   EAGLE-TREE mode (EAGLE-2-style) — the draft's step-1 top-J
+        #   candidates each continue greedily to depth gamma and the whole
+        #   [B, 1+J*gamma] candidate tree scores in ONE forward
+        #   (_tree_score_and_accept; same exactness guarantees, tree
+        #   rejection sampling). Each tick re-anchors on the TRUE base
         #   feature at the last accepted position (the scoring forward
         #   returns it); the first tick after prefill anchors on zeros
         #   (junk proposals for one tick, never a wrong token).
@@ -232,11 +237,10 @@ class Engine:
                 raise ValueError(
                     f"medusa_heads.depth={medusa_heads.depth} < gamma={gamma}"
                 )
-            if adaptive_gamma:
-                raise ValueError(
-                    "adaptive_gamma is unsupported with medusa heads (tree "
-                    "shape is compiled into the scoring program)"
-                )
+            # adaptive_gamma composes with trees since round 5: depth
+            # adapts in [1, gamma] on measured acceptance exactly like the
+            # linear tiers (one compiled scoring program per (J, depth) —
+            # bounded by the gamma range, same budget as linear).
         self.eagle_draft = eagle_draft
         self.eagle_params = eagle_params
         if (eagle_draft is None) != (eagle_params is None):
@@ -250,11 +254,16 @@ class Engine:
                     "engine)"
                 )
         tree_mode = lookup_branches > 1 or medusa_heads is not None
-        if lookup_branches > 1 and not prompt_lookup and medusa_heads is None:
-            raise ValueError("lookup_branches needs prompt_lookup > 0")
+        if (lookup_branches > 1 and not prompt_lookup
+                and medusa_heads is None and eagle_draft is None):
+            raise ValueError(
+                "lookup_branches needs a tree proposal source: "
+                "prompt_lookup > 0, medusa_heads, or eagle_draft"
+            )
         if tree_mode:
-            if kv_dtype == jnp.int4:
-                # KIVI cache: candidate nodes live in the int8 tail, so
+            if kv_dtype == jnp.int4 or kv_dtype == "k4v8":
+                # KIVI-tailed caches (int4 and the round-5 K4V8 mixed
+                # tier): candidate K nodes live in the int8 tail, so
                 # reorder_tail never touches packed nibbles — but only
                 # while the tree window fits ONE chunk (beyond that, node
                 # writes recycle tail rows attention still reads).
@@ -263,10 +272,10 @@ class Engine:
                 width = 1 + lookup_branches * gamma
                 if width > INT4_KV_GROUP:
                     raise ValueError(
-                        f"tree speculation + int4 KV: tree width {width} "
-                        f"(1 + branches*gamma) exceeds the KIVI chunk "
-                        f"({INT4_KV_GROUP}) — node writes would recycle "
-                        "live int8 tail rows; narrow the tree"
+                        f"tree speculation + KIVI-tailed KV: tree width "
+                        f"{width} (1 + branches*gamma) exceeds the KIVI "
+                        f"chunk ({INT4_KV_GROUP}) — node writes would "
+                        "recycle live int8 tail rows; narrow the tree"
                     )
             if kv_dtype == "k8v4":
                 raise NotImplementedError(
@@ -1218,7 +1227,10 @@ class Engine:
             self._spec_decode_tick(t0)
             return
         if self.eagle_caches is not None:
-            self._eagle_tick(t0)
+            if self.lookup_branches > 1:
+                self._eagle_tree_tick(t0)
+            else:
+                self._eagle_tick(t0)
             return
         if self.medusa_params is not None:
             self._tree_medusa_tick(t0)
@@ -1449,6 +1461,61 @@ class Engine:
         self._commit_spec_results(window, corrections, accepted, t0,
                                   logprobs=lp)
 
+    def _eagle_tree_tick(self, t0: float):
+        """EAGLE-tree tick (lookup_branches > 1 with an eagle draft —
+        VERDICT r4 item 2): the feature draft's step-1 top-J candidates
+        each continue greedily to depth gamma (branch state = J transient
+        copies of the one-layer draft cache), the target scores the whole
+        candidate tree in ONE forward (ancestor mask + branch compaction,
+        the same program as lookup/medusa trees) and also returns the
+        re-anchor hidden; the winning branch's draft-cache copy becomes
+        the persistent draft cache. Exact greedy / distribution-exact
+        sampling, like every other speculative tier."""
+        import dataclasses
+
+        active = jnp.asarray(self.active)
+        self._bump_slot_steps(active)
+        B = self.cfg.max_batch_size
+        J, d = self.lookup_branches, self._gamma_cur
+        props, cache_rep = _eagle_propose_tree(
+            self.eagle_draft, self.eagle_params, self.eagle_caches,
+            self._eagle_feats, self.last_tokens, self._emb_table, active,
+            branches=J, depth=d,
+        )
+        props_h = np.asarray(jax.device_get(props))
+        window = jnp.concatenate(
+            [self.last_tokens[:, None], props.reshape(B, J * d)], axis=1
+        )
+        k_accept = self._tick_keys(4)
+        bias = self._assemble_window_bias(self._tree_paths(props_h, J, d))
+        score = (
+            self._tp_fns["tree_score_hidden"] if self._tp_fns is not None
+            else partial(_tree_score_and_accept_hidden, self.model)
+        )
+        wl = self._want_logprobs()
+        out = score(
+            self.params, self.caches, window, active, k_accept, self.samp,
+            branches=J, depth=d, bias=bias, counts=self.token_counts,
+            penalty=self.cfg.repetition_penalty, want_logprobs=wl,
+            adapter_ids=self.adapter_ids, top_lp=self._want_top_lp(),
+        )
+        if wl:
+            best, accepted, corrections, h_corr, lp, self.caches = out
+        else:
+            (best, accepted, corrections, h_corr, self.caches), lp = (
+                out, None,
+            )
+        # Re-anchor on the true base feature at the last accepted node,
+        # adopt the winning branch's draft cache, rewind to the committed
+        # frontier (rows past it are masked and overwritten next tick).
+        self._eagle_feats = h_corr
+        committed = self.caches[0].lengths
+        self.eagle_caches = dataclasses.replace(
+            _eagle_tree_select(cache_rep, best, J), lengths=committed + 0
+        )
+        self._commit_tree_results(props_h, best, accepted, corrections, d,
+                                  t0, logprobs=lp)
+
     def _tree_lookup_tick(self, t0: float):
         """Tree-speculation tick (lookup_branches > 1): each active slot
         proposes up to J distinct n-gram continuations; the target scores
@@ -1518,7 +1585,13 @@ class Engine:
         active = jnp.asarray(self.active)
         B = self.cfg.max_batch_size
         J, d = self.lookup_branches, self._gamma_cur
-        props = self._medusa_props.copy()
+        # Under adaptive depth the stored proposals (produced at the
+        # PREVIOUS tick's depth) may be wider or narrower than this tick's:
+        # slice down / zero-pad up (zeros are harmless proposals).
+        stored = self._medusa_props
+        props = np.zeros((B, J, d), np.int32)
+        w = min(d, stored.shape[2])
+        props[:, :, :w] = stored[:, :, :w]
         window = jnp.concatenate(
             [self.last_tokens[:, None], jnp.asarray(props).reshape(B, J * d)],
             axis=1,
@@ -1575,11 +1648,14 @@ class Engine:
         corr_h = jax.device_get(corrections)
         lp_h = jax.device_get(logprobs) if logprobs is not None else None
         new_last = _np.array(jax.device_get(self.last_tokens))
+        tick_prop = tick_acc = 0
         for slot in range(self.cfg.max_batch_size):
             if not self.active[slot]:
                 continue
             req = self.slot_req[slot]
             a = int(accepted_h[slot])
+            tick_prop += d
+            tick_acc += a
             emitted = [int(t) for t in props[slot, int(best_h[slot]), :a]]
             emitted.append(int(corr_h[slot]))
             lps = None
@@ -1623,6 +1699,16 @@ class Engine:
             if not req.done:
                 new_last[slot] = emitted[-1]
         self.last_tokens = jnp.asarray(new_last)
+        if self.adaptive_gamma and tick_prop:
+            # Tree-depth adaptation on measured acceptance (round 5; same
+            # thresholds as the linear tiers): deepen while the winning
+            # branch mostly lands, shrink when it mostly misses. One
+            # compiled scoring program per depth, bounded by [1, gamma].
+            rate = tick_acc / tick_prop
+            if rate >= 0.8 and self._gamma_cur < self.gamma:
+                self._gamma_cur += 1
+            elif rate <= 0.3 and self._gamma_cur > 1:
+                self._gamma_cur -= 1
         self.stats["steps"] += 1
         dt = time.perf_counter() - t0
         self.stats["step_times"].append(dt)
@@ -1937,7 +2023,7 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
                                 heads=None, head_params=None, bias=None,
                                 counts=None, penalty=1.0,
                                 want_logprobs=False, adapter_ids=None,
-                                top_lp=0):
+                                top_lp=0, return_hidden=False):
     """Score a [B, T=1+branches*depth] candidate tree in ONE forward
     (ancestor attention mask, rope positions = frontier + node depth),
     pick each slot's accepted branch, compact that branch's K/V rows into
@@ -1977,7 +2063,7 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     positions = jnp.minimum(
         caches[0].lengths[:, None] + depths[None, :], max_pos
     )
-    if heads is not None:
+    if heads is not None or return_hidden:
         logits, caches, hidden = model.apply(
             params, window, positions, caches,
             advance=jnp.zeros((B,), jnp.int32), tree_mask=tree_mask,
@@ -2154,12 +2240,17 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     corrections = jnp.where(is_greedy, corr_g, corr_s)
 
     next_props = None
-    if heads is not None:
-        from ..models.medusa import HydraHeads, propose_from_heads
-
+    h_corr = None
+    if heads is not None or return_hidden:
+        # Hidden state at the last accepted node — the state that predicted
+        # the committed correction: trained heads propose from it, and the
+        # EAGLE-tree tick re-anchors its feature draft on it.
         h_corr = jnp.take_along_axis(
             hidden, corr_node[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]  # [B, D]
+    if heads is not None:
+        from ..models.medusa import HydraHeads, propose_from_heads
+
         if isinstance(heads, HydraHeads):
             # Sequential (Hydra) heads chain on the proposed tokens; the
             # base model's (replicated) embedding table feeds the chain.
@@ -2182,6 +2273,8 @@ def _tree_score_and_accept_body(model, params, caches, window, active, key,
     out = [best, accepted, corrections]
     if heads is not None:
         out.append(next_props)
+    if return_hidden:
+        out.append(h_corr.astype(jnp.float32))
     if want_logprobs:
         # Target logprobs (pre-penalty, pre-truncation) along the winning
         # branch: lp_path[s, k] = logp of the branch's k-th proposal at its
@@ -2233,6 +2326,24 @@ def _tree_score_and_accept(model, params, caches, window, active, key, samp,
         model, params, caches, window, active, key, samp, branches, depth,
         bias=bias, counts=counts, penalty=penalty,
         want_logprobs=want_logprobs, adapter_ids=adapter_ids, top_lp=top_lp,
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "branches", "depth", "penalty",
+                                   "want_logprobs", "top_lp"),
+         donate_argnums=(2,))
+def _tree_score_and_accept_hidden(model, params, caches, window, active,
+                                  key, samp, branches: int, depth: int,
+                                  bias=None, counts=None, penalty=1.0,
+                                  want_logprobs=False, adapter_ids=None,
+                                  top_lp=0):
+    """Tree scorer that also returns the hidden state at each slot's last
+    accepted node (the EAGLE-tree tick's true-feature re-anchor)."""
+    return _tree_score_and_accept_body(
+        model, params, caches, window, active, key, samp, branches, depth,
+        bias=bias, counts=counts, penalty=penalty,
+        want_logprobs=want_logprobs, adapter_ids=adapter_ids, top_lp=top_lp,
+        return_hidden=True,
     )
 
 
@@ -2318,6 +2429,90 @@ def _eagle_propose(draft, dparams, cache, feats, last_tokens, emb, active,
         advance=advance,
     )
     return proposals.T, jnp.swapaxes(dlogits, 0, 1), cache
+
+
+@partial(jax.jit, static_argnames=("draft", "branches", "depth"))
+def _eagle_propose_tree(draft, dparams, cache, feats, last_tokens, emb,
+                        active, branches: int, depth: int):
+    """EAGLE-2-style tree expansion (VERDICT r4 item 2): expand the draft's
+    step-1 distribution into its top-``branches`` candidates, then continue
+    each branch greedily to ``depth`` — producing the [B, J, d] candidate
+    tree the one-forward tree scorer (_tree_score_and_accept) consumes.
+
+    Branch state lives in a slot-major batch replication: the draft cache
+    is repeated J ways to [B*J, ...] (every dense-cache leaf is batch-major
+    — kv_cache._DenseSlotViews invariant), level 1 writes identical rows
+    for all J copies (the frontier input is branch-independent), and levels
+    2..d chain each branch's own (f_hat, emb(token)) through its own copy.
+    The replicated cache is a per-tick transient: after acceptance the
+    winning branch's copy becomes the persistent draft cache
+    (_eagle_tree_select) — its rows along the accepted chain are exactly
+    the entries linear-EAGLE drafting would have written, so the next
+    tick's propose attends over a seamless feature history.
+
+    Acceptance exactness never depends on how candidates were chosen
+    (greedy rows commit only target-argmax matches; sampled rows run
+    distribution-exact tree rejection), so the deterministic top-J/greedy
+    expansion is safe at ANY temperature — proposal quality is all it
+    affects. Memory: J transient copies of the ONE-layer draft cache.
+
+    Returns (props [B, J, depth] int32, cache_rep [B*J, ...])."""
+    B = last_tokens.shape[0]
+    J = branches
+    rep = lambda a: jnp.repeat(a, J, axis=0)
+    cache = jax.tree_util.tree_map(rep, cache)
+    advance = rep(active).astype(jnp.int32)
+    max_pos = draft.cfg.max_position_embeddings - 1
+
+    def body(carry, i):
+        tok, f, cache = carry
+        positions = jnp.minimum(cache.lengths, max_pos)[:, None]
+        f_hat, logits, cache = draft.apply(
+            dparams, f[:, None, :], emb[tok][:, None, :], positions, cache,
+            advance=advance,
+        )
+        last = logits[:, -1]  # [B*J, V]
+        # Level 1: branch j takes the j-th most likely token (all copies
+        # carry identical logits; read copy 0). Deeper levels: greedy
+        # continuation per branch.
+        topj = (
+            jax.lax.top_k(last.reshape(B, J, -1)[:, 0], J)[1]
+            .astype(jnp.int32)
+            .reshape(B * J)
+        )
+        greedy = jnp.argmax(last, -1).astype(jnp.int32)
+        nxt = jnp.where(i == 0, topj, greedy)
+        return (nxt, f_hat[:, -1], cache), nxt
+
+    (last, f, cache), proposals = jax.lax.scan(
+        body, (rep(last_tokens), rep(feats), cache), jnp.arange(depth)
+    )
+    # One extra step: K/V rows for the final proposals (the all-accepted
+    # case needs them in the winning branch's cache next tick).
+    positions = jnp.minimum(cache.lengths, max_pos)[:, None]
+    _, _, cache = draft.apply(
+        dparams, f[:, None, :], emb[last][:, None, :], positions, cache,
+        advance=advance,
+    )
+    # scan stacks on axis 0: [depth, B*J] -> [B, J, depth].
+    props = proposals.T.reshape(B, J, depth)
+    return props, cache
+
+
+@partial(jax.jit, static_argnames=("branches",))
+def _eagle_tree_select(cache_rep, best, branches: int):
+    """Collapse the [B*J, ...] replicated draft cache to the winning
+    branch's copy per slot ([B, ...]) — the persistent cache for the next
+    tick (rows along the accepted chain are already in chain order, so no
+    reorder_tail is needed on the draft side)."""
+    B = best.shape[0]
+
+    def sel(leaf):
+        lr = leaf.reshape((B, branches) + leaf.shape[1:])
+        idx = best.reshape((B,) + (1,) * (lr.ndim - 1))
+        return jnp.take_along_axis(lr, idx, axis=1)[:, 0]
+
+    return jax.tree_util.tree_map(sel, cache_rep)
 
 
 @partial(jax.jit, static_argnames=("model", "gamma"), donate_argnums=(2,))
@@ -2904,6 +3099,55 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
         )
         return (*res, caches)
 
+    def tree_score_hidden(params, caches, window, active, key, samp,
+                          branches, depth, bias=None, counts=None,
+                          penalty=1.0, want_logprobs=False,
+                          adapter_ids=None, top_lp=0):
+        """shard_map'd _tree_score_and_accept_hidden (EAGLE-tree on a
+        mesh): like tree_score, plus the batch-sharded [B, D] re-anchor
+        hidden at each slot's last accepted node."""
+        pspecs, cspecs = _specs(params, caches)
+        tkey = ("tree_score_hidden", branches, depth, bias is None,
+                counts is None, penalty, want_logprobs, adapter_ids is None,
+                top_lp)
+        if tkey not in state:
+            samp_spec = {k: batch_spec for k in samp}
+            counts_spec = (
+                batch_spec if counts is None else P(*batch_spec, None)
+            )
+            outs = [batch_spec, batch_spec, batch_spec, batch_spec]
+            if want_logprobs:
+                outs.append(
+                    (batch_spec,) * (2 + (4 if top_lp else 0))
+                )
+
+            @partial(
+                _shard_map,
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, batch_spec, batch_spec,
+                          batch_spec, samp_spec, batch_spec, counts_spec,
+                          batch_spec),
+                out_specs=(tuple(outs), cspecs),
+                check_vma=False,
+            )
+            def _tscore(params, caches, window, active, key, samp, bias,
+                        counts, aid):
+                key_r = key  # per-row [B_local, 2] keys shard with slots
+                *res, caches = _tree_score_and_accept_body(
+                    model, params, caches, window, active, key_r, samp,
+                    branches, depth, bias=bias, counts=counts,
+                    penalty=penalty, want_logprobs=want_logprobs,
+                    adapter_ids=aid, top_lp=top_lp, return_hidden=True,
+                )
+                return tuple(res), caches
+
+            state[tkey] = jax.jit(_tscore, donate_argnums=(1,))
+        res, caches = state[tkey](
+            params, caches, window, active, key, samp, bias, counts,
+            adapter_ids,
+        )
+        return (*res, caches)
+
     def tree_score_heads(params, caches, window, active, key, samp, *,
                          branches, depth, heads, head_params, bias=None,
                          counts=None, penalty=1.0, want_logprobs=False,
@@ -2961,6 +3205,7 @@ def _build_tp_engine_fns(model: LlamaModel, mesh):
     fns["extend_hidden"] = extend_hidden
     fns["spec_score_hidden"] = spec_score_hidden
     fns["tree_score"] = tree_score
+    fns["tree_score_hidden"] = tree_score_hidden
     fns["tree_score_heads"] = tree_score_heads
     fns["state"] = state
     return fns

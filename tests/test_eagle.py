@@ -182,3 +182,150 @@ def test_eagle_guards(model_and_params, eagle):
     with pytest.raises(ValueError, match="exclusive"):
         Engine(model, params, ecfg, kv_dtype=jnp.float32, eagle_draft=draft,
                eagle_params=dp, prompt_lookup=2)
+
+
+# -- EAGLE-tree (EAGLE-2-style; VERDICT r4 item 2) ---------------------------
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_eagle_tree_matches_plain_greedy(model_and_params, eagle, kv_dtype):
+    """lookup_branches > 1 with an eagle draft = tree speculation: the
+    draft's top-J step-1 candidates continue greedily to depth gamma, the
+    target scores the candidate tree in one forward — and the stream is
+    EXACTLY plain greedy decoding (multi-chunk prefill, slot reuse, junk
+    untrained proposals included)."""
+    model, params = model_and_params
+    draft, dp = eagle
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=8,
+                        max_new_tokens=20, temperature=0.0)
+    prompts = [[5, 9, 2, 7, 1, 3, 8, 8, 4, 2], [1, 2, 3], [9, 8, 7, 6],
+               [4, 4]]
+
+    plain = Engine(model, params, ecfg, kv_dtype=kv_dtype)
+    prids = [plain.add_request(p, 20) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=kv_dtype,
+                 eagle_draft=draft, eagle_params=dp, gamma=3,
+                 lookup_branches=3)
+    rids = [eng.add_request(p, 20) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+
+
+def test_eagle_tree_sampling_distribution_matches_plain(model_and_params,
+                                                        eagle):
+    """temperature 0.8 + top_k 8: tree rejection sampling over the EAGLE
+    candidate tree keeps emitted tokens distribution-identical to plain
+    sampling (the scorer's exactness never depends on the proposal
+    source). Same TVD harness + power control as the linear EAGLE test."""
+    model, params = model_and_params
+    draft, dp = eagle
+    n = 300
+    prompt = [3, 1, 4, 1, 5]
+
+    def hist(make_engine):
+        h = np.zeros(CFG.vocab_size, np.int64)
+        for seed in range(n):
+            eng = make_engine(seed)
+            rid = eng.add_request(prompt, 3)
+            out = eng.run()[rid]
+            h[out[1]] += 1
+        return h / n
+
+    def ecfg(temp, s):
+        return EngineConfig(max_batch_size=1, max_seq_len=32,
+                            prefill_chunk=16, max_new_tokens=3,
+                            temperature=temp, top_k=8, seed=s)
+
+    plain = hist(lambda s: Engine(model, params, ecfg(0.8, s),
+                                  kv_dtype=jnp.float32))
+    tree = hist(lambda s: Engine(model, params, ecfg(0.8, s),
+                                 kv_dtype=jnp.float32, eagle_draft=draft,
+                                 eagle_params=dp, gamma=2,
+                                 lookup_branches=3))
+    tvd = 0.5 * float(np.abs(plain - tree).sum())
+    assert tvd < 0.15, tvd
+    cold = hist(lambda s: Engine(model, params, ecfg(0.2, s),
+                                 kv_dtype=jnp.float32))
+    assert 0.5 * float(np.abs(plain - cold).sum()) > 0.25
+
+
+def test_eagle_tree_adaptive_depth(model_and_params, eagle):
+    """adaptive_gamma now composes with tree modes: depth shrinks toward 1
+    under an untrained draft's ~0 acceptance, and the greedy stream stays
+    exact through every depth change."""
+    model, params = model_and_params
+    draft, dp = eagle
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=24, temperature=0.0)
+    prompts = [[5, 9, 2, 7, 1, 3], [1, 2, 3]]
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    prids = [plain.add_request(p, 24) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 eagle_draft=draft, eagle_params=dp, gamma=4,
+                 lookup_branches=2, adaptive_gamma=True)
+    rids = [eng.add_request(p, 24) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+    # Junk proposals -> acceptance ~0 -> depth adapted down to the floor.
+    assert eng._gamma_cur == 1
+
+
+def test_eagle_tree_logprobs_and_top_logprobs_match_plain(model_and_params,
+                                                          eagle):
+    """Per-request logprobs AND top-k alternatives through the EAGLE-tree
+    tick equal plain decode's token-for-token (winning-branch parent-node
+    gathers)."""
+    model, params = model_and_params
+    draft, dp = eagle
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    pr = plain.add_request([3, 17, 5, 9], 8, logprobs=True, top_logprobs=3)
+    plain.run()
+    pref = next(r for r in plain.finished if r.rid == pr)
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 eagle_draft=draft, eagle_params=dp, gamma=3,
+                 lookup_branches=2)
+    rid = eng.add_request([3, 17, 5, 9], 8, logprobs=True, top_logprobs=3)
+    eng.run()
+    req = next(r for r in eng.finished if r.rid == rid)
+    assert req.out == pref.out
+    np.testing.assert_allclose(req.logprobs, pref.logprobs,
+                               rtol=1e-4, atol=1e-4)
+    for g, w in zip(req.top_lps, pref.top_lps):
+        assert [t for t, _ in g] == [t for t, _ in w]
+        np.testing.assert_allclose([lp for _, lp in g],
+                                   [lp for _, lp in w],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_medusa_adaptive_depth_exact(model_and_params):
+    """The lifted adaptive_gamma x medusa guard: trained-head trees adapt
+    depth on acceptance while the greedy stream stays exactly plain (the
+    stored next-tick proposals re-shape across depth changes)."""
+    from protoquant_tpu.models.medusa import MedusaHeads, init_medusa
+
+    model, params = model_and_params
+    heads, hp = init_medusa(model, depth=4, rng=jax.random.PRNGKey(5),
+                            dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=20, temperature=0.0)
+    prompts = [[5, 9, 2, 7, 1, 3], [1, 2, 3]]
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.float32)
+    prids = [plain.add_request(p, 20) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.float32,
+                 medusa_heads=heads, medusa_params=hp, gamma=4,
+                 lookup_branches=2, adaptive_gamma=True)
+    rids = [eng.add_request(p, 20) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
