@@ -203,6 +203,7 @@ def main():
     run_kv("fp+int8kv", jnp.int8)
     run_kv("fp+int4kv", jnp.int4)
     run_kv("fp+k8v4kv", "k8v4")
+    run_kv("fp+k4v8kv", "k4v8")  # round 5: the dominant 6-bit mixed tier
 
     run("int8_dynamic", "dynamic", params)
     run("int8_dynamic+smooth", "dynamic", smoothed)
@@ -221,6 +222,7 @@ def main():
     run("int8_dynamic+smooth+int8kv", "dynamic", smoothed, kv_dtype=jnp.int8)
     run("int8_dynamic+smooth+int4kv", "dynamic", smoothed, kv_dtype=jnp.int4)
     run("int8_dynamic+smooth+k8v4kv", "dynamic", smoothed, kv_dtype="k8v4")
+    run("int8_dynamic+smooth+k4v8kv", "dynamic", smoothed, kv_dtype="k4v8")
     run("int8_weight_only", "weight_only", params)
     run("int8_weight_only+gptq", "weight_only", params, gptq=True)
     run("fp8_weight_only", "weight_only_fp8", params,

@@ -1014,3 +1014,326 @@ class MixedKVCache(_DenseSlotViews):
 
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "kchs", "ktail", "kts", "vq", "vs", "vtail", "vts",
+                 "lengths"],
+    meta_fields=["group"],
+)
+@dataclasses.dataclass(frozen=True)
+class K4V8KVCache(_DenseSlotViews):
+    """K4V8 mixed cache (round 5 — VERDICT r4 item 3): the DOMINANT 6-bit
+    design the ladder-v2 measurements point at. Keys take the VALIDATED
+    KIVI scheme (Int4KVCache's K side: per-(chunk, channel) int4 scales +
+    a 2G-deep per-token INT8 tail for the most recent tokens — the
+    combination whose cache-path quality matched int8 KV on the v2
+    ladder); values stay per-token INT8 (Int8KVCache's V side — no V
+    nibble error at all). ~6 bits/elem average, vs int8's 8 and K8V4's 6.
+
+    Why this beats K8V4 (BASELINE.md ladder decision 2): K8V4 puts the
+    4-bit noise on the VALUE read and quantizes even the newest V row to
+    int4 immediately — recency precision is what drives next-token
+    selection, and its greedy/prefix quality collapsed (0.08/0.01).
+    K4V8 puts the 4-bit noise on old KEYS under per-channel chunk scales
+    (the axis KIVI showed is forgiving) and keeps the recent window int8
+    on BOTH sides via the tail.
+
+    Layout — K exactly as Int4KVCache, V as Int8KVCache plus a tail
+    MIRROR (G = ``group``; F = (length // G) * G):
+      kq    [B, KV, S/2, Dh] int8 — packed K nibbles of COMPLETED chunks
+      kchs  [B, KV, S/G, Dh] f32 — per-chunk per-channel K scales
+      ktail [B, KV, 2G, Dh] int8 + kts [B, KV, 2G] f32 — per-token K tail
+            (row j = latest position ≡ j mod 2G; rollback depth <= G)
+      vq    [B, KV, S, Dh] int8 + vs [B, KV, S] f32 — per-token V at EVERY
+            position (the store is uniform; no packed region)
+      vtail [B, KV, 2G, Dh] int8 + vts [B, KV, 2G] f32 — mirror of the
+            last 2G V rows, kept so the attention kernel's tail block
+            (positions >= F) fetches a statically-indexed block instead of
+            a dynamically-offset window of the main store
+
+    Scope: the full int8-kernel variant surface (sliding window, softcap,
+    learned sinks) — the guards the K8V4 tier kept are LIFTED here by
+    construction (the kernel shares the int4 kernel's masking rows).
+    """
+
+    kq: jnp.ndarray
+    kchs: jnp.ndarray
+    ktail: jnp.ndarray
+    kts: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+    vtail: jnp.ndarray
+    vts: jnp.ndarray
+    lengths: jnp.ndarray
+    group: int = 64
+
+    @classmethod
+    def init(cls, batch, max_seq, kv_heads, head_dim,
+             group: int | None = None):
+        if group is None:
+            group = INT4_KV_GROUP
+        group = min(group, max_seq)
+        if max_seq % group or group % 2:
+            raise ValueError(
+                f"k4v8 KV needs max_seq % group == 0 and even group "
+                f"(max_seq={max_seq}, group={group})"
+            )
+        return cls(
+            kq=jnp.zeros((batch, kv_heads, max_seq // 2, head_dim), jnp.int8),
+            kchs=jnp.full((batch, kv_heads, max_seq // group, head_dim),
+                          SCALE_EPS, jnp.float32),
+            ktail=jnp.zeros((batch, kv_heads, 2 * group, head_dim), jnp.int8),
+            kts=jnp.full((batch, kv_heads, 2 * group), SCALE_EPS,
+                         jnp.float32),
+            vq=jnp.zeros((batch, kv_heads, max_seq, head_dim), jnp.int8),
+            vs=jnp.full((batch, kv_heads, max_seq), SCALE_EPS, jnp.float32),
+            vtail=jnp.zeros((batch, kv_heads, 2 * group, head_dim), jnp.int8),
+            vts=jnp.full((batch, kv_heads, 2 * group), SCALE_EPS,
+                         jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+            group=group,
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.vq.shape[2]
+
+    def update(self, k, v, advance=None):
+        """Quantize k/v [B, T, KV, Dh] per-token int8; K flows through the
+        tail + chunk-flush machinery (Int4KVCache semantics, K side only),
+        V writes the int8 store directly (+ the tail mirror)."""
+        B, T = k.shape[:2]
+        adv = jnp.full((B,), T, jnp.int32) if advance is None else advance
+        k8, ks8 = quantize_kv(k)
+        v8, vs8 = quantize_kv(v)
+        if T == 1 and _resolve_attention_backend() == "pallas":
+            from ..ops._common import default_interpret
+            from ..ops.kv_scatter import k4v8_decode_update
+
+            arrs = k4v8_decode_update(
+                self.kq, self.kchs, self.vq, self.vs,
+                self.ktail, self.kts, self.vtail, self.vts, self.lengths,
+                jnp.swapaxes(k8, 1, 2), jnp.swapaxes(ks8, 1, 2),
+                jnp.swapaxes(v8, 1, 2), jnp.swapaxes(vs8, 1, 2),
+                group=self.group, adv=adv, interpret=default_interpret(),
+            )
+            return dataclasses.replace(
+                self, kq=arrs[0], kchs=arrs[1], vq=arrs[2], vs=arrs[3],
+                ktail=arrs[4], kts=arrs[5], vtail=arrs[6], vts=arrs[7],
+                lengths=self.lengths + adv,
+            )
+        return self._xla_update(k8, ks8, v8, vs8, adv)
+
+    def _xla_update(self, k8, ks8, v8, vs8, adv):
+        """Prefill / off-TPU path (mirrors Int4KVCache._xla_update with the
+        V side replaced by direct int8 writes)."""
+        B, T = k8.shape[:2]
+        G = self.group
+        TC = 2 * G
+        S2 = self.kq.shape[2]
+        NC = self.kchs.shape[2]
+        L_old = self.lengths
+        L_new = jnp.minimum(L_old + adv, self.max_seq)
+        j = jnp.arange(G)[None, :]
+
+        # ---- V: direct int8 store writes (Int8KVCache semantics) -----------
+        b_idx2, s_idx = _write_positions(L_old, T)
+        vq = self.vq.at[b_idx2, :, s_idx].set(v8)
+        vs = self.vs.at[b_idx2, :, s_idx].set(vs8)
+
+        old_kt = jnp.swapaxes(self.ktail, 1, 2)  # [B, 2G, KV, Dh]
+        old_kts = jnp.swapaxes(self.kts, 1, 2)
+        old_vt = jnp.swapaxes(self.vtail, 1, 2)
+        old_vts = jnp.swapaxes(self.vts, 1, 2)
+
+        def gather_t(x8, xs8, pos):
+            idx = jnp.clip(pos - L_old[:, None], 0, T - 1)
+            g8 = jnp.take_along_axis(x8, idx[..., None, None], axis=1)
+            gs = jnp.take_along_axis(xs8, idx[..., None], axis=1)
+            return g8, gs
+
+        def gather_tail(t8, ts, pos):
+            row = jnp.mod(pos, TC)
+            g8 = jnp.take_along_axis(t8, row[..., None, None], axis=1)
+            gs = jnp.take_along_axis(ts, row[..., None], axis=1)
+            return g8, gs
+
+        # ---- K chunk flushes ----------------------------------------------
+        kq, kchs = self.kq, self.kchs
+        b_idx = jnp.arange(B)[:, None]
+        n_flush = (G - 1 + T) // G
+        for f in range(n_flush):
+            c = L_old // G + f
+            valid_f = (c + 1) * G <= L_new
+            pos = c[:, None] * G + j
+            use_tail = pos < L_old[:, None]
+            gk8, gks = gather_t(k8, ks8, pos)
+            tk8, tks = gather_tail(old_kt, old_kts, pos)
+            ck8 = jnp.where(use_tail[..., None, None], tk8, gk8)
+            cks = jnp.where(use_tail[..., None], tks, gks)
+            # kivi_chunk_quantize's V outputs are unused here (XLA DCEs
+            # them); feeding the K tensors twice keeps the K math on the
+            # ONE shared, barrier-pinned code path (bit-equality contract).
+            packed_k, s_ch, _, _ = kivi_chunk_quantize(
+                jnp.swapaxes(ck8, 1, 2), jnp.swapaxes(cks, 1, 2),
+                jnp.swapaxes(ck8, 1, 2), jnp.swapaxes(cks, 1, 2),
+            )
+            rows = jnp.where(
+                valid_f[:, None], c[:, None] * (G // 2) + jnp.arange(G // 2),
+                S2,
+            )
+            kq = kq.at[b_idx, :, rows].set(
+                jnp.swapaxes(packed_k, 1, 2), mode="drop")
+            c_safe = jnp.where(valid_f, c, NC)[:, None]
+            kchs = kchs.at[b_idx, :, c_safe].set(s_ch[:, None], mode="drop")
+
+        # ---- new tails (K + V mirror; Int4KVCache invariant) ---------------
+        j2 = jnp.arange(TC)[None, :]
+        W_end = L_old[:, None] + T
+        p_j = (W_end - 1) - jnp.mod(W_end - 1 - j2, TC)
+        fresh = p_j >= L_old[:, None]
+        gk8, gks = gather_t(k8, ks8, p_j)
+        gv8, gvs = gather_t(v8, vs8, p_j)
+        nkt = jnp.where(fresh[..., None, None], gk8, old_kt)
+        nkts = jnp.where(fresh[..., None], gks, old_kts)
+        nvt = jnp.where(fresh[..., None, None], gv8, old_vt)
+        nvts = jnp.where(fresh[..., None], gvs, old_vts)
+        return dataclasses.replace(
+            self, kq=kq, kchs=kchs, vq=vq, vs=vs,
+            ktail=jnp.swapaxes(nkt, 1, 2), kts=jnp.swapaxes(nkts, 1, 2),
+            vtail=jnp.swapaxes(nvt, 1, 2), vts=jnp.swapaxes(nvts, 1, 2),
+            lengths=self.lengths + adv,
+        )
+
+    def dequant_fp(self, lane=None):
+        """Per-token fp K/V [B, KV, S, Dh] (oracle / XLA formulation).
+        K mirrors Int4KVCache.dequant_fp's K side (packed region + tail
+        overlay past the frontier); V reads the int8 store directly."""
+        if lane is None:
+            lane = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
+        B, KV, S2, Dh = self.kq.shape
+        S, G = S2 * 2, self.group
+        pos = jnp.arange(S)
+        lo = jnp.right_shift(jnp.left_shift(self.kq, 4), 4)
+        hi = jnp.right_shift(self.kq, 4)
+        k_nib = jnp.stack([lo, hi], axis=3).reshape(B, KV, S, Dh)
+        ksc = jnp.take(self.kchs, pos // G, axis=2)
+        k_q = (k_nib.astype(lane) * ksc.astype(lane)).astype(lane)
+        F = (self.lengths // G) * G
+        rel = pos[None, :] - F[:, None]
+        in_tail = (rel >= 0) & (rel < 2 * G)
+        row_c = jnp.mod(pos[None, :], 2 * G) * jnp.ones(
+            (self.lengths.shape[0], 1), jnp.int32)
+        kt = jnp.take_along_axis(
+            self.ktail, row_c[:, None, :, None], axis=2
+        ).astype(lane)
+        kts = jnp.take_along_axis(self.kts, row_c[:, None, :], axis=2)
+        k_t = (kt * kts[..., None].astype(lane)).astype(lane)
+        k_fp = jnp.where(in_tail[:, None, :, None], k_t, k_q)
+        v_fp = (self.vq.astype(lane)
+                * self.vs[..., None].astype(lane)).astype(lane)
+        return k_fp, v_fp
+
+    def advance(self, adv):
+        """Speculative commit: bump lengths AND flush any K chunk the bump
+        completes (Int4KVCache.advance, K side only — V rows were already
+        written by the scoring forward). Commit depth must be <= G."""
+        G = self.group
+        TC = 2 * G
+        S2 = self.kq.shape[2]
+        NC = self.kchs.shape[2]
+        L_old = self.lengths
+        L_new = jnp.minimum(L_old + adv, self.max_seq)
+        kq, kchs = self.kq, self.kchs
+        B = L_old.shape[0]
+        b_idx = jnp.arange(B)[:, None]
+        j = jnp.arange(G)[None, :]
+        for f in range(2):
+            c = L_old // G + f
+            valid_f = ((c + 1) * G <= L_new) & ((c + 1) * G > L_old)
+            crow = jnp.mod(c[:, None] * G + j, TC)
+            ck8 = jnp.take_along_axis(self.ktail, crow[:, None, :, None], 2)
+            cks = jnp.take_along_axis(self.kts, crow[:, None, :], 2)
+            packed_k, s_ch, _, _ = kivi_chunk_quantize(ck8, cks, ck8, cks)
+            rows = jnp.where(
+                valid_f[:, None], c[:, None] * (G // 2) + jnp.arange(G // 2),
+                S2,
+            )
+            kq = kq.at[b_idx, :, rows].set(
+                jnp.swapaxes(packed_k, 1, 2), mode="drop")
+            c_safe = jnp.where(valid_f, c, NC)[:, None]
+            kchs = kchs.at[b_idx, :, c_safe].set(s_ch[:, None], mode="drop")
+        return dataclasses.replace(
+            self, kq=kq, kchs=kchs, lengths=self.lengths + adv)
+
+    def update_and_attend(self, q, k, v, advance=None, window: int = 0,
+                          scale: float = 0.0, softcap: float = 0.0,
+                          sink_logits=None, tree_mask=None,
+                          alibi_slopes=None):
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "alibi + k4v8 KV: serve alibi models on int8 KV"
+            )
+        new = self.update(k, v, advance)
+        if tree_mask is None and _resolve_attention_backend() == "pallas":
+            from ..ops.attention import k4v8_attention
+
+            out = k4v8_attention(
+                q, new.kq, new.kchs, new.vq, new.vs,
+                new.ktail, new.kts, new.vtail, new.vts,
+                self.lengths, new.lengths, group=self.group,
+                window=window, scale=scale, softcap=softcap,
+                sink_logits=sink_logits,
+            )
+        else:
+            k_fp, v_fp = new.dequant_fp()
+            ones = jnp.ones(k_fp.shape[:3], jnp.float32)
+            out = int8_kv_attention_xla(
+                q, k_fp, ones, v_fp, ones, self.lengths, window=window,
+                scale=scale, softcap=softcap, sink_logits=sink_logits,
+                tree_mask=tree_mask,
+            )
+        return out, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit: K tail rows + V (main store AND tail
+        mirror) compact into chain order. Candidate K entries live entirely
+        in the int8 tail (engine bounds tree width <= group, as for
+        Int4KVCache); candidate V entries live at their absolute positions
+        in the int8 store (Int8KVCache semantics)."""
+        B, d = node_idx.shape
+        TC = self.ktail.shape[2]
+        b_idx3 = jnp.arange(B)[:, None, None]
+        tk = jnp.take_along_axis
+        # K tail + V tail mirror (row = position mod 2G).
+        src_t = jnp.mod(self.lengths[:, None] + node_idx, TC)
+        dst_t = jnp.mod(
+            self.lengths[:, None] + 1 + jnp.arange(d)[None, :], TC
+        )
+        kt_r = tk(self.ktail, src_t[:, None, :, None], axis=2)
+        kts_r = tk(self.kts, src_t[:, None, :], axis=2)
+        vt_r = tk(self.vtail, src_t[:, None, :, None], axis=2)
+        vts_r = tk(self.vts, src_t[:, None, :], axis=2)
+        kv_idx = jnp.arange(self.ktail.shape[1])[None, :, None]
+        dst3_t = dst_t[:, None, :]
+        # V main store (absolute positions).
+        src_v = self.lengths[:, None] + node_idx
+        dst_v = self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        vq_r = tk(self.vq, src_v[:, None, :, None], axis=2)
+        vs_r = tk(self.vs, src_v[:, None, :], axis=2)
+        dst3_v = dst_v[:, None, :]
+        return dataclasses.replace(
+            self,
+            ktail=self.ktail.at[b_idx3, kv_idx, dst3_t].set(kt_r),
+            kts=self.kts.at[b_idx3, kv_idx, dst3_t].set(kts_r),
+            vtail=self.vtail.at[b_idx3, kv_idx, dst3_t].set(vt_r),
+            vts=self.vts.at[b_idx3, kv_idx, dst3_t].set(vts_r),
+            vq=self.vq.at[b_idx3, kv_idx, dst3_v].set(vq_r),
+            vs=self.vs.at[b_idx3, kv_idx, dst3_v].set(vs_r),
+        )
+
+    def reset_slot(self, slot: jnp.ndarray):
+        return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))

@@ -41,10 +41,19 @@ def init_cache(
     kv_heads = cfg.num_key_value_heads // tp
     if isinstance(kv_dtype, str) and kv_dtype == "k8v4":
         # Mixed tier: int8 keys + packed-int4 values (6 bits/elem average;
-        # full-causal only; the quality/capacity middle point).
+        # full-causal only). DEMOTED round 5: dominated by "k4v8" below
+        # (BASELINE.md ladder decisions 2 and 5) — kept as the V-per-token
+        # reference layout.
         from .kv_cache import MixedKVCache
 
         make = lambda: MixedKVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
+    elif isinstance(kv_dtype, str) and kv_dtype == "k4v8":
+        # The DOMINANT 6-bit mixed tier (round 5): KIVI-chunked int4 K
+        # (+ int8 tail) x per-token int8 V — int8-class quality at 3/4 the
+        # bytes; full windowed/softcap/sink variant surface.
+        from .kv_cache import K4V8KVCache
+
+        make = lambda: K4V8KVCache.init(batch, max_seq, kv_heads, cfg.head_dim)
     elif kv_dtype == jnp.int4:
         # Packed-nibble cache (quarter of bf16 bytes; full-causal only).
         from .kv_cache import Int4KVCache

@@ -1001,3 +1001,314 @@ def mixed_kv_attention(
     )
     return out.reshape(B, KV, T, group, Dh).transpose(0, 2, 1, 3, 4).reshape(
         B, T, H, Dh)
+
+
+# -- K4V8 mixed KV flash attention (round 5) ----------------------------------
+
+
+def _attn_k4v8_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
+                      kt_ref, kts_ref, vt_ref, vts_ref, *rest,
+                      group, chunk, block_sp, lane, window, sm, softcap,
+                      has_sinks, static_sinks, max_seq):
+    """Flash attention over the K4V8 cache (models/kv_cache.py
+    K4V8KVCache): the int4 kernel's K side (packed chunk nibbles,
+    per-(chunk, channel) scales, int8 tail) with the int8 kernel's V side
+    (per-token int8 values + scales; a tail MIRROR serves the final block).
+
+    k_ref:   (1, HB, bs_p, Dh) int8 packed K (row r = tokens 2r / 2r+1)
+    kch_ref: (1, HB, n_g, Dh) f32 chunk-channel K scales
+    v_ref:   (1, HB, 2*bs_p, Dh) int8 per-token V — natural token order
+    vs_ref:  (1, HB, 1, 2*bs_p) f32 per-token V scales
+    kt/kts:  (1, HB, 2G, Dh) int8 K tail + (1, HB, 1, 2G) scales
+    vt/vts:  V tail mirror, same shapes
+
+    Score columns come out of the K dequant in [even | odd] parity order;
+    a constant 0/1 permutation dot (HIGHEST precision — exact copy) maps
+    the probability tile back to natural token order before the single
+    int8 V dot. Variants (window / softcap / sinks) mirror _attn4_kernel.
+    """
+    rest = list(rest)
+    sink_ref = rest.pop(0) if has_sinks else None
+    o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    HB, TG = q_ref.shape[1], q_ref.shape[2]
+    G = chunk
+    t_max = (TG - 1) // group
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if has_sinks:
+            m_ref[:, :TG] = sink_ref[...]
+            l_ref[:, :TG] = jnp.ones_like(l_ref[:, :TG])
+
+    length = len_ref[b, 0]
+    new_len = jnp.clip(len_ref[b, 1], 0, max_seq)
+    frontier = (new_len // G) * G  # tokens >= frontier live in the tails
+
+    def _online_update(scores, valid, p_to_pv):
+        scores = jnp.where(valid, scores, NEG_INF)
+        m_old = m_ref[:, :TG, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        pv = p_to_pv(p)
+        l_new = l_ref[:, :TG, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:, :TG] = acc_ref[:, :TG] * corr + pv
+        m_ref[:, :TG] = jnp.broadcast_to(m_new, (HB, TG, m_ref.shape[2]))
+        l_ref[:, :TG] = jnp.broadcast_to(l_new, (HB, TG, l_ref.shape[2]))
+
+    base = s * 2 * block_sp
+    active = base < frontier
+    if window > 0:
+        lo_col = jnp.maximum(length - window + 1, 0)
+        active &= (base + 2 * block_sp) > lo_col
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0].astype(lane)  # (HB, TG, Dh)
+        ku = k_ref[0].astype(jnp.int32)
+        k_lo = ((ku << 28) >> 28).astype(lane)
+        k_hi = ((ku << 24) >> 28).astype(lane)
+        n_g = kch_ref.shape[2]
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (HB, block_sp, n_g), 1)
+        g_io = jax.lax.broadcasted_iota(jnp.int32, (HB, block_sp, n_g), 2)
+        sel = (r_io // (G // 2) == g_io).astype(jnp.float32)
+        s_tile = jax.lax.dot_general(
+            sel, kch_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(lane)  # exact scale-row copy (see _attn4_kernel)
+        kd_lo = k_lo * s_tile
+        kd_hi = k_hi * s_tile
+
+        dims = (((2,), (2,)), ((0,), (0,)))
+        s_lo = jax.lax.dot_general(
+            q, kd_lo, dims, preferred_element_type=jnp.float32)
+        s_hi = jax.lax.dot_general(
+            q, kd_hi, dims, preferred_element_type=jnp.float32)
+        scores = jnp.concatenate([s_lo, s_hi], axis=-1) * sm  # (HB,TG,2bs_p)
+        if softcap > 0.0:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
+        idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        pos = jnp.where(
+            idx < block_sp,
+            2 * (s * block_sp + idx),
+            2 * (s * block_sp + idx - block_sp) + 1,
+        )
+        valid = (pos <= (length + t_rows)) & (pos < frontier)
+        if window > 0:
+            in_win = pos > (length + t_rows - window)
+            if static_sinks > 0:
+                in_win |= pos < static_sinks
+            valid &= in_win
+
+        # Constant parity->token permutation: M[c, t] = 1 iff score col c
+        # holds token-local index t (c < bs_p -> t = 2c; else t = 2(c-bs_p)+1).
+        C = 2 * block_sp
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        tl_io = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        tok_of_c = jnp.where(
+            c_io < block_sp, 2 * c_io, 2 * (c_io - block_sp) + 1
+        )
+        perm = (tl_io == tok_of_c).astype(jnp.float32)
+
+        def p_to_pv(p):
+            p_tok = jax.lax.dot_general(
+                p, perm, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (HB, TG, 2bs_p) natural order — exact 0/1 copy
+            return jax.lax.dot_general(
+                (p_tok * vs_ref[0]).astype(lane), v_ref[0].astype(lane),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        _online_update(scores, valid, p_to_pv)
+
+    # INT8 tail block (K tail + V mirror; same masking as _attn4_kernel).
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        q = q_ref[0].astype(lane)
+        kt = kt_ref[0].astype(lane)
+        kts = kts_ref[0]
+        dims = (((2,), (2,)), ((0,), (0,)))
+        scores = jax.lax.dot_general(
+            q, kt, dims, preferred_element_type=jnp.float32) * kts * sm
+        if softcap > 0.0:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // group
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        horizon = length + t_rows
+        pos = horizon - jnp.mod(horizon - col, 2 * G)
+        valid = pos >= frontier
+        if window > 0:
+            in_win = pos > (length + t_rows - window)
+            if static_sinks > 0:
+                in_win |= pos < static_sinks
+            valid &= in_win
+
+        def p_to_pv(p):
+            return jax.lax.dot_general(
+                (p * vts_ref[0]).astype(lane), vt_ref[0].astype(lane),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        _online_update(scores, valid, p_to_pv)
+        o_ref[0] = (
+            acc_ref[:, :TG] / jnp.maximum(l_ref[:, :TG, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def _head_block_k4v8(KV: int, TG: int, Dh: int, bs_p: int, G: int,
+                     budget: int = 10 << 20) -> int:
+    """VMEM-fitting head block for the K4V8 kernel: the int4 kernel's K
+    footprint + the int8 V block (2*bs_p rows) + the (2bs_p)^2 f32
+    permutation tile."""
+    for hb in range(KV, 0, -1):
+        if KV % hb:
+            continue
+        tg8 = max(TG, 8)
+        per = hb * (
+            bs_p * Dh * 16          # packed k + i32 extracts + scale tile
+            + 2 * bs_p * Dh * 3     # int8 V block + lane copy
+            + 4 * G * Dh * 6        # tails int8 + lane copies (2 x 2G)
+            + TG * Dh * 2           # q
+            + 3 * TG * (2 * bs_p + 2 * G) * 4  # score/prob/perm tiles
+            + tg8 * (256 + Dh) * 4  # m/l/acc scratch
+        ) + (2 * bs_p) * (2 * bs_p) * 4
+        if 2 * per <= budget:
+            return hb
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "chunk", "t_q", "window", "scale", "softcap",
+                     "interpret", "out_dtype"),
+)
+def _attend_k4v8(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows,
+                 *, group, chunk, t_q, window, scale, softcap, interpret,
+                 out_dtype):
+    B, KV, TG, Dh = q.shape
+    S2 = kq.shape[2]  # packed K rows = tokens / 2
+    G = chunk
+    bs_p = _block4(S2, G)
+    HB = _head_block_k4v8(KV, TG, Dh, bs_p, G)
+    n_g = (2 * bs_p) // G
+    sm = scale if scale > 0.0 else Dh**-0.5
+
+    def s_eff(s, ln, b):
+        f = (jnp.clip(ln[b, 1], 0, 2 * S2) // G) * G
+        hi = jnp.maximum(f - 1, 0) // (2 * bs_p)
+        if window > 0:
+            lo = jnp.maximum(ln[b, 0] - window + 1, 0) // (2 * bs_p)
+            return jnp.clip(s, jnp.minimum(lo, hi), hi)
+        return jnp.minimum(s, hi)
+
+    def k_index(b, h, s, ln):
+        return (b, h, s_eff(s, ln, b), 0)
+
+    def vscale_index(b, h, s, ln):
+        return (b, h, 0, s_eff(s, ln, b))
+
+    in_specs = [
+        pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, bs_p, Dh), k_index),
+        pl.BlockSpec((1, HB, n_g, Dh), k_index),
+        pl.BlockSpec((1, HB, 2 * bs_p, Dh), k_index),   # V natural order
+        pl.BlockSpec((1, HB, 1, 2 * bs_p), vscale_index),
+        pl.BlockSpec((1, HB, 2 * G, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, 1, 2 * G), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, 2 * G, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        pl.BlockSpec((1, HB, 1, 2 * G), lambda b, h, s, ln: (b, h, 0, 0)),
+    ]
+    operands = [lengths2, q, kq, kchs, vq,
+                vs.reshape(B, KV, 1, 2 * S2),
+                kt, kts.reshape(B, KV, 1, 2 * G), vt,
+                vts.reshape(B, KV, 1, 2 * G)]
+    if sink_rows is not None:
+        in_specs.append(
+            pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
+        operands.append(sink_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV // HB, S2 // bs_p),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, HB, TG, Dh), lambda b, h, s, ln: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), 128), jnp.float32),
+            pltpu.VMEM((HB, max(TG, 8), Dh), jnp.float32),
+        ],
+    )
+    lane = jnp.float32 if interpret else jnp.bfloat16
+    kernel = functools.partial(
+        _attn_k4v8_kernel, group=group, chunk=G, block_sp=bs_p, lane=lane,
+        window=window, sm=sm, softcap=softcap,
+        has_sinks=sink_rows is not None, static_sinks=0, max_seq=2 * S2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, TG, Dh), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def k4v8_attention(
+    q: jnp.ndarray,  # [B, T, H, Dh] (post-RoPE)
+    kq: jnp.ndarray,  # [B, KV, S/2, Dh] int8 PACKED K nibbles
+    kchs: jnp.ndarray,  # [B, KV, S/G, Dh] f32 chunk-channel K scales
+    vq: jnp.ndarray,  # [B, KV, S, Dh] int8 per-token V
+    vs: jnp.ndarray,  # [B, KV, S] f32 per-token V scales
+    ktail: jnp.ndarray,  # [B, KV, 2G, Dh] int8 K tail
+    kts: jnp.ndarray,  # [B, KV, 2G] f32
+    vtail: jnp.ndarray,  # [B, KV, 2G, Dh] int8 V tail mirror
+    vts: jnp.ndarray,  # [B, KV, 2G] f32
+    lengths: jnp.ndarray,  # [B] int32 — length BEFORE this step's tokens
+    new_lengths: jnp.ndarray,  # [B] int32 — length AFTER (tail frontier)
+    *,
+    group: int,
+    window: int = 0,
+    scale: float = 0.0,
+    softcap: float = 0.0,
+    sink_logits: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Flash attention over the K4V8 cache (matches K4V8KVCache.dequant_fp
+    + int8_kv_attention_xla within bf16-lane tolerance)."""
+    if interpret is None:
+        interpret = default_interpret()
+    B, T, H, Dh = q.shape
+    KV = kq.shape[1]
+    grp = H // KV
+    qh = q.reshape(B, T, KV, grp, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, KV, T * grp, Dh)
+    sink_rows = None
+    if sink_logits is not None:
+        srow = jnp.broadcast_to(
+            sink_logits.astype(jnp.float32).reshape(KV, 1, grp), (KV, T, grp)
+        ).reshape(KV, T * grp)
+        sink_rows = jnp.broadcast_to(srow[:, :, None], (KV, T * grp, 128))
+    lengths2 = jnp.stack(
+        [lengths.astype(jnp.int32), new_lengths.astype(jnp.int32)], axis=1
+    )
+    out = _attend_k4v8(
+        qh, kq, kchs, vq, vs, ktail, kts, vtail, vts, lengths2, sink_rows,
+        group=grp, chunk=int(group), t_q=T, window=int(window),
+        scale=float(scale), softcap=float(softcap), interpret=interpret,
+        out_dtype=q.dtype,
+    )
+    return out.reshape(B, KV, T, grp, Dh).transpose(0, 2, 1, 3, 4).reshape(
+        B, T, H, Dh)

@@ -467,3 +467,137 @@ def kv_mixed_scatter_decode(kq, ks, vq, vs, lengths, k8, ks_new, v4, vs_new,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
     )(lengths2, k8, ks_new, v4, vs_new, kq, ks, vq, vs)
+
+
+def _k4v8_write_kernel(len_ref, pk_ref, sch_ref, v8_ref, vsn_ref,
+                       kq_in, kchs_in, vq_in, vs_in,
+                       kq_out, kchs_out, vq_out, vs_out,
+                       *, group, max_seq, chs_rows):
+    """K4V8 decode writer: the K half of _kivi4_flush_kernel (conditional
+    packed-chunk + chunk-scale writes) combined with the int8 V insert of
+    _scatter_kernel — one aliased Pallas call pins all four big buffers
+    for the downstream attend."""
+    b = pl.program_id(0)
+    G = group
+    ln = jnp.maximum(len_ref[b, 0], 0)
+    new_len = jnp.clip(len_ref[b, 1], 0, max_seq)
+    valid = ln < max_seq
+
+    # ---- K: conditional chunk flush ---------------------------------------
+    c = ln // G
+    flush = ((c + 1) * G <= new_len) & ((c + 1) * G > ln)
+    kq_out[...] = jnp.where(flush, pk_ref[...], kq_in[...])
+    rows = jax.lax.broadcasted_iota(jnp.int32, kchs_in.shape, 2)
+    kchs_out[...] = jnp.where(
+        (rows == c % chs_rows) & flush,
+        jnp.broadcast_to(sch_ref[...], kchs_in.shape), kchs_in[...])
+
+    # ---- V: plain int8 insert at ln ---------------------------------------
+    row8 = ln % _SBLK
+    row128 = ln % _SBLK_SCALE
+
+    def _insert(blk, new, axis, row):
+        r = jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
+        return jnp.where((r == row) & valid,
+                         jnp.broadcast_to(new, blk.shape), blk)
+
+    vq_out[...] = _insert(vq_in[...], v8_ref[...], 2, row8)
+    vs_out[...] = _insert(vs_in[...], vsn_ref[...], 2, row128)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def k4v8_decode_update(kq, kchs, vq, vs, ktail, kts, vtail, vts, lengths,
+                       k8, ks_new, v8, vs_new, *, group: int,
+                       adv=None, interpret: bool = False):
+    """One decode token per batch row into the K4V8 cache (same split as
+    kivi4_decode_update: XLA tail inserts + K flush math, aliased Pallas
+    writes into the big arrays).
+
+    kq: [B, KV, S/2, Dh] packed K;  kchs: [B, KV, S/G, Dh] f32;
+    vq: [B, KV, S, Dh] int8;  vs: [B, KV, S] f32;
+    ktail/vtail: [B, KV, 2G, Dh] int8;  kts/vts: [B, KV, 2G] f32;
+    k8/v8: [B, KV, 1, Dh] int8;  ks_new/vs_new: [B, KV, 1] f32.
+    Returns (kq, kchs, vq, vs, ktail, kts, vtail, vts).
+    """
+    B, KV, S2, Dh = kq.shape
+    G = group
+    NC = kchs.shape[2]
+    max_seq = S2 * 2
+    if adv is None:
+        adv = jnp.ones((B,), jnp.int32)
+    lengths2 = jnp.stack(
+        [lengths.astype(jnp.int32), (lengths + adv).astype(jnp.int32)], 1)
+
+    # ---- XLA: tail inserts (K + V mirror; row = position mod 2G) ----------
+    TC = 2 * G
+    ln = jnp.maximum(lengths, 0)
+    valid = (ln < max_seq)[:, None, None]
+    row = (ln % TC)[:, None, None]
+    g_io = jnp.arange(TC)[None, None, :]
+
+    def _ins_payload(tail, new):
+        sel = ((g_io == row) & valid)[..., None]
+        return jnp.where(sel, new, tail)
+
+    def _ins_scale(ts, new):
+        return jnp.where((g_io == row) & valid, new, ts)
+
+    ktail_u = _ins_payload(ktail, k8)
+    vtail_u = _ins_payload(vtail, v8)
+    kts_u = _ins_scale(kts, ks_new)
+    vts_u = _ins_scale(vts, vs_new)
+
+    # ---- XLA: K flush math (shared helper; V outputs DCE'd) ---------------
+    from ..models.kv_cache import kivi_chunk_quantize
+
+    crow = (((ln // G) * G) % TC)[:, None] + jnp.arange(G)[None, :]
+    ck8 = jnp.take_along_axis(ktail_u, crow[:, None, :, None], axis=2)
+    cks = jnp.take_along_axis(kts_u, crow[:, None, :], axis=2)
+    packed_k, s_ch, _, _ = kivi_chunk_quantize(ck8, cks, ck8, cks)
+
+    # ---- Pallas: aliased writes -------------------------------------------
+    def _c(ref, b):
+        return jnp.clip(ref[b, 0] // G, 0, NC - 1)
+
+    def _vr8(ref, b):
+        return jnp.clip(ref[b, 0], 0, max_seq - 1) // _SBLK
+
+    def _vr128(ref, b):
+        return jnp.clip(ref[b, 0], 0, max_seq - 1) // _SBLK_SCALE
+
+    pk_blk = pl.BlockSpec((1, KV, G // 2, Dh), lambda b, ln: (b, 0, 0, 0))
+    sch_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, ln: (b, 0, 0, 0))
+    v_new_blk = pl.BlockSpec((1, KV, 1, Dh), lambda b, ln: (b, 0, 0, 0))
+    vs_new_blk = pl.BlockSpec((1, KV, 1), lambda b, ln: (b, 0, 0))
+    kq_blk = pl.BlockSpec(
+        (1, KV, G // 2, Dh), lambda b, ln: (b, 0, _c(ln, b), 0))
+    chs_rows = 8 if NC % 8 == 0 else NC
+    kchs_blk = pl.BlockSpec(
+        (1, KV, chs_rows, Dh), lambda b, ln: (b, 0, _c(ln, b) // chs_rows, 0))
+    vq_blk = pl.BlockSpec(
+        (1, KV, _SBLK, Dh), lambda b, ln: (b, 0, _vr8(ln, b), 0))
+    vs_blk = pl.BlockSpec(
+        (1, KV, _SBLK_SCALE), lambda b, ln: (b, 0, _vr128(ln, b)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pk_blk, sch_blk, v_new_blk, vs_new_blk,
+                  kq_blk, kchs_blk, vq_blk, vs_blk],
+        out_specs=[kq_blk, kchs_blk, vq_blk, vs_blk],
+    )
+    kq2, kchs2, vq2, vs2 = pl.pallas_call(
+        functools.partial(
+            _k4v8_write_kernel, group=G, max_seq=max_seq,
+            chs_rows=chs_rows),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (kq, kchs, vq, vs)
+        ],
+        # Operand list: lengths=0, new tensors 1-4, cache arrays 5-8.
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(lengths2, packed_k, s_ch[:, :, None], v8, vs_new,
+      kq, kchs, vq, vs)
+    return kq2, kchs2, vq2, vs2, ktail_u, kts_u, vtail_u, vts_u
