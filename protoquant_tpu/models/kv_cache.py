@@ -675,10 +675,6 @@ class Int4KVCache(_DenseSlotViews):
                           scale: float = 0.0, softcap: float = 0.0,
                           sink_logits=None, tree_mask=None,
                           alibi_slopes=None):
-        if alibi_slopes is not None:
-            raise NotImplementedError(
-                "alibi + int4 KV: serve alibi models on bf16/int8 KV"
-            )
         new = self.update(k, v, advance)
         if tree_mask is None and _resolve_attention_backend() == "pallas":
             from ..ops.attention import int4_kv_attention
@@ -688,7 +684,7 @@ class Int4KVCache(_DenseSlotViews):
                 new.ktail, new.kts, new.vtail, new.vts,
                 self.lengths, new.lengths, group=self.group,
                 window=window, scale=scale, softcap=softcap,
-                sink_logits=sink_logits,
+                sink_logits=sink_logits, alibi_slopes=alibi_slopes,
             )
         else:
             k_fp, v_fp = new.dequant_fp()
@@ -696,7 +692,7 @@ class Int4KVCache(_DenseSlotViews):
             out = int8_kv_attention_xla(
                 q, k_fp, ones, v_fp, ones, self.lengths, window=window,
                 scale=scale, softcap=softcap, sink_logits=sink_logits,
-                tree_mask=tree_mask,
+                tree_mask=tree_mask, alibi_slopes=alibi_slopes,
             )
         return out, new
 
@@ -833,10 +829,12 @@ class RingInt8KVCache(_DenseSlotViews):
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
                           alibi_slopes=None):
-        if alibi_slopes is not None:
-            raise NotImplementedError(
-                "alibi + ring KV layout: serve alibi models on dense caches"
-            )
+        # ALiBi composes with the ring layout since round 5 (VERDICT r4
+        # item 4): both attention formulations compute the bias from the
+        # per-column ABSOLUTE positions this method reconstructs, so the
+        # ring's scattered columns change nothing — and length
+        # extrapolation is ALiBi's whole point, making the StreamingLLM
+        # ring its natural serving home.
         T = q.shape[1]
         new = self.update(k, v, advance)
         C = self.capacity
@@ -865,12 +863,13 @@ class RingInt8KVCache(_DenseSlotViews):
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=win, scale=scale, softcap=softcap,
                 k_positions=k_pos, sinks=self.sinks,
+                alibi_slopes=alibi_slopes,
             )
         else:
             out = int8_kv_attention_xla(
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=win, scale=scale, softcap=softcap, k_positions=k_pos,
-                sinks=self.sinks,
+                sinks=self.sinks, alibi_slopes=alibi_slopes,
             )
         return out, new
 
@@ -1273,10 +1272,6 @@ class K4V8KVCache(_DenseSlotViews):
                           scale: float = 0.0, softcap: float = 0.0,
                           sink_logits=None, tree_mask=None,
                           alibi_slopes=None):
-        if alibi_slopes is not None:
-            raise NotImplementedError(
-                "alibi + k4v8 KV: serve alibi models on int8 KV"
-            )
         new = self.update(k, v, advance)
         if tree_mask is None and _resolve_attention_backend() == "pallas":
             from ..ops.attention import k4v8_attention
@@ -1286,7 +1281,7 @@ class K4V8KVCache(_DenseSlotViews):
                 new.ktail, new.kts, new.vtail, new.vts,
                 self.lengths, new.lengths, group=self.group,
                 window=window, scale=scale, softcap=softcap,
-                sink_logits=sink_logits,
+                sink_logits=sink_logits, alibi_slopes=alibi_slopes,
             )
         else:
             k_fp, v_fp = new.dequant_fp()
@@ -1294,7 +1289,7 @@ class K4V8KVCache(_DenseSlotViews):
             out = int8_kv_attention_xla(
                 q, k_fp, ones, v_fp, ones, self.lengths, window=window,
                 scale=scale, softcap=softcap, sink_logits=sink_logits,
-                tree_mask=tree_mask,
+                tree_mask=tree_mask, alibi_slopes=alibi_slopes,
             )
         return out, new
 

@@ -495,7 +495,7 @@ int8_kv_attention_ref = int8_kv_attention_xla
 def _attn4_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
                   kt_ref, kts_ref, vt_ref, vts_ref, *rest,
                   group, chunk, block_sp, lane, window, sm, softcap,
-                  has_sinks, static_sinks, max_seq):
+                  has_sinks, static_sinks, max_seq, has_alibi=False):
     """Flash attention over the KIVI int4 cache (models/kv_cache.py
     Int4KVCache): packed K/V nibbles for completed G-token chunks, K
     dequantized in VMEM with per-(chunk, channel) scales, V with per-token
@@ -518,6 +518,7 @@ def _attn4_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
     """
     rest = list(rest)
     sink_ref = rest.pop(0) if has_sinks else None
+    alibi_ref = rest.pop(0) if has_alibi else None
     o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     s = pl.program_id(2)
@@ -616,6 +617,11 @@ def _attn4_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
             if static_sinks > 0:
                 in_win |= pos < static_sinks
             valid &= in_win
+        if has_alibi:
+            sl = alibi_ref[:, :TG, :1]  # (HB, TG, 1) per-query-row slopes
+            scores = scores - sl * (length + t_rows - pos).astype(
+                jnp.float32
+            )
         _online_update(
             scores, valid,
             lambda p: [(p[:, :, :block_sp], vs_e), (p[:, :, block_sp:], vs_o)],
@@ -650,6 +656,11 @@ def _attn4_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
             if static_sinks > 0:
                 in_win |= pos < static_sinks
             valid &= in_win
+        if has_alibi:
+            sl = alibi_ref[:, :TG, :1]
+            scores = scores - sl * (length + t_rows - pos).astype(
+                jnp.float32
+            )
         _online_update(
             scores, valid,
             lambda p: [(p, vts)],
@@ -695,7 +706,8 @@ def _head_block4(KV: int, TG: int, Dh: int, bs_p: int, G: int,
     static_argnames=("group", "chunk", "t_q", "window", "scale", "softcap",
                      "interpret", "out_dtype"),
 )
-def _attend4(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows, *,
+def _attend4(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows,
+             alibi_rows, *,
              group, chunk, t_q, window, scale, softcap, interpret, out_dtype):
     B, KV, TG, Dh = q.shape
     S2 = kq.shape[2]  # packed rows = tokens / 2
@@ -742,6 +754,10 @@ def _attend4(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows, *,
         in_specs.append(
             pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
         operands.append(sink_rows)
+    if alibi_rows is not None:
+        in_specs.append(
+            pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
+        operands.append(alibi_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -759,6 +775,7 @@ def _attend4(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows, *,
         _attn4_kernel, group=group, chunk=G, block_sp=bs_p, lane=lane,
         window=window, sm=sm, softcap=softcap,
         has_sinks=sink_rows is not None, static_sinks=0, max_seq=2 * S2,
+        has_alibi=alibi_rows is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -789,6 +806,7 @@ def int4_kv_attention(
     scale: float = 0.0,
     softcap: float = 0.0,
     sink_logits: jnp.ndarray | None = None,
+    alibi_slopes: jnp.ndarray | None = None,  # [H] ALiBi slopes (BLOOM/MPT)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Flash attention over the KIVI int4 KV cache (matches
@@ -807,11 +825,21 @@ def int4_kv_attention(
             sink_logits.astype(jnp.float32).reshape(KV, 1, grp), (KV, T, grp)
         ).reshape(KV, T * grp)
         sink_rows = jnp.broadcast_to(srow[:, :, None], (KV, T * grp, 128))
+    alibi_rows = None
+    if alibi_slopes is not None:
+        arow = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32).reshape(KV, 1, grp),
+            (KV, T, grp),
+        ).reshape(KV, T * grp)
+        alibi_rows = jnp.broadcast_to(
+            arow[:, :, None], (KV, T * grp, 128)
+        )
     lengths2 = jnp.stack(
         [lengths.astype(jnp.int32), new_lengths.astype(jnp.int32)], axis=1
     )  # [B, 2]
     out = _attend4(
         qh, kq, kchs, vq, vs, ktail, kts, vtail, vts, lengths2, sink_rows,
+        alibi_rows,
         group=grp, chunk=int(group), t_q=T, window=int(window),
         scale=float(scale), softcap=float(softcap), interpret=interpret,
         out_dtype=q.dtype,
@@ -1009,7 +1037,7 @@ def mixed_kv_attention(
 def _attn_k4v8_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
                       kt_ref, kts_ref, vt_ref, vts_ref, *rest,
                       group, chunk, block_sp, lane, window, sm, softcap,
-                      has_sinks, static_sinks, max_seq):
+                      has_sinks, static_sinks, max_seq, has_alibi=False):
     """Flash attention over the K4V8 cache (models/kv_cache.py
     K4V8KVCache): the int4 kernel's K side (packed chunk nibbles,
     per-(chunk, channel) scales, int8 tail) with the int8 kernel's V side
@@ -1029,6 +1057,7 @@ def _attn_k4v8_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
     """
     rest = list(rest)
     sink_ref = rest.pop(0) if has_sinks else None
+    alibi_ref = rest.pop(0) if has_alibi else None
     o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     s = pl.program_id(2)
@@ -1106,6 +1135,11 @@ def _attn_k4v8_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
             if static_sinks > 0:
                 in_win |= pos < static_sinks
             valid &= in_win
+        if has_alibi:
+            sl = alibi_ref[:, :TG, :1]
+            scores = scores - sl * (length + t_rows - pos).astype(
+                jnp.float32
+            )
 
         # Constant parity->token permutation: M[c, t] = 1 iff score col c
         # holds token-local index t (c < bs_p -> t = 2c; else t = 2(c-bs_p)+1).
@@ -1152,6 +1186,11 @@ def _attn_k4v8_kernel(len_ref, q_ref, k_ref, kch_ref, v_ref, vs_ref,
             if static_sinks > 0:
                 in_win |= pos < static_sinks
             valid &= in_win
+        if has_alibi:
+            sl = alibi_ref[:, :TG, :1]
+            scores = scores - sl * (length + t_rows - pos).astype(
+                jnp.float32
+            )
 
         def p_to_pv(p):
             return jax.lax.dot_general(
@@ -1194,6 +1233,7 @@ def _head_block_k4v8(KV: int, TG: int, Dh: int, bs_p: int, G: int,
                      "interpret", "out_dtype"),
 )
 def _attend_k4v8(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows,
+                 alibi_rows,
                  *, group, chunk, t_q, window, scale, softcap, interpret,
                  out_dtype):
     B, KV, TG, Dh = q.shape
@@ -1237,6 +1277,10 @@ def _attend_k4v8(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows,
         in_specs.append(
             pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
         operands.append(sink_rows)
+    if alibi_rows is not None:
+        in_specs.append(
+            pl.BlockSpec((HB, TG, 128), lambda b, h, s, ln: (h, 0, 0)))
+        operands.append(alibi_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1254,6 +1298,7 @@ def _attend_k4v8(q, kq, kchs, vq, vs, kt, kts, vt, vts, lengths2, sink_rows,
         _attn_k4v8_kernel, group=group, chunk=G, block_sp=bs_p, lane=lane,
         window=window, sm=sm, softcap=softcap,
         has_sinks=sink_rows is not None, static_sinks=0, max_seq=2 * S2,
+        has_alibi=alibi_rows is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -1284,6 +1329,7 @@ def k4v8_attention(
     scale: float = 0.0,
     softcap: float = 0.0,
     sink_logits: jnp.ndarray | None = None,
+    alibi_slopes: jnp.ndarray | None = None,  # [H] ALiBi slopes (BLOOM/MPT)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Flash attention over the K4V8 cache (matches K4V8KVCache.dequant_fp
@@ -1301,11 +1347,21 @@ def k4v8_attention(
             sink_logits.astype(jnp.float32).reshape(KV, 1, grp), (KV, T, grp)
         ).reshape(KV, T * grp)
         sink_rows = jnp.broadcast_to(srow[:, :, None], (KV, T * grp, 128))
+    alibi_rows = None
+    if alibi_slopes is not None:
+        arow = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32).reshape(KV, 1, grp),
+            (KV, T, grp),
+        ).reshape(KV, T * grp)
+        alibi_rows = jnp.broadcast_to(
+            arow[:, :, None], (KV, T * grp, 128)
+        )
     lengths2 = jnp.stack(
         [lengths.astype(jnp.int32), new_lengths.astype(jnp.int32)], axis=1
     )
     out = _attend_k4v8(
         qh, kq, kchs, vq, vs, ktail, kts, vtail, vts, lengths2, sink_rows,
+        alibi_rows,
         group=grp, chunk=int(group), t_q=T, window=int(window),
         scale=float(scale), softcap=float(softcap), interpret=interpret,
         out_dtype=q.dtype,

@@ -326,3 +326,16 @@ def test_int8_flash_attention_ring_positions_match_ref(sinks, t_q):
     out = int8_kv_attention(q, kq, ks, vq, vs, lengths, **kw)
     ref = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+    # ALiBi x ring (round 5, VERDICT r4 item 4): the bias reads the same
+    # per-column absolute positions as the mask, so the scattered ring
+    # columns change nothing — exact vs the XLA formulation.
+    from protoquant_tpu.models.llama import alibi_slopes
+
+    kw["alibi_slopes"] = jnp.asarray(alibi_slopes(H))
+    out_a = int8_kv_attention(q, kq, ks, vq, vs, lengths, **kw)
+    ref_a = int8_kv_attention_ref(q, kq, ks, vq, vs, lengths, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(ref_a), rtol=3e-4, atol=3e-4)
+    # Control: the bias actually changed the output.
+    assert np.abs(np.asarray(out_a) - np.asarray(out)).max() > 1e-4

