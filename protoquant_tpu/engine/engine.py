@@ -289,12 +289,19 @@ class Engine:
                     "ring positions is unimplemented; trees also presume "
                     "full-context attention)"
                 )
-            if self.cfg.prefix_cache:
-                raise ValueError(
-                    "tree speculation + prefix_cache: tree writes are "
-                    "transient garbage for losing branches, which must "
-                    "never publish into shared pages"
-                )
+            # Tree speculation + prefix cache compose since round 5
+            # (VERDICT r4 item 7; the round-3 guard was conservative).
+            # Quarantine argument: (a) publication covers only FULL prompt
+            # pages (prefix_cache.publish caps at len(prompt)//ps), and it
+            # runs at prefill end — before any tree tick for that request;
+            # (b) tree-transient writes (scoring with advance=0, and the
+            # reorder_tail compaction) land at positions >= the slot's
+            # frontier, which is strictly beyond every published page at
+            # all times (shared pages end at matched_tokens <= prompt
+            # end <= frontier); (c) losing-branch garbage therefore lives
+            # only in the request's PRIVATE tail pages, freed (never
+            # published) at retirement. Exactness tests:
+            # tests/test_prefix_cache.py tree x prefix section.
         self._tree_mode = tree_mode
         if scheduler not in ("fcfs", "priority", "sjf"):
             raise ValueError(f"unknown scheduler {scheduler!r}")
@@ -398,11 +405,6 @@ class Engine:
                     "kv_layout='ring' needs cfg.sliding_window>0 or "
                     "EngineConfig.stream_window>0 (StreamingLLM serving)"
                 )
-            if mcfg.alternating_sliding_window:
-                raise NotImplementedError(
-                    "ring layout with alternating windows (Gemma-2): odd "
-                    "layers attend full-context and need a dense cache"
-                )
             if kv_dtype != jnp.int8:
                 raise ValueError("ring layout is int8-only")
             # Prefill pieces are padded to power-of-2 buckets with floor 16
@@ -418,12 +420,35 @@ class Engine:
                 if mesh is not None
                 else mcfg.num_key_value_heads // model.tp
             )
+            # PER-LAYER HYBRID layout (round 5, VERDICT r4 item 6): models
+            # with alternating/patterned windows (Gemma-2 every other
+            # layer, Gemma-3 every Nth layer global) put ring buffers on
+            # the SLIDING layers — O(window) memory where the model is
+            # windowed — and dense int8 caches on the full-attention
+            # layers, which genuinely need O(max_seq). The model's
+            # per-layer window selection (models/llama.py DecoderLayer)
+            # already routes each layer through whatever cache class it
+            # holds, so no model change is needed. Uniform-window models
+            # keep the all-ring list.
+            pattern = mcfg.sliding_window_pattern or (
+                2 if mcfg.alternating_sliding_window else 0
+            )
+
+            def _is_sliding(i: int) -> bool:
+                return pattern == 0 or bool((i + 1) % pattern)
+
+            from ..models.kv_cache import Int8KVCache
+
             self.caches = [
                 RingInt8KVCache.init(
                     B, ring_window, max_chunk, kv_heads, mcfg.head_dim,
                     sinks=self.cfg.attention_sinks,
                 )
-                for _ in range(mcfg.num_hidden_layers)
+                if _is_sliding(i)
+                else Int8KVCache.init(
+                    B, self.cfg.max_seq_len, kv_heads, mcfg.head_dim
+                )
+                for i in range(mcfg.num_hidden_layers)
             ]
             self.allocator = None
             self.allocators = None

