@@ -260,6 +260,57 @@ def main():
         qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True,
         use_grams=grams_awq)
 
+    # -- round-5 int4 recipe push (VERDICT r4 item 5) ------------------------
+    def want(label):
+        return not args.only or args.only in label
+
+    # Group-size sweep below g=128: finer scales cost more scale bytes but
+    # each group's amax covers fewer weights (AWQ re-calibrated per group
+    # size — its grid search must see the scheme it protects against).
+    for gsz in (64, 32):
+        label = f"int4_weight_only_g{gsz}+awq"
+        if want(label):
+            awq_g = awq_quantize(
+                fp_model, params, calib,
+                QuantConfig(mode="weight_only_int4", int4_group=gsz),
+            )
+            run(label, "weight_only_int4", awq_g,
+                qcfg=QuantConfig(mode="weight_only_int4", int4_group=gsz))
+    # Clip ablation: the default per-group mse clip-search vs plain amax
+    # (never clips) under the best migration (AWQ).
+    if want("int4_weight_only_g128+awq+amax"):
+        run("int4_weight_only_g128+awq+amax", "weight_only_int4", awq_int4,
+            qcfg=QuantConfig(mode="weight_only_int4", int4_group=128,
+                             int4_clip="amax"))
+    # The THREE-WAY composition: SmoothQuant flattens activation outliers,
+    # AWQ migrates weight salience on the smoothed model, GPTQ
+    # error-compensates rounding on the scaled weights (grams re-collected
+    # on the composed params — the Gram must describe the activations GPTQ
+    # will see).
+    if want("int4_weight_only_g128+smooth+awq+gptq"):
+        awq_sm = awq_quantize(
+            fp_model, smoothed, calib,
+            QuantConfig(mode="weight_only_int4", int4_group=128),
+        )
+        run("int4_weight_only_g128+smooth+awq", "weight_only_int4", awq_sm,
+            qcfg=QuantConfig(mode="weight_only_int4", int4_group=128))
+        grams_sm_awq = collect_grams(fp_model, awq_sm, gptq_calib)
+        run("int4_weight_only_g128+smooth+awq+gptq", "weight_only_int4",
+            awq_sm,
+            qcfg=QuantConfig(mode="weight_only_int4", int4_group=128),
+            gptq=True, use_grams=grams_sm_awq)
+    # Best group size x the three-way (only meaningful if g<128 helps).
+    if want("int4_weight_only_g64+smooth+awq+gptq"):
+        awq_sm64 = awq_quantize(
+            fp_model, smoothed, calib,
+            QuantConfig(mode="weight_only_int4", int4_group=64),
+        )
+        grams_sm64 = collect_grams(fp_model, awq_sm64, gptq_calib)
+        run("int4_weight_only_g64+smooth+awq+gptq", "weight_only_int4",
+            awq_sm64,
+            qcfg=QuantConfig(mode="weight_only_int4", int4_group=64),
+            gptq=True, use_grams=grams_sm64)
+
     # ---- MoE rows (VERDICT r3 item 7): stacked experts by mode ----------
     # A compact Mixtral-style proxy with its own fp reference: the delta
     # between rows isolates EXPERT weight quantization (router stays fp by

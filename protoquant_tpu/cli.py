@@ -293,8 +293,8 @@ def _kv_dtype(args):
     if bits is None:
         return jnp.int8 if args.int8_kv else jnp.bfloat16
     # 6 = the K4V8 mixed tier (KIVI int4 keys + int8 values — the DOMINANT
-    # 6-bit design, BASELINE.md ladder decisions 2/5/9; the demoted K8V4
-    # layout stays reachable via kv_dtype="k8v4" in the Python API).
+    # 6-bit design, BASELINE.md ladder v2 decisions 2 and 8; the demoted
+    # K8V4 layout stays reachable via kv_dtype="k8v4" in the Python API).
     return {4: jnp.int4, 6: "k4v8", 8: jnp.int8, 16: jnp.bfloat16}[bits]
 
 

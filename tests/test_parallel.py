@@ -863,3 +863,44 @@ def test_dp_tp_sampled_engine_matches_single_device(fp_setup):
         outs = eng.run()
     for ra, rb in zip(prids, rids):
         assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+
+
+@needs_8dev
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2)])
+def test_eagle_tree_mesh_engine_matches_single_device(fp_setup, dp, tp):
+    """EAGLE-TREE speculation (round 5) on dp x tp meshes: the replicated
+    draft expands top-J candidate chains outside the mesh, the
+    hidden-returning tree scorer runs under shard_map (candidate tree
+    batch-sharded, branch compaction per replica shard, re-anchor hidden
+    batch-sharded) — outputs exactly equal plain single-device greedy."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.models import init_eagle
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=48, prefill_chunk=16,
+        max_new_tokens=8, temperature=0.0,
+    )
+    prompts = [[3, 17, 5, 9], [1, 2, 3], [7, 8, 9, 10, 11], [2, 4, 6]]
+
+    plain = Engine(single_model, params, ecfg, kv_dtype=jnp.float32)
+    plain_rids = [plain.add_request(p, 8) for p in prompts]
+    plain_outs = plain.run()
+
+    draft, dparams = init_eagle(
+        single_model, jax.random.PRNGKey(7), dtype=jnp.float32,
+        base_params=params,
+    )
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp), jax.devices()[: dp * tp])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(
+            model_tp, sparams, ecfg, kv_dtype=jnp.float32, mesh=mesh,
+            eagle_draft=draft, eagle_params=dparams, gamma=2,
+            lookup_branches=3,
+        )
+        rids = [eng.add_request(p, 8) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(plain_rids, rids):
+        assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
