@@ -133,7 +133,13 @@ def main():
 
             return run
 
-        lo_n, hi_n = 16, 48
+        # Per-case step counts sized so the bracket DIFFERENCE is ~0.6s of
+        # device time — far above the tunnel's ~50ms RTT jitter (fixed
+        # 16/48 steps underflowed for the fast cases: a bf16 anchor read
+        # an impossible >1 MXU util before this was adaptive).
+        est_step = flops / (peak or BF16_TOPS) * 4.0  # ~4x off SoL guess
+        lo_n = max(8, min(256, int(0.3 / max(est_step, 1e-5))))
+        hi_n = 3 * lo_n
         run_lo, run_hi = make_run(lo_n), make_run(hi_n)
         float(run_lo(w0 + 0, jnp.int32(1)))
         float(run_hi(w0 + 0, jnp.int32(1)))
@@ -164,8 +170,10 @@ def main():
         "pallas_vs_bf16": round(t_b / t_p, 3),
         "xla_vs_bf16": round(t_b / t_x, 3),
         "int8_anchor_vs_bf16": round(t_b / t_8, 3),
-        "mosaic_share_of_gap": round(
-            (t_p - t_x) / max(t_p - t_8, 1e-12), 3),
+        # Measured verdict (BASELINE.md round-5 W4A8 decision record):
+        # True = the materialized formulation lost to the Pallas kernel,
+        # closing the "part of the gap is recoverable via XLA" hypothesis.
+        "xla_materialized_dominated": bool(t_x > t_p),
     }), flush=True)
 
 

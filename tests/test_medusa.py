@@ -160,10 +160,13 @@ def test_medusa_guards(model_and_params):
     with pytest.raises(ValueError, match="depth"):
         Engine(model, params, EngineConfig(max_batch_size=2, max_seq_len=64),
                medusa_heads=heads, medusa_params=hp, gamma=4, **base)
-    with pytest.raises(ValueError, match="adaptive_gamma"):
-        Engine(model, params, EngineConfig(max_batch_size=2, max_seq_len=64),
-               medusa_heads=heads, medusa_params=hp, gamma=2,
-               adaptive_gamma=True, **base)
+    # adaptive_gamma composes with tree modes since round 5 (depth adapts
+    # on measured acceptance) — constructing must succeed.
+    eng = Engine(model, params,
+                 EngineConfig(max_batch_size=2, max_seq_len=64),
+                 medusa_heads=heads, medusa_params=hp, gamma=2,
+                 adaptive_gamma=True, **base)
+    assert eng.adaptive_gamma
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")

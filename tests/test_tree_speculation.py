@@ -129,12 +129,15 @@ def test_tree_guards(model_and_params):
                             stream_window=16),
                kv_dtype=jnp.int8, kv_layout="ring",
                prompt_lookup=2, lookup_branches=2)
-    with pytest.raises(ValueError, match="prefix_cache"):
-        Engine(model, params,
-               EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16,
-                            prefix_cache=True),
-               kv_dtype=jnp.int8, kv_layout="paged",
-               prompt_lookup=2, lookup_branches=2)
+    # Tree x prefix_cache composes since round 5 (transient candidate
+    # writes stay in private tail pages — tests/test_prefix_cache.py);
+    # constructing must succeed.
+    eng = Engine(model, params,
+                 EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16,
+                              prefix_cache=True),
+                 kv_dtype=jnp.int8, kv_layout="paged",
+                 prompt_lookup=2, lookup_branches=2)
+    assert eng.prefix is not None
 
 
 @pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
