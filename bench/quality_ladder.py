@@ -165,6 +165,11 @@ def main():
             "top1_agreement": round(top1, 4),
             "greedy_match": round(gm, 4),
             "prefix_match": round(prefix, 4),
+            # Median tokens decoded before the first divergence (VERDICT
+            # r4 weak-7): unlike the rollout-length-bound greedy/prefix
+            # fractions, this absolute position stays comparable across
+            # rows even where the 160-token tail is chaos-dominated.
+            "div_pos_median": float(np.median(first)),
             "ppl_rel_delta": round(abs(float(ppl_q - ppl_fp)) / float(ppl_fp), 5),
         }
         rows.append(row)
@@ -196,7 +201,8 @@ def main():
         )
         prefix = float(np.mean(first / g_fp.shape[1]))
         row = {"mode": label, "greedy_match": round(gm, 4),
-               "prefix_match": round(prefix, 4)}
+               "prefix_match": round(prefix, 4),
+               "div_pos_median": float(np.median(first))}
         rows.append(row)
         print(json.dumps(row))
 

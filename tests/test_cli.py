@@ -271,3 +271,45 @@ def test_cli_draft_ckpt_speculation_exact(weights_and_config, capsys):
     assert spec["tokens"] == plain["tokens"]
     # Self-draft accepts everything: far fewer engine steps.
     assert spec["metrics"]["spec_acceptance_rate"] > 0.9
+
+
+@pytest.mark.slow
+def test_cli_kv_bits_6_routes_to_k4v8(weights_and_config, capsys):
+    """--kv-bits 6 serves the K4V8 mixed tier (round 5: the dominant 6-bit
+    design; K8V4 demoted) and decodes a valid greedy stream."""
+    tmp, wpath, cpath = weights_and_config
+    out = str(tmp / "ckpt_kv6")
+    main(["convert", "--weights", wpath, "--config", cpath, "--mode",
+          "dynamic", "--out", out])
+    capsys.readouterr()
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "8", "--max-seq", "64", "--kv-bits", "6"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 8
+    assert all(0 <= t < 64 for t in rec["tokens"])
+
+
+@pytest.mark.slow
+def test_cli_eagle_tree_generate_exact(weights_and_config, capsys):
+    """--eagle-tree J serves the EAGLE-2-style tree tick and reproduces
+    the plain greedy stream exactly (untrained draft: junk proposals,
+    never wrong tokens)."""
+    tmp, wpath, cpath = weights_and_config
+    ckpt = str(tmp / "ckpt_eagle_tree")
+    main(["convert", "--weights", wpath, "--config", cpath, "--mode",
+          "dynamic", "--out", ckpt])
+    capsys.readouterr()
+    main(["generate", "--ckpt", ckpt, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "10", "--max-seq", "64"])
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    draft = str(tmp / "eagle_tree_draft")
+    main(["eagle-train", "--ckpt", ckpt, "--out", draft,
+          "--steps", "5", "--lr", "3e-3", "--prompt-tokens", "5,9,2,7",
+          "--distill-len", "30"])
+    capsys.readouterr()
+    main(["generate", "--ckpt", ckpt, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "10", "--max-seq", "64", "--eagle", draft,
+          "--gamma", "3", "--eagle-tree", "3"])
+    spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert spec["tokens"] == plain["tokens"], (spec["tokens"], plain["tokens"])

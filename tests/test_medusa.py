@@ -373,7 +373,7 @@ def test_tree_mode_rejects_oversize_tree_on_int4_kv(model_and_params):
     depth = 8
     heads, hp = init_medusa(model, depth=depth)
     branches = INT4_KV_GROUP // depth + 1  # width 1 + J*d > chunk
-    with pytest.raises(ValueError, match="int4"):
+    with pytest.raises(ValueError, match="KIVI"):
         Engine(model, params,
                EngineConfig(max_batch_size=2, max_seq_len=256),
                kv_dtype=jnp.int4, medusa_heads=heads, medusa_params=hp,

@@ -596,3 +596,38 @@ def test_gemma2_hybrid_ring_matches_dense():
     routs = ring.run()
     for rd, rr in zip(drids, rrids):
         assert douts[rd] == routs[rr], (douts[rd], routs[rr])
+
+
+def test_gemma3_pattern_hybrid_ring_matches_dense():
+    """Gemma-3 pattern (every Nth layer global): the hybrid ring builds
+    ring buffers on sliding layers and dense caches on the global layers,
+    exact vs the all-dense engine."""
+    from protoquant_tpu.models.kv_cache import Int8KVCache, RingInt8KVCache
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=True,
+        hidden_act="gelu_tanh", rmsnorm_unit_offset=True,
+        scale_embeddings=True, head_dim_override=32, sliding_window=4,
+        sliding_window_pattern=3, sandwich_norms=True,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16,
+                        max_new_tokens=16, temperature=0.0)
+    prompts = [[5, 9, 2, 7, 1], [1, 2, 3]]
+
+    dense = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    drids = [dense.add_request(p, 16) for p in prompts]
+    douts = dense.run()
+
+    ring = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring")
+    # Pattern 3: layers 0, 1 sliding ((i+1) % 3 != 0), layer 2 global.
+    assert isinstance(ring.caches[0], RingInt8KVCache)
+    assert isinstance(ring.caches[1], RingInt8KVCache)
+    assert isinstance(ring.caches[2], Int8KVCache)
+    rrids = [ring.add_request(p, 16) for p in prompts]
+    routs = ring.run()
+    for rd, rr in zip(drids, rrids):
+        assert douts[rd] == routs[rr], (douts[rd], routs[rr])
