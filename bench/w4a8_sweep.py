@@ -44,12 +44,12 @@ def main():
             w, ((i % 5) + 1).astype(jnp.int8).reshape(1, 1),
             ((i * 13) % (K // 2), (i * 7) % N))
 
-    def timed(bm, bn, bg):
+    def timed(bm, bn, bg, ch=1):
         def fn(p):
             return w4a8_matmul(
                 xq, sx, p, scales, group=G, out_dtype=jnp.bfloat16,
                 formulation="two_level", block_m=bm, block_n=bn,
-                block_groups=bg, interpret=False,
+                block_groups=bg, dot_chunks=ch, interpret=False,
             )
 
         def make_run(n):
@@ -81,25 +81,33 @@ def main():
         dt = max(bh - bl, 1e-9) / (hi - lo)
         eff = 2 * M * K * N / dt / 1e12
         print(json.dumps({
-            "bm": bm, "bn": bn, "bg": bg, "us": round(dt * 1e6, 1),
-            "eff_tops": round(eff, 1),
+            "bm": bm, "bn": bn, "bg": bg, "chunks": ch,
+            "us": round(dt * 1e6, 1), "eff_tops": round(eff, 1),
         }), flush=True)
         return dt
 
+    # dot_chunks (round 5): split the per-step requant+dot into chunks so
+    # Mosaic can overlap chunk c+1's VPU requant under chunk c's MXU dot
+    # (see ops/w4a8_matmul.py::_w4a8_2l_kernel). chunks=1 == the r4 kernel.
     results = {}
-    for bm, bn, bg in [
-        (256, 1024, 16),   # current default (anchor)
-        (512, 1024, 16),   # requant once per weight block at M=512
-        (512, 1024, 32),   # one big K block (K=4096): single kk step
-        (512, 512, 32),
-        (256, 2048, 16),
-        (512, 2048, 16),
+    for bm, bn, bg, ch in [
+        (256, 1024, 16, 1),   # r4 default (anchor)
+        (512, 1024, 16, 1),   # requant once per weight block at M=512
+        (512, 1024, 32, 1),   # one big K block (K=4096): single kk step
+        (512, 512, 32, 1),
+        (256, 2048, 16, 1),
+        (512, 2048, 16, 1),
+        (512, 1024, 32, 2),   # VPU/MXU overlap splits of the winner
+        (512, 1024, 32, 4),
+        (512, 1024, 32, 8),
+        (512, 1024, 16, 2),
+        (512, 1024, 16, 4),
     ]:
         try:
-            results[f"{bm}_{bn}_{bg}"] = timed(bm, bn, bg)
+            results[f"{bm}_{bn}_{bg}_c{ch}"] = timed(bm, bn, bg, ch)
         except Exception as e:  # VMEM overflows etc. — record and move on
             print(json.dumps({
-                "bm": bm, "bn": bn, "bg": bg,
+                "bm": bm, "bn": bn, "bg": bg, "chunks": ch,
                 "error": type(e).__name__,
             }), flush=True)
     best = min(results, key=results.get)

@@ -283,12 +283,26 @@ class Engine:
                     "store has no reorder_tail (branch compaction would "
                     "rewrite merged nibbles); use kv_bits=8 or full int4"
                 )
+            # Tree speculation + ring layout composes since round 5 (the
+            # last layout-reasoned tree guard): candidate writes and the
+            # reorder_tail compaction map positions to ring columns
+            # (RingInt8KVCache.reorder_tail), the XLA attention derives
+            # node indices from reconstructed absolute positions, and the
+            # ring is sized below so its slack covers the tree width. The
+            # window itself must clear the tree (models/llama.py asserts
+            # sliding_window > width at scoring time) — checked eagerly
+            # here for a readable error.
             if kv_layout == "ring":
-                raise NotImplementedError(
-                    "tree speculation + ring layout (reorder_tail through "
-                    "ring positions is unimplemented; trees also presume "
-                    "full-context attention)"
-                )
+                width = 1 + lookup_branches * max(gamma, 1)
+                ring_win = self.cfg.stream_window or model.cfg.sliding_window
+                if 0 < ring_win <= width:
+                    raise ValueError(
+                        f"tree speculation + ring layout: the sliding "
+                        f"window ({ring_win}) must exceed the tree width "
+                        f"({width} = 1 + branches*gamma) — in-window "
+                        "candidate nodes must never fall behind any "
+                        "node's window lower bound"
+                    )
             # Tree speculation + prefix cache compose since round 5
             # (VERDICT r4 item 7; the round-3 guard was conservative).
             # Quarantine argument: (a) publication covers only FULL prompt
@@ -408,10 +422,13 @@ class Engine:
             if kv_dtype != jnp.int8:
                 raise ValueError("ring layout is int8-only")
             # Prefill pieces are padded to power-of-2 buckets with floor 16
-            # (_bucket), so the ring's slack must cover the PADDED chunk.
+            # (_bucket), so the ring's slack must cover the PADDED chunk —
+            # and, in tree mode, the candidate-tree width (the scoring
+            # forward writes 1 + branches*gamma rows at the frontier).
             max_chunk = max(
                 _bucket(self.cfg.prefill_chunk, self.cfg.prefill_chunk),
                 gamma + 1,
+                (1 + lookup_branches * max(gamma, 1)) if tree_mode else 0,
             )
             # Under a mesh the ring holds ALL kv heads and shards over the
             # model axis (cache_pspecs); single-chip rings are pre-divided.

@@ -828,13 +828,26 @@ class RingInt8KVCache(_DenseSlotViews):
 
     def update_and_attend(self, q, k, v, advance=None, window: int = 0,
                           scale: float = 0.0, softcap: float = 0.0,
-                          alibi_slopes=None):
+                          alibi_slopes=None, tree_mask=None):
         # ALiBi composes with the ring layout since round 5 (VERDICT r4
         # item 4): both attention formulations compute the bias from the
         # per-column ABSOLUTE positions this method reconstructs, so the
         # ring's scattered columns change nothing — and length
         # extrapolation is ALiBi's whole point, making the StreamingLLM
         # ring its natural serving home.
+        #
+        # Tree speculation composes too (round 5, closing the last
+        # layout-reasoned tree guard): candidate nodes are written at
+        # frontier positions whose ring columns the update maps like any
+        # chunk, and the XLA attention derives the in-window node index
+        # from the reconstructed ABSOLUTE positions (j = s_pos - lengths),
+        # so the ancestor mask lands on the right columns unchanged. Rows
+        # of rejected candidates beyond the committed frontier go stale in
+        # place; their columns then reconstruct as the PREVIOUS lap's
+        # position (q - capacity <= t - window - sinks for every live query
+        # t, since capacity covers window + sinks + the tree width), which
+        # the sliding-window lower bound masks — the same masked-staleness
+        # argument ordinary ring overwrites rely on.
         T = q.shape[1]
         new = self.update(k, v, advance)
         C = self.capacity
@@ -854,7 +867,7 @@ class RingInt8KVCache(_DenseSlotViews):
             rot = jnp.where(rot >= self.sinks, rot, -1)
             k_pos = jnp.where(c < self.sinks, jnp.where(c < L, c, -1), rot)
         win = window if window > 0 else self.window
-        if _resolve_attention_backend() == "pallas":
+        if tree_mask is None and _resolve_attention_backend() == "pallas":
             # Ring variant of the flash kernel: per-column absolute
             # positions drive the mask (no block skipping — ring capacity
             # is already O(window)); StreamingLLM sink positions stay
@@ -870,8 +883,37 @@ class RingInt8KVCache(_DenseSlotViews):
                 q, new.kq, new.ks, new.vq, new.vs, self.lengths,
                 window=win, scale=scale, softcap=softcap, k_positions=k_pos,
                 sinks=self.sinks, alibi_slopes=alibi_slopes,
+                tree_mask=tree_mask,
             )
         return out, new
+
+    def reorder_tail(self, node_idx):
+        """Tree-speculation commit (see BF16KVCache.reorder_tail), through
+        the ring: src/dst POSITIONS map to ring columns via _column before
+        the gather/scatter — otherwise identical to Int8KVCache (payloads
+        and per-token scales move together; layout [B, KV, C, Dh]). Gather
+        precedes scatter, so wrapped src/dst column overlaps are safe."""
+        B, d = node_idx.shape
+        src = self._column(self.lengths[:, None] + node_idx)  # [B, d]
+        dst = self._column(
+            self.lengths[:, None] + 1 + jnp.arange(d)[None, :]
+        )
+        tk = jnp.take_along_axis
+        kq_r = tk(self.kq, src[:, None, :, None], axis=2)  # [B, KV, d, Dh]
+        vq_r = tk(self.vq, src[:, None, :, None], axis=2)
+        ks_r = tk(self.ks, src[:, None, :], axis=2)  # [B, KV, d]
+        vs_r = tk(self.vs, src[:, None, :], axis=2)
+        kv = self.kq.shape[1]
+        kv_idx = jnp.arange(kv)[None, :, None]
+        b3 = jnp.arange(B)[:, None, None]
+        dst3 = dst[:, None, :]
+        return dataclasses.replace(
+            self,
+            kq=self.kq.at[b3, kv_idx, dst3].set(kq_r),
+            vq=self.vq.at[b3, kv_idx, dst3].set(vq_r),
+            ks=self.ks.at[b3, kv_idx, dst3].set(ks_r),
+            vs=self.vs.at[b3, kv_idx, dst3].set(vs_r),
+        )
 
     def reset_slot(self, slot: jnp.ndarray):
         return dataclasses.replace(self, lengths=self.lengths.at[slot].set(0))

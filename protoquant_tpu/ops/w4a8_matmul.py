@@ -67,7 +67,7 @@ def _w4a8_kernel(kb, g, xq_ref, wp_ref, sc_ref, sx_ref, bias_ref, out_ref,
         out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _w4a8_2l_kernel(kb, g, xq_ref, wp_ref, r16_ref, scol_ref, sx_ref,
+def _w4a8_2l_kernel(kb, g, chunks, xq_ref, wp_ref, r16_ref, scol_ref, sx_ref,
                     bias_ref, out_ref, acc_ref, w8_ref):
     """Two-level-scale formulation (ROADMAP 8 / VERDICT r3 item 4): requant
     the nibbles to int8 in VMEM — w8 = round(nib * 16 * s_g/s_col), one
@@ -79,25 +79,40 @@ def _w4a8_2l_kernel(kb, g, xq_ref, wp_ref, r16_ref, scol_ref, sx_ref,
     (s_x[m] * s_col[n] / 16). Accumulation is exact int32 across grid
     steps; the only extra rounding vs the group formulation is the requant
     (<= 1/32 of an int4 LSB for the max-scale group, 1/(32 r) for ratio r —
-    measured on the quality ladder)."""
+    measured on the quality ladder).
+
+    ``chunks`` > 1 splits the step's kb groups into that many
+    requant-then-dot pieces: dot(chunk c) has no dependency on the requant
+    of chunk c+1, so Mosaic's scheduler can run the VPU requant pass of the
+    next chunk UNDER the MXU dot of the current one (the requant is ~5 VPU
+    ops/weight — comparable to the dot time at these shapes — so hiding it
+    is worth up to ~30%; measured A/B in bench/w4a8_sweep.py). int32
+    accumulation is exact in any chunk order: numerics are identical."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    for t in range(kb):  # static unroll: requant this step's groups
-        u = wp_ref[pl.ds(t * (g // 2), g // 2), :].astype(jnp.int32)
-        low = ((u << 28) >> 28).astype(jnp.float32)
-        high = ((u << 24) >> 28).astype(jnp.float32)
-        r = r16_ref[pl.ds(kk * kb + t, 1), :]  # (1, bn) f32: 16*s_g/s_col
-        w8_ref[pl.ds(t * g, g // 2), :] = jnp.round(low * r).astype(jnp.int8)
-        w8_ref[pl.ds(t * g + g // 2, g // 2), :] = jnp.round(
-            high * r
-        ).astype(jnp.int8)
-    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-        xq_ref[:], w8_ref[:], _DIMS, preferred_element_type=jnp.int32
-    )
+    tc = kb // chunks  # groups per chunk (kb % chunks enforced == 0)
+    for c in range(chunks):
+        for t in range(c * tc, (c + 1) * tc):  # requant chunk c's groups
+            u = wp_ref[pl.ds(t * (g // 2), g // 2), :].astype(jnp.int32)
+            low = ((u << 28) >> 28).astype(jnp.float32)
+            high = ((u << 24) >> 28).astype(jnp.float32)
+            r = r16_ref[pl.ds(kk * kb + t, 1), :]  # (1, bn): 16*s_g/s_col
+            w8_ref[pl.ds(t * g, g // 2), :] = jnp.round(
+                low * r
+            ).astype(jnp.int8)
+            w8_ref[pl.ds(t * g + g // 2, g // 2), :] = jnp.round(
+                high * r
+            ).astype(jnp.int8)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            xq_ref[:, pl.ds(c * tc * g, tc * g)],
+            w8_ref[pl.ds(c * tc * g, tc * g), :],
+            _DIMS,
+            preferred_element_type=jnp.int32,
+        )
 
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():
@@ -115,11 +130,11 @@ def _w4a8_2l_kernel(kb, g, xq_ref, wp_ref, r16_ref, scol_ref, sx_ref,
     jax.jit,
     static_argnames=(
         "group", "out_dtype", "block_m", "block_n", "block_groups",
-        "interpret",
+        "dot_chunks", "interpret",
     ),
 )
 def _w4a8_2l_2d(xq, s_x, packed, scales, bias, *, group, out_dtype, block_m,
-                block_n, block_groups, interpret):
+                block_n, block_groups, dot_chunks, interpret):
     m, k = xq.shape
     n = packed.shape[1]
     g = group
@@ -127,6 +142,9 @@ def _w4a8_2l_2d(xq, s_x, packed, scales, bias, *, group, out_dtype, block_m,
     kb = min(block_groups, n_groups)
     while n_groups % kb:
         kb -= 1
+    chunks = max(1, min(dot_chunks, kb))
+    while kb % chunks:
+        chunks -= 1
     mp, np_ = cdiv(m, block_m) * block_m, cdiv(n, block_n) * block_n
     xq = pad_dim(xq, 0, mp)
     s_x = pad_dim(s_x.reshape(m, 1), 0, mp, value=1.0)
@@ -154,7 +172,7 @@ def _w4a8_2l_2d(xq, s_x, packed, scales, bias, *, group, out_dtype, block_m,
                      memory_space=pltpu.VMEM),
     ]
     args = [xq, packed, r16, scol, s_x]
-    base = functools.partial(_w4a8_2l_kernel, kb, g)
+    base = functools.partial(_w4a8_2l_kernel, kb, g, chunks)
     if has_bias:
         kernel = base
         in_specs.append(
@@ -280,6 +298,7 @@ def w4a8_matmul(
     block_n: int | None = None,
     block_groups: int | None = None,
     formulation: str = "group",
+    dot_chunks: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """y = (s_x * xq) @ dequant_int4(packed, scales) + bias, int8 MXU dots
@@ -308,14 +327,28 @@ def w4a8_matmul(
         block_n = 1024
     if block_groups is None:
         block_groups = 32 if formulation == "two_level" else 16
+    if dot_chunks is None:
+        # VPU/MXU overlap split for two_level (see _w4a8_2l_kernel): env
+        # W4A8_2L_CHUNKS overrides; the default is the measured winner of
+        # bench/w4a8_sweep.py's chunk A/B on this runtime.
+        import os
+
+        dot_chunks = int(os.environ.get("W4A8_2L_CHUNKS", "1"))
     xq2 = xq.reshape(-1, k)
     sx2 = s_x.reshape(-1).astype(jnp.float32)
     bm = pick_block(xq2.shape[0], block_m, 32)  # int8 sublane tile
     bn = pick_block(packed.shape[1], block_n, 128)
-    fn = _w4a8_2d if formulation == "group" else _w4a8_2l_2d
-    out = fn(
-        xq2, sx2, packed, scales, bias,
-        group=group, out_dtype=out_dtype, block_m=bm, block_n=bn,
-        block_groups=block_groups, interpret=interpret,
-    )
+    if formulation == "group":
+        out = _w4a8_2d(
+            xq2, sx2, packed, scales, bias,
+            group=group, out_dtype=out_dtype, block_m=bm, block_n=bn,
+            block_groups=block_groups, interpret=interpret,
+        )
+    else:
+        out = _w4a8_2l_2d(
+            xq2, sx2, packed, scales, bias,
+            group=group, out_dtype=out_dtype, block_m=bm, block_n=bn,
+            block_groups=block_groups, dot_chunks=dot_chunks,
+            interpret=interpret,
+        )
     return out.reshape(*batch_shape, out.shape[-1])

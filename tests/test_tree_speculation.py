@@ -123,12 +123,15 @@ def test_tree_guards(model_and_params):
         Engine(model, params,
                EngineConfig(max_batch_size=2, max_seq_len=64),
                kv_dtype=jnp.float32, lookup_branches=2)
-    with pytest.raises(NotImplementedError, match="ring"):
-        Engine(model, params,
-               EngineConfig(max_batch_size=2, max_seq_len=64,
-                            stream_window=16),
-               kv_dtype=jnp.int8, kv_layout="ring",
-               prompt_lookup=2, lookup_branches=2)
+    # Tree x ring composes since round 5 (reorder_tail through ring
+    # columns); a window wide enough for the tree must CONSTRUCT — the
+    # too-narrow case is test_tree_ring_window_narrower_than_tree_is_refused.
+    eng_ring = Engine(model, params,
+                      EngineConfig(max_batch_size=2, max_seq_len=64,
+                                   stream_window=16),
+                      kv_dtype=jnp.int8, kv_layout="ring",
+                      prompt_lookup=2, lookup_branches=2)
+    assert eng_ring._tree_mode
     # Tree x prefix_cache composes since round 5 (transient candidate
     # writes stay in private tail pages — tests/test_prefix_cache.py);
     # constructing must succeed.
@@ -348,3 +351,116 @@ def test_tree_window_narrower_than_tree_is_refused():
     eng.add_request([5, 6, 7, 5, 6, 7, 5, 6], 8)
     with pytest.raises(AssertionError, match="tree width"):
         eng.run()
+
+
+def test_tree_speculation_ring_layout_exact():
+    """Tree speculation on the RING layout (round-5 guard lift — the last
+    layout-reasoned tree guard): candidate nodes map to ring columns,
+    reorder_tail compacts through _column, and stale rejected rows
+    reconstruct as out-of-window positions the mask kills. The stream must
+    equal the dense sliding-window engine's token-for-token, far past the
+    ring's wrap point — with and without StreamingLLM sinks."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=24,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2]]
+    N = 40  # >> window: the ring wraps many times
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=N, temperature=0.0)
+
+    dense = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    drids = [dense.add_request(p, N) for p in prompts]
+    douts = dense.run()
+
+    ring = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring",
+                  prompt_lookup=3, lookup_branches=3, gamma=3)
+    rrids = [ring.add_request(p, N) for p in prompts]
+    routs = ring.run()
+    for ra, rb in zip(drids, rrids):
+        assert douts[ra] == routs[rb], (douts[ra], routs[rb])
+    assert ring.stats["spec_accepted"] > 0  # trees actually committed
+    # O(window) memory: the ring cache is smaller than max_seq_len.
+    assert ring.caches[0].capacity < ecfg.max_seq_len
+
+
+def test_tree_speculation_ring_sinks_exact():
+    """Tree x ring x StreamingLLM sinks: a full-attention model served with
+    stream_window + sinks under tree speculation matches the same engine
+    WITHOUT trees (plain streaming decode is the ground truth here — dense
+    full attention would differ once eviction starts)."""
+    model = LlamaModel(CFG, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6]]
+    N = 32
+    ecfg = EngineConfig(max_batch_size=1, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=N, temperature=0.0,
+                        stream_window=24, attention_sinks=4)
+
+    plain = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring")
+    prids = [plain.add_request(p, N) for p in prompts]
+    pouts = plain.run()
+
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring",
+                 prompt_lookup=3, lookup_branches=3, gamma=3)
+    rids = [eng.add_request(p, N) for p in prompts]
+    outs = eng.run()
+    for ra, rb in zip(prids, rids):
+        assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+
+
+def test_tree_ring_window_narrower_than_tree_is_refused():
+    """Ring + tree with a window the tree cannot fit is rejected EAGERLY
+    at engine construction (readable error, not a scoring-time assert)."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=8,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=1, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    with pytest.raises(ValueError, match="tree width"):
+        Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring",
+               prompt_lookup=3, lookup_branches=3, gamma=3)
+
+
+def test_tree_speculation_hybrid_ring_exact():
+    """Tree x PER-LAYER HYBRID ring (Gemma-2 alternating windows): sliding
+    layers compact through RingInt8KVCache.reorder_tail, full-attention
+    layers through the dense one — the mixed per-layer commit must still
+    reproduce the all-dense engine's stream exactly."""
+    from protoquant_tpu.models.kv_cache import Int8KVCache, RingInt8KVCache
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=True,
+        hidden_act="gelu_tanh", rmsnorm_unit_offset=True,
+        scale_embeddings=True, head_dim_override=32,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        sliding_window=16, alternating_sliding_window=True,
+        sandwich_norms=True,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=32, temperature=0.0)
+    prompts = [[5, 9, 2, 7, 1, 3, 8, 8], [1, 2, 3, 1, 2, 3]]
+
+    dense = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    drids = [dense.add_request(p, 32) for p in prompts]
+    douts = dense.run()
+
+    ring = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring",
+                  prompt_lookup=2, lookup_branches=2, gamma=2)
+    assert isinstance(ring.caches[0], RingInt8KVCache)
+    assert isinstance(ring.caches[1], Int8KVCache)
+    rrids = [ring.add_request(p, 32) for p in prompts]
+    routs = ring.run()
+    for rd, rr in zip(drids, rrids):
+        assert douts[rd] == routs[rr], (douts[rd], routs[rr])
