@@ -124,19 +124,36 @@ def main():
     gptq_calib = jnp.asarray(
         rng.integers(0, V, (max(4, 6 * args.hidden // 128), 128)), jnp.int32
     )
-    grams = collect_grams(fp_model, params, gptq_calib)
+    _grams_cache = {}
+
+    def get_grams():  # lazy: only selected gptq rows pay for the Gram pass
+        if "g" not in _grams_cache:
+            _grams_cache["g"] = collect_grams(fp_model, params, gptq_calib)
+        return _grams_cache["g"]
 
     rows = []
 
+    # --only accepts comma-separated substrings (any match selects a row),
+    # so a partial re-run after an interrupted sweep can name exactly the
+    # missing rows.
+    only_terms = [t for t in (args.only or "").split(",") if t]
+
+    def _sel(label):
+        return not only_terms or any(t in label for t in only_terms)
+
     def run(label, mode, src_params, kv_dtype=jnp.float32, qcfg=None,
             gptq=False, use_grams=None, params_override=None):
-        if args.only and args.only not in label:
+        if not _sel(label):
             return
         qcfg_eff = qcfg or QuantConfig(mode=mode)
         if params_override is not None:
             qp = params_override
         elif gptq:
-            qp = gptq_params(src_params, use_grams or grams, qcfg_eff)
+            qp = gptq_params(
+                src_params,
+                use_grams if use_grams is not None else get_grams(),
+                qcfg_eff,
+            )
         else:
             qp = quantize_params(src_params, qcfg_eff)
         qm = LlamaModel(cfg, mode=mode, int4_group=qcfg_eff.int4_group,
@@ -177,10 +194,21 @@ def main():
 
     from protoquant_tpu.nn import awq_quantize
 
-    awq_int8 = awq_quantize(fp_model, params, calib, QuantConfig(mode="dynamic"))
-    awq_int4 = awq_quantize(
-        fp_model, params, calib,
-        QuantConfig(mode="weight_only_int4", int4_group=128),
+    # Lazy AWQ calibrations: the grid searches are the sweep's most
+    # expensive host-side passes — only selected rows pay for them.
+    awq_int8 = (
+        awq_quantize(fp_model, params, calib, QuantConfig(mode="dynamic"))
+        if _sel("int8_dynamic+awq") else None
+    )
+    need_awq4 = any(_sel(l) for l in (
+        "int4_weight_only_g128+awq", "int4_weight_only_g128+awq+gptq",
+        "int4_weight_only_g128+awq+amax",
+    ))
+    awq_int4 = (
+        awq_quantize(
+            fp_model, params, calib,
+            QuantConfig(mode="weight_only_int4", int4_group=128),
+        ) if need_awq4 else None
     )
 
     # KV-cache rows on UNQUANTIZED weights: the logit/ppl metrics run
@@ -188,7 +216,7 @@ def main():
     # greedy/prefix-match columns isolate the CACHE path alone — the
     # cleanest readout for int8/int4/mixed KV quality.
     def run_kv(label, kv_dtype):
-        if args.only and args.only not in label:
+        if not _sel(label):
             return
         g_q = np.asarray(
             greedy_generate(fp_model, params, prompt, args.new_tokens, 256,
@@ -219,7 +247,7 @@ def main():
     # outlier channels set the per-tensor amax).
     from protoquant_tpu.nn import static_quantize
 
-    if not args.only or "static" in args.only:
+    if _sel("int8_static"):
         run("int8_static", "static", params,
             params_override=static_quantize(fp_model, params, calib))
         run("int8_static+smooth", "static", smoothed,
@@ -261,14 +289,14 @@ def main():
     # AWQ x GPTQ composition: grid-searched migration first, then error-
     # compensated rounding ON THE SCALED weights (grams re-collected on the
     # scaled params — the Gram must describe the activations GPTQ will see).
-    grams_awq = collect_grams(fp_model, awq_int4, gptq_calib)
-    run("int4_weight_only_g128+awq+gptq", "weight_only_int4", awq_int4,
-        qcfg=QuantConfig(mode="weight_only_int4", int4_group=128), gptq=True,
-        use_grams=grams_awq)
+    if _sel("int4_weight_only_g128+awq+gptq"):
+        grams_awq = collect_grams(fp_model, awq_int4, gptq_calib)
+        run("int4_weight_only_g128+awq+gptq", "weight_only_int4", awq_int4,
+            qcfg=QuantConfig(mode="weight_only_int4", int4_group=128),
+            gptq=True, use_grams=grams_awq)
 
     # -- round-5 int4 recipe push (VERDICT r4 item 5) ------------------------
-    def want(label):
-        return not args.only or args.only in label
+    want = _sel
 
     # Group-size sweep below g=128: finer scales cost more scale bytes but
     # each group's amax covers fewer weights (AWQ re-calibrated per group
@@ -356,7 +384,7 @@ def main():
         ("moe_int8_weight_only", "weight_only", 128),
         ("moe_int4_weight_only_g128", "weight_only_int4", 128),
     ):
-        if args.only and args.only not in label:
+        if not _sel(label):
             continue
         qp = quantize_params(
             moe_params, QuantConfig(mode=mode, int4_group=grp)
