@@ -364,10 +364,12 @@ def cmd_serve(args):
 
     eng = _load_engine(args)
     srv = EngineServer(
-        eng, host=args.host, port=args.port, tokenizer=_load_tokenizer(args)
+        eng, host=args.host, port=args.port, tokenizer=_load_tokenizer(args),
+        model_name=args.model_name,
     ).start()
     log = get_logger()
-    log.info(f"serving on http://{args.host}:{srv.port} (POST /generate)")
+    log.info(f"serving on http://{args.host}:{srv.port} "
+             "(POST /generate | OpenAI POST /v1/completions)")
     import time
 
     try:
@@ -505,6 +507,9 @@ def main(argv=None):
     sv.add_argument("--tokenizer", default=None,
                     help='HF tokenizer.json: accepts {"prompt": text} + returns "text"')
     sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--model-name", default="protoquant-tpu",
+                    help="model id echoed on the OpenAI surface "
+                         "(/v1/models, completions responses)")
     sv.add_argument("--port", type=int, default=8199)
     sv.add_argument("--batch", type=int, default=8)
     sv.add_argument("--max-seq", type=int, default=2048)

@@ -20,6 +20,21 @@ from any number of client connections and batch together on the device.
       (the /generate call waiting on rid returns its partial tokens)
   GET  /metrics    -> Engine.metrics() + health
   GET  /health     -> {"ok": true}
+
+OpenAI-compatible surface (round 5) — drop-in for clients speaking the
+completions API:
+
+  POST /v1/completions   {"prompt": "...", "max_tokens": 32, "n": 2,
+                          "logprobs": 3, "stop": ["\n"], "seed": 7, ...}
+      -> {"id": "cmpl-<rid>", "object": "text_completion", "choices":
+          [{"index", "text", "logprobs": {"tokens", "token_logprobs",
+            "top_logprobs", "text_offset"}, "finish_reason"}], "usage"}
+      ("prompt" may be a string (needs a server tokenizer) or a list of
+       token ids; "logprobs": k maps onto the engine's top_logprobs=k;
+       "stream": true sends OpenAI SSE chunks ending with `data: [DONE]`.
+       Unsupported OpenAI fields raise 400 rather than silently ignoring:
+       suffix, echo, best_of != n.)
+  GET  /v1/models -> the one served model
 """
 
 from __future__ import annotations
@@ -36,9 +51,10 @@ _STREAM_DONE = object()  # sentinel closing a stream's token queue
 
 class EngineServer:
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8199,
-                 tokenizer=None):
+                 tokenizer=None, model_name: str = "protoquant-tpu"):
         self.engine = engine
         self.tokenizer = tokenizer  # optional protoquant_tpu.tokenizer.Tokenizer
+        self.model_name = model_name  # echoed on the OpenAI surface
         self._results: dict[int, list] = {}
         self._events: dict[int, threading.Event] = {}
         self._streams: dict[int, _queue.Queue] = {}
@@ -67,6 +83,13 @@ class EngineServer:
                     return self._json(200, {"ok": True})
                 if self.path == "/metrics":
                     return self._json(200, outer.engine.metrics())
+                if self.path == "/v1/models":
+                    return self._json(200, {
+                        "object": "list",
+                        "data": [{"id": outer.model_name, "object": "model",
+                                  "created": 0,
+                                  "owned_by": "protoquant_tpu"}],
+                    })
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
@@ -79,11 +102,14 @@ class EngineServer:
                         return self._json(400, {"error": f"bad request: {e}"})
                     ok = outer.cancel(rid)
                     return self._json(200, {"request": rid, "cancelled": ok})
-                if self.path != "/generate":
+                oai = self.path == "/v1/completions"
+                if self.path != "/generate" and not oai:
                     return self._json(404, {"error": "not found"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if oai:
+                        req = outer._oai_translate(req)
                     if "prompt" in req and outer.tokenizer is not None:
                         tokens = outer.tokenizer.encode(str(req["prompt"]))
                     else:
@@ -194,6 +220,8 @@ class EngineServer:
                     return self._json(400, {"error": str(e)})
                 timeout = float(req.get("timeout_s", 300))
                 if stream:
+                    if oai:
+                        return self._stream_oai(rid, tok_q, timeout, max_new)
                     return self._stream(rid, tok_q, timeout)
                 import time as _time
 
@@ -223,6 +251,11 @@ class EngineServer:
                 results = [body(r) for r in rids]
                 if any(r is None for r in results):
                     return self._json(504, {"request": rid, "error": "timeout"})
+                if oai:
+                    return self._json(200, outer._oai_response(
+                        rid, results, len(tokens), max_new,
+                        with_logprobs=want_logprobs or top_lp > 0,
+                    ))
                 if n == 1:
                     return self._json(200, results[0])
                 return self._json(200, {"choices": results})
@@ -285,12 +318,188 @@ class EngineServer:
                 except (BrokenPipeError, ConnectionResetError):
                     pass
 
+            def _stream_oai(self, rid: int, tok_q, timeout: float,
+                            max_new: int):
+                """OpenAI streaming: one text_completion chunk per token,
+                a final chunk carrying finish_reason, then `data: [DONE]`.
+                Per-token text decodes ONE token at a time — byte-level
+                tokens may render U+FFFD mid-multibyte; clients that need
+                exact text reassemble from the non-stream endpoint."""
+                import time
+
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(payload: bytes) -> bool:
+                    try:
+                        self.wfile.write(
+                            f"{len(payload):x}\r\n".encode() + payload
+                            + b"\r\n"
+                        )
+                        self.wfile.flush()
+                        return True
+                    except (BrokenPipeError, ConnectionResetError):
+                        return False
+
+                def event(obj) -> bool:
+                    return chunk(f"data: {json.dumps(obj)}\n\n".encode())
+
+                created = int(time.time())
+
+                def piece(choice):
+                    return {
+                        "id": f"cmpl-{rid}", "object": "text_completion",
+                        "created": created, "model": outer.model_name,
+                        "choices": [choice],
+                    }
+
+                deadline = time.monotonic() + timeout
+                n_out = 0
+                while True:
+                    try:
+                        item = tok_q.get(timeout=max(
+                            0.05, min(1.0, deadline - time.monotonic())
+                        ))
+                    except _queue.Empty:
+                        if time.monotonic() > deadline:
+                            outer.cancel(rid)
+                            event(piece({"index": 0, "text": "",
+                                         "finish_reason": "stop"}))
+                            chunk(b"data: [DONE]\n\n")
+                            break
+                        continue
+                    if item is _STREAM_DONE:
+                        out = outer.wait(rid, timeout=5)
+                        tokens, cancelled = (out[0], out[1]) if out else ([], True)
+                        fin = ("length"
+                               if len(tokens) >= max_new and not cancelled
+                               else "stop")
+                        event(piece({"index": 0, "text": "",
+                                     "finish_reason": fin}))
+                        chunk(b"data: [DONE]\n\n")
+                        break
+                    n_out += 1
+                    txt = (outer.tokenizer.decode([int(item)])
+                           if outer.tokenizer is not None else str(int(item)))
+                    if not event(piece({"index": 0, "text": txt,
+                                        "finish_reason": None})):
+                        outer.cancel(rid)
+                        break
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._http_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
         self._engine_thread = threading.Thread(target=self._engine_loop, daemon=True)
+
+    # -- OpenAI compatibility ---------------------------------------------
+
+    def _oai_translate(self, req: dict) -> dict:
+        """OpenAI completions body -> the internal /generate body. Raises
+        ValueError (-> 400) on fields whose semantics we cannot honor —
+        silent acceptance would lie to the client."""
+        out = {}
+        prompt = req.get("prompt", "")
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "string prompt needs a server tokenizer; pass a list "
+                    "of token ids"
+                )
+            out["prompt"] = prompt
+        elif (isinstance(prompt, list)
+              and all(isinstance(t, int) for t in prompt)):
+            out["tokens"] = prompt
+        else:
+            raise ValueError(
+                "prompt must be a string or a flat list of token ids "
+                "(batched prompts: issue one request per prompt)"
+            )
+        for bad in ("suffix", "echo"):
+            if req.get(bad):
+                raise ValueError(f'"{bad}" is unsupported')
+        n = int(req.get("n", 1))
+        if req.get("best_of") not in (None, n):
+            raise ValueError("best_of != n is unsupported (no server-side "
+                             "reranking); set best_of == n or omit it")
+        out["n"] = n
+        out["max_new_tokens"] = int(req.get("max_tokens", 16))
+        for k in ("temperature", "top_p", "presence_penalty",
+                  "frequency_penalty", "seed", "logit_bias", "stop",
+                  "stream", "timeout_s"):
+            if req.get(k) is not None:
+                out[k] = req[k]
+        # OpenAI completions "logprobs": int k -> chosen-token logprob plus
+        # k alternatives per position (k=0: chosen-token only).
+        lp = req.get("logprobs")
+        if lp is not None:
+            out["logprobs"] = True
+            if int(lp):
+                out["top_logprobs"] = int(lp)
+        return out
+
+    def _oai_response(self, rid: int, results: list, prompt_tokens: int,
+                      max_new: int, with_logprobs: bool) -> dict:
+        import time as _time
+
+        choices = []
+        completion_tokens = 0
+        for i, r in enumerate(results):
+            toks = r["tokens"]
+            completion_tokens += len(toks)
+            fin = ("length" if len(toks) >= max_new and not r["cancelled"]
+                   else "stop")
+            lp_obj = None
+            if with_logprobs:
+                tok_strs = [
+                    self.tokenizer.decode([t]) if self.tokenizer is not None
+                    else str(t)
+                    for t in toks
+                ]
+                offsets, pos = [], 0
+                for s in tok_strs:
+                    offsets.append(pos)
+                    pos += len(s)
+                lp_obj = {
+                    "tokens": tok_strs,
+                    "token_logprobs": r.get("logprobs", []),
+                    "top_logprobs": ([
+                        {(self.tokenizer.decode([t])
+                          if self.tokenizer is not None else str(t)): p
+                         for t, p in pairs}
+                        for pairs in r["top_logprobs"]
+                    ] if r.get("top_logprobs") else None),
+                    "text_offset": offsets,
+                }
+            choices.append({
+                "index": i,
+                "text": r.get("text", ""),
+                # Extension: ids are authoritative when no tokenizer is
+                # configured (text is empty then).
+                "tokens": toks,
+                "logprobs": lp_obj,
+                "finish_reason": "stop" if r["cancelled"] else fin,
+            })
+        return {
+            "id": f"cmpl-{rid}",
+            "object": "text_completion",
+            "created": int(_time.time()),
+            "model": self.model_name,
+            "choices": choices,
+            "usage": {
+                "prompt_tokens": prompt_tokens,
+                "completion_tokens": completion_tokens,
+                "total_tokens": prompt_tokens + completion_tokens,
+            },
+        }
 
     # -- engine-side -------------------------------------------------------
 
