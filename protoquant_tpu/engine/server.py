@@ -34,6 +34,13 @@ completions API:
        "stream": true sends OpenAI SSE chunks ending with `data: [DONE]`.
        Unsupported OpenAI fields raise 400 rather than silently ignoring:
        suffix, echo, best_of != n.)
+  POST /v1/chat/completions  {"messages": [{"role", "content"}, ...], ...}
+      -> chat.completion with an assistant message; messages render
+         through a chat template (a generic ChatML-shaped default —
+         deployments pass the served family's own via
+         EngineServer(chat_template=...)); chat-layout logprobs
+         (logprobs: true + top_logprobs: k); streaming sends
+         chat.completion.chunk deltas (role in the first) then [DONE].
   GET  /v1/models -> the one served model
 """
 
@@ -49,12 +56,29 @@ from .engine import Engine
 _STREAM_DONE = object()  # sentinel closing a stream's token queue
 
 
+def _default_chat_template(messages) -> str:
+    """Generic role-tagged chat rendering (ChatML-shaped). Deployments
+    should pass the served family's own template to EngineServer."""
+    parts = [
+        f"<|{m['role']}|>\n{m['content']}\n" for m in messages
+    ]
+    parts.append("<|assistant|>\n")
+    return "".join(parts)
+
+
 class EngineServer:
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8199,
-                 tokenizer=None, model_name: str = "protoquant-tpu"):
+                 tokenizer=None, model_name: str = "protoquant-tpu",
+                 chat_template=None):
         self.engine = engine
         self.tokenizer = tokenizer  # optional protoquant_tpu.tokenizer.Tokenizer
         self.model_name = model_name  # echoed on the OpenAI surface
+        # messages -> prompt text for /v1/chat/completions. The default is
+        # a GENERIC role-tagged template; real deployments pass the model
+        # family's own format (checkpoints are trained to one — a generic
+        # template degrades instruction following, it does not break
+        # decoding).
+        self.chat_template = chat_template or _default_chat_template
         self._results: dict[int, list] = {}
         self._events: dict[int, threading.Event] = {}
         self._streams: dict[int, _queue.Queue] = {}
@@ -102,14 +126,15 @@ class EngineServer:
                         return self._json(400, {"error": f"bad request: {e}"})
                     ok = outer.cancel(rid)
                     return self._json(200, {"request": rid, "cancelled": ok})
-                oai = self.path == "/v1/completions"
+                chat = self.path == "/v1/chat/completions"
+                oai = chat or self.path == "/v1/completions"
                 if self.path != "/generate" and not oai:
                     return self._json(404, {"error": "not found"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     if oai:
-                        req = outer._oai_translate(req)
+                        req = outer._oai_translate(req, chat=chat)
                     if "prompt" in req and outer.tokenizer is not None:
                         tokens = outer.tokenizer.encode(str(req["prompt"]))
                     else:
@@ -221,7 +246,8 @@ class EngineServer:
                 timeout = float(req.get("timeout_s", 300))
                 if stream:
                     if oai:
-                        return self._stream_oai(rid, tok_q, timeout, max_new)
+                        return self._stream_oai(rid, tok_q, timeout, max_new,
+                                                chat=chat)
                     return self._stream(rid, tok_q, timeout)
                 import time as _time
 
@@ -255,6 +281,7 @@ class EngineServer:
                     return self._json(200, outer._oai_response(
                         rid, results, len(tokens), max_new,
                         with_logprobs=want_logprobs or top_lp > 0,
+                        chat=chat,
                     ))
                 if n == 1:
                     return self._json(200, results[0])
@@ -319,7 +346,7 @@ class EngineServer:
                     pass
 
             def _stream_oai(self, rid: int, tok_q, timeout: float,
-                            max_new: int):
+                            max_new: int, chat: bool = False):
                 """OpenAI streaming: one text_completion chunk per token,
                 a final chunk carrying finish_reason, then `data: [DONE]`.
                 Per-token text decodes ONE token at a time — byte-level
@@ -349,15 +376,28 @@ class EngineServer:
 
                 created = int(time.time())
 
-                def piece(choice):
+                def piece(txt, fin):
+                    if chat:
+                        delta = {} if txt is None else {"content": txt}
+                        if piece.first and fin is None:
+                            delta["role"] = "assistant"
+                            piece.first = False
+                        choice = {"index": 0, "delta": delta,
+                                  "finish_reason": fin}
+                        obj = "chat.completion.chunk"
+                        pid = f"chatcmpl-{rid}"
+                    else:
+                        choice = {"index": 0, "text": txt or "",
+                                  "finish_reason": fin}
+                        obj = "text_completion"
+                        pid = f"cmpl-{rid}"
                     return {
-                        "id": f"cmpl-{rid}", "object": "text_completion",
-                        "created": created, "model": outer.model_name,
-                        "choices": [choice],
+                        "id": pid, "object": obj, "created": created,
+                        "model": outer.model_name, "choices": [choice],
                     }
 
+                piece.first = True
                 deadline = time.monotonic() + timeout
-                n_out = 0
                 while True:
                     try:
                         item = tok_q.get(timeout=max(
@@ -366,8 +406,7 @@ class EngineServer:
                     except _queue.Empty:
                         if time.monotonic() > deadline:
                             outer.cancel(rid)
-                            event(piece({"index": 0, "text": "",
-                                         "finish_reason": "stop"}))
+                            event(piece(None, "stop"))
                             chunk(b"data: [DONE]\n\n")
                             break
                         continue
@@ -377,15 +416,12 @@ class EngineServer:
                         fin = ("length"
                                if len(tokens) >= max_new and not cancelled
                                else "stop")
-                        event(piece({"index": 0, "text": "",
-                                     "finish_reason": fin}))
+                        event(piece(None, fin))
                         chunk(b"data: [DONE]\n\n")
                         break
-                    n_out += 1
                     txt = (outer.tokenizer.decode([int(item)])
                            if outer.tokenizer is not None else str(int(item)))
-                    if not event(piece({"index": 0, "text": txt,
-                                        "finish_reason": None})):
+                    if not event(piece(txt, None)):
                         outer.cancel(rid)
                         break
                 try:
@@ -402,53 +438,84 @@ class EngineServer:
 
     # -- OpenAI compatibility ---------------------------------------------
 
-    def _oai_translate(self, req: dict) -> dict:
-        """OpenAI completions body -> the internal /generate body. Raises
-        ValueError (-> 400) on fields whose semantics we cannot honor —
-        silent acceptance would lie to the client."""
+    def _oai_translate(self, req: dict, chat: bool = False) -> dict:
+        """OpenAI completions / chat-completions body -> the internal
+        /generate body. Raises ValueError (-> 400) on fields whose
+        semantics we cannot honor — silent acceptance would lie to the
+        client."""
         out = {}
-        prompt = req.get("prompt", "")
-        if isinstance(prompt, str):
-            if self.tokenizer is None:
+        if chat:
+            msgs = req.get("messages")
+            if not isinstance(msgs, list) or not msgs or not all(
+                isinstance(m, dict) and "role" in m and "content" in m
+                for m in msgs
+            ):
                 raise ValueError(
-                    "string prompt needs a server tokenizer; pass a list "
-                    "of token ids"
+                    'chat needs "messages": [{"role", "content"}, ...]'
                 )
-            out["prompt"] = prompt
-        elif (isinstance(prompt, list)
-              and all(isinstance(t, int) for t in prompt)):
-            out["tokens"] = prompt
+            if self.tokenizer is None:
+                raise ValueError("chat completions need a server tokenizer")
+            if req.get("tools") or req.get("tool_choice") \
+                    or req.get("functions"):
+                raise ValueError("tool/function calling is unsupported")
+            out["prompt"] = self.chat_template(msgs)
         else:
-            raise ValueError(
-                "prompt must be a string or a flat list of token ids "
-                "(batched prompts: issue one request per prompt)"
-            )
-        for bad in ("suffix", "echo"):
-            if req.get(bad):
-                raise ValueError(f'"{bad}" is unsupported')
+            prompt = req.get("prompt", "")
+            if isinstance(prompt, str):
+                if self.tokenizer is None:
+                    raise ValueError(
+                        "string prompt needs a server tokenizer; pass a "
+                        "list of token ids"
+                    )
+                out["prompt"] = prompt
+            elif (isinstance(prompt, list)
+                  and all(isinstance(t, int) for t in prompt)):
+                out["tokens"] = prompt
+            else:
+                raise ValueError(
+                    "prompt must be a string or a flat list of token ids "
+                    "(batched prompts: issue one request per prompt)"
+                )
+            for bad in ("suffix", "echo"):
+                if req.get(bad):
+                    raise ValueError(f'"{bad}" is unsupported')
         n = int(req.get("n", 1))
         if req.get("best_of") not in (None, n):
             raise ValueError("best_of != n is unsupported (no server-side "
                              "reranking); set best_of == n or omit it")
         out["n"] = n
-        out["max_new_tokens"] = int(req.get("max_tokens", 16))
+        out["max_new_tokens"] = int(
+            req.get("max_completion_tokens") or req.get("max_tokens", 16)
+        )
         for k in ("temperature", "top_p", "presence_penalty",
                   "frequency_penalty", "seed", "logit_bias", "stop",
-                  "stream", "timeout_s"):
+                  "stream", "timeout_s", "eos_id"):
             if req.get(k) is not None:
                 out[k] = req[k]
-        # OpenAI completions "logprobs": int k -> chosen-token logprob plus
-        # k alternatives per position (k=0: chosen-token only).
-        lp = req.get("logprobs")
-        if lp is not None:
-            out["logprobs"] = True
-            if int(lp):
-                out["top_logprobs"] = int(lp)
+        if chat:
+            # Chat API logprobs: bool + separate integer top_logprobs.
+            if req.get("logprobs"):
+                out["logprobs"] = True
+                if req.get("top_logprobs") is not None:
+                    out["top_logprobs"] = int(req["top_logprobs"])
+        else:
+            # Completions API "logprobs": int k -> chosen-token logprob
+            # plus k alternatives per position (k=0: chosen-token only).
+            lp = req.get("logprobs")
+            if lp is not None:
+                out["logprobs"] = True
+                if int(lp):
+                    out["top_logprobs"] = int(lp)
         return out
 
     def _oai_response(self, rid: int, results: list, prompt_tokens: int,
-                      max_new: int, with_logprobs: bool) -> dict:
+                      max_new: int, with_logprobs: bool,
+                      chat: bool = False) -> dict:
         import time as _time
+
+        def tstr(t):
+            return (self.tokenizer.decode([t])
+                    if self.tokenizer is not None else str(t))
 
         choices = []
         completion_tokens = 0
@@ -457,13 +524,27 @@ class EngineServer:
             completion_tokens += len(toks)
             fin = ("length" if len(toks) >= max_new and not r["cancelled"]
                    else "stop")
+            fin = "stop" if r["cancelled"] else fin
             lp_obj = None
-            if with_logprobs:
-                tok_strs = [
-                    self.tokenizer.decode([t]) if self.tokenizer is not None
-                    else str(t)
-                    for t in toks
-                ]
+            if with_logprobs and chat:
+                # Chat layout: logprobs.content = one entry per token with
+                # nested top_logprobs [{token, logprob}].
+                lp_obj = {"content": [
+                    {
+                        "token": tstr(t),
+                        "logprob": lp,
+                        "top_logprobs": [
+                            {"token": tstr(at), "logprob": ap}
+                            for at, ap in pairs
+                        ],
+                    }
+                    for t, lp, pairs in zip(
+                        toks, r.get("logprobs", []),
+                        r.get("top_logprobs") or [[]] * len(toks),
+                    )
+                ]}
+            elif with_logprobs:
+                tok_strs = [tstr(t) for t in toks]
                 offsets, pos = [], 0
                 for s in tok_strs:
                     offsets.append(pos)
@@ -472,25 +553,28 @@ class EngineServer:
                     "tokens": tok_strs,
                     "token_logprobs": r.get("logprobs", []),
                     "top_logprobs": ([
-                        {(self.tokenizer.decode([t])
-                          if self.tokenizer is not None else str(t)): p
-                         for t, p in pairs}
+                        {tstr(t): p for t, p in pairs}
                         for pairs in r["top_logprobs"]
                     ] if r.get("top_logprobs") else None),
                     "text_offset": offsets,
                 }
-            choices.append({
+            body = {
                 "index": i,
-                "text": r.get("text", ""),
-                # Extension: ids are authoritative when no tokenizer is
-                # configured (text is empty then).
-                "tokens": toks,
                 "logprobs": lp_obj,
-                "finish_reason": "stop" if r["cancelled"] else fin,
-            })
+                "finish_reason": fin,
+                # Extension: ids are authoritative when no tokenizer is
+                # configured (text/content is empty then).
+                "tokens": toks,
+            }
+            if chat:
+                body["message"] = {"role": "assistant",
+                                   "content": r.get("text", "")}
+            else:
+                body["text"] = r.get("text", "")
+            choices.append(body)
         return {
-            "id": f"cmpl-{rid}",
-            "object": "text_completion",
+            "id": f"{'chatcmpl' if chat else 'cmpl'}-{rid}",
+            "object": "chat.completion" if chat else "text_completion",
             "created": int(_time.time()),
             "model": self.model_name,
             "choices": choices,

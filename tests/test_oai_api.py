@@ -160,3 +160,119 @@ def test_completions_streaming_done_sentinel(server):
                    path="/generate")
     assert [int(c["choices"][0]["text"]) for c in chunks[:-1]] \
         == native["tokens"]
+
+
+def _tiny_tokenizer(tmp_path):
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import decoders, models, pre_tokenizers, trainers
+
+    from protoquant_tpu.tokenizer import Tokenizer
+
+    t = HFTok(models.BPE())
+    t.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    t.decoder = decoders.ByteLevel()
+    t.train_from_iterator(
+        ["hello world how are you", "<|user|> <|assistant|> <|system|>"] * 8,
+        trainers.BpeTrainer(
+            vocab_size=400, special_tokens=["<s>", "</s>"],
+            show_progress=False,
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        ),
+    )
+    path = str(tmp_path / "tok.json")
+    t.save(path)
+    return Tokenizer.from_file(path)
+
+
+@pytest.fixture(scope="function")
+def chat_server(tmp_path):
+    tok = _tiny_tokenizer(tmp_path)
+    cfg = ModelConfig(
+        vocab_size=len(tok.vocab) + len(tok.added),
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=16,
+                        max_new_tokens=8, temperature=0.0)
+    eng = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    srv = EngineServer(eng, port=0, tokenizer=tok,
+                       model_name="tiny-chat").start()
+    yield srv, tok
+    srv.stop()
+
+
+def test_chat_completions_schema(chat_server):
+    """chat.completion envelope: assistant message content decodes the
+    emitted ids; usage covers the templated prompt; chat logprobs use the
+    content=[{token, logprob, top_logprobs}] layout."""
+    srv, tok = chat_server
+    r = _post(srv, {
+        "messages": [{"role": "system", "content": "be brief"},
+                     {"role": "user", "content": "hello world"}],
+        "max_tokens": 5, "logprobs": True, "top_logprobs": 2,
+    }, path="/v1/chat/completions")
+    assert r["object"] == "chat.completion"
+    assert r["id"].startswith("chatcmpl-")
+    (c,) = r["choices"]
+    assert c["message"]["role"] == "assistant"
+    assert c["message"]["content"] == tok.decode(c["tokens"])
+    assert c["finish_reason"] == "length"
+    content = c["logprobs"]["content"]
+    assert len(content) == 5
+    for entry, t in zip(content, c["tokens"]):
+        assert entry["token"] == tok.decode([t])
+        assert len(entry["top_logprobs"]) == 2
+        assert entry["top_logprobs"][0]["logprob"] == entry["logprob"]
+    # The prompt the engine saw is the TEMPLATED text, not the raw turns.
+    templated = srv.chat_template(
+        [{"role": "system", "content": "be brief"},
+         {"role": "user", "content": "hello world"}]
+    )
+    assert r["usage"]["prompt_tokens"] == len(tok.encode(templated))
+
+
+def test_chat_completions_streaming_deltas(chat_server):
+    """Chat streaming: chat.completion.chunk objects, role in the first
+    delta, content pieces reassembling the full message, then [DONE]."""
+    srv, tok = chat_server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 4, "stream": True,
+        }).encode(),
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+    text = "".join(
+        c["choices"][0]["delta"].get("content", "") for c in chunks
+    )
+    ref = _post(srv, {
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 4,
+    }, path="/v1/chat/completions")
+    assert text == ref["choices"][0]["message"]["content"]
+
+
+def test_chat_requires_tokenizer(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "hi"}],
+        }).encode(),
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
