@@ -82,6 +82,24 @@ def cmd_convert(args):
         )
         fp_model = LlamaModel(cfg, mode="fp")
         params = smoothquant(fp_model, params, toks, alpha=args.smooth_alpha)
+    if args.awq:
+        # AWQ grid-searched migration (nn/awq.py) against the DEPLOYMENT
+        # quantization scheme; composes after --smooth-alpha (the grid
+        # runs on the smoothed params) and before --gptq (whose grams are
+        # collected on the migrated params) — the measured best-int4
+        # composition order (BASELINE.md ladder v2 decision 9a).
+        import jax.numpy as jnp
+
+        from .models import LlamaModel
+        from .nn import awq_quantize
+
+        if not args.calib_tokens:
+            raise SystemExit("--awq requires --calib-tokens")
+        toks = jnp.asarray(
+            [[int(t) for t in args.calib_tokens.split(",")]], jnp.int32
+        )
+        fp_model = LlamaModel(cfg, mode="fp")
+        params = awq_quantize(fp_model, params, toks, qcfg)
     if args.gptq:
         # GPTQ error-compensated rounding (nn/gptq.py); reuses the
         # --calib-tokens corpus (composes with --smooth-alpha: grams are
@@ -393,7 +411,12 @@ def main(argv=None):
         choices=["dynamic", "static", "weight_only", "weight_only_int4",
                  "dynamic_int4", "weight_only_fp8"],
     )
-    c.add_argument("--int4-group", type=int, default=128)
+    c.add_argument(
+        "--int4-group", type=int, default=128,
+        help="int4 scale-group size; the measured best-quality int4 recipe "
+             "is --int4-group 64 --smooth-alpha 0.5 --awq --gptq "
+             "(BASELINE.md ladder v2 decision 9a)",
+    )
     c.add_argument(
         "--int4-storage", default="packed", choices=["packed", "native"],
         help="int4 payload layout: byte-packed (Pallas wo4 kernel) or native jnp.int4 (XLA s4)",
@@ -410,6 +433,11 @@ def main(argv=None):
     c.add_argument(
         "--calib-tokens", default=None,
         help="comma-separated calibration token ids (--smooth-alpha/--gptq)",
+    )
+    c.add_argument(
+        "--awq", action="store_true",
+        help="AWQ grid-searched scale migration against the deployment "
+             "scheme (after --smooth-alpha, before --gptq)",
     )
     c.add_argument(
         "--gptq", action="store_true",

@@ -313,3 +313,51 @@ def test_cli_eagle_tree_generate_exact(weights_and_config, capsys):
           "--gamma", "3", "--eagle-tree", "3"])
     spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert spec["tokens"] == plain["tokens"], (spec["tokens"], plain["tokens"])
+
+
+@pytest.mark.slow
+def test_cli_best_int4_recipe_convert_then_generate(weights_and_config,
+                                                    capsys):
+    """The measured best-int4 recipe is reachable end-to-end from the CLI
+    (BASELINE.md ladder v2 decision 9a): g64 + smooth -> AWQ -> GPTQ.
+    Each calibration stage must actually change the written checkpoint
+    relative to plain int4 (sanity that the flags do something)."""
+    tmp, wpath, cpath = weights_and_config
+    out = str(tmp / "ckpt_best4")
+    main(["convert", "--weights", wpath, "--config", cpath,
+          "--mode", "weight_only_int4", "--int4-group", "64",
+          "--smooth-alpha", "0.5", "--awq", "--gptq",
+          "--calib-tokens", "5,9,2,7,1,3,8,8,4,4,2,9,5,1,7,3",
+          "--out", out])
+    capsys.readouterr()
+    main(["generate", "--ckpt", out, "--prompt-tokens", "5,9,2,7",
+          "--max-new", "8", "--max-seq", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["tokens"]) == 8
+    assert all(0 <= t < 64 for t in rec["tokens"])
+
+    plain = str(tmp / "ckpt_plain4")
+    main(["convert", "--weights", wpath, "--config", cpath,
+          "--mode", "weight_only_int4", "--int4-group", "64",
+          "--out", plain])
+    capsys.readouterr()
+    from protoquant_tpu.cli import _restore_model
+
+    _, p_best = _restore_model(out)
+    _, p_plain = _restore_model(plain)
+    import jax
+
+    leaves_b = jax.tree_util.tree_leaves(p_best)
+    leaves_p = jax.tree_util.tree_leaves(p_plain)
+    assert any(
+        a.shape == b.shape and not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_b, leaves_p)
+    )
+
+
+def test_cli_awq_requires_calib_tokens(weights_and_config):
+    tmp, wpath, cpath = weights_and_config
+    with pytest.raises(SystemExit, match="calib-tokens"):
+        main(["convert", "--weights", wpath, "--config", cpath,
+              "--mode", "weight_only_int4", "--awq",
+              "--out", str(tmp / "x")])
