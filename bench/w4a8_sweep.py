@@ -90,7 +90,11 @@ def main():
     # Mosaic can overlap chunk c+1's VPU requant under chunk c's MXU dot
     # (see ops/w4a8_matmul.py::_w4a8_2l_kernel). chunks=1 == the r4 kernel.
     results = {}
-    for bm, bn, bg, ch in [
+    # CONFIGS="bm,bn,bg,ch;..." overrides the sweep list (focused re-runs).
+    env_cfgs = os.environ.get("CONFIGS")
+    cfg_list = ([tuple(int(x) for x in c.split(","))
+                 for c in env_cfgs.split(";")] if env_cfgs else None)
+    for bm, bn, bg, ch in cfg_list or [
         (256, 1024, 16, 1),   # r4 default (anchor)
         (512, 1024, 16, 1),   # requant once per weight block at M=512
         (512, 1024, 32, 1),   # one big K block (K=4096): single kk step
