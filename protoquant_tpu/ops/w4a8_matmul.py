@@ -142,7 +142,7 @@ def _w4a8_2l_2d(xq, s_x, packed, scales, bias, *, group, out_dtype, block_m,
     kb = min(block_groups, n_groups)
     while n_groups % kb:
         kb -= 1
-    chunks = max(1, min(dot_chunks, kb))
+    chunks = kb if dot_chunks <= 0 else max(1, min(dot_chunks, kb))
     while kb % chunks:
         chunks -= 1
     mp, np_ = cdiv(m, block_m) * block_m, cdiv(n, block_n) * block_n
@@ -326,14 +326,18 @@ def w4a8_matmul(
     if block_n is None:
         block_n = 1024
     if block_groups is None:
-        block_groups = 32 if formulation == "two_level" else 16
+        # two_level: bg=16 + per-group interleave measured fastest AND most
+        # stable (bench/w4a8_sweep.py chunk A/B, 3 repeats: 1302-1327us vs
+        # the r4 bg=32 monolithic-dot default's 1422-1562us at M=512 —
+        # ~13% median kernel win, 1.50x bf16 prefill).
+        block_groups = 16
     if dot_chunks is None:
         # VPU/MXU overlap split for two_level (see _w4a8_2l_kernel): env
-        # W4A8_2L_CHUNKS overrides; the default is the measured winner of
-        # bench/w4a8_sweep.py's chunk A/B on this runtime.
+        # W4A8_2L_CHUNKS overrides (0 = per-group, the measured default;
+        # 1 = the r4 monolithic dot).
         import os
 
-        dot_chunks = int(os.environ.get("W4A8_2L_CHUNKS", "1"))
+        dot_chunks = int(os.environ.get("W4A8_2L_CHUNKS", "0"))
     xq2 = xq.reshape(-1, k)
     sx2 = s_x.reshape(-1).astype(jnp.float32)
     bm = pick_block(xq2.shape[0], block_m, 32)  # int8 sublane tile
