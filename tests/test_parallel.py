@@ -904,3 +904,40 @@ def test_eagle_tree_mesh_engine_matches_single_device(fp_setup, dp, tp):
         outs = eng.run()
     for ra, rb in zip(plain_rids, rids):
         assert plain_outs[ra] == outs[rb], (plain_outs[ra], outs[rb])
+
+
+@needs_8dev
+def test_tree_ring_dp_tp_engine_matches_single_device(fp_setup):
+    """TREE speculation on the RING layout under a dp=2 x tp=2 mesh
+    (round 5: the two features must compose with each other AND with the
+    mesh): candidate writes, ancestor-mask scoring, and the
+    reorder_tail-through-_column compaction all run batch-sharded /
+    head-sharded inside shard_map — streams match the single-device
+    ring-tree engine exactly."""
+    from protoquant_tpu.engine import Engine, EngineConfig
+
+    single_model, params = fp_setup
+    ecfg = EngineConfig(
+        max_batch_size=4, max_seq_len=64, prefill_chunk=8,
+        max_new_tokens=12, temperature=0.0,
+        stream_window=16, attention_sinks=2,
+    )
+    prompts = [[3, 17, 5, 9, 3, 17, 5, 9], [1, 2, 3, 1, 2, 3],
+               [7, 8, 9, 7, 8, 9], [2, 4, 2, 4, 2, 4]]
+    spec = dict(prompt_lookup=2, lookup_branches=2, gamma=2)
+
+    ref_eng = Engine(single_model, params, ecfg, kv_dtype=jnp.int8,
+                     kv_layout="ring", **spec)
+    ref_rids = [ref_eng.add_request(p, 12) for p in prompts]
+    ref_outs = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+    model_tp = tp_model(CFG, "fp", mesh, dtype=jnp.float32)
+    sparams = shard_params(params, mesh)
+    with mesh:
+        eng = Engine(model_tp, sparams, ecfg, kv_dtype=jnp.int8,
+                     kv_layout="ring", mesh=mesh, **spec)
+        rids = [eng.add_request(p, 12) for p in prompts]
+        outs = eng.run()
+    for ra, rb in zip(ref_rids, rids):
+        assert ref_outs[ra] == outs[rb], (ref_outs[ra], outs[rb])
