@@ -208,11 +208,12 @@ class EngineServer:
                 except (KeyError, TypeError, ValueError, IndexError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
-                if n > 1 and stream:
+                if n > 1 and stream and not oai:
                     return self._json(
-                        400, {"error": "n > 1 cannot stream (one SSE "
-                                       "stream per completion; issue n "
-                                       "streaming requests instead)"}
+                        400, {"error": "n > 1 cannot stream on /generate "
+                                       "(one SSE stream per completion; "
+                                       "use /v1/completions, which "
+                                       "interleaves indexed chunks)"}
                     )
                 tok_q = _queue.Queue() if stream else None
                 try:
@@ -246,7 +247,7 @@ class EngineServer:
                 timeout = float(req.get("timeout_s", 300))
                 if stream:
                     if oai:
-                        return self._stream_oai(rid, tok_q, timeout, max_new,
+                        return self._stream_oai(rids, tok_q, timeout, max_new,
                                                 chat=chat)
                     return self._stream(rid, tok_q, timeout)
                 import time as _time
@@ -320,6 +321,7 @@ class EngineServer:
                             outer.cancel(rid)
                             break
                         continue
+                    item = item[0]  # (token | _STREAM_DONE, rid); one rid here
                     if item is _STREAM_DONE:
                         tokens, cancelled, logprobs, top_lps = outer.wait(
                             rid, timeout=5
@@ -345,13 +347,15 @@ class EngineServer:
                 except (BrokenPipeError, ConnectionResetError):
                     pass
 
-            def _stream_oai(self, rid: int, tok_q, timeout: float,
+            def _stream_oai(self, rids: list, tok_q, timeout: float,
                             max_new: int, chat: bool = False):
-                """OpenAI streaming: one text_completion chunk per token,
-                a final chunk carrying finish_reason, then `data: [DONE]`.
-                Per-token text decodes ONE token at a time — byte-level
-                tokens may render U+FFFD mid-multibyte; clients that need
-                exact text reassemble from the non-stream endpoint."""
+                """OpenAI streaming: one chunk per token, a final chunk per
+                choice carrying its finish_reason, then `data: [DONE]`.
+                n > 1 choices share one queue and interleave as indexed
+                chunks — the official OpenAI n-streaming shape. Per-token
+                text decodes ONE token at a time — byte-level tokens may
+                render U+FFFD mid-multibyte; clients that need exact text
+                reassemble from the non-stream endpoint."""
                 import time
 
                 self.send_response(200)
@@ -375,55 +379,65 @@ class EngineServer:
                     return chunk(f"data: {json.dumps(obj)}\n\n".encode())
 
                 created = int(time.time())
+                index = {r: i for i, r in enumerate(rids)}
+                rid0 = rids[0]  # one id per response, OpenAI-style
+                need_role = set(rids)  # chat: role rides the first delta
 
-                def piece(txt, fin):
+                def piece(r, txt, fin):
                     if chat:
                         delta = {} if txt is None else {"content": txt}
-                        if piece.first and fin is None:
+                        if r in need_role and fin is None:
                             delta["role"] = "assistant"
-                            piece.first = False
-                        choice = {"index": 0, "delta": delta,
+                            need_role.discard(r)
+                        choice = {"index": index[r], "delta": delta,
                                   "finish_reason": fin}
                         obj = "chat.completion.chunk"
-                        pid = f"chatcmpl-{rid}"
+                        pid = f"chatcmpl-{rid0}"
                     else:
-                        choice = {"index": 0, "text": txt or "",
+                        choice = {"index": index[r], "text": txt or "",
                                   "finish_reason": fin}
                         obj = "text_completion"
-                        pid = f"cmpl-{rid}"
+                        pid = f"cmpl-{rid0}"
                     return {
                         "id": pid, "object": obj, "created": created,
                         "model": outer.model_name, "choices": [choice],
                     }
 
-                piece.first = True
+                live = set(rids)
                 deadline = time.monotonic() + timeout
-                while True:
+                while live:
                     try:
                         item = tok_q.get(timeout=max(
                             0.05, min(1.0, deadline - time.monotonic())
                         ))
                     except _queue.Empty:
                         if time.monotonic() > deadline:
-                            outer.cancel(rid)
-                            event(piece(None, "stop"))
-                            chunk(b"data: [DONE]\n\n")
-                            break
+                            for r in live:
+                                outer.cancel(r)
+                                event(piece(r, None, "stop"))
+                            live.clear()
                         continue
-                    if item is _STREAM_DONE:
-                        out = outer.wait(rid, timeout=5)
-                        tokens, cancelled = (out[0], out[1]) if out else ([], True)
+                    kind, r = item
+                    if r not in live:
+                        continue  # late token after a local cancel
+                    if kind is _STREAM_DONE:
+                        out = outer.wait(r, timeout=5)
+                        tokens, cancelled = (
+                            (out[0], out[1]) if out else ([], True)
+                        )
                         fin = ("length"
                                if len(tokens) >= max_new and not cancelled
                                else "stop")
-                        event(piece(None, fin))
-                        chunk(b"data: [DONE]\n\n")
-                        break
-                    txt = (outer.tokenizer.decode([int(item)])
-                           if outer.tokenizer is not None else str(int(item)))
-                    if not event(piece(txt, None)):
-                        outer.cancel(rid)
-                        break
+                        event(piece(r, None, fin))
+                        live.discard(r)
+                        continue
+                    txt = (outer.tokenizer.decode([int(kind)])
+                           if outer.tokenizer is not None else str(int(kind)))
+                    if not event(piece(r, txt, None)):
+                        for x in live:  # client went away: free everything
+                            outer.cancel(x)
+                        live.clear()
+                chunk(b"data: [DONE]\n\n")
                 try:
                     self.wfile.write(b"0\r\n\r\n")
                 except (BrokenPipeError, ConnectionResetError):
@@ -591,7 +605,9 @@ class EngineServer:
                **request_kwargs) -> int:
         on_token = None
         if stream_queue is not None:
-            on_token = lambda rid, tok: stream_queue.put(tok)
+            # Items are (token, rid) so n>1 OpenAI streams can share one
+            # queue and interleave as indexed chunks.
+            on_token = lambda rid, tok: stream_queue.put((tok, rid))
         with self._lock:
             rid = self.engine.add_request(
                 tokens, max_new, eos_id=eos_id, on_token=on_token,
@@ -636,7 +652,7 @@ class EngineServer:
                             self._events[req.rid].set()
                         q = self._streams.pop(req.rid, None)
                         if q is not None:
-                            q.put(_STREAM_DONE)
+                            q.put((_STREAM_DONE, req.rid))
             if not has_work:
                 time.sleep(0.005)
 

@@ -276,3 +276,35 @@ def test_chat_requires_tokenizer(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_completions_streaming_n_interleaved(server):
+    """n > 1 streaming: indexed chunks share one SSE stream (the official
+    OpenAI n-streaming shape); per index, the reassembled tokens equal the
+    non-stream choice for the same seed."""
+    body = {"prompt": [1, 2, 3], "max_tokens": 5, "n": 2,
+            "temperature": 0.9, "seed": 17}
+    ref = _post(server, body)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/completions",
+        data=json.dumps({**body, "stream": True}).encode(),
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    per_index = {0: [], 1: []}
+    fins = {}
+    for c in chunks:
+        (ch,) = c["choices"]
+        if ch["finish_reason"] is not None:
+            fins[ch["index"]] = ch["finish_reason"]
+        elif ch["text"]:
+            per_index[ch["index"]].append(int(ch["text"]))
+    assert set(fins) == {0, 1}
+    for i in (0, 1):
+        assert per_index[i] == ref["choices"][i]["tokens"], i
