@@ -358,6 +358,14 @@ class Engine:
             from ..native import PageAllocator
             from .paged_kv import PagedInt8KVCache
 
+            if kv_dtype != jnp.int8:
+                # Was silently ignored before round 5 — the pool class is
+                # int8; serving int8 pages under an int4/k4v8 request would
+                # lie about the memory budget the caller asked for.
+                raise ValueError(
+                    "paged layout is int8-only (PagedInt8KVCache); use "
+                    "kv_layout='dense' for the int4/K4V8 capacity tiers"
+                )
             ps = self.cfg.page_size
             if self.cfg.max_seq_len % ps:
                 raise ValueError("max_seq_len must be a multiple of page_size")

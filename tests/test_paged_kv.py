@@ -389,3 +389,22 @@ def test_paged_kv_scatter_decode_matches_xla_scatter():
     np.testing.assert_array_equal(np.asarray(vq2), np.asarray(vqr))
     np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ksr))
     np.testing.assert_array_equal(np.asarray(vs2), np.asarray(vsr))
+
+
+def test_paged_rejects_non_int8_kv_dtype():
+    """kv_dtype != int8 with the paged layout was silently ignored (int8
+    pages served anyway) — must be an explicit refusal."""
+    import pytest
+
+    from protoquant_tpu.engine import Engine, EngineConfig
+    from protoquant_tpu.models import LlamaModel
+    from protoquant_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, page_size=16)
+    with pytest.raises(ValueError, match="int8-only"):
+        Engine(model, params, ecfg, kv_dtype=jnp.int4, kv_layout="paged")
