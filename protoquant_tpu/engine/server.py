@@ -247,8 +247,13 @@ class EngineServer:
                 timeout = float(req.get("timeout_s", 300))
                 if stream:
                     if oai:
-                        return self._stream_oai(rids, tok_q, timeout, max_new,
-                                                chat=chat)
+                        return self._stream_oai(
+                            rids, tok_q, timeout, max_new, chat=chat,
+                            usage_prompt_tokens=(
+                                len(tokens)
+                                if req.get("include_usage") else None
+                            ),
+                        )
                     return self._stream(rid, tok_q, timeout)
                 import time as _time
 
@@ -348,7 +353,8 @@ class EngineServer:
                     pass
 
             def _stream_oai(self, rids: list, tok_q, timeout: float,
-                            max_new: int, chat: bool = False):
+                            max_new: int, chat: bool = False,
+                            usage_prompt_tokens: int | None = None):
                 """OpenAI streaming: one chunk per token, a final chunk per
                 choice carrying its finish_reason, then `data: [DONE]`.
                 n > 1 choices share one queue and interleave as indexed
@@ -404,6 +410,7 @@ class EngineServer:
                     }
 
                 live = set(rids)
+                completion_total = 0
                 deadline = time.monotonic() + timeout
                 while live:
                     try:
@@ -428,6 +435,7 @@ class EngineServer:
                         fin = ("length"
                                if len(tokens) >= max_new and not cancelled
                                else "stop")
+                        completion_total += len(tokens)
                         event(piece(r, None, fin))
                         live.discard(r)
                         continue
@@ -437,6 +445,23 @@ class EngineServer:
                         for x in live:  # client went away: free everything
                             outer.cancel(x)
                         live.clear()
+                if usage_prompt_tokens is not None:
+                    # stream_options.include_usage: a final chunk with
+                    # empty choices and the usage object, before [DONE].
+                    event({
+                        "id": (f"chatcmpl-{rid0}" if chat
+                               else f"cmpl-{rid0}"),
+                        "object": ("chat.completion.chunk" if chat
+                                   else "text_completion"),
+                        "created": created, "model": outer.model_name,
+                        "choices": [],
+                        "usage": {
+                            "prompt_tokens": usage_prompt_tokens,
+                            "completion_tokens": completion_total,
+                            "total_tokens": (usage_prompt_tokens
+                                             + completion_total),
+                        },
+                    })
                 chunk(b"data: [DONE]\n\n")
                 try:
                     self.wfile.write(b"0\r\n\r\n")
@@ -501,11 +526,18 @@ class EngineServer:
         out["max_new_tokens"] = int(
             req.get("max_completion_tokens") or req.get("max_tokens", 16)
         )
+        # NOTE: an omitted temperature falls back to the SERVER's configured
+        # EngineConfig default (not OpenAI's 1.0) — deployments pick their
+        # own deterministic-vs-sampled default; pass temperature explicitly
+        # for OpenAI-identical behavior.
         for k in ("temperature", "top_p", "presence_penalty",
                   "frequency_penalty", "seed", "logit_bias", "stop",
                   "stream", "timeout_s", "eos_id"):
             if req.get(k) is not None:
                 out[k] = req[k]
+        so = req.get("stream_options") or {}
+        if so.get("include_usage"):
+            out["include_usage"] = True
         if chat:
             # Chat API logprobs: bool + separate integer top_logprobs.
             if req.get("logprobs"):

@@ -308,3 +308,26 @@ def test_completions_streaming_n_interleaved(server):
     assert set(fins) == {0, 1}
     for i in (0, 1):
         assert per_index[i] == ref["choices"][i]["tokens"], i
+
+
+def test_completions_stream_options_include_usage(server):
+    """stream_options.include_usage: a final pre-[DONE] chunk with empty
+    choices and the usage object (the OpenAI streaming-usage shape)."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/completions",
+        data=json.dumps({"prompt": [3, 17, 5, 9], "max_tokens": 4,
+                         "stream": True,
+                         "stream_options": {"include_usage": True}}).encode(),
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    usage_chunk = json.loads(events[-2])
+    assert usage_chunk["choices"] == []
+    assert usage_chunk["usage"] == {"prompt_tokens": 4,
+                                    "completion_tokens": 4,
+                                    "total_tokens": 8}
