@@ -329,3 +329,35 @@ def test_medusa_adaptive_depth_exact(model_and_params):
     outs = eng.run()
     for ra, rb in zip(prids, rids):
         assert pouts[ra] == outs[rb], (pouts[ra], outs[rb])
+
+
+def test_eagle_tree_ring_layout_exact():
+    """EAGLE-tree on the RING layout (round 5): the draft keeps its own
+    dense feature cache while the target compacts through ring columns —
+    stream must equal the plain dense engine's windowed greedy exactly.
+    (Branch compaction with accepted>0 is stressed by the lookup-tree ring
+    tests; reorder_tail is proposer-agnostic.)"""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=24,
+    )
+    model = LlamaModel(cfg, mode="fp", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    draft, dp = init_eagle(model, jax.random.PRNGKey(3), dtype=jnp.float32,
+                           base_params=params)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=16,
+                        max_new_tokens=32, temperature=0.0)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 2, 9, 2, 9, 2]]
+
+    dense = Engine(model, params, ecfg, kv_dtype=jnp.int8)
+    drids = [dense.add_request(p, 32) for p in prompts]
+    douts = dense.run()
+
+    ring = Engine(model, params, ecfg, kv_dtype=jnp.int8, kv_layout="ring",
+                  eagle_draft=draft, eagle_params=dp, gamma=3,
+                  lookup_branches=3)
+    rrids = [ring.add_request(p, 32) for p in prompts]
+    routs = ring.run()
+    for ra, rb in zip(drids, rrids):
+        assert douts[ra] == routs[rb], (douts[ra], routs[rb])
