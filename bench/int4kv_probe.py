@@ -27,7 +27,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
-    from protoquant_tpu.models.kv_cache import Int4KVCache, Int8KVCache
+    from protoquant_tpu.models.kv_cache import (
+        Int4KVCache,
+        Int8KVCache,
+        K4V8KVCache,
+    )
 
     B, KV, Dh = 8, 32, 128
     S = int(os.environ.get("SEQ", "2048"))
@@ -72,6 +76,10 @@ def main():
         # + per-token V scales (tails are O(G), negligible at S=2048).
         ("int4_kv", Int4KVCache,
          B * KV * (S * Dh + (S // 64) * Dh * 4 + S * 4)),
+        # K4V8 (round 5): KIVI-packed int4 K (+ chunk-channel scales) and
+        # per-token int8 V — ~6 bits/elem on the attend stream.
+        ("k4v8_kv", K4V8KVCache,
+         B * KV * (S * Dh // 2 + (S // 64) * Dh * 4 + S * Dh + S * 4)),
     ):
         lo, hi = 64, 320
         run_lo, run_hi = make_run(cls, lo), make_run(cls, hi)
